@@ -1,0 +1,84 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Protocol (BASELINE.md): per query, one warm-up materialization then median
+of N timed runs — Spark's ~100ms/job scheduling floor dominates at sf0.1,
+so steady-state medians mirror the reference's post-JIT-warmup timing
+(``PureJavaTest.java:15-20`` runs 1000 warm iterations for the same
+reason). Results are materialized with the `noop` sink (full execution, no
+driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "q6",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_per_group",
+    "events_session_window",
+    "events_asof_join",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_tfidf_top_terms",
+]
+
+
+def materialize(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from presto_truffle_spark.session import get_spark
+    from presto_truffle_spark.registry import get_queries
+
+    spark = get_spark("bench")
+    queries = get_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        materialize(fn(spark, SF_DIR))  # warm-up: JIT, parquet footers, broadcast
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_median_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""Grouped / rolled-up aggregation operators.
+
+Generalizes the reference's ungrouped SUM + COUNT accumulators (O5/O6,
+``TpchQuery6.java:21-22,32-33,40``) to Spark's full aggregation surface.
+Spark plans every one of these as HashAggregate(partial) → Exchange →
+HashAggregate(final): the map-side partial combine means the shuffle
+carries one row per (task × group), not per input row — the property that
+makes a 100 TB groupBy feasible. AQE coalesces the post-shuffle partitions
+when groups are few and splits skewed ones.
+
+DuckDB-oracle notes: DuckDB ``sum(BIGINT)`` widens to HUGEINT, so integer
+sums are cast to BIGINT in the SQL; float aggregates rounded on both sides
+(SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2 grouping keys × 8 aggregates.
+    One shuffle on (returnflag, linestatus); partial aggregation makes the
+    exchange tiny regardless of input scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/countDistinct. COUNT(DISTINCT) over two different columns
+    forces Catalyst's Expand-based rewrite (one shuffle, rows multiplied by
+    #distinct-aggs) — the scalable plan vs naive per-column re-shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). THE scale-path distinct count:
+    constant memory per group, no Expand blow-up, mergeable sketches — at
+    100 TB this replaces exact countDistinct wherever ±2% error is fine.
+    Rows-only check: HLL estimates are engine-specific by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(grouping(l_returnflag) + grouping(l_linestatus) AS INTEGER) AS gl,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals. Catalyst plans via Expand (each input row
+    replicated once per grouping set) then a single hash aggregate — one
+    shuffle total, independent of the number of grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + F.grouping("l_linestatus")).cast("int").alias("gl"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over all grouping-key combinations (2^k grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(avg(l_extendedprice), 4) AS mean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). Exact percentiles buffer per-group values — fine for
+    bounded group counts; the 100 TB default is ``percentile_approx``
+    (see agg_percentile_approx)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+    )
+
+
+@query("agg_percentile_approx")  # no oracle: t-digest/GK sketch is engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna): constant memory,
+    mergeable — the scale path for quantiles over 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted array (sorted on both sides so the
+    order-insensitive row hash sees identical array values)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 5 AND sum(o_totalprice) > 100000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter((F.col("n_orders") >= 5) & (F.col("_raw_total") > 100000))
+        .drop("_raw_total")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar — all single-pass
+    mergeable moments (scale-safe by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list avoids the extra
+    distinct-values job — mandatory hygiene at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"F": "qty_F", "O": "qty_O"})
+    )

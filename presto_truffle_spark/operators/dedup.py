@@ -1,0 +1,334 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+[EXT] surface (BASELINE.json north_star). Four tiers, each with a different
+cost/recall point at 100 TB:
+
+  1. exact      — hash-groupBy on a content digest: one shuffle, always run.
+  2. normalized — same, after text canonicalization.
+  3. MinHash+LSH — near-dup candidates via banded minhash signatures, then
+     exact-Jaccard verification ONLY within LSH buckets. The verify join is
+     the crucial scale property: candidate pairs are bucket-mates, not the
+     O(n²) cross product.
+  4. SimHash    — bit-majority fingerprints; equal-fingerprint grouping.
+
+Determinism contract: every hash is md5 (identical hex output in Spark and
+DuckDB), so even the LSH pipeline is differential-testable against the SQL
+oracle — our version of the reference's golden-value strategy
+(``TpchQuery6.java:38-39``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Tier 1: exact dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+    Grouping by the 128-bit digest (not the text itself) keeps shuffle rows
+    small — at 100 TB the shuffle carries 16-byte keys, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (survivor rows): min-doc_id-per-text
+    semi-joined back — deterministic survivor choice, unlike
+    ``dropDuplicates`` whose survivor is partition-order dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: normalized dedup
+
+
+@query(
+    "dedup_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup after canonicalization (lowercase, collapse whitespace, trim) —
+    catches trivially-reformatted copies that exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return d.groupBy(F.md5(norm.cast("binary")).alias("norm_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: MinHash + LSH near-dedup
+
+_N_HASHES = 8  # minhash signature length
+_N_BANDS = 4  # LSH bands (rows per band = _N_HASHES // _N_BANDS = 2)
+_JACCARD_THRESHOLD = 0.5
+_SHINGLE = 3  # token 3-grams
+
+
+def _shingles_col():
+    """Distinct token 3-gram shingles as an array column (Spark side)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (_SHINGLE - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _minhash_sig_col(shingles):
+    """Minhash signature: per seed s, min over shingles of md5(s || '|' || shingle).
+
+    Min of fixed-width lowercase-hex strings == min of the underlying
+    128-bit values, and md5 is bit-identical across engines — this is what
+    makes the whole LSH pipeline oracle-checkable.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}|"), x).cast("binary")))
+            )
+            for s in range(_N_HASHES)
+        ]
+    )
+
+
+def _bands_col(sig):
+    """Band keys: md5 over each band's concatenated signature rows."""
+    r = _N_HASHES // _N_BANDS
+    return F.array(
+        *[
+            F.md5(
+                F.concat(*[F.element_at(sig, b * r + i + 1) for i in range(r)]).cast("binary")
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: documents sharing at least one band bucket.
+
+    Scale path: explode to (band_idx, band_hash, doc_id), shuffle on the
+    bucket key, pair up ONLY within buckets. Bucket sizes are the skew knob
+    — more bands/rows shrink buckets; a degenerate hot bucket (e.g. empty
+    docs) would be salted or capped in production.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= _SHINGLE
+    )
+    sig = d.select("doc_id", _shingles_col().alias("sh")).select(
+        "doc_id", "sh", _minhash_sig_col(F.col("sh")).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(_bands_col(F.col("sig"))).alias("band_idx", "band_hash")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {_SHINGLE - 1}),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS shingles
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SHINGLE}
+    ), sig AS (
+        SELECT doc_id, shingles,
+               [{", ".join(f"list_min(list_transform(shingles, x -> md5('{s}|' || x)))" for s in range(_N_HASHES))}] AS sig
+        FROM sh
+    ), bands AS (
+        SELECT doc_id, band_idx, md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
+        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard-verified.
+
+    Pipeline: token 3-gram shingles → 8-hash minhash signature → 4 bands of
+    2 rows → bucket-join for candidates → exact Jaccard ≥ 0.5 verify.
+    Every stage is a scan or a key-shuffle; nothing is O(n²). The verify
+    join re-reads shingle sets only for candidate docs (semi-join pruned).
+
+    At 100 TB the tuning dials are (#hashes, #bands): P(candidate) =
+    1-(1-j^r)^b — 4×2 bands catch j≥0.5 pairs with p≈0.6, chosen so the
+    sf0.01 fixture yields a stable, verifiable pair set.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= _SHINGLE
+    )
+    sh = d.select("doc_id", _shingles_col().alias("shingles"))
+    cand = minhash_candidates(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: SimHash
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), hv AS (
+        SELECT doc_id,
+               {", ".join(
+                   "list_sum(list_transform(toks, t -> CASE WHEN "
+                   f"CAST(floor((strpos('0123456789abcdef', substr(md5(t), {b // 4 + 1}, 1)) - 1) / {2 ** (b % 4)}) AS INTEGER) % 2 = 1 "
+                   f"THEN 1 ELSE -1 END)) AS s{b}"
+                   for b in range(_SIMHASH_BITS)
+               )}
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT)
+               AS simhash
+    FROM hv
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (16-bit demo width): per bit, majority vote of
+    token-hash bits weighted ±1; near-dups share fingerprints (grouping) or
+    differ in ≤k bits (banded lookup). Single scan + no shuffle at all for
+    the fingerprint itself. Bits derive from md5 hex nibbles so Spark and
+    DuckDB produce identical fingerprints. Production width is 64 bits; 16
+    keeps the generated expression readable."""
+    d = load_table(spark, sf_dir, "documents")
+    bit_sums = [
+        "aggregate(split(text, ' '), 0, (acc, t) -> acc + CASE WHEN "
+        f"CAST(floor((instr('0123456789abcdef', substring(md5(CAST(t AS BINARY)), {b // 4 + 1}, 1)) - 1) / {2 ** (b % 4)}) AS INT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    ]
+    hv = d.selectExpr("doc_id", *bit_sums)
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return hv.selectExpr("doc_id", f"CAST({fp} AS BIGINT) AS simhash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {_SHINGLE - 1}),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS shingles
+        FROM documents
+        WHERE lang = 'de' AND len(string_split(text, ' ')) >= {_SHINGLE}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pairwise n-gram Jaccard, scoped to one language partition
+    (the 'de' slice). This is the VERIFY kernel of dedup_minhash_lsh exposed
+    standalone; unscoped all-pairs would be O(n²) — at 100 TB it only ever
+    runs within LSH buckets or explicit small scopes like this."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "de") & (F.size(F.split(F.col("text"), " ")) >= _SHINGLE)
+    )
+    sh = d.select("doc_id", _shingles_col().alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter > 0)
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    )

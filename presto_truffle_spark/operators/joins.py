@@ -1,0 +1,320 @@
+"""Join operators over the star schema.
+
+The reference has NO joins (single-table Q6 — SURVEY.md §2.3); this module
+is the [EXT] join surface the driver contract requires. The scale story is
+the whole point of each docstring:
+
+  * Fact⋈dim joins broadcast the dim (``F.broadcast``): zero shuffle of the
+    100 TB fact side. `region`/`nation`/`supplier` are broadcast-safe at any
+    scale (fixed/sublinear cardinality, see catalog.ALWAYS_BROADCAST).
+  * Fact⋈fact joins (lineitem⋈orders) shuffle both sides on the join key —
+    Spark picks sort-merge vs shuffled-hash; AQE splits skewed keys at
+    runtime. Bucketing both tables on orderkey would remove the shuffle
+    entirely for a standing pipeline (bucketed-write demo in sources/).
+  * Semi/anti joins never materialize right-side columns: the build side is
+    deduplicated before the probe, so EXISTS over a huge table stays cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "join_inner_fact_fact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_inner_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join (lineitem⋈orders on orderkey). Both sides shuffle
+    on the key; at 100 TB this is the query's dominant cost — mitigations:
+    bucketing on orderkey (no shuffle), AQE skew split, and the filter on
+    orders pushed below the join (Catalyst does this automatically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + group + top-10. customer is dim-sized →
+    broadcast; lineitem⋈orders shuffles. Extra l_orderkey tie-break keeps
+    the LIMIT deterministic for the oracle hash."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table star join. All four dims (customer here is still
+    dim-sized vs lineitem) broadcast; only lineitem⋈orders shuffles. The
+    region filter prunes through two broadcast hops before touching the
+    fact table — Catalyst pushes it into the nation/supplier build sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT p_partkey, p_name, CAST(count(l_orderkey) AS BIGINT) AS n_lines,
+           round(coalesce(sum(l_quantity), 0), 2) AS total_qty
+    FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY p_partkey, p_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched parts (count of NULL key = 0)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left")
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big_cust AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ), big_ord AS (
+        SELECT o_custkey, count(*) AS n FROM orders
+        WHERE o_totalprice > 200000 GROUP BY o_custkey
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_balance,
+           coalesce(n, 0) AS n_big_orders
+    FROM big_cust FULL OUTER JOIN big_ord ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — rows surviving from either side only."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("has_balance"),
+        F.coalesce("n", F.lit(0)).alias("n_big_orders"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS. The build side is deduplicated on the key
+    before probing, so the output never multiplies — the scale-safe way to
+    filter a fact table by existence in another."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS (customers with no very-large order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT p_partkey, count(*) AS n_matching_lines
+    FROM part JOIN lineitem
+      ON p_partkey = l_partkey
+     AND l_quantity BETWEEN p_size AND p_size + 10
+    GROUP BY p_partkey
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + range join. The equi conjunct (partkey) drives the
+    physical hash/sort-merge join; the range term is a post-join filter —
+    i.e., this does NOT degrade to a cartesian product. A pure theta join
+    (no equi term) would fall to BroadcastNestedLoop: acceptable only when
+    one side broadcasts."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & li.l_quantity.between(p.p_size, p.p_size + 10),
+        )
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_matching_lines"))
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim⋈dim⋈dim chain, every hop broadcast — zero exchanges before the
+    final aggregate regardless of fact-table scale."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (compare each row to a global
+    aggregate). Planned as a 1-row broadcast join — no driver round-trip,
+    no collect(): scale-safe."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

@@ -1,0 +1,165 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+[EXT] surface (BASELINE.json north_star). The container has no image/audio
+codecs, so the DECODE step is stubbed (``decode_image`` below raises
+``NotImplementedError`` unless PIL is importable) — but the Spark-side
+plumbing is real and tested end-to-end:
+
+  * a `media` view with a BINARY payload column + typed metadata, derived
+    deterministically from `documents` (payload = utf-8 bytes of text);
+  * feature extraction as an Arrow-batched ``mapInPandas`` over the binary
+    column — the exact batch shape (iterator of pandas DataFrames, binary
+    cells as Python bytes) a real decoder (PIL/ffmpeg/torchaudio) plugs
+    into;
+  * frame sampling as a JVM-side sequence-explode.
+
+Scale posture: payloads never shuffle — metadata extraction is a map; any
+grouping happens on the extracted (small) metadata columns. At 100 TB the
+payload column stays in parquet until the pandas batch touches it, and
+``spark.sql.files.maxPartitionBytes`` bounds per-task memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+
+def decode_image(payload: bytes):
+    """Real image decode — STUB. The test container ships no codec
+    libraries; a deployment installs Pillow and this function works
+    unchanged. Everything downstream only needs (width, height, mode)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401  (not installed in this container)
+    except ImportError as exc:  # pragma: no cover - exercised only w/o PIL
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not available in this "
+            "container; multimodal queries use the deterministic fake "
+            "decode in fake_decode_meta() instead"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    return img.size + (img.mode,)  # pragma: no cover
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real decoder: derives (width, height,
+    n_frames) purely from the byte length, so the DuckDB oracle can compute
+    the same values from octet_length()."""
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1, n % 16 + 1)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal fixture: binary payload + declared media type."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_extract_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           md5(text) AS checksum,
+           CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+           CAST((length(text) * 7) % 480 + 1 AS INTEGER) AS height,
+           CAST(length(text) % 16 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction through ``mapInPandas``: each Arrow batch
+    delivers payload cells as ``bytes``; the decode call is the single line
+    a real codec replaces. Output schema is typed metadata only — payloads
+    are dropped before anything shuffles."""
+    import hashlib
+
+    schema = (
+        "media_id long, media_type string, byte_len long, checksum string, "
+        "width int, height int, n_frames int"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = [fake_decode_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "n_frames": pd.Series([m[2] for m in meta], dtype="int32"),
+                }
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(extract, schema)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, unnest(generate_series(0, length(text) % 16, 2))
+               AS frame_idx
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: every 2nd frame index from the
+    (fake-decoded) frame count, exploded JVM-side. A real pipeline follows
+    this with a pandas-UDF frame extractor keyed on (media_id, frame_idx).
+    Row amplification = avg frames/2 — bounded and predictable."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    n_frames = F.length("payload") % 16 + 1
+    return m.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(2))).alias("frame_idx"),
+    )
+
+
+@query(
+    "multimodal_size_by_type",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           count(*) AS n_items,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           round(avg(length(text)), 4) AS avg_bytes,
+           CAST(max(length(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_size_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage profile per modality — computed from octet_length without
+    ever decoding (the planning query a pipeline runs before provisioning
+    a 100 TB decode job)."""
+    m = media_table(spark, sf_dir)
+    blen = F.octet_length("payload")
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(blen).cast("long").alias("total_bytes"),
+        F.round(F.avg(blen), 4).alias("avg_bytes"),
+        F.max(blen).cast("long").alias("max_bytes"),
+    )

@@ -1,0 +1,186 @@
+"""Scan / filter / project operators — the [REF] surface, generalized.
+
+The reference implements exactly one fused pipeline: columnar scan (O1),
+conjunctive 5-term filter (O3a-O3d), scalar projection (O4) and ungrouped
+SUM/COUNT aggregation (O5/O6) — ``TpchQuery6.java:19-50``. In Spark, the
+same declaration compiles through Catalyst to the same shape: a single
+whole-stage-codegen'd loop over Parquet columnar batches with the filter
+pushed into the scan (partial aggregate), then a one-row exchange to the
+final aggregate. ``q6`` here IS the reference query, with the reference's
+lexicographic date-string compare (``TpchQuery6.java:45-46``) upgraded to
+proper timestamp semantics (driver data has ``l_shipdate`` as timestamp).
+
+Scale posture: Q6 at 100 TB is a pure scan-heavy map + 1-row reduce — the
+optimal plan is "read as few bytes as possible". The DataFrame declaration
+gives Catalyst everything it needs: only 4 of 11 lineitem columns appear
+(column pruning → ReadSchema), all 5 predicates push to Parquet row-group
+min/max skipping (PushedFilters), and the aggregate is partial+final so the
+shuffle carries exactly one row per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the reference's flagship (``README.md:6-15``).
+
+    Exercises the complete [REF] operator set in one query:
+    scan O1, date-range O3a/O3b, double-BETWEEN O3c, long `<` O3d,
+    projection O4, ungrouped SUM O5.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q6_count",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS passing_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 + the reference's diagnostic passing-row count (O6,
+    ``TpchQuery6.java:22,33,38-39`` — the `processedRows` counter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("passing_rows"),
+        )
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus = 'F'
+      AND l_orderkey % 2 = 0
+      AND l_tax IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: BETWEEN / IN / equality / modulo arithmetic /
+    null check — generalizing the reference's conjunctive filter (O3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_linestatus") == "F")
+        & (F.col("l_orderkey") % 2 == 0)
+        & F.col("l_tax").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "project_case_when",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar projection battery: arithmetic expression (generalizing O4's
+    ``price * discount``, ``TpchQuery6.java:32``) + CASE WHEN branches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_return"),
+    )
+
+
+@query(
+    "scan_prune",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan — the Spark counterpart of the
+    reference's 4-of-N column binding (O1, ``TpchQuery6.java:25-28``).
+    `.explain` shows ReadSchema with exactly these columns and the shipdate
+    filter in PushedFilters; at 100 TB this is the difference between
+    reading 2 columns' pages and the whole table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans this as TakeOrderedAndProject — per-partition
+    top-100 then a single-node merge of the per-partition heads, NOT a full
+    sort; that is exactly the scale-safe plan for 100 TB. Tie-broken on the
+    unique (l_orderkey, l_linenumber) so the row set is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )

@@ -1,0 +1,240 @@
+"""Scalar function battery: string / date / math / array / map / JSON.
+
+[EXT] surface (the reference's only scalar expression is the O4 multiply,
+``TpchQuery6.java:32``). Everything here is built-in ``pyspark.sql.functions``
+— JVM-side, inside whole-stage codegen, no Python in the row path. That is
+the engine's rule: a scalar function only becomes a pandas UDF when no
+builtin composition exists (see similarity/multimodal modules).
+
+Cross-engine oracle notes: DuckDB ``year()``/``len()``/``datediff`` return
+BIGINT where Spark returns INT — casts applied in the SQL; Spark ``log`` is
+natural log ≡ DuckDB ``ln``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim(p_name) AS name_trimmed,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_type LIKE '%BRUSHED%' THEN 1 ELSE 0 END AS is_brushed,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/length/substring/concat/trim/replace/LIKE/regexp_extract."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("name_trimmed"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_type").like("%BRUSHED%"), 1).otherwise(0).alias("is_brushed"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS o_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '1998-12-01') AS INTEGER)
+               AS days_to_cutoff,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    WHERE o_orderkey <= 5000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayofweek/date_trunc/date_add/datediff/format.
+
+    DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday —
+    reconciled with +1 on the DuckDB side.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_cutoff"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 30000), 2) AS abs_dev,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           round(greatest(l_discount, l_tax), 2) AS max_rate,
+           round(least(l_discount, l_tax), 2) AS min_rate,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS dev_sign
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/pow/ln/sqrt/ceil/floor/mod/greatest/least/sign."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_dev"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("dev_sign"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           list_contains(string_split(text, ' '), 'data') AS has_data,
+           list_sort(list_distinct(string_split(text, ' ')))[1] AS min_token,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+               AS n_unique_tokens,
+           array_to_string(list_transform(string_split(text, ' ')[1:2],
+                                          t -> upper(t)), '|') AS head_upper
+    FROM documents
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: split/size/element_at/array_contains/array_distinct/
+    array_sort/slice/transform — all JVM-side higher-order functions, no
+    explode needed (no row blow-up at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("min_token"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.array_join(F.transform(F.slice(toks, 1, 2), lambda t: F.upper(t)), "|").alias(
+            "head_upper"
+        ),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 AS k_gt_50
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column
+    (``get_json_object`` ≡ DuckDB ``json_extract_string``). For fixed-schema
+    props, ``from_json`` with an explicit schema beats repeated path
+    extraction at scale (single parse per row) — see events_from_json."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        (k.cast("long") > 50).alias("k_gt_50"),
+    )
+
+
+@query(
+    "events_from_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured parse of the JSON props (one ``from_json`` with explicit
+    schema — permissive mode, malformed rows become NULL not failures) then
+    aggregate over the extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+           c_acctbal IS NULL AS bal_is_null,
+           ifnull(NULL, c_acctbal) AS bal_filled,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END
+               AS bal_nonneg
+    FROM customer
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / isNull / ifnull / NULL-producing CASE — the
+    reference has no NULL support at all (SURVEY.md §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.ifnull(F.lit(None).cast("double"), F.col("c_acctbal")).alias("bal_filled"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal_nonneg"),
+    )

@@ -1,0 +1,345 @@
+"""Similarity search over the `embeddings` table (64-dim float vectors).
+
+[EXT] surface (BASELINE.json north_star). Three layers:
+
+  * exact brute-force cosine top-k — the correctness baseline. O(Q×N) pairs:
+    fine when Q is small or N fits a broadcast; the verify kernel otherwise.
+  * pandas-UDF cosine — the same semantics on the vectorized Arrow/numpy
+    path; at 100 TB this is how the pair scoring actually runs (a JVM
+    higher-order fold over 64 floats per row is ~10× slower than a numpy
+    batch matmul).
+  * LSH bucketing — sign-of-dot-product against pinned "hyperplane" vectors
+    (data-derived: the first 8 embeddings, so the whole pipeline stays
+    deterministic and oracle-checkable). Buckets turn the O(N²) pair space
+    into per-bucket pair spaces — the scale path for all-pairs similarity.
+
+All cosines are computed in float64 (explicit cast from the stored float32)
+and rounded before ranking so Spark's sequential fold and DuckDB's
+list_dot_product agree bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors in the fixtures
+_TOP_K = 10
+_N_PLANES = 8  # LSH hyperplanes = embeddings with vec_id 1..8
+
+
+def _dot(a, b):
+    """float64 dot product as a sequential fold (matches DuckDB's
+    list_dot_product evaluation order, so rounding is stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _emb(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").cast("array<double>").alias(emb_alias),
+        "label",
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id >= {_N_QUERIES}
+    ), scored AS (
+        SELECT qid, cid,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                     6) AS cos_sim
+        FROM q CROSS JOIN c
+    )
+    SELECT qid, cid, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: Q query vectors broadcast against all candidates,
+    per-query top-k via window. The broadcast means the big (candidate) side
+    never shuffles — at 100 TB this plan is a single scan of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _emb(e.filter(F.col("vec_id") < _N_QUERIES), "qid", "qe").drop("label")
+    c = _emb(e.filter(F.col("vec_id") >= _N_QUERIES), "cid", "ce").drop("label")
+    sim = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    scored = c.join(F.broadcast(q)).select("qid", "cid", F.round(sim, 6).alias("cos_sim"))
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
+    return (
+        scored.select("qid", "cid", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
+@query(
+    "ann_cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id >= {_N_QUERIES}
+    ), scored AS (
+        SELECT qid, cid,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                     4) AS cos_sim
+        FROM q CROSS JOIN c
+    )
+    SELECT qid, cid, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k on the vectorized path: an Arrow-batched pandas UDF doing
+    numpy batch cosine. This is the hot-path implementation at scale —
+    per-batch ``(A*B).sum(axis=1)`` instead of a per-row JVM fold. Rounded
+    at 4dp because numpy's pairwise summation may differ from a sequential
+    fold in the last ulps."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def cos_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.values)
+        B = np.stack(b.values)
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _emb(e.filter(F.col("vec_id") < _N_QUERIES), "qid", "qe").drop("label")
+    c = _emb(e.filter(F.col("vec_id") >= _N_QUERIES), "cid", "ce").drop("label")
+    scored = c.join(F.broadcast(q)).select(
+        "qid", "cid", F.round(cos_sim_udf("qe", "ce"), 4).alias("cos_sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
+    return (
+        scored.select("qid", "cid", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    )
+    SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                         THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment. Hyperplanes are pinned,
+    data-derived vectors (vec_id 1..8) so both engines compute identical
+    buckets; production uses seeded Gaussian planes — the plan shape is the
+    same: tiny plane set broadcast, one scan, sign-bit bucket id per row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _emb(e.filter(F.col("vec_id").between(1, _N_PLANES)), "p_id", "pe").drop("label")
+    ev = _emb(e, "vec_id", "ev").drop("label")
+    bit = F.when(_dot(F.col("ev"), F.col("pe")) > 0, F.pow(F.lit(2.0), F.col("p_id") - 1)).otherwise(0.0)
+    return (
+        ev.join(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(F.sum(bit).cast("long").alias("bucket"))
+    )
+
+
+@query(
+    "ann_lsh_bucket_stats",
+    oracle=f"""
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ), buckets AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    )
+    SELECT bucket, count(*) AS n_vectors,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM buckets GROUP BY bucket
+    """,
+)
+def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size histogram + induced candidate-pair count — the skew
+    diagnostic that decides whether the LSH pair stage is feasible
+    (sum(n_pairs) is the actual verify-join cost vs N(N-1)/2 brute force)."""
+    buckets = ann_lsh_buckets(spark, sf_dir)
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS true_label
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label FROM embeddings
+        WHERE vec_id >= 20
+    ), topk AS (
+        SELECT qid, true_label, cid, label FROM (
+            SELECT qid, true_label, cid, label,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                       round(list_dot_product(qe, ce) /
+                             (sqrt(list_dot_product(qe, qe)) *
+                              sqrt(list_dot_product(ce, ce))), 6) DESC, cid) AS rn
+            FROM q CROSS JOIN c)
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT qid, true_label, label AS pred_label FROM (
+        SELECT qid, true_label, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY count(*) DESC, label) AS rn
+        FROM topk GROUP BY qid, true_label, label)
+    WHERE rn = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: top-10 cosine neighbors → majority label vote
+    (ties broken by smaller label). The fixture's label column makes this a
+    sanity check that neighbor sets are semantically meaningful."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+        "label",
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = W.partitionBy("qid").orderBy(F.round(sim, 6).desc(), "cid")
+    topk = (
+        c.join(F.broadcast(q))
+        .select("qid", "true_label", "cid", "label", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(F.count(F.lit(1)).alias("n"))
+    wv = W.partitionBy("qid").orderBy(F.col("n").desc(), "label")
+    return (
+        votes.select("qid", "true_label", "label", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("qid", "true_label", F.col("label").alias("pred_label"))
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ), buckets AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ev, b.ev) /
+                 (sqrt(list_dot_product(a.ev, a.ev)) *
+                  sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos_sim
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ev, b.ev) /
+          (sqrt(list_dot_product(a.ev, a.ev)) *
+           sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-scoped: exact cosine
+    is evaluated only for bucket-mates (same 8-bit hyperplane signature),
+    never across the full N² pair space — the all-pairs dedup pattern that
+    actually runs at 100 TB. Threshold 0.4 on this fixture's unit-scale
+    vectors."""
+    buckets = ann_lsh_buckets(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    be = buckets.join(e, "vec_id")
+    a = be.select(
+        F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("ev").alias("ev_a")
+    )
+    b = be.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bucket_b"), F.col("ev").alias("ev_b")
+    )
+    sim = _dot(F.col("ev_a"), F.col("ev_b")) / (
+        F.sqrt(_dot(F.col("ev_a"), F.col("ev_a"))) * F.sqrt(_dot(F.col("ev_b"), F.col("ev_b")))
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(sim >= 0.4)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 6) AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 6) AS min_norm,
+           round(max(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — the hygiene check before any
+    cosine-based pipeline (catches zero/unnormalized vectors)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(_dot(ev, ev))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )

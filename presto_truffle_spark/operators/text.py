@@ -1,0 +1,302 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+[EXT] surface (BASELINE.json north_star): token statistics, quality
+scoring, language ID, document fingerprinting, TF-IDF. Everything is
+built-in string/array/higher-order functions — single scan, JVM-side, no
+Python in the row path. Only TF-IDF shuffles (one explode + two grouped
+aggregations); all scores are per-row expressions that scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                 len(string_split(text, ' ')), 6) AS ttr,
+           round((length(text) - len(string_split(text, ' ')) + 1) * 1.0 /
+                 len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type/token ratio + mean token length. Whitespace
+    tokenization matches the fixture's space-separated corpus; a BPE-ish
+    regex variant is text_bpe_token_count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("ttr"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS INTEGER) AS n_bpe_ish,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: regex word/number/symbol pieces, plus the
+    crude chars/4 heuristic used for budget estimates in data pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_ish"),
+        F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / n, 6)
+               AS stopword_ratio,
+           round(len(list_filter(toks, x -> length(x) <= 2)) * 1.0 / n, 6)
+               AS short_token_ratio,
+           round(length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 /
+                 length(text), 6) AS nonalpha_ratio,
+           CASE WHEN n BETWEEN 20 AND 1000
+                 AND len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / n
+                     BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (Gopher/C4-style): stopword ratio, short
+    token ratio, non-alpha character ratio, and a pass/fail gate. Pure
+    row-side expressions — the 100 TB quality-filter stage is a map."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n
+    short_ratio = F.size(F.filter(toks, lambda x: F.length(x) <= 2)) / n
+    nonalpha = F.length(F.regexp_replace("text", "[a-z ]", "")) / F.length("text")
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(short_ratio, 6).alias("short_token_ratio"),
+        F.round(nonalpha, 6).alias("nonalpha_ratio"),
+        F.when(n.between(20, 1000) & stop_ratio.between(0.01, 0.6), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "of", "and"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def _marker_count(toks, markers):
+    """Count (with duplicates) of tokens in the marker set. The closure must
+    be a single-arg lambda: Spark derives the HOF arity from the signature."""
+    ms = tuple(markers)
+    return F.size(F.filter(toks, lambda x: x.isin(*ms)))
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), scores AS (
+        SELECT doc_id, lang,
+               {", ".join(
+                   f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS c_{lg}"
+                   for lg, ms in _LANG_MARKERS.items()
+               )}
+        FROM t
+    )
+    SELECT doc_id, lang AS label_lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family). Deterministic
+    argmax with a fixed tie-break order so both engines agree. Real
+    pipelines swap the marker table for fastText scores via a pandas UDF —
+    the plumbing (per-row score → argmax) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[_marker_count(toks, ms).alias(f"c_{lg}") for lg, ms in _LANG_MARKERS.items()],
+    )
+    pred = (
+        F.when(
+            (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") >= F.col("c_fr")),
+            "en",
+        )
+        .when((F.col("c_de") >= F.col("c_es")) & (F.col("c_de") >= F.col("c_fr")), "de")
+        .when(F.col("c_es") >= F.col("c_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", "label_lang", pred.alias("pred_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+           substring(md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))), 1, 16)
+               AS fingerprint64
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over canonicalized text (+ 64-bit prefix
+    for compact storage). The join key for cross-corpus contamination
+    checks at scale — 8/16 bytes per doc regardless of doc size."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fingerprint64"),
+    )
+
+
+@query(
+    "text_word_freq",
+    oracle="""
+    SELECT token, n FROM (
+        SELECT token, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token)
+    WHERE rn <= 20
+    """,
+)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency, top-20 (the canonical explode→groupBy→top-k).
+    The explode multiplies rows by tokens-per-doc; the partial aggregate
+    collapses them again map-side before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "token")
+    return counts.select("token", "n", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 20
+    ).drop("rn")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, top-3 terms per document. Three shuffles total (tf groupBy,
+    df groupBy, per-doc window); the doc-count joins in as a broadcast
+    1-row table — no collect(). IDF = ln(N/df), tf raw count."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.select("doc_id", "token", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language — the mix-monitoring aggregate every
+    multilingual data pipeline keeps."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )

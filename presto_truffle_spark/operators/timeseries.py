@@ -1,0 +1,282 @@
+"""Time-series operators over the `events` table: tumbling / sliding /
+session windows, as-of joins, event dedup.
+
+[EXT] surface (SURVEY.md §2.2 "Streaming"; batch-first per the driver's
+oracle contract — the Structured Streaming twins of these live in
+``presto_truffle_spark/streaming/``).
+
+Scale posture: every operator here shuffles at most once, on
+(user_id | bucket) — time-window aggregation over 100 TB of events is a
+plain hash aggregate once the window start is computed row-side.
+The as-of join avoids the naive range-join blow-up by using a union +
+last-observation-carried-forward window, which costs one shuffle on
+user_id instead of a per-row range probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (Spark ``F.window`` ≡ DuckDB ``time_bucket``;
+    both align hour buckets to the epoch). The window start is a pure
+    row-side expression, so this is one shuffle on (window, type)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '30 minutes' AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide. Spark's ``F.window``
+    emits one row per window an event falls into (length/slide = 2 here) —
+    the oracle reproduces that with an explicit offset cross-join. Row
+    amplification = length/slide: keep the ratio small at scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '{_SESSION_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+    ), islands AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '{_SESSION_GAP_MIN} minutes' AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM islands
+    GROUP BY user_id, session_seq
+"""
+
+
+@query("events_session_window", oracle=_SESSION_ORACLE)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via Spark's native
+    ``session_window`` — windows merge while events arrive within the gap;
+    ``end`` = last event + gap. Oracle is the classic gaps-and-islands SQL.
+    One shuffle on user_id; state per open session only."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize_islands",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), seq AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '{_SESSION_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+    )
+    SELECT user_id, event_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+    """,
+)
+def events_sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (assign a per-user session sequence number)
+    via lag + running sum — the composable building block behind
+    events_session_window, exposed as its own operator."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap > _SESSION_GAP_MIN * 60, 1).otherwise(0)
+    return (
+        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum("is_new")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("session_seq"),
+        )
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts FROM events
+        WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.event_id, p.ts, p.value, s.signup_ts
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest signup at-or-before
+    it, per user. Spark has no native ASOF JOIN; the scalable rewrite is
+    union-tag + last-observation-carried-forward window:
+
+        union(signups, purchases) → window per user ordered by ts →
+        last(signup_ts, ignoreNulls) over rows preceding → keep purchases.
+
+    Cost: ONE shuffle on user_id (vs a range join's quadratic probe).
+    Equal timestamps: signup sorts before the purchase (tag order), so
+    ``>=`` semantics match DuckDB's ASOF.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lit(None).cast("timestamp").alias("signup_ts"),
+        F.lit(1).alias("is_query"),
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("signup_ts"),
+        F.lit(0).alias("is_query"),
+    )
+    unioned = signups.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_query")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn("signup_ts", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_query") == 1)
+        .select("user_id", "event_id", "ts", "value", "signup_ts")
+    )
+
+
+@query(
+    "events_dedup_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event per (user, type) — the batch
+    twin of streaming ``dropDuplicatesWithinWatermark``. row_number (not
+    ``dropDuplicates``) so "which duplicate survives" is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "events_rate_per_user",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+           round(count(*) FILTER (WHERE event_type = 'error')
+                 * 1.0 / count(*), 6) AS error_rate,
+           CAST(min(ts) AS TIMESTAMP) AS first_seen,
+           CAST(max(ts) AS TIMESTAMP) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile with conditional aggregation (FILTER ≡
+    count_if)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.round(
+            F.count_if(F.col("event_type") == "error") / F.count(F.lit(1)), 6
+        ).alias("error_rate"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
