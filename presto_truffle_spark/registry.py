@@ -64,6 +64,11 @@ def load_all_modules() -> None:
         text,
         multimodal,
     )
+    from presto_truffle_spark.sources import io  # noqa: F401
+    from presto_truffle_spark.streaming import (  # noqa: F401
+        stateful,
+        windows as streaming_windows,
+    )
 
     _LOADED = True
 

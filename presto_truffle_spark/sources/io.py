@@ -1,0 +1,169 @@
+"""Sources & sinks beyond the parquet scan: CSV, JSON, partitioned and
+bucketed parquet writes, and the in-memory range source.
+
+The reference's only source is an in-memory generator (O8,
+``TpchDataGenerator.java:19-27``) and its only sink is stdout (O9). This
+module covers the SURVEY.md §2.2 scans/sources/sinks rows. Round-trip
+queries write to the repo's gitignored scratch dir and read back, so the
+oracle checks the FULL write→read cycle, not just the read.
+
+Scale posture: every write is partitioned (``partitionBy`` for pruning,
+``bucketBy`` for shuffle-free joins); CSV/JSON readers always get explicit
+schemas — runtime inference is a full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header) → read back with an EXPLICIT schema →
+    aggregate. Proves the CSV source/sink preserves types well enough to
+    reproduce the parquet-derived answer. Timestamps ride ISO-8601 strings."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch("orders_csv")
+    o.write.mode("overwrite").option("header", True).csv(path)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → JSON lines → read back (explicit schema) → aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _scratch("customer_json")
+    c.write.mode("overwrite").json(path)
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) >= 1997
+    GROUP BY 1
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by year → read back with a partition
+    filter. The read's WHERE on the partition column prunes directories
+    before any file I/O (partition pruning) — THE layout decision that
+    makes 100 TB time-range queries cheap. `.explain` shows the pruned
+    `PartitionFilters`."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = _scratch("orders_by_year")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") >= 1997)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables: lineitem and orders both written bucketed on
+    orderkey (8 buckets), then joined. Because bucket layouts match, the
+    join is exchange-free on both sides — at 100 TB, bucketing standing
+    fact tables on their join key removes the single largest shuffle a
+    star-schema pipeline pays, at the cost of one write-time shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # External tables with explicit paths: bucketing metadata lives in the
+    # session catalog; data lands in the scratch dir (warehouse.dir is a
+    # static conf we cannot set on the driver's session).
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _scratch("li_bucketed"))
+        .saveAsTable("li_bucketed")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _scratch("o_bucketed"))
+        .saveAsTable("o_bucketed")
+    )
+    lib = spark.table("li_bucketed")
+    ob = spark.table("o_bucketed")
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "source_range_generator",
+    oracle="""
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(i) AS BIGINT) AS total
+    FROM (SELECT unnest(generate_series(0, 99999)) AS i)
+    GROUP BY 1
+    """,
+)
+def source_range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory generated source (``spark.range`` ≡ the reference's O8
+    generator as a source primitive): rows are synthesized per-partition on
+    executors — no input I/O at any scale."""
+    return (
+        spark.range(0, 100000)
+        .select((F.col("id") % 10).alias("bucket"), F.col("id").alias("i"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("i").alias("total"))
+    )

@@ -1,0 +1,160 @@
+"""Structured Streaming twins of the batch time-series operators.
+
+SURVEY.md §2.2 "Streaming": tumbling windows, watermarks + late data,
+stateful dedup, arbitrary state. Each operator here drives a REAL
+Structured Streaming query — ``readStream`` over the events parquet →
+transformation → memory sink — run to completion synchronously
+(``availableNow`` trigger + ``processAllAvailable``), then returns the
+sink's contents as a DataFrame so the driver's harness can inspect it.
+
+Semantics notes:
+  * ``streaming_tumbling_counts`` uses complete output mode, so its result
+    equals the batch twin (events_tumbling_window modulo column subset) and
+    carries a full DuckDB oracle — the strongest check a streaming op can
+    get.
+  * Watermark-gated operators (append mode) emit only windows the
+    watermark has closed; with a single availableNow batch the tail of the
+    stream is withheld by design → rows-only checks.
+
+Scale posture: streaming state lives in the state store keyed by
+(window/user); at production scale the same code runs against Kafka with
+checkpointing to object storage — the parquet file source is the test
+harness stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def checkpoint_dir() -> str:
+    """Fresh checkpoint location under the repo's gitignored scratch dir
+    (at production scale this is an object-store path)."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix="ckpt_", dir=_SCRATCH)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (schema from a batch peek —
+    file-source streams require an explicit schema)."""
+    # Declare the RAW parquet schema (ts is INT64-nanos → bigint under
+    # nanosAsLong), then convert to a proper timestamp — mirroring
+    # catalog.load_table. NB: the load glob is deliberate — a non-wildcard
+    # path is treated as a directory by the file stream source, and the
+    # fixture is a single file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parq*")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink and
+    return the materialized result."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts as a genuine streaming query (complete mode →
+    every window in the sink → result ≡ batch → full DuckDB oracle)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query("streaming_windowed_watermark")  # rows-only: append mode withholds open windows
+def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a 1-hour watermark in append mode: late data
+    beyond the watermark is dropped, and only closed windows emit. The
+    final (still-open) windows of the fixture are correctly withheld —
+    exactly the semantics difference vs the batch twin, hence rows-only."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "total"
+    )
+
+
+@query("streaming_dedup_watermark")  # rows-only: survivor choice is arrival-order dependent
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within a 1-hour
+    watermark (``dropDuplicatesWithinWatermark``): state for a key expires
+    once the watermark passes it — bounded state on an unbounded stream,
+    which is what makes dedup feasible on a 100 TB/day event firehose."""
+    dd = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    return _run_to_memory(dd, "append")
+
+
+@query(
+    "streaming_session_window",
+    oracle=None,  # rows-only: append emits only watermark-closed sessions
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) with watermark —
+    sessions merge as events arrive and emit when the watermark passes
+    session end. Batch twin with full oracle: events_session_window."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
