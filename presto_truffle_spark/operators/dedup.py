@@ -164,28 +164,41 @@ def _bands_col(sig):
     )
 
 
+_BANDS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, band_idx, band_hash) table, memoized per
+    (session, sf_dir) so repeated queries share ONE cached table instead of
+    re-caching per call. Tiny (4 short rows per doc) — at cluster scale
+    this is the materialized signature table every production LSH pipeline
+    keeps."""
+    key = (id(spark), sf_dir)
+    if key not in _BANDS_MEMO:
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.size(F.split(F.col("text"), " ")) >= _SHINGLE
+        )
+        sig = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("sh")).select(
+            "doc_id", _minhash_sig_col(F.col("sh")).alias("sig")
+        )
+        bands = sig.select(
+            "doc_id", F.posexplode(_bands_col(F.col("sig"))).alias("band_idx", "band_hash")
+        )
+        _BANDS_MEMO[key] = bands.cache()
+    return _BANDS_MEMO[key]
+
+
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket.
 
     Scale path: explode to (band_idx, band_hash, doc_id), shuffle on the
     bucket key, pair up ONLY within buckets. Bucket sizes are the skew knob
     — more bands/rows shrink buckets; a degenerate hot bucket (e.g. empty
-    docs) would be salted or capped in production.
+    docs) would be salted or capped in production. The self-join reads the
+    band table twice; without the cache Spark would recompute the whole
+    shingle→signature chain per side.
     """
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= _SHINGLE
-    )
-    sig = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("sh")).select(
-        "doc_id", _minhash_sig_col(F.col("sh")).alias("sig")
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(_bands_col(F.col("sig"))).alias("band_idx", "band_hash")
-    )
-    # The self-join reads `bands` twice; without a cache Spark recomputes
-    # the whole shingle→signature chain per side. The cached table is tiny
-    # (4 short rows per doc) — at cluster scale this is the materialized
-    # signature table every production LSH pipeline keeps.
-    bands = bands.cache()
+    bands = _bands_df(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

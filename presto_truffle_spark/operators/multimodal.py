@@ -97,10 +97,18 @@ def multimodal_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width int, height int, n_frames int"
     )
 
+    # Inlined copy of fake_decode_meta: the UDF must be self-contained
+    # (module-level references don't resolve on workers when the driver
+    # runs outside this repo). test_multimodal_meta_matches_fake_decode
+    # pins the two implementations together.
+    def fake_decode_local(payload: bytes) -> tuple[int, int, int]:
+        n = len(payload)
+        return (n % 640 + 1, (n * 7) % 480 + 1, n % 16 + 1)
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            meta = [fake_decode_meta(p) for p in payloads]
+            meta = [fake_decode_local(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1,0 +1,162 @@
+"""Planner-layer DataFrame rewrites — pure-PySpark stand-ins for custom
+Catalyst rules (SURVEY.md §4.3).
+
+In Scala these would be ``Rule[LogicalPlan]`` injected via
+``spark.sql.extensions``; in pure PySpark the idiomatic equivalent is a
+library of plan-shaping functions applied before handing the DataFrame to
+Spark. Each rewrite is semantics-preserving (proved by the oracle query
+below that routes a join through the salted path) and exists purely to
+control the physical plan at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import ALWAYS_BROADCAST, load_table
+from presto_truffle_spark.registry import query
+
+
+def broadcast_if_dim(df: DataFrame, table_name: str) -> DataFrame:
+    """Broadcast tables that stay broadcast-safe at EVERY scale factor
+    (fixed or sublinear cardinality). Everything else is left to AQE's
+    runtime size-based decision — hard-coding broadcast for a table that
+    grows with the fact data is how 100 TB jobs OOM."""
+    return F.broadcast(df) if table_name in ALWAYS_BROADCAST else df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_source: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: split each hot left-side key across
+    ``n_salt`` shuffle partitions.
+
+    left rows get a deterministic salt from ``salt_source`` (any column
+    that varies within a key group — deterministic so reruns are
+    replayable, unlike ``rand()``); right rows are replicated once per
+    salt value. The join key becomes (key, salt), so one hot key's rows
+    land on n_salt reducers instead of one.
+
+    Cost model: right side is replicated n_salt×, so this is for
+    hot-key × small-right joins AQE's skew handling can't fix (e.g. the
+    right side is mid-sized — too big to broadcast, small enough to
+    replicate 8×). Semantics-preserving: proved by rewrite_salted_join's
+    oracle below.
+    """
+    salted_left = left.withColumn("_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salt)))
+    salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    salted_right = right.withColumn("_salt", F.explode(salts))
+    joined = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["_salt"] == salted_right["_salt"]),
+    )
+    return joined.drop("_salt")
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int) -> DataFrame:
+    """Top-k rows per group via row_number ≤ k (WindowGroupLimit pushes the
+    limit below the sort in Spark ≥3.5 — memory stays O(k) per group)."""
+    w = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    )
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under an explicit
+    total order (vs ``dropDuplicates`` whose survivor is partition-order
+    dependent — unacceptable for replayable pipelines)."""
+    return topk_per_group(df, key_cols, order_cols, 1)
+
+
+def asof_join_lastward(
+    queries_df: DataFrame,
+    refs: DataFrame,
+    key: str,
+    query_ts: str,
+    ref_ts: str,
+    ref_value_cols: list[str],
+) -> DataFrame:
+    """Generalized as-of join (latest ref row at-or-before each query row,
+    per key) via union-tag + last-observation-carried-forward window —
+    ONE shuffle on the key instead of a range-join probe. Ties at equal
+    timestamps resolve ref-before-query (``>=`` as-of semantics)."""
+    q = queries_df.withColumn("_is_q", F.lit(1)).withColumn("_ts", F.col(query_ts))
+    r = refs.withColumn("_is_q", F.lit(0)).withColumn("_ts", F.col(ref_ts))
+    # Align schemas: null-fill each side's missing columns (typed).
+    q_types, r_types = dict(q.dtypes), dict(r.dtypes)
+    for c in sorted(set(r.columns) - set(q.columns)):
+        q = q.withColumn(c, F.lit(None).cast(r_types[c]))
+    for c in sorted(set(q.columns) - set(r.columns)):
+        r = r.withColumn(c, F.lit(None).cast(q_types[c]))
+    cols = sorted(q.columns)
+    u = q.select(*cols).unionByName(r.select(*cols))
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_is_q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in ref_value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_is_q") == 1).drop("_is_q", "_ts")
+
+
+@query(
+    "rewrite_salted_join",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def rewrite_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join applied to lineitem⋈orders, aggregated — the oracle
+    is the PLAIN join's answer, proving the rewrite is semantics-preserving.
+    (orderkey isn't actually skewed in TPC-H; the point is the mechanism,
+    verified end-to-end.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", "l_linenumber", n_salt=4)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@query(
+    "rewrite_asof_generalized",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), errors AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS err_ts FROM events
+        WHERE event_type = 'error'
+    )
+    SELECT p.user_id, p.event_id, p.value, e.err_ts AS last_error_ts
+    FROM purchases p
+    ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts >= e.err_ts
+    """,
+)
+def rewrite_asof_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalized as-of helper joining purchases to the most recent
+    prior error per user (checked against DuckDB's native ASOF JOIN)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("ts").alias("last_error_ts")
+    )
+    out = asof_join_lastward(
+        purchases, errors, "user_id", "ts", "err_ts", ["last_error_ts"]
+    )
+    return out.select("user_id", "event_id", "value", "last_error_ts")

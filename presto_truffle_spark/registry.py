@@ -63,7 +63,9 @@ def load_all_modules() -> None:
         similarity,
         text,
         multimodal,
+        tpch,
     )
+    from presto_truffle_spark.plans import rewrites  # noqa: F401
     from presto_truffle_spark.sources import io  # noqa: F401
     from presto_truffle_spark.streaming import (  # noqa: F401
         stateful,

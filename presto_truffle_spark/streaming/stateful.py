@@ -29,36 +29,42 @@ _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen ti
 _STATE_SCHEMA = "n bigint, total double, last long"
 
 
-def _update_profile(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch of one user's events into persistent state."""
-    n, total, last = state.get if state.exists else (0, 0.0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].astype("int64").max()))
-    state.update((n, total, last))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [round(total, 2)],
-            "last_seen": [pd.Timestamp(last)],
-        }
-    )
-
-
 @query("streaming_stateful_profile")  # rows-only: arbitrary state has no SQL twin
 def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running profile via applyInPandasWithState. State is one
     tiny tuple per user — bounded by key cardinality, not stream length;
-    NoTimeout here, production uses event-time timeout for key expiry."""
+    NoTimeout here, production uses event-time timeout for key expiry.
+
+    The state-update function is NESTED deliberately: module-level
+    functions pickle by reference, and the driver's Python workers cannot
+    import this package when the driver runs from a different cwd. Nested
+    functions ship by value inside the task closure.
+    """
+
+    def update_profile(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # fold each micro-batch of one user's events into persistent state
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()))
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_seen": [pd.Timestamp(last)],
+            }
+        )
+
     stream = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     profiled = stream.groupBy("user_id").applyInPandasWithState(
-        _update_profile,
+        update_profile,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",

@@ -1,0 +1,80 @@
+"""Plan-shape tests: assert the Catalyst optimizations SURVEY.md §4.1 maps
+the reference's hand optimizations onto actually fire. These are the
+100 TB-posture regression tests — a change that silently un-pushes a
+filter or drops a broadcast fails here, not in production."""
+
+from __future__ import annotations
+
+from presto_truffle_spark.plans import inspect
+
+
+def test_q6_scan_prunes_and_pushes(spark, sf_dir):
+    """Reference parity: O1 binds only 4 of the table's columns
+    (TpchQuery6.java:25-28); our scan must read exactly those 4, with all
+    Q6 predicates pushed to parquet."""
+    from presto_truffle_spark.operators.relational import q6
+
+    scans = inspect.parquet_scans(q6(spark, sf_dir))
+    assert len(scans) == 1
+    assert sorted(scans[0].read_columns) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ]
+    pf = scans[0].pushed_filters
+    assert "l_discount" in pf and "l_quantity" in pf and "l_shipdate" in pf
+
+
+def test_q6_single_exchange(spark, sf_dir):
+    """Q6's only exchange is the 1-row partial→final aggregate merge — the
+    same dataflow as the reference's single accumulator."""
+    from presto_truffle_spark.operators.relational import q6
+
+    assert inspect.count_exchanges(q6(spark, sf_dir)) == 1
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir):
+    """Global top-N must not plan a full sort."""
+    from presto_truffle_spark.operators.relational import sort_limit
+
+    assert inspect.uses_take_ordered(sort_limit(spark, sf_dir))
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    from presto_truffle_spark.operators.joins import q5_local_supplier_volume
+
+    assert inspect.uses_broadcast_join(q5_local_supplier_volume(spark, sf_dir))
+
+
+def test_scan_prune_reads_two_columns(spark, sf_dir):
+    from presto_truffle_spark.operators.relational import scan_prune
+
+    scans = inspect.parquet_scans(scan_prune(spark, sf_dir))
+    assert sorted(scans[0].read_columns) == ["l_extendedprice", "l_orderkey", "l_shipdate"]
+    assert "l_shipdate" in scans[0].pushed_filters
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """The year-partitioned read-back must carry a PartitionFilter (pruning
+    happens at file listing, before any I/O)."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.sources.io import _scratch
+    from presto_truffle_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = _scratch("orders_by_year_plan_test")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") >= 1997)
+    scans = inspect.parquet_scans(back)
+    assert any("o_year" in s.partition_filters for s in scans)
+    assert all("o_year" not in s.pushed_filters for s in scans)
+
+
+def test_q6_wholestage_codegen(spark, sf_dir):
+    """The fused scan→filter→project→aggregate loop the reference hand-wrote
+    must come out of whole-stage codegen."""
+    from presto_truffle_spark.operators.relational import q6
+
+    assert inspect.codegen_stage_count(q6(spark, sf_dir)) >= 1
