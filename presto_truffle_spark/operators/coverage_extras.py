@@ -1,0 +1,225 @@
+"""Coverage completers for SURVEY.md §2.2 rows not exercised elsewhere:
+right join, null-safe equality, GROUPING SETS, map functions, the full UDF
+surface (row-scalar UDF, grouped-map applyInPandas), the columnar cache,
+and order-preserving set ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from presto_truffle_spark.catalog import load_table, register_views
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT p_partkey, p_name, l_orderkey, l_quantity
+    FROM lineitem RIGHT JOIN part
+      ON l_partkey = p_partkey AND l_quantity > 45
+    WHERE p_partkey <= 200
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join with a join-side predicate (unmatched parts keep
+    NULL lineitem columns). Spark physically flips it to a left join —
+    same plan cost either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return li.join(
+        p, (li.l_partkey == p.p_partkey) & (li.l_quantity > 45), "right"
+    ).select("p_partkey", "p_name", "l_orderkey", "l_quantity")
+
+
+@query(
+    "filter_null_safe_eq",
+    oracle="""
+    WITH flagged AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+    FROM flagged a JOIN flagged b
+      ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 30 AND b.c_custkey <= 30
+    """,
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM): NULL matches NULL
+    in the join — unlike `=`, which would drop those rows."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    flagged = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    a = flagged.select(F.col("c_custkey").alias("cust_a"), F.col("seg").alias("seg_a"))
+    b = flagged.select(F.col("c_custkey").alias("cust_b"), F.col("seg").alias("seg_b"))
+    return (
+        a.join(b, a.seg_a.eqNullSafe(b.seg_b) & (a.cust_a < b.cust_b))
+        .select("cust_a", "cust_b")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): arbitrary set list via
+    the SQL entry — identical text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k
+    FROM events
+    WHERE event_id <= 500
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: props parsed once into map<string,bigint>, then
+    map_keys / element_at / map_contains_key — the typed-map alternative to
+    repeated JSON path extraction (single parse, then O(1) lookups)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+               AS price_z
+    FROM orders
+    QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 3
+    """,
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-customer z-score normalization in
+    pandas/numpy, differentially checked against the pure-SQL window
+    formulation. This is the UDTF-style escape hatch for per-group logic
+    Spark can't express — and the oracle proves the two paths agree.
+    Groups ship as whole pandas frames: bounded by the largest group, the
+    operator to salt if a key is hot."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 3:
+            return pd.DataFrame({"o_custkey": [], "o_orderkey": [], "price_z": []})
+        m = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out["price_z"] = ((pdf["o_totalprice"] - m) / sd).round(4)
+        return out
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_custkey long, o_orderkey long, price_z double"
+    )
+
+
+@query(
+    "udf_row_scalar",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) * 2 + CASE WHEN p_size % 2 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS weird_score
+    FROM part
+    """,
+)
+def udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — present for surface completeness, and
+    deliberately the ONLY one in the engine: per-row serde makes it
+    ~10-100× slower than builtins/pandas UDFs (SURVEY.md §2.2 UDF rule).
+    The docstring is the warning label; the oracle shows the same logic is
+    expressible in builtins."""
+
+    @F.udf(T.LongType())
+    def weird_score(name: str, size: int) -> int:
+        return len(name) * 2 + (1 if size % 2 == 0 else 0)
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", weird_score("p_name", "p_size").alias("weird_score"))
+
+
+@query(
+    "cached_columnar_scan",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def cached_columnar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's in-memory table (``List<Page>`` built once,
+    ``PureJavaTest.java:12``) as Spark's columnar cache: ``df.cache()``
+    stores compressed ColumnarBatches in executor memory; repeated queries
+    skip the parquet scan entirely. At 100 TB you cache the hot projection,
+    not the table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).cache()
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity < 3
+    EXCEPT ALL
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity < 2
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicities subtract, not collapse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 3).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_quantity") < 2).select(F.col("l_returnflag").alias("flag"))
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_orderstatus AS st FROM orders WHERE o_custkey % 2 = 0
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min of multiplicities survives)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("st"))
+    b = o.filter(F.col("o_custkey") % 2 == 0).select(F.col("o_orderstatus").alias("st"))
+    return a.intersectAll(b)

@@ -316,6 +316,89 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 8  # IVF "centroids" = embeddings with vec_id 10..17 (pinned)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id BETWEEN 10 AND {10 + _N_CENTROIDS - 1}
+    ), assigned AS (
+        SELECT vec_id, ev, c_id FROM (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+                             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[])) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                       c.c_id) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS qid, ev AS qe, c_id AS qc FROM assigned
+        WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.qid, a.vec_id AS cid,
+               round(list_dot_product(q.qe, a.ev) /
+                     (sqrt(list_dot_product(q.qe, q.qe)) *
+                      sqrt(list_dot_product(a.ev, a.ev))), 6) AS cos_sim
+        FROM q JOIN assigned a ON a.c_id = q.qc AND a.vec_id >= {_N_QUERIES}
+    )
+    SELECT qid, cid, cos_sim FROM (
+        SELECT qid, cid, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    centroid (pinned, data-derived centroids so both engines agree; real
+    IVF trains k-means — the plan shape is identical), and each query
+    probes ONLY its own cell. Recall trades against the number of probed
+    cells (nprobe=1 here); cost per query drops from O(N) to O(N/k).
+    The cell assignment is the shuffle key — at 100 TB each cell is a
+    partition-local candidate list, and queries route by centroid id
+    instead of scanning the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1)).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    sim_c = _dot(F.col("ev"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
+    assigned = (
+        ev.join(F.broadcast(cent))
+        .select("vec_id", "ev", "c_id", F.row_number().over(w_assign).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe"), F.col("c_id").alias("qc")
+    )
+    c = assigned.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("ce2"), F.col("c_id").alias("cc")
+    )
+    sim = _dot(F.col("qe"), F.col("ce2")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce2"), F.col("ce2")))
+    )
+    scored = c.join(F.broadcast(q), F.col("cc") == F.col("qc")).select(
+        "qid", "cid", F.round(sim, 6).alias("cos_sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
+    return (
+        scored.select("qid", "cid", "cos_sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )
+
+
 @query(
     "embedding_norm_stats",
     oracle="""

@@ -64,6 +64,7 @@ def load_all_modules() -> None:
         text,
         multimodal,
         tpch,
+        coverage_extras,
     )
     from presto_truffle_spark.plans import rewrites  # noqa: F401
     from presto_truffle_spark.sources import io  # noqa: F401

@@ -66,18 +66,32 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink and
-    return the materialized result."""
+    return the materialized result.
+
+    Shuffle partitions are temporarily pinned low: a streaming query fixes
+    its state-store partition count at start, and a state store per
+    partition (RocksDB/HDFS dirs, snapshot files) makes tiny-fixture runs
+    latency-bound on store setup — under a default 200-partition session
+    the same query is ~10× slower for zero benefit. Production sizes this
+    to throughput; the fixture sizes it to 8.
+    """
+    spark = df.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 @query(
