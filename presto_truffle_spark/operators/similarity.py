@@ -78,11 +78,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k via window. The broadcast means the big (candidate) side
     never shuffles — at 100 TB this plan is a single scan of the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = _emb(e.filter(F.col("vec_id") < _N_QUERIES), "qid", "qe").drop("label")
-    c = _emb(e.filter(F.col("vec_id") >= _N_QUERIES), "cid", "ce").drop("label")
-    sim = _dot(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    # Norms hoisted to per-side columns BEFORE the pair join: computed once
+    # per vector instead of once per pair (numerically identical —
+    # sqrt(dot(v,v)) either way — so the oracle is unaffected).
+    q = (
+        _emb(e.filter(F.col("vec_id") < _N_QUERIES), "qid", "qe")
+        .drop("label")
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
     )
+    c = (
+        _emb(e.filter(F.col("vec_id") >= _N_QUERIES), "cid", "ce")
+        .drop("label")
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
     scored = c.join(F.broadcast(q)).select("qid", "cid", F.round(sim, 6).alias("cos_sim"))
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
     return (
@@ -241,15 +250,13 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
         F.col("label").alias("true_label"),
-    )
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
     c = e.filter(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("ce"),
         "label",
-    )
-    sim = _dot(F.col("qe"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
     w = W.partitionBy("qid").orderBy(F.round(sim, 6).desc(), "cid")
     topk = (
         c.join(F.broadcast(q))
@@ -299,16 +306,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ev")
     )
-    be = buckets.join(e, "vec_id")
+    be = buckets.join(e, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
+    )
     a = be.select(
-        F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("ev").alias("ev_a")
+        F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("ev").alias("ev_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = be.select(
-        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bucket_b"), F.col("ev").alias("ev_b")
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bucket_b"),
+        F.col("ev").alias("ev_b"), F.col("nrm").alias("nrm_b"),
     )
-    sim = _dot(F.col("ev_a"), F.col("ev_b")) / (
-        F.sqrt(_dot(F.col("ev_a"), F.col("ev_a"))) * F.sqrt(_dot(F.col("ev_b"), F.col("ev_b")))
-    )
+    sim = _dot(F.col("ev_a"), F.col("ev_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
         .filter(sim >= 0.4)
@@ -368,26 +377,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         F.col("embedding").cast("array<double>").alias("ce"),
     )
-    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
-    sim_c = _dot(F.col("ev"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev")).withColumn(
+        "evnorm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
     )
+    cent = cent.withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    sim_c = _dot(F.col("ev"), F.col("ce")) / (F.col("evnorm") * F.col("cnorm"))
     w_assign = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
     assigned = (
         ev.join(F.broadcast(cent))
-        .select("vec_id", "ev", "c_id", F.row_number().over(w_assign).alias("rn"))
+        .select("vec_id", "ev", "evnorm", "c_id", F.row_number().over(w_assign).alias("rn"))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("ev").alias("qe"), F.col("c_id").alias("qc")
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe"), F.col("c_id").alias("qc"),
+        F.col("evnorm").alias("qn"),
     )
     c = assigned.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("cid"), F.col("ev").alias("ce2"), F.col("c_id").alias("cc")
+        F.col("vec_id").alias("cid"), F.col("ev").alias("ce2"), F.col("c_id").alias("cc"),
+        F.col("evnorm").alias("cn"),
     )
-    sim = _dot(F.col("qe"), F.col("ce2")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ce2"), F.col("ce2")))
-    )
+    sim = _dot(F.col("qe"), F.col("ce2")) / (F.col("qn") * F.col("cn"))
     scored = c.join(F.broadcast(q), F.col("cc") == F.col("qc")).select(
         "qid", "cid", F.round(sim, 6).alias("cos_sim")
     )

@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session-scoped alias usable inside @given (hypothesis forbids
+    function-scoped fixtures)."""
+    return spark
