@@ -194,6 +194,68 @@ def cached_columnar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_biggest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / nth_value
+    (full-partition frame for nth_value so every row sees it)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_biggest"),
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               unnest(['price', 'discount', 'tax']) AS metric,
+               unnest([l_extendedprice, l_discount, l_tax]) AS value
+        FROM lineitem WHERE l_orderkey <= 200)
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt): one row per (row, metric). Row
+    amplification = #metrics — a map-side explode, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("metric") == "l_extendedprice", "price")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax")
+        .alias("metric"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@query(
     "setop_except_all",
     oracle="""
     SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity < 3

@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         multimodal,
         tpch,
         coverage_extras,
+        pipelines,
     )
     from presto_truffle_spark.plans import rewrites  # noqa: F401
     from presto_truffle_spark.sources import io  # noqa: F401
