@@ -146,6 +146,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TARGET_W, _TARGET_H = 224, 224  # the ubiquitous vision-model input size
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+           CAST((length(text) * 7) % 480 + 1 AS INTEGER) AS height,
+           round(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
+                       {_TARGET_H} * 1.0 / ((length(text) * 7) % 480 + 1)), 6)
+               AS scale_factor,
+           CAST(round(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
+                            {_TARGET_H} * 1.0 / ((length(text) * 7) % 480 + 1))
+                      * (length(text) % 640 + 1), 0) AS INTEGER) AS out_w,
+           CAST(round(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
+                            {_TARGET_H} * 1.0 / ((length(text) * 7) % 480 + 1))
+                      * ((length(text) * 7) % 480 + 1), 0) AS INTEGER) AS out_h
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INTEGER) = 0
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image payloads: aspect-preserving scale factor
+    to fit 224×224, computed from (fake-)decoded dims via mapInPandas —
+    the numpy block where a real resize (PIL/cv2) slots in. The actual
+    pixel work is the stubbed step (no codec in this container); the
+    geometry, batch shape and schema are real."""
+    schema = "media_id long, width int, height int, scale_factor double, out_w int, out_h int"
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 1).astype("int32")
+            h = ((n * 7) % 480 + 1).astype("int32")
+            s = pd.concat([_TARGET_W / w, _TARGET_H / h], axis=1).min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "scale_factor": s.round(6),
+                    "out_w": (s * w).round(0).astype("int32"),
+                    "out_h": (s * h).round(0).astype("int32"),
+                }
+            )
+
+    return media_table(spark, sf_dir).filter(F.col("media_type") == "image").mapInPandas(
+        plan, schema
+    )
+
+
 @query(
     "multimodal_size_by_type",
     oracle="""

@@ -1,0 +1,60 @@
+"""Streaming-vs-batch equivalence: for a single availableNow batch over a
+static fixture, the stateful streaming operators must agree with their
+batch formulations — the strongest check available for ops with no SQL
+oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_stateful_profile_equals_batch_groupby(spark, sf_dir):
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.streaming.stateful import streaming_stateful_profile
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in streaming_stateful_profile(spark, sf_dir).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["v"]) for r in batch}
+    assert set(got) == set(expected)
+    for u, (n, v) in expected.items():
+        assert got[u][0] == n
+        # streaming sums values in arrival order; batch in scan order —
+        # equal after the 2dp round both sides apply
+        assert abs(got[u][1] - v) < 0.02
+
+
+def test_streaming_tumbling_equals_batch_window(spark, sf_dir):
+    from presto_truffle_spark.operators.timeseries import events_tumbling_window
+    from presto_truffle_spark.streaming.windows import streaming_tumbling_counts
+
+    stream = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in streaming_tumbling_counts(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in events_tumbling_window(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_streaming_dedup_bounds(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: one survivor per (user, type) within
+    the watermark horizon — row count must equal the batch distinct count
+    for this fixture (whose duplicates all fall inside one batch)."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.streaming.windows import streaming_dedup_watermark
+
+    n_stream = streaming_dedup_watermark(spark, sf_dir).count()
+    n_batch = (
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert n_stream == n_batch
