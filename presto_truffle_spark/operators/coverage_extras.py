@@ -192,6 +192,31 @@ def cached_columnar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_argminmax_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_argminmax_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min/max (max_by/min_by) + boolean aggregates (every/any). Both
+    single-pass mergeable — scale-free. (o_totalprice has no exact ties in
+    the fixture, so the arg choice is deterministic.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+    )
+
+
+@query(
     "window_distribution_funcs",
     oracle="""
     SELECT o_custkey, o_orderkey,
