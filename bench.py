@@ -62,6 +62,29 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    # Reference-scale comparison: the reference times Q6 over 5M in-memory
+    # rows (TpchDataGenerator.java:16-17, PureJavaTest.java:15-20, 1000 warm
+    # iterations). Same shape here: 5M generated rows, cached columnar,
+    # median of 10 warm runs of the identical filter+sum.
+    from pyspark.sql import functions as F
+    from presto_truffle_spark.sources.generator import generate_lineitem_df
+
+    ref = generate_lineitem_df(spark, 5_000_000).cache()
+    q6_ref = lambda: ref.filter(  # noqa: E731
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    materialize(q6_ref())  # warm: materializes the cache
+    ref_samples = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        materialize(q6_ref())
+        ref_samples.append(time.perf_counter() - t0)
+    timings["q6_ref_scale_5m_inmem"] = round(statistics.median(ref_samples), 4)
+    ref.unpersist()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
