@@ -3,12 +3,15 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Protocol (BASELINE.md): per query, one warm-up materialization then median
-of N timed runs — Spark's ~100ms/job scheduling floor dominates at sf0.1,
-so steady-state medians mirror the reference's post-JIT-warmup timing
-(``PureJavaTest.java:15-20`` runs 1000 warm iterations for the same
-reason). Results are materialized with the `noop` sink (full execution, no
-driver collect).
+Protocol (BASELINE.md, tightened round 2): per query, one warm-up
+materialization then a TRIMMED MEAN of N=10 timed runs (min and max
+dropped) with the per-query stddev reported — local-mode noise was
+measured at ±30% round 1, so a median-of-5 couldn't distinguish a real
+round-over-round regression from scheduler jitter. Spark's ~100ms/job
+scheduling floor dominates at sf0.1; steady-state warm timings mirror the
+reference's post-JIT-warmup protocol (``PureJavaTest.java:15-20`` runs
+1000 warm iterations for the same reason). Results are materialized with
+the `noop` sink (full execution, no driver collect).
 """
 
 from __future__ import annotations
@@ -22,7 +25,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "10"))
+
+
+def trimmed_mean(samples: list[float]) -> float:
+    """Mean with min and max dropped (for len >= 3) — robust to the one-off
+    GC pause / scheduler hiccup that local mode throws into any run set."""
+    if len(samples) < 3:
+        return statistics.mean(samples)
+    return statistics.mean(sorted(samples)[1:-1])
 
 # Headline set: the flagship + one representative per operator family.
 HEADLINE = [
@@ -52,6 +63,7 @@ def main() -> None:
     queries = get_queries()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         materialize(fn(spark, SF_DIR))  # warm-up: JIT, parquet footers, broadcast
@@ -60,7 +72,8 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        timings[name] = round(trimmed_mean(samples), 4)
+        spreads[name] = round(statistics.stdev(samples), 4) if len(samples) > 1 else 0.0
 
     # Reference-scale comparison: the reference times Q6 over 5M in-memory
     # rows (TpchDataGenerator.java:16-17, PureJavaTest.java:15-20, 1000 warm
@@ -82,7 +95,8 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(q6_ref())
         ref_samples.append(time.perf_counter() - t0)
-    timings["q6_ref_scale_5m_inmem"] = round(statistics.median(ref_samples), 4)
+    timings["q6_ref_scale_5m_inmem"] = round(trimmed_mean(ref_samples), 4)
+    spreads["q6_ref_scale_5m_inmem"] = round(statistics.stdev(ref_samples), 4)
     ref.unpersist()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,10 +107,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_query_median_total",
+                "metric": "headline_query_trimmed_mean_total",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "stddev": spreads,
+                "runs": RUNS,
                 "sf": sf_val,
             }
         )

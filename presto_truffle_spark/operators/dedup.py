@@ -131,6 +131,19 @@ def _shingle_hashes_col(shingles):
     return F.transform(shingles, lambda x: F.substring(F.md5(x.cast("binary")), 1, 16))
 
 
+def _seeded_md5(seed: int):
+    """Single-parameter lambda hashing an element with a seed prefix.
+
+    MUST be built through this factory: a defaulted second parameter
+    (``lambda x, s=s: ...``) makes PySpark treat the lambda as the
+    two-arg (element, index) form — ``s`` silently becomes the index
+    Column and ``f"{s}|"`` stringifies it into a garbage seed that varies
+    with PySpark's lambda-variable counter (found round 2: signatures were
+    nondeterministic across invocations)."""
+    prefix = f"{seed}|"
+    return lambda x: F.md5(F.concat(F.lit(prefix), x).cast("binary"))
+
+
 def _minhash_sig_col(sh_hashes):
     """Minhash signature: per seed s, min over shingle hashes of
     md5(s || '|' || hash).
@@ -140,14 +153,7 @@ def _minhash_sig_col(sh_hashes):
     makes the whole LSH pipeline oracle-checkable.
     """
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh_hashes, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}|"), x).cast("binary"))
-                )
-            )
-            for s in range(_N_HASHES)
-        ]
+        *[F.array_min(F.transform(sh_hashes, _seeded_md5(s))) for s in range(_N_HASHES)]
     )
 
 
@@ -164,7 +170,7 @@ def _bands_col(sig):
     )
 
 
-_BANDS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_BANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,9 +178,20 @@ def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) so repeated queries share ONE cached table instead of
     re-caching per call. Tiny (4 short rows per doc) — at cluster scale
     this is the materialized signature table every production LSH pipeline
-    keeps."""
-    key = (id(spark), sf_dir)
+    keeps.
+
+    Keyed by applicationId (stable, never reused within a machine epoch —
+    unlike ``id(spark)``, which Python can recycle after GC and would then
+    serve a DataFrame bound to a dead session); stale sessions' entries are
+    evicted and unpersisted so the memo can't grow without bound."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _BANDS_MEMO:
+        for old_key in [k for k in _BANDS_MEMO if k[0] != app_id]:
+            try:
+                _BANDS_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass  # old session already stopped; nothing to release
         d = load_table(spark, sf_dir, "documents").filter(
             F.size(F.split(F.col("text"), " ")) >= _SHINGLE
         )
@@ -188,17 +205,33 @@ def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_MEMO[key]
 
 
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """LSH candidate pairs: documents sharing at least one band bucket.
 
     Scale path: explode to (band_idx, band_hash, doc_id), shuffle on the
     bucket key, pair up ONLY within buckets. Bucket sizes are the skew knob
-    — more bands/rows shrink buckets; a degenerate hot bucket (e.g. empty
-    docs) would be salted or capped in production. The self-join reads the
-    band table twice; without the cache Spark would recompute the whole
-    shingle→signature chain per side.
+    — more bands/rows shrink buckets. ``bucket_cap`` is the degenerate-
+    bucket guard: a bucket with b docs induces b(b-1)/2 pairs, so ONE hot
+    bucket (empty docs, boilerplate) can dominate the whole job at corpus
+    scale; buckets above the cap are dropped before pairing (the standard
+    production trade: bounded work, documented recall loss —
+    ``dedup_lsh_bucket_guard`` surfaces exactly what was dropped). The
+    self-join reads the band table twice; without the cache Spark would
+    recompute the whole shingle→signature chain per side.
     """
     bands = _bands_df(spark, sf_dir)
+    if bucket_cap is not None:
+        keep = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= bucket_cap)
+            .select("band_idx", "band_hash")
+        )
+        # Bucket-key list is small (one row per surviving bucket) — AQE
+        # turns this semi join into a broadcast at any realistic cap.
+        bands = bands.join(keep, ["band_idx", "band_hash"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -213,7 +246,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
+_ORACLE_BANDS_CTES = f"""
     WITH sh AS (
         SELECT doc_id,
                list_transform(
@@ -232,12 +265,35 @@ _MINHASH_ORACLE = f"""
     ), bands AS (
         SELECT doc_id, band_idx, md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
         FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
-    ), cand AS (
+    )"""
+
+
+def _minhash_oracle(bucket_cap: int | None = None) -> str:
+    """DuckDB oracle for the MinHash+LSH pipeline; with ``bucket_cap`` the
+    candidate CTE drops over-cap buckets exactly like the Spark side."""
+    if bucket_cap is None:
+        cand = """, cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    )
+    )"""
+    else:
+        cand = f""", bsz AS (
+        SELECT band_idx, band_hash FROM bands
+        GROUP BY band_idx, band_hash HAVING count(*) <= {bucket_cap}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bsz k ON a.band_idx = k.band_idx AND a.band_hash = k.band_hash
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )"""
+    return (
+        _ORACLE_BANDS_CTES
+        + cand
+        + f"""
     SELECT c.doc_a, c.doc_b,
            round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
                  (len(sa.shingles) + len(sb.shingles)
@@ -249,6 +305,33 @@ _MINHASH_ORACLE = f"""
           (len(sa.shingles) + len(sb.shingles)
            - len(list_intersect(sa.shingles, sb.shingles))) >= {_JACCARD_THRESHOLD}
 """
+    )
+
+
+_MINHASH_ORACLE = _minhash_oracle()
+
+
+def _verified_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None
+) -> DataFrame:
+    """Candidate pairs → exact-Jaccard ≥ threshold verification."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= _SHINGLE
+    )
+    sh = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("shingles"))
+    cand = minhash_candidates(spark, sf_dir, bucket_cap=bucket_cap)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -264,22 +347,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j^r)^b — 4×2 bands catch j≥0.5 pairs with p≈0.6, chosen so the
     sf0.01 fixture yields a stable, verifiable pair set.
     """
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= _SHINGLE
-    )
-    sh = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("shingles"))
-    cand = minhash_candidates(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+    return _verified_pairs(spark, sf_dir, bucket_cap=None)
+
+
+_BUCKET_CAP = 32
+
+
+@query("dedup_minhash_lsh_capped", oracle=_minhash_oracle(bucket_cap=_BUCKET_CAP))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the degenerate-bucket guard engaged
+    (cap = 32 docs/bucket — generous for the fixture, so the pair set is
+    identical to the uncapped run there; tests/test_dedup_guard.py asserts
+    that). At corpus scale the cap is what bounds worst-case work: a
+    boilerplate bucket of 1M docs would otherwise induce 5×10^11 candidate
+    pairs on one reducer. Dropped buckets are observable via
+    dedup_lsh_bucket_guard."""
+    return _verified_pairs(spark, sf_dir, bucket_cap=_BUCKET_CAP)
+
+
+@query(
+    "dedup_lsh_bucket_guard",
+    oracle=_ORACLE_BANDS_CTES
+    + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN cnt > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_buckets,
+           CAST(sum(CASE WHEN cnt > {_BUCKET_CAP} THEN cnt * (cnt - 1) / 2 ELSE 0 END) AS BIGINT)
+               AS dropped_pairs,
+           CAST(sum(CASE WHEN cnt <= {_BUCKET_CAP} THEN cnt * (cnt - 1) / 2 ELSE 0 END) AS BIGINT)
+               AS kept_pairs
+    FROM (SELECT band_idx, band_hash, count(*) AS cnt
+          FROM bands GROUP BY band_idx, band_hash)
+    """,
+)
+def dedup_lsh_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-cap guard's observability face: how many LSH buckets
+    exist, how many the cap would drop, and the induced candidate-pair
+    counts on each side of the cap. This is the pre-flight skew check a
+    100 TB dedup run reads BEFORE paying for the pair join (cf.
+    ann_lsh_bucket_stats for the embedding-LSH analog)."""
+    bands = _bands_df(spark, sf_dir)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")
+    over = F.col("cnt") > _BUCKET_CAP
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_dropped_buckets"),
+        F.sum(F.when(over, pairs).otherwise(0)).alias("dropped_pairs"),
+        F.sum(F.when(~over, pairs).otherwise(0)).alias("kept_pairs"),
     )
 
 

@@ -414,8 +414,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            count(*) AS n,
-           round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
-                                           embedding::DOUBLE[]))), 6) AS avg_norm,
+           round(sum(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 4) AS sum_norm,
            round(min(sqrt(list_dot_product(embedding::DOUBLE[],
                                            embedding::DOUBLE[]))), 6) AS min_norm,
            round(max(sqrt(list_dot_product(embedding::DOUBLE[],
@@ -426,13 +426,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-norm distribution per label — the hygiene check before any
-    cosine-based pipeline (catches zero/unnormalized vectors)."""
+    cosine-based pipeline (catches zero/unnormalized vectors). Emits
+    sum+count instead of avg (repo convention: an avg divides once at the
+    end and can land ON a rounding boundary, flipping the last digit
+    between engines; the mean is derivable downstream)."""
     e = load_table(spark, sf_dir, "embeddings")
     ev = F.col("embedding").cast("array<double>")
     norm = F.sqrt(_dot(ev, ev))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.sum(norm), 4).alias("sum_norm"),
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )

@@ -145,19 +145,28 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev
     )
     SELECT user_id, event_id, ts,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
     FROM seq
     """,
 )
 def events_sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level sessionization (assign a per-user session sequence number)
     via lag + running sum — the composable building block behind
-    events_session_window, exposed as its own operator."""
+    events_session_window, exposed as its own operator.
+
+    Oracle notes: the window ``sum`` must be CAST to BIGINT (DuckDB returns
+    HUGEINT, which pandas canonicalizes to float64 and hash-mismatches
+    Spark's int64 — round-1 failure), and the gap test runs at microsecond
+    precision on both sides so a gap of e.g. 1800.2 s can't classify
+    differently (``ts.cast('long')`` truncates to whole seconds; the oracle
+    compares the full-precision interval)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap > _SESSION_GAP_MIN * 60, 1).otherwise(0)
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > _SESSION_GAP_MIN * 60 * 1_000_000, 1).otherwise(0)
     return (
         e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
         .select(

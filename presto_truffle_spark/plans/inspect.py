@@ -75,6 +75,15 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Explicit broadcast HINTS in the analyzed logical plan (not whatever
+    AQE later decides). This is the 100 TB-posture check: a hint on a
+    fixed-cardinality dim is fine; a hint on a table that grows with the
+    fact data forces an OOM at scale no matter what the runtime sizes say."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", plan))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen stages. Under AQE the codegen markers
     only exist in the FINAL plan, so this executes the query if needed

