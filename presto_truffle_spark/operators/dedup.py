@@ -170,15 +170,22 @@ def _bands_col(sig):
     )
 
 
-_BANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LSH_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
-def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached (doc_id, band_idx, band_hash) table, memoized per
-    (session, sf_dir) so repeated queries share ONE cached table instead of
-    re-caching per call. Tiny (4 short rows per doc) — at cluster scale
-    this is the materialized signature table every production LSH pipeline
-    keeps.
+def _lsh_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Cached LSH tables, memoized per (session, sf_dir) so repeated
+    queries share ONE cached copy instead of re-caching per call:
+
+      * ``sh``    — (doc_id, shingles): the 16-hex-char shingle digests.
+        Cached because BOTH sides of the verify join and the signature
+        chain read it; uncached, Spark recomputes the shingle kernel (the
+        most expensive row-side expression in the repo) three times.
+      * ``bands`` — (doc_id, band_idx, band_hash): 4 short rows per doc.
+
+    At cluster scale these are the materialized signature tables every
+    production LSH pipeline keeps (recomputing shingles per query is how
+    100 TB dedup jobs triple their cost).
 
     Keyed by applicationId (stable, never reused within a machine epoch —
     unlike ``id(spark)``, which Python can recycle after GC and would then
@@ -186,23 +193,27 @@ def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted and unpersisted so the memo can't grow without bound."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
-    if key not in _BANDS_MEMO:
-        for old_key in [k for k in _BANDS_MEMO if k[0] != app_id]:
-            try:
-                _BANDS_MEMO.pop(old_key).unpersist()
-            except Exception:
-                pass  # old session already stopped; nothing to release
+    if key not in _LSH_MEMO:
+        for old_key in [k for k in _LSH_MEMO if k[0] != app_id]:
+            for df in _LSH_MEMO.pop(old_key).values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # old session already stopped; nothing to release
         d = load_table(spark, sf_dir, "documents").filter(
             F.size(F.split(F.col("text"), " ")) >= _SHINGLE
         )
-        sig = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("sh")).select(
-            "doc_id", _minhash_sig_col(F.col("sh")).alias("sig")
-        )
+        sh = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("shingles")).cache()
+        sig = sh.select("doc_id", _minhash_sig_col(F.col("shingles")).alias("sig"))
         bands = sig.select(
             "doc_id", F.posexplode(_bands_col(F.col("sig"))).alias("band_idx", "band_hash")
         )
-        _BANDS_MEMO[key] = bands.cache()
-    return _BANDS_MEMO[key]
+        _LSH_MEMO[key] = {"sh": sh, "bands": bands.cache()}
+    return _LSH_MEMO[key]
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_tables(spark, sf_dir)["bands"]
 
 
 def minhash_candidates(
@@ -314,11 +325,10 @@ _MINHASH_ORACLE = _minhash_oracle()
 def _verified_pairs(
     spark: SparkSession, sf_dir: str, bucket_cap: int | None
 ) -> DataFrame:
-    """Candidate pairs → exact-Jaccard ≥ threshold verification."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.size(F.split(F.col("text"), " ")) >= _SHINGLE
-    )
-    sh = d.select("doc_id", _shingle_hashes_col(_shingles_col()).alias("shingles"))
+    """Candidate pairs → exact-Jaccard ≥ threshold verification. Reads the
+    memoized shingle table (both join sides + the band table derive from
+    the one cached copy)."""
+    sh = _lsh_tables(spark, sf_dir)["sh"]
     cand = minhash_candidates(spark, sf_dir, bucket_cap=bucket_cap)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
