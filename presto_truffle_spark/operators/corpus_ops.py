@@ -1,0 +1,209 @@
+"""Corpus-preparation operators a training-data pipeline runs at 100 TB:
+deterministic splits, benchmark-contamination checks, stratified sampling,
+and context-window packing.
+
+These extend the LLM-pipeline block (dedup/similarity/text/multimodal)
+with the set-management half of corpus prep. Everything is deterministic
+(md5-derived randomness, explicit tie-breaks) so each operator carries a
+full DuckDB oracle — and, more importantly, so production reruns are
+replayable: ``rand()``-based splits/samples change on every retry, which
+at scale silently leaks eval docs into train.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.operators.dedup import _SHINGLE, _lsh_tables
+from presto_truffle_spark.registry import query
+
+# Lexicographic thresholds over the first md5 byte: hex strings compare
+# like the underlying value, so '<cd' keeps 205/256 ≈ 80.1% and '<e6'
+# keeps 230/256 ≈ 89.8% — a portable hash-bucket split with no integer
+# parsing (DuckDB and Spark disagree on hex-parse syntax, not on string
+# comparison).
+_TRAIN_HI = "cd"
+_VAL_HI = "e6"
+
+
+@query(
+    "corpus_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(text), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (~80/10/10).
+
+    Content-hash (not doc_id) assignment means exact duplicates land in the
+    SAME split — the property that stops near-identical docs straddling the
+    train/eval boundary. Pure row-side expression: at 100 TB this is a
+    map-only scan plus a 3-group aggregate; adding the split column to a
+    write is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HI, "train").when(bucket < _VAL_HI, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_EVAL_SOURCE = "src0"  # stand-in benchmark/eval corpus within the fixture
+
+_CONTAMINATION_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - {_SHINGLE - 1}),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])),
+                   x -> substr(md5(x), 1, 16)) AS shingles
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SHINGLE}
+    ), ev AS (
+        SELECT DISTINCT unnest(sh.shingles) AS g
+        FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+        WHERE d.source = '{_EVAL_SOURCE}'
+    ), tr AS (
+        SELECT sh.doc_id, unnest(sh.shingles) AS g, len(sh.shingles) AS n_shingles
+        FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+        WHERE d.source <> '{_EVAL_SOURCE}'
+    )
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(any_value(tr.n_shingles) AS INTEGER) AS n_shingles,
+           round(count(*) * 1.0 / any_value(tr.n_shingles), 6) AS overlap_ratio
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+"""
+
+
+@query("corpus_contamination_check", oracle=_CONTAMINATION_ORACLE)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which train docs share token 3-gram
+    shingles with the eval corpus (here: ``source = 'src0'``), and what
+    fraction of each doc is contaminated.
+
+    Scale shape: the eval shingle set is DISTINCT-deduped and joined by
+    16-hex-char shingle digest — at 100 TB train vs a benchmark suite, the
+    eval side is millions of shingles (broadcastable), so the scan is
+    map-only over train; no all-pairs anything. Reuses the memoized LSH
+    shingle table, so a dedup+contamination pipeline pays for shingling
+    once."""
+    sh = _lsh_tables(spark, sf_dir)["sh"]
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = sh.join(src, "doc_id")
+    ev = (
+        sh.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("g")
+    )
+    return (
+        tr.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.any_value("n_shingles").alias("n_shingles"),
+            F.round(F.count(F.lit(1)) / F.any_value("n_shingles"), 6).alias(
+                "overlap_ratio"
+            ),
+        )
+    )
+
+
+_SAMPLE_PER_STRATUM = 10
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id, source, n_chars FROM (
+        SELECT lang, doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {_SAMPLE_PER_STRATUM}
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum (here: 10 docs per
+    language): rank by content hash within the stratum, keep the first n.
+
+    The hash order is uniform-random in distribution but stable across
+    reruns — unlike ``TABLESAMPLE``/``rand()``, a retried job draws the
+    SAME sample. Plans as a per-stratum top-k (partial top-k per map task,
+    no global sort), the only scalable shape for "10k docs per language
+    from 100 TB"."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    return (
+        d.select("lang", "doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SAMPLE_PER_STRATUM)
+        .drop("rn")
+    )
+
+
+_CONTEXT_TOKENS = 4096
+
+
+@query(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+        -- integer division on purpose: DuckDB CAST(double AS BIGINT)
+        -- ROUNDS while Spark's cast truncates; // vs div sidesteps it
+        SELECT lang, doc_id, n_chars // 4 AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {_CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: assign docs (in deterministic doc_id
+    order per language) to ~4096-token training bins by running token
+    count — the streaming-concatenation approximation of sequence packing
+    (a doc starting before a boundary spills past it, as concatenated
+    training streams do).
+
+    Token counts are the cheap ``n_chars/4`` estimate; swap in
+    text_bpe_token_count's column for the real pipeline. One window + one
+    aggregate = two shuffles on the language key; at 100 TB the partition
+    key would be (lang, shard) so no single reducer sees a whole
+    language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.expr("n_chars div 4").alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _CONTEXT_TOKENS),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

@@ -69,6 +69,7 @@ def load_all_modules() -> None:
         coverage_round2,
         timeseries,
         aggregates,
+        corpus_ops,
     )
     from presto_truffle_spark.plans import rewrites  # noqa: F401
     from presto_truffle_spark.operators import coverage_extras  # noqa: F401
