@@ -99,6 +99,63 @@ def main() -> None:
     spreads["q6_ref_scale_5m_inmem"] = round(statistics.stdev(ref_samples), 4)
     ref.unpersist()
 
+    # Skew-join demonstration (TODO_NEXT_ROUND r1 #4): a deliberately skewed
+    # key distribution (50% of 3M left rows share key 0) joined to a
+    # 500k-row right side, with broadcast disabled so the shuffle path is
+    # exercised. Three strategies side by side:
+    #   plain  — AQE skew handling OFF: one reducer gets half the rows (the
+    #            100 TB straggler in miniature)
+    #   aqe    — AQE skewJoin ON (runtime split of the hot partition)
+    #   salted — plans/rewrites.salted_join (explicit 8-way key salting)
+    from presto_truffle_spark.plans.rewrites import salted_join
+
+    left = (
+        spark.range(3_000_000, numPartitions=32)
+        .withColumn("key", F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000))
+        .withColumn("val", F.col("id") % 97)
+    )
+    right = (
+        spark.range(200_000, numPartitions=32)
+        .withColumn("key", F.col("id") % 1000)
+        .withColumn("weight", F.col("id") % 13)
+    )
+
+    def skew_plain():
+        return left.join(right.withColumnRenamed("id", "rid"), "key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("val") * F.col("weight")).alias("s")
+        )
+
+    def skew_salted():
+        r = right.withColumnRenamed("id", "rid").withColumnRenamed("key", "rkey")
+        j = salted_join(left, r, "key", "rkey", salt_source="id")
+        return j.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("val") * F.col("weight")).alias("s")
+        )
+
+    # Reported under a separate "skew_demo" key (NOT summed into the
+    # headline total: it's a synthetic stress shape, not a BASELINE query).
+    skew_demo: dict[str, float] = {}
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, fn, skew_conf in (
+            ("plain", skew_plain, "false"),
+            ("aqe_skew_split", skew_plain, "true"),
+            ("salted_8way", skew_salted, "false"),
+        ):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_conf)
+            materialize(fn())  # warm
+            ss = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(fn())
+                ss.append(time.perf_counter() - t0)
+            skew_demo[label] = round(trimmed_mean(ss), 4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -112,6 +169,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stddev": spreads,
+                "skew_demo": skew_demo,
                 "runs": RUNS,
                 "sf": sf_val,
             }
