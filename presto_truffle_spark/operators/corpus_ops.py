@@ -207,3 +207,80 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed release pipeline (lives here, not pipelines.py, because its
+# oracle needs corpus_contamination_check's SQL, registered in this module)
+
+from presto_truffle_spark.operators.dedup import dedup_minhash_lsh  # noqa: E402
+from presto_truffle_spark.registry import ORACLES  # noqa: E402
+
+_MINHASH_PAIRS_SQL = ORACLES["dedup_minhash_lsh"]
+
+
+@query(
+    "pipeline_corpus_release",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang, text, n_chars FROM documents
+        WHERE source <> '{_EVAL_SOURCE}'
+          AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+    ), exact_kept AS (
+        SELECT * FROM gated
+        WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)
+    ), near_dropped AS (
+        SELECT DISTINCT doc_b AS doc_id FROM ({_MINHASH_PAIRS_SQL})
+    ), contaminated AS (
+        SELECT doc_id FROM ({_CONTAMINATION_ORACLE}) WHERE overlap_ratio > 0.2
+    )
+    SELECT CASE WHEN substr(md5(text), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-RELEASE chain (r2): drop the eval source → quality
+    gate → exact dedup → near-dup removal (MinHash-LSH pairs) → drop
+    benchmark-contaminated docs (3-gram overlap ratio > 0.2) → assign the
+    deterministic train/val/test split → per-(split, lang) accounting.
+
+    Composes dedup, contamination, and split under ONE oracle (cf.
+    pipeline_corpus_prep for the quality-gate-centric chain). Scale shape:
+    three map stages, the dedup/contamination shuffles (all bucket- or
+    digest-keyed), two anti joins on doc_id, one final aggregate — zero
+    collects, and every stage reuses the memoized shingle table."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    gated = d.filter((F.col("source") != _EVAL_SOURCE) & n_tok.between(20, 1000)).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    keep = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = gated.join(keep, "doc_id", "left_semi")
+
+    near_dropped = (
+        dedup_minhash_lsh(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    contaminated = (
+        corpus_contamination_check(spark, sf_dir)
+        .filter(F.col("overlap_ratio") > 0.2)
+        .select("doc_id")
+    )
+    survivors = exact_kept.join(near_dropped, "doc_id", "left_anti").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HI, "train").when(bucket < _VAL_HI, "val").otherwise("test")
+    )
+    return survivors.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

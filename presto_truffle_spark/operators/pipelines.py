@@ -174,3 +174,4 @@ def events_malformed_json_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("j.k").alias("n_k_extracted"),
     )
+

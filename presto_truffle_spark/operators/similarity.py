@@ -328,32 +328,32 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 8  # IVF "centroids" = embeddings with vec_id 10..17 (pinned)
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_oracle(nprobe: int) -> str:
+    return f"""
     WITH cent AS (
         SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
         WHERE vec_id BETWEEN 10 AND {10 + _N_CENTROIDS - 1}
-    ), assigned AS (
-        SELECT vec_id, ev, c_id FROM (
-            SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.c_id,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
-                             (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                                    e.embedding::DOUBLE[])) *
-                              sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
-                       c.c_id) AS rn
-            FROM embeddings e CROSS JOIN cent c)
-        WHERE rn = 1
+    ), ranked AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.c_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                   c.c_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
     ), q AS (
-        SELECT vec_id AS qid, ev AS qe, c_id AS qc FROM assigned
-        WHERE vec_id < {_N_QUERIES}
+        SELECT vec_id AS qid, ev AS qe, c_id AS qc FROM ranked
+        WHERE vec_id < {_N_QUERIES} AND rn <= {nprobe}
+    ), cand AS (
+        SELECT vec_id AS cid, ev AS ce2, c_id AS cc FROM ranked
+        WHERE vec_id >= {_N_QUERIES} AND rn = 1
     ), scored AS (
-        SELECT q.qid, a.vec_id AS cid,
-               round(list_dot_product(q.qe, a.ev) /
+        SELECT q.qid, cand.cid,
+               round(list_dot_product(q.qe, cand.ce2) /
                      (sqrt(list_dot_product(q.qe, q.qe)) *
-                      sqrt(list_dot_product(a.ev, a.ev))), 6) AS cos_sim
-        FROM q JOIN assigned a ON a.c_id = q.qc AND a.vec_id >= {_N_QUERIES}
+                      sqrt(list_dot_product(cand.ce2, cand.ce2))), 6) AS cos_sim
+        FROM q JOIN cand ON cand.cc = q.qc
     )
     SELECT qid, cid, cos_sim FROM (
         SELECT qid, cid, cos_sim,
@@ -361,17 +361,12 @@ _N_CENTROIDS = 8  # IVF "centroids" = embeddings with vec_id 10..17 (pinned)
                                   ORDER BY cos_sim DESC, cid) AS rn
         FROM scored)
     WHERE rn <= {_TOP_K}
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: every vector is assigned to its nearest
-    centroid (pinned, data-derived centroids so both engines agree; real
-    IVF trains k-means — the plan shape is identical), and each query
-    probes ONLY its own cell. Recall trades against the number of probed
-    cells (nprobe=1 here); cost per query drops from O(N) to O(N/k).
-    The cell assignment is the shuffle key — at 100 TB each cell is a
-    partition-local candidate list, and queries route by centroid id
-    instead of scanning the corpus."""
+    """
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF ANN kernel: candidates live in their ONE nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1)).select(
         F.col("vec_id").alias("c_id"),
@@ -383,17 +378,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cent.withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     sim_c = _dot(F.col("ev"), F.col("ce")) / (F.col("evnorm") * F.col("cnorm"))
     w_assign = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
-    assigned = (
-        ev.join(F.broadcast(cent))
-        .select("vec_id", "ev", "evnorm", "c_id", F.row_number().over(w_assign).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    ranked = ev.join(F.broadcast(cent)).select(
+        "vec_id", "ev", "evnorm", "c_id", F.row_number().over(w_assign).alias("rn")
     )
-    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= nprobe)).select(
         F.col("vec_id").alias("qid"), F.col("ev").alias("qe"), F.col("c_id").alias("qc"),
         F.col("evnorm").alias("qn"),
     )
-    c = assigned.filter(F.col("vec_id") >= _N_QUERIES).select(
+    c = ranked.filter((F.col("vec_id") >= _N_QUERIES) & (F.col("rn") == 1)).select(
         F.col("vec_id").alias("cid"), F.col("ev").alias("ce2"), F.col("c_id").alias("cc"),
         F.col("evnorm").alias("cn"),
     )
@@ -407,6 +399,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle(1))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    centroid (pinned, data-derived centroids so both engines agree; real
+    IVF trains k-means — the plan shape is identical), and each query
+    probes ONLY its own cell (nprobe=1). Cost per query drops from O(N)
+    to O(N/k); the cell assignment is the shuffle key — at 100 TB each
+    cell is a partition-local candidate list, and queries route by
+    centroid id instead of scanning the corpus.
+
+    Recall trades against probed cells: MEASURED (tools/recall_study.py,
+    sf0.01) recall@10 = 0.22 at nprobe=1 with these untrained pinned
+    centroids — see ann_ivf_topk_nprobe3 for the multi-probe recovery."""
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+@query("ann_ivf_topk_nprobe3", oracle=_ivf_oracle(3))
+def ann_ivf_topk_nprobe3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: each query probes its 3 nearest cells — the
+    standard recall knob when centroids are coarse (cost scales with
+    nprobe/k of the corpus, still never O(N)). MEASURED
+    (tools/recall_study.py, sf0.01): recall@10 = 0.22 / 0.34 / 0.50 / 1.0
+    at nprobe 1/2/3/8 — the synthetic embeddings have no cluster
+    structure, so recall ≈ fraction of corpus probed, the theoretical
+    floor; clustered real embeddings with trained k-means centroids sit
+    far above it."""
+    return _ivf_topk(spark, sf_dir, nprobe=3)
 
 
 @query(
