@@ -215,17 +215,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus word frequency, top-20 (the canonical explode→groupBy→top-k).
     The explode multiplies rows by tokens-per-doc; the partial aggregate
-    collapses them again map-side before the shuffle."""
+    collapses them again map-side before the shuffle. The global top-20 is
+    orderBy+limit → TakeOrderedAndProject (per-partition partial top-k,
+    merged on the driver) — NOT a global row_number window, which would
+    move the entire vocabulary through one partition (r2 fix; the
+    unpartitioned-window warning flagged it)."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.orderBy(F.col("n").desc(), "token")
-    return counts.select("token", "n", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= 20
-    ).drop("rn")
+    return counts.orderBy(F.col("n").desc(), "token").limit(20)
 
 
 @query(

@@ -92,3 +92,27 @@ def test_q3_q5_no_growing_table_broadcast_hint(spark, sf_dir):
 
     assert inspect.broadcast_hint_count(q3_shipping_priority(spark, sf_dir)) == 0
     assert inspect.broadcast_hint_count(q5_local_supplier_volume(spark, sf_dir)) == 3
+
+
+def test_corpus_ops_plan_shapes(spark, sf_dir):
+    """Round-2 corpus operators: window-based ops are single-exchange, and
+    nothing in the new surface plans a cartesian/nested-loop product."""
+    from presto_truffle_spark.operators.corpus_ops import (
+        corpus_contamination_check,
+        corpus_hash_split,
+        corpus_pack_bins,
+        corpus_stratified_sample,
+    )
+
+    assert inspect.count_exchanges(corpus_stratified_sample(spark, sf_dir)) == 1
+    assert inspect.count_exchanges(corpus_pack_bins(spark, sf_dir)) <= 2
+    assert inspect.count_exchanges(corpus_hash_split(spark, sf_dir)) == 1
+    for fn in (
+        corpus_hash_split,
+        corpus_contamination_check,
+        corpus_pack_bins,
+        corpus_stratified_sample,
+    ):
+        plan = inspect.physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
