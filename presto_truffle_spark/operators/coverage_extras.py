@@ -169,6 +169,9 @@ def udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", weird_score("p_name", "p_size").alias("weird_score"))
 
 
+_CACHED_SCAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 @query(
     "cached_columnar_scan",
     oracle="""
@@ -181,10 +184,23 @@ def cached_columnar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PureJavaTest.java:12``) as Spark's columnar cache: ``df.cache()``
     stores compressed ColumnarBatches in executor memory; repeated queries
     skip the parquet scan entirely. At 100 TB you cache the hot projection,
-    not the table."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    ).cache()
+    not the table. Memoized per (session, sf_dir) with stale-session
+    eviction — calling ``.cache()`` per invocation leaked one cached copy
+    per call in a long-lived service (r1 verdict hygiene note)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _CACHED_SCAN_MEMO:
+        for old_key in [k for k in _CACHED_SCAN_MEMO if k[0] != app_id]:
+            try:
+                _CACHED_SCAN_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass  # old session already stopped
+        _CACHED_SCAN_MEMO[key] = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice")
+            .cache()
+        )
+    li = _CACHED_SCAN_MEMO[key]
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
