@@ -1,0 +1,99 @@
+"""Invariant tests for the r2 corpus-prep operators (beyond the DuckDB
+oracle): conservation and partition-completeness properties that must hold
+on ANY corpus, checked on the fixture."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_hash_split_partitions_whole_corpus(spark, sf_dir):
+    """Every document lands in exactly one split; totals conserve."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.corpus_ops import corpus_hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    total_docs = d.count()
+    total_chars = d.agg(F.sum("n_chars")).collect()[0][0]
+    rows = corpus_hash_split(spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.total_chars for r in rows) == total_chars
+    by = {r.split: r.n_docs for r in rows}
+    # 80/10/10 by hash: train must dominate on any non-adversarial corpus
+    assert by.get("train", 0) > by.get("val", 0) + by.get("test", 0)
+
+
+def test_pack_bins_conserve_tokens_and_fill(spark, sf_dir):
+    """Packing conserves tokens per language, bins are dense (ids 0..max),
+    and every bin except a language's last holds >= the context size
+    (a bin only closes once the running count passes the boundary)."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.corpus_ops import (
+        _CONTEXT_TOKENS,
+        corpus_pack_bins,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        r.lang: r.total
+        for r in d.groupBy("lang")
+        .agg(F.sum(F.expr("n_chars div 4")).alias("total"))
+        .collect()
+    }
+    rows = corpus_pack_bins(spark, sf_dir).collect()
+    got: dict[str, int] = {}
+    bins: dict[str, dict[int, int]] = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + r.bin_tokens
+        bins.setdefault(r.lang, {})[r.bin_id] = r.bin_tokens
+    assert got == want
+    for lang, bb in bins.items():
+        assert sorted(bb) == list(range(max(bb) + 1)), f"gap in {lang} bin ids"
+        for bin_id, toks in bb.items():
+            if bin_id != max(bb):
+                assert toks >= _CONTEXT_TOKENS - 4096 // 4, f"underfull {lang}/{bin_id}"
+
+
+def test_stratified_sample_is_stable_and_sized(spark, sf_dir):
+    """Same sample on rerun (determinism) and exactly min(n, stratum) rows
+    per language."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.corpus_ops import (
+        _SAMPLE_PER_STRATUM,
+        corpus_stratified_sample,
+    )
+
+    s1 = {(r.lang, r.doc_id) for r in corpus_stratified_sample(spark, sf_dir).collect()}
+    s2 = {(r.lang, r.doc_id) for r in corpus_stratified_sample(spark, sf_dir).collect()}
+    assert s1 == s2
+    d = load_table(spark, sf_dir, "documents")
+    sizes = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang: dict[str, int] = {}
+    for lang, _ in s1:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    for lang, n in sizes.items():
+        assert per_lang.get(lang, 0) == min(_SAMPLE_PER_STRATUM, n)
+
+
+def test_contamination_detects_eval_docs_only(spark, sf_dir):
+    """No eval-source doc appears in the report, and every reported ratio
+    is in (0, 1]."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.corpus_ops import (
+        _EVAL_SOURCE,
+        corpus_contamination_check,
+    )
+
+    rows = corpus_contamination_check(spark, sf_dir).collect()
+    eval_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == _EVAL_SOURCE)
+        .collect()
+    }
+    assert rows, "fixture must produce some overlap"
+    for r in rows:
+        assert r.doc_id not in eval_ids
+        assert 0 < r.overlap_ratio <= 1
+        assert 0 < r.n_overlap <= r.n_shingles
