@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from presto_truffle_spark.registry import query
-from presto_truffle_spark.streaming.windows import _events_stream, checkpoint_dir
+from presto_truffle_spark.streaming.windows import (
+    _events_stream,
+    checkpoint_dir,
+    drop_checkpoint,
+)
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen timestamp"
 _STATE_SCHEMA = "n bigint, total double, last long"
@@ -75,18 +79,20 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming.windows._run_to_memory for rationale).
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = checkpoint_dir()
     try:
         q = (
             profiled.writeStream.outputMode("update")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", checkpoint_dir())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        drop_checkpoint(ckpt)
     return spark.table(name)
 
 
@@ -172,15 +178,19 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
             outputMode="Update",
             timeMode="None",
         )
-        q = (
-            profiled.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", checkpoint_dir())
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        ckpt = checkpoint_dir()
+        try:
+            q = (
+                profiled.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            drop_checkpoint(ckpt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", old_provider)
@@ -242,17 +252,19 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = checkpoint_dir()
     try:
         q = (
             agg.writeStream.outputMode("update")
             .foreachBatch(upsert_batch)
-            .option("checkpointLocation", checkpoint_dir())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        drop_checkpoint(ckpt)
     versions = sorted(
         globmod.glob(osmod.path.join(sink_root, "v*")),
         key=lambda p: int(osmod.path.basename(p)[1:]),

@@ -44,6 +44,17 @@ def checkpoint_dir() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=_SCRATCH)
 
 
+def drop_checkpoint(path: str) -> None:
+    """Remove a one-shot checkpoint after its query completed. The fixture
+    queries are run-to-completion demos — keeping their checkpoints would
+    accumulate ~MBs per invocation in .tmp for state no restart will ever
+    read (a production stream, which DOES restart, never deletes its
+    checkpoint)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (schema from a batch peek —
     file-source streams require an explicit schema)."""
@@ -79,18 +90,20 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = checkpoint_dir()
     try:
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", checkpoint_dir())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        drop_checkpoint(ckpt)
     return spark.table(name)
 
 
