@@ -289,3 +289,61 @@ def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= s.t0
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.t1
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_view
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): per user, each stage
+    counts only events at-or-after the user's FIRST completion of the
+    previous stage — the sequential-pattern query every product-analytics
+    engine special-cases (Presto's sequence_match); here it is three
+    min-aggregates chained by semi-join-shaped joins, all shuffling on
+    user_id. With pre-partitioning by user_id the three stages are
+    exchange-free at any scale; no per-user event ordering is ever
+    materialized (only the stage-entry timestamps flow)."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
