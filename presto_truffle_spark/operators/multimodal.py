@@ -158,12 +158,12 @@ _TARGET_W, _TARGET_H = 224, 224  # the ubiquitous vision-model input size
            round(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
                        {_TARGET_H} * 1.0 / ((length(text) * 7) % 480 + 1)), 6)
                AS scale_factor,
-           CAST(round(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
+           CAST(floor(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
                             {_TARGET_H} * 1.0 / ((length(text) * 7) % 480 + 1))
-                      * (length(text) % 640 + 1), 0) AS INTEGER) AS out_w,
-           CAST(round(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
+                      * (length(text) % 640 + 1) + 0.5) AS INTEGER) AS out_w,
+           CAST(floor(least({_TARGET_W} * 1.0 / (length(text) % 640 + 1),
                             {_TARGET_H} * 1.0 / ((length(text) * 7) % 480 + 1))
-                      * ((length(text) * 7) % 480 + 1), 0) AS INTEGER) AS out_h
+                      * ((length(text) * 7) % 480 + 1) + 0.5) AS INTEGER) AS out_h
     FROM documents
     WHERE CAST(doc_id % 3 AS INTEGER) = 0
     """,
@@ -177,19 +177,25 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "media_id long, width int, height int, scale_factor double, out_w int, out_h int"
 
     def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             n = pdf["payload"].map(len)
             w = (n % 640 + 1).astype("int32")
             h = ((n * 7) % 480 + 1).astype("int32")
             s = pd.concat([_TARGET_W / w, _TARGET_H / h], axis=1).min(axis=1)
+            # floor(x+0.5), NOT .round(0): numpy rounds half-to-even while
+            # DuckDB rounds half away from zero — a dim scaling to exactly
+            # *.5 diverged (caught by the sf0.1 audit); floor(x+0.5) is the
+            # same IEEE op sequence in both engines.
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": w,
                     "height": h,
                     "scale_factor": s.round(6),
-                    "out_w": (s * w).round(0).astype("int32"),
-                    "out_h": (s * h).round(0).astype("int32"),
+                    "out_w": np.floor(s * w + 0.5).astype("int32"),
+                    "out_h": np.floor(s * h + 0.5).astype("int32"),
                 }
             )
 

@@ -167,3 +167,35 @@ def source_range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("i").alias("total"))
     )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: write lineitem fragmented (64 files), compact
+    with a single repartition to 4 files, read back and verify the data
+    survived byte-exact (the oracle is the aggregate over the original).
+
+    The small-files problem is THE silent 100 TB operations tax — a
+    streaming ingest leaving 10k×1MB files per partition makes every scan
+    pay 10k opens + footer reads; periodic repartition(N)-rewrite is the
+    fix (table formats automate exactly this loop). A pytest asserts the
+    file-count drop; here the query asserts zero data change."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = _scratch("li_fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _scratch("li_compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )

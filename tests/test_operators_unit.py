@@ -194,3 +194,19 @@ def test_decode_image_stub_raises():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compaction: 64 fragments in, <= 4 data files out, same rows."""
+    import glob
+    import os
+
+    from presto_truffle_spark.sources.io import _scratch, sink_compaction
+
+    n_rows = sink_compaction(spark, sf_dir).agg({"n": "sum"}).collect()[0][0]
+    frag = len(glob.glob(os.path.join(_scratch("li_fragmented"), "part-*")))
+    comp = len(glob.glob(os.path.join(_scratch("li_compacted"), "part-*")))
+    assert frag == 64 and comp <= 4
+    from presto_truffle_spark.catalog import load_table
+
+    assert n_rows == load_table(spark, sf_dir, "lineitem").count()
