@@ -85,6 +85,9 @@ def load_all_modules() -> None:
         setops,
         scalar_funcs,
     )
+    # Late-r2 additions — registered last so the driver's round-2 window
+    # (first 50) is untouched; rotate forward in round 3.
+    from presto_truffle_spark.operators import quality_ops  # noqa: F401
 
     _LOADED = True
 

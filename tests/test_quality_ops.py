@@ -1,0 +1,69 @@
+"""Invariant tests for the late-r2 quality/graph/quantization operators —
+properties that must hold on ANY corpus, beyond the DuckDB value oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_connected_components_invariants(spark, sf_dir):
+    """Every near-dup edge's endpoints share a component; each component's
+    label is the min doc_id in it; sizes are consistent."""
+    from presto_truffle_spark.operators.dedup import _verified_pairs
+    from presto_truffle_spark.operators.quality_ops import dedup_connected_components
+
+    comp = {r.doc_id: r.component for r in dedup_connected_components(spark, sf_dir).collect()}
+    sizes = {}
+    for d, c in comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+        assert c <= d, "component label must be the minimum member id"
+    for r in _verified_pairs(spark, sf_dir, bucket_cap=None).collect():
+        assert comp[r.doc_a] == comp[r.doc_b], "edge endpoints must share a component"
+    # label is itself a member => comp[label] == label
+    for c in sizes:
+        assert comp[c] == c
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    """Quantized error is bounded by n_dims * (scale/2)^2 and scale > 0."""
+    from presto_truffle_spark.operators.quality_ops import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scale_r > 0
+        # 64 dims, per-dim error <= (scale/2); allow rounding slack
+        assert r.sq_err <= 64 * (r.scale_r / 2) ** 2 * 1.01 + 1e-6
+
+
+def test_pii_redact_removes_all_matches(spark, sf_dir):
+    """After redaction no email/IP pattern survives; counts are >= 1 since
+    the query injects one of each."""
+    from presto_truffle_spark.operators.quality_ops import text_pii_redact
+
+    df = text_pii_redact(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.n_emails >= 1 and r.n_ips >= 1 for r in rows)
+
+
+def test_rolling_interval_window_matches_groupwise_recompute(spark, sf_dir):
+    """Spot-check the RANGE frame: for one customer, recompute the 7-day
+    rolling sum in Python."""
+    from presto_truffle_spark.operators.quality_ops import window_rolling_interval
+
+    df = window_rolling_interval(spark, sf_dir)
+    cust = df.select("o_custkey").first().o_custkey
+    rows = sorted(
+        df.filter(F.col("o_custkey") == cust).collect(), key=lambda r: r.order_day
+    )
+    base = [(r.order_day, r.o_orderkey) for r in rows]
+    cents = {
+        r.o_orderkey: r.rolling_cents_7d for r in rows if r.n_orders_7d == 1
+    }
+    for r in rows:
+        want_n = sum(1 for d, _ in base if r.order_day - 6 <= d <= r.order_day)
+        assert r.n_orders_7d == want_n
+    # singleton-frame rows: rolling sum equals own cents (exact integers)
+    for r in rows:
+        if r.n_orders_7d == 1:
+            assert r.rolling_cents_7d == cents[r.o_orderkey]
