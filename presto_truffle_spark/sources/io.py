@@ -77,6 +77,36 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total_price,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read back → aggregate. ORC is Spark's other native
+    columnar format (vectorized reader, predicate pushdown, zlib/zstd) —
+    the lossless sibling of the parquet path, so the roundtrip must
+    reproduce the parquet-derived answer exactly, no explicit schema
+    needed. At 100 TB this is the interchange path with Hive-era
+    warehouses; per-file stripes give the same split-parallel scan as
+    parquet row groups."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    path = _scratch("lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+    )
+
+
+@query(
     "sink_partitioned_parquet",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
