@@ -27,6 +27,8 @@ Replication semantics (rep = 0..N-1, OFFSET = 10_000_000 per rep):
     unchanged geometry.
 
 Usage: python tools/scale_audit.py [N] [base_sf_dir]
+Set SCALE_AUDIT_QUERIES=q6,q1_pricing_summary to restrict the query set
+(the 50×/100× runs only make sense for the cheap scan-shaped plans).
 Prints ONE JSON line; full run ≈ 5 min at N=10.
 """
 
@@ -61,7 +63,9 @@ KEYED = {
     "embeddings": ["vec_id"],
 }
 
-HEADLINE = [
+_SUBSET = os.environ.get("SCALE_AUDIT_QUERIES", "")
+
+HEADLINE = _SUBSET.split(",") if _SUBSET else [
     "q6",
     "q1_pricing_summary",
     "q3_shipping_priority",
