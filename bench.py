@@ -101,7 +101,7 @@ def main() -> None:
 
     # Skew-join demonstration (TODO_NEXT_ROUND r1 #4): a deliberately skewed
     # key distribution (50% of 3M left rows share key 0) joined to a
-    # 500k-row right side, with broadcast disabled so the shuffle path is
+    # 200k-row right side, with broadcast disabled so the shuffle path is
     # exercised. Three strategies side by side:
     #   plain  — AQE skew handling OFF: one reducer gets half the rows (the
     #            100 TB straggler in miniature)

@@ -101,16 +101,44 @@ def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS orders_within_5pct,
+           true AS parts_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). THE scale-path distinct count:
     constant memory per group, no Expand blow-up, mergeable sketches — at
     100 TB this replaces exact countDistinct wherever ±2% error is fine.
-    Rows-only check: HLL estimates are engine-specific by construction."""
+
+    HLL estimates are engine-specific by construction, so the checkable
+    surface is an ENVELOPE: the exact distinct counts (hash-matched against
+    DuckDB) plus booleans asserting the Spark sketch lands within ±5% of
+    exact (rsd=0.02 ⇒ ±2σ = 4%, so 5% holds deterministically for a fixed
+    fixture). The sketch itself still runs on the Spark side — the oracle
+    verifies its accuracy claim, not its bit pattern."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    a = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_ord"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_part"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return a.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("a_ord") - F.col("exact_orders"))
+         <= 0.05 * F.col("exact_orders")).alias("orders_within_5pct"),
+        (F.abs(F.col("a_part") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("parts_within_5pct"),
     )
 
 
@@ -184,13 +212,38 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # no oracle: t-digest/GK sketch is engine-specific
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS exact_median,
+           true AS approx_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna): constant memory,
-    mergeable — the scale path for quantiles over 100 TB."""
+    mergeable — the scale path for quantiles over 100 TB.
+
+    The GK sketch is engine-specific, so the checkable surface is an
+    ENVELOPE: the exact interpolated median (hash-matched vs DuckDB's
+    quantile_cont) plus a boolean asserting the Spark sketch's answer lies
+    between the exact 0.49 and 0.51 quantiles — GK at accuracy 10000
+    guarantees rank error ≤ 1e-4, so the generous ±0.01-rank bound holds
+    deterministically. The sketch still runs Spark-side; the oracle checks
+    its guarantee, not its bits."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    a = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_median"),
+        F.percentile("l_extendedprice", 0.49).alias("lo"),
+        F.percentile("l_extendedprice", 0.51).alias("hi"),
+    )
+    return a.select(
+        "l_returnflag",
+        "exact_median",
+        F.col("approx_median").between(F.col("lo"), F.col("hi")).alias("approx_in_bounds"),
     )
 
 

