@@ -89,6 +89,11 @@ def load_all_modules() -> None:
     # (first 50) is untouched; rotate forward in round 3.
     from presto_truffle_spark.operators import quality_ops  # noqa: F401
 
+    # Round-3 additions — registered after the (exactly-50) round-3 verify
+    # window, which is fully claimed by the never-verified backlog; these
+    # queue for the round-4 rotation. Selfcheck covers them meanwhile.
+    from presto_truffle_spark.operators import tpch_round3  # noqa: F401
+
     _LOADED = True
 
 
