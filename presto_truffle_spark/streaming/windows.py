@@ -316,3 +316,119 @@ def streaming_rate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_uid"
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_ms(CAST(p.ts AS TIMESTAMP))
+                - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS delay_ms,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join: click→purchase attribution
+    within one hour, per user. Both sides are event streams with
+    watermarks; the join condition carries the event-time range bound
+    Spark needs to size the state stores — each side buffers only rows
+    younger than (watermark − bound), so state is bounded by rate × window
+    on an unbounded stream. This is THE two-firehose operator at scale:
+    shuffle on user_id co-partitions the streams; state eviction is
+    watermark-driven, identical to the batch twin ``join_range_theta``'s
+    semantics but incremental.
+
+    Determinism: inner stream-stream joins emit a match as soon as both
+    rows are buffered — no watermark-delayed emission (unlike outer
+    variants, whose null-extended rows wait for state eviction and only
+    arrive on a post-data batch). Replaying the single-file fixture under
+    availableNow therefore yields exactly the batch join, which is the
+    attached oracle. delay_ms is an exact integer millisecond difference
+    (unix_millis both sides — no float epoch, no cross-engine cast
+    rounding)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("delay_ms"),
+        "purchase_value",
+    )
+
+
+@query(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT n_name AS nation,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE event_type = 'purchase'
+    GROUP BY n_name
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a purchase stream with batch dimension
+    tables (customer → nation), then aggregate revenue per nation. The
+    static side is re-read per micro-batch (picking up dim updates) and
+    needs NO watermark or state — Spark plans it as a broadcast hash join
+    under the stream, so the 100 TB/day stream never shuffles for the
+    enrichment; only the final tiny groupBy keeps state (one row per
+    nation). Complete mode makes the fixture run emit the final totals —
+    identical to the batch join, hence the full oracle. Revenue sums
+    integer cents (exact in any accumulation order); count/sum state per
+    group is O(groups), bounded by nation cardinality."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = purchases.join(
+        F.broadcast(c), purchases.user_id == c.c_custkey
+    ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0
+        ).alias("total_value"),
+    )
+    return _run_to_memory(agg, "complete")
