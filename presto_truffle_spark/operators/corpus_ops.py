@@ -284,3 +284,80 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_MIX_TARGET = 0.6  # cap each source at this fraction of the median source size
+
+
+@query(
+    "corpus_balance_sources",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), quota AS (
+        SELECT CAST(floor(0.6 * quantile_cont(n, 0.5)) AS BIGINT) AS q
+        FROM counts
+    ), th AS (
+        SELECT source, n, q,
+               printf('%08x',
+                      CAST(floor(least(CAST(q AS DOUBLE) / n, 1.0) * 4294967296)
+                           AS BIGINT)) AS thresh,
+               n <= q AS keep_all
+        FROM counts, quota
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN th ON d.source = th.source
+    WHERE keep_all OR substr(md5(text), 1, 8) < thresh
+    """,
+)
+def corpus_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing / source balancing: downsample every over-represented
+    source toward the MEDIAN source size, so no single crawl dominates the
+    training mix (the DoReMi/Pile-style "don't let CommonCrawl drown the
+    rest" step, with a data-derived target instead of hand weights).
+
+    Scale design — hash-RATE sampling, not ranking: the exact-quota
+    alternative (row_number per source, keep rank ≤ q) needs a per-source
+    sort, and the whole point of balancing is that some source is huge —
+    that sort single-tasks exactly there. Instead each source gets keep
+    rate q/n, applied as a deterministic content-hash threshold: keep iff
+    the first 8 hex chars of md5(text) < printf('%08x', floor(rate·2³²)).
+    One map-only scan over the corpus, a broadcast of one tiny row per
+    source; kept counts land within binomial noise of the quota
+    (±~√q ≈ 2% at q=10k), which is what production balancing accepts in
+    exchange for never sorting 100 TB. Content-keyed hashing also makes
+    the sample rerun- and partitioning-stable, and identical md5 text
+    always survives or dies together — mixing composes with dedup instead
+    of fighting it. The rate≥1 sources short-circuit via keep_all (a
+    9-hex-digit threshold string would compare lexicographically SMALLER
+    than 8-hex prefixes, so the threshold form alone cannot express
+    "keep everything")."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(
+        F.floor(_MIX_TARGET * F.percentile("n", F.lit(0.5)))
+        .cast("long")
+        .alias("q")
+    )
+    th = counts.crossJoin(F.broadcast(quota)).select(
+        "source",
+        (
+            F.format_string(
+                "%08x",
+                F.floor(
+                    F.least(F.col("q").cast("double") / F.col("n"), F.lit(1.0))
+                    * F.lit(4294967296.0)
+                ).cast("long"),
+            )
+        ).alias("thresh"),
+        (F.col("n") <= F.col("q")).alias("keep_all"),
+    )
+    return (
+        d.join(F.broadcast(th), "source")
+        .filter(
+            F.col("keep_all")
+            | (F.substring(F.md5(F.col("text")), 1, 8) < F.col("thresh"))
+        )
+        .select("doc_id", "source")
+    )

@@ -495,3 +495,90 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter > 0)
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
     )
+
+
+_CHUNK = 16  # tokens per fingerprint chunk
+
+
+@query(
+    "dedup_chunk_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), idx AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, CAST(len(t) // {_CHUNK} AS BIGINT) - 1)) AS i
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(i*{_CHUNK}+1):(i*{_CHUNK}+{_CHUNK})], ' ')) AS h
+        FROM idx
+    ), dup AS (
+        SELECT h FROM chunks GROUP BY h HAVING count(*) > 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           floor(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS dup_frac
+    FROM chunks
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile via fixed-stride chunk
+    fingerprints (the scalable stand-in for Lee et al.'s suffix-array
+    "Deduplicating Training Data Makes Language Models Better": each doc's
+    token stream is cut into aligned 16-token chunks, chunks are md5'd,
+    and a chunk appearing in ≥2 places anywhere in the corpus marks both
+    spans as duplicated text). Output per doc: chunk count, duplicated-
+    chunk count, duplicated fraction — the C4/RefinedWeb-style signal for
+    "this doc is mostly boilerplate copied elsewhere".
+
+    Scale shape: the chunk table is corpus_tokens/16 rows of (doc_id,
+    16-byte digest) — linear, never the text itself; the dup-set groupBy
+    is map-side combinable; the chunk⋈dup join shuffles on the digest
+    (uniformly distributed by construction — no skew, no broadcast of a
+    corpus-sized set). A suffix array finds duplicates at ANY alignment
+    but needs a global sort of every suffix; aligned chunks trade recall
+    at boundaries (a duplicate run < 2×16−1 tokens can straddle a cut)
+    for a sort-free two-shuffle plan — the standard production trade.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(toks) / F.lit(_CHUNK)).cast("int")
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * _CHUNK + 1, _CHUNK))),
+    )
+    chunks = (
+        d.filter(F.size(toks) >= _CHUNK)
+        .select("doc_id", F.explode(hashes).alias("h"))
+    )
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        chunks.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            # floor(x*1e6+0.5)/1e6 — the repo's cross-engine rounding convention
+            (
+                F.floor(
+                    F.col("n_dup_chunks") / F.col("n_chunks") * 1_000_000 + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("dup_frac"),
+        )
+    )

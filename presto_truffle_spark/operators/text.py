@@ -311,3 +311,59 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ), tc AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY doc_id, token
+    ), dc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               ln(CAST(sum(c) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(sum(c) AS DOUBLE) AS h
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           floor(h * 1000000 + 0.5) / 1000000 AS token_entropy
+    FROM dc
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) — the
+    information-density quality signal: near-zero entropy means the doc is
+    one token repeated (spam/boilerplate), log(n_distinct) means all
+    tokens distinct. Complements the Gopher repetition rules
+    (text_repetition_stats) with a single scalar that's robust to WHICH
+    token repeats.
+
+    Same linear explode → groupBy(doc, token) shape as word-freq: per-doc
+    work is O(tokens), shuffle-parallel, map-side combinable — never a
+    per-row loop over the distinct set. ln() is IEEE-identical across
+    engines in practice (same convention as TF-IDF's idf, driver-green
+    since r1); the 1e-6 floor-round absorbs last-ulp sum-order drift."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    dc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        # H = ln(n) - (1/n)·Σ c·ln(c): one pass, no second join for p=c/n
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double")
+        ).alias("h"),
+    )
+    return dc.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.floor(F.col("h") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "token_entropy"
+        ),
+    )
