@@ -127,3 +127,49 @@ def test_tfidf_broadcasts_df_side(spark, sf_dir):
     df = text_tfidf_top_terms(spark, sf_dir)
     assert inspect.uses_broadcast_join(df)
     assert inspect.broadcast_hint_count(df) >= 2  # df side + 1-row doc count
+
+
+def test_round3_tpch_plan_shapes(spark, sf_dir):
+    """The six r3 TPC-H additions must keep the battery's plan posture:
+    dims resolve via broadcast, and nothing degenerates to a cartesian /
+    nested-loop product (the EXISTS/NOT EXISTS in q21 must decorrelate to
+    semi/anti hash joins)."""
+    from presto_truffle_spark.operators import tpch_round3 as t3
+
+    for fn in (
+        t3.q8_national_market_share,
+        t3.q9_product_type_profit,
+        t3.q11_important_stock,
+        t3.q13_customer_distribution,
+        t3.q15_top_supplier,
+        t3.q21_suppliers_kept_waiting,
+    ):
+        plan = inspect.physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    assert inspect.uses_broadcast_join(t3.q8_national_market_share(spark, sf_dir))
+    assert inspect.uses_broadcast_join(t3.q9_product_type_profit(spark, sf_dir))
+    # q21's top-100 must not global-sort
+    assert inspect.uses_take_ordered(t3.q21_suppliers_kept_waiting(spark, sf_dir))
+
+
+def test_chunk_fingerprint_no_nested_loop(spark, sf_dir):
+    """The chunk⋈dup-set join must stay an equi hash join on the digest —
+    a nested-loop here would be the O(n²) shape the operator exists to
+    avoid."""
+    from presto_truffle_spark.operators.dedup import dedup_chunk_fingerprint
+
+    plan = inspect.physical_plan(dedup_chunk_fingerprint(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_balance_sources_is_map_only_over_docs(spark, sf_dir):
+    """corpus_balance_sources must broadcast the per-source thresholds —
+    the whole design is one map-only scan of the corpus; a shuffle join on
+    source would reintroduce the skew the op avoids."""
+    from presto_truffle_spark.operators.corpus_ops import corpus_balance_sources
+
+    df = corpus_balance_sources(spark, sf_dir)
+    assert inspect.uses_broadcast_join(df)
+    assert inspect.broadcast_hint_count(df) >= 2  # quota row + thresholds
