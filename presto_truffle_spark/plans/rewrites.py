@@ -160,3 +160,84 @@ def rewrite_asof_generalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors, "user_id", "ts", "err_ts", ["last_error_ts"]
     )
     return out.select("user_id", "event_id", "value", "last_error_ts")
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # fixture scans are tiny; drop the application-side floor so the
+    # injection fires at test scale exactly as it would on a 100 TB fact
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # force the shuffle-join path: with a broadcast join Spark prunes via
+    # the broadcast hash set itself and a bloom filter would be redundant
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "rewrite_bloom_filter_join",
+    oracle="""
+    SELECT p_type,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+    GROUP BY p_type
+    """,
+)
+def rewrite_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Spark 3.3+): when a selective dim
+    filter feeds a SHUFFLE join, Catalyst builds a bloom filter from the
+    filtered build side and injects `might_contain` into the fact scan —
+    fact rows that cannot join are dropped BEFORE the shuffle. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~selectivity fraction that survives; it composes with
+    (and kicks in exactly when) the broadcast path is unavailable because
+    the dim outgrew the broadcast threshold.
+
+    The injection happens at optimization time under session confs, so
+    this op sets the confs, materializes the result inside that window
+    (localCheckpoint — no driver collect), verifies the filter actually
+    fired (raises loudly if `bloom_filter_agg` is absent — a silent
+    fallback to an unpruned shuffle would defeat the point), and restores
+    the session. Result semantics are filter-agnostic, hence the full
+    oracle; revenue sums integer cents (exact in any order)."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+        out = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 100
+                            + F.lit(0.5)
+                        )
+                    )
+                    / 100.0
+                ).alias("revenue"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "bloom_filter_agg" not in plan and "might_contain" not in plan:
+            raise RuntimeError(
+                "runtime bloom filter was not injected — check the "
+                "spark.sql.optimizer.runtime.bloomFilter confs"
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

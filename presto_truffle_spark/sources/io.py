@@ -229,3 +229,53 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+@query(
+    "source_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 64
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-object ingestion via the ``binaryFile`` source — the entry point
+    of every multimodal pipeline: a directory of opaque blobs (images,
+    audio, here doc texts written as one file each) becomes a DataFrame of
+    (path, length, content) without any parser in the loop. Downstream is
+    the multimodal.py pattern: extract typed metadata early, never shuffle
+    payloads.
+
+    The fixture blobs are written executor-side (foreachPartition — on a
+    cluster each task writes its partition's objects to shared storage;
+    no driver collect), then read back and reduced to (doc_id parsed from
+    the path, byte length, md5) — which the oracle recomputes from the
+    source table, checking the write→read cycle byte-for-byte. 64 docs
+    keep the fixture light; the plan shape (one file = one row, metadata
+    only) is what matters. At scale, ``pathGlobFilter``/
+    ``recursiveFileLookup`` prune the listing, and
+    ``spark.sql.files.maxPartitionBytes`` bounds per-task payload memory
+    exactly as in the multimodal ops."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    path = _scratch("binary_docs")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(rows):
+        # nested fn: pickles by value (driver cwd independence, FIXTURES.md)
+        for r in rows:
+            with open(os.path.join(path, f"{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(write_part)
+    back = spark.read.format("binaryFile").load(f"{path}/*.txt")
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
