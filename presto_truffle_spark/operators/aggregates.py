@@ -315,3 +315,92 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
         .withColumnsRenamed({"F": "qty_F", "O": "qty_O"})
     )
+
+
+@query(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted COUNT(DISTINCT): partial distinct counts per
+    (group, value-salt) bucket, then SUM per group. Plain count distinct
+    is the one aggregate map-side combine cannot fix — every distinct
+    value of a hot group must meet in ONE reducer, so a group holding
+    half the corpus stragglers there. Salting by a hash of the VALUE
+    (here l_partkey % 16) partitions the value space into disjoint
+    buckets whose exact distinct counts simply ADD — 16 reducers share
+    the hot group, each deduplicating 1/16th of its values, and the
+    final SUM is exact (not approximate). This is the exact-answer
+    sibling of agg_approx_distinct's sketch path; same result, one extra
+    tiny shuffle. The salt fan-out knob trades reducer parallelism
+    against stage-2 row count (groups × 16)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy(
+        "l_returnflag", (F.col("l_partkey") % 16).alias("salt")
+    ).agg(F.countDistinct("l_partkey").alias("d"))
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("d").alias("distinct_parts")
+    )
+
+
+@query(
+    "agg_sketch_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(DISTINCT l_orderkey) AS BIGINT),
+           true
+    FROM lineitem
+    """,
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL, Spark 3.5+
+    hll_sketch_agg/hll_union_agg): build one distinct-orderkey sketch per
+    returnflag, then UNION the per-group sketches into a corpus-wide
+    estimate WITHOUT rescanning the data. Mergeability is the whole
+    scale story: a 100 TB daily job stores per-partition sketch bytes
+    (KBs), and any rollup — per day, per month, global — is a sketch
+    union over stored state, never a re-scan; note an orderkey appears
+    under several flags, so the union must deduplicate ACROSS groups
+    (summing per-group distincts would overcount — exactly what the
+    sketch union gets right). Envelope oracle per the repo's sketch
+    convention: exact values hash-checked, estimates asserted within
+    ±5% (lgConfigK=12 ⇒ rse ≈ 1.6%, so 5% ≈ 3σ holds deterministically
+    on a fixed fixture)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    per_group = sk.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("within_5pct"),
+    )
+    exact_all = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    merged = (
+        sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_orders",
+            (
+                F.abs(F.col("est") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_5pct"),
+        )
+    )
+    return per_group.unionAll(merged)
