@@ -491,3 +491,99 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-duplicate graph (canonical-representative scoring)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_STEP = """, r{k} AS (
+        SELECT e.dst AS id, 0.15 + 0.85 * sum(r{p}.r / deg.d) AS r
+        FROM edges e
+        JOIN r{p} ON e.src = r{p}.id
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    )"""
+
+_PR_ORACLE = (
+    _ORACLE_BANDS_CTES
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+        SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS id, 1.0 AS r FROM deg
+    )"""
+    + "".join(_PR_STEP.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT id AS doc_id,
+           floor(r * 1000000 + 0.5) / 1000000 AS pagerank
+    FROM r{_PR_ITERS}
+"""
+)
+
+
+@query("graph_pagerank", oracle=_PR_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the undirected
+    near-duplicate graph — scores each doc by how central it is in its
+    duplicate cluster, the usual rule for picking the CANONICAL
+    representative to keep (highest-rank survivor) instead of an
+    arbitrary min-id. Complements dedup_connected_components: CC says
+    which docs belong together, PageRank says which one to keep.
+
+    The iteration is the standard distributed shape: contributions =
+    edges ⋈ ranks ⋈ degrees, grouped by destination — two key-shuffles
+    per round, rank state is one double per node, and each round's
+    result is localCheckpoint-materialized so the logical plan stays one
+    join deep across iterations (same plan-growth lesson as
+    min_label_propagation above). A FIXED iteration count keeps the op
+    differential-testable: the oracle unrolls the identical three steps
+    as DuckDB CTEs, so every float op sequence matches and the 1e-6
+    floor-round absorbs sum-order ulp drift. Production runs iterate to
+    an L1-convergence threshold instead — swap the loop bound, nothing
+    else changes."""
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    try:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
+        for _ in range(_PR_ITERS):
+            ranks = (
+                edges.join(ranks, edges.src == ranks.id)
+                .join(deg, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(
+                    (
+                        F.lit(0.15) + F.lit(0.85) * F.sum(F.col("r") / F.col("d"))
+                    ).alias("r")
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        (F.floor(F.col("r") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("pagerank"),
+    )

@@ -347,3 +347,88 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
     )
+
+
+@query(
+    "events_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'error'
+    ), cand AS (
+        SELECT p.user_id, p.event_id, e.ts AS err_ts,
+               abs(epoch_ms(e.ts) - epoch_ms(p.ts)) AS dist_ms,
+               row_number() OVER (
+                   PARTITION BY p.user_id, p.event_id
+                   ORDER BY abs(epoch_ms(e.ts) - epoch_ms(p.ts)),
+                            CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END
+               ) AS rn
+        FROM p JOIN e ON p.user_id = e.user_id
+    )
+    SELECT user_id, event_id, err_ts AS nearest_err_ts,
+           CAST(dist_ms AS BIGINT) AS dist_ms
+    FROM cand WHERE rn = 1
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: each purchase matched to its NEAREST error
+    event in time (either direction) for the same user, ties preferring
+    the earlier (backward) side — the sensor-alignment primitive when the
+    reference stream can lag OR lead (asof_join_lastward covers only the
+    backward half; DuckDB's native ASOF likewise).
+
+    Plan: two union-LOCF passes over the same key shuffle — backward =
+    last error ≤ t, forward = first error ≥ t (the lastward helper run on
+    NEGATED epoch micros, so "last before" becomes "first after") — then
+    a row-local min-distance pick. Never a per-user cross join: the
+    oracle's candidate set is |purchases|×|errors| per user (fine for
+    DuckDB at fixture scale, quadratic at 100 TB), while the Spark side
+    stays O(n log n) sort-shuffle like every other as-of here."""
+    from presto_truffle_spark.plans.rewrites import asof_join_lastward
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("ts").alias("b_ts"),
+    )
+    back = asof_join_lastward(
+        purchases, errors.drop("err_ts"), "user_id", "ts", "b_ts", ["b_ts"]
+    )
+    # forward pass: negate time so "last at-or-before" = "first at-or-after"
+    p_neg = purchases.withColumn("nts", -F.unix_micros("ts"))
+    e_neg = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            (-F.unix_micros("ts")).alias("e_nts"),
+            F.col("ts").alias("f_ts"),
+        )
+    )
+    fwd = asof_join_lastward(p_neg, e_neg, "user_id", "nts", "e_nts", ["f_ts"]).drop(
+        "nts"
+    )
+    both = back.join(fwd, ["user_id", "event_id", "ts"])
+    b_dist = F.unix_millis("ts") - F.unix_millis("b_ts")
+    f_dist = F.unix_millis("f_ts") - F.unix_millis("ts")
+    pick_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_dist <= f_dist)
+    )
+    return (
+        both.filter(F.col("b_ts").isNotNull() | F.col("f_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.when(pick_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+                "nearest_err_ts"
+            ),
+            F.when(pick_back, b_dist).otherwise(f_dist).alias("dist_ms"),
+        )
+    )

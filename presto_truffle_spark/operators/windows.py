@@ -194,3 +194,45 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_share"
         ),
     )
+
+
+@query(
+    "window_value_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+           CAST(sum(cents) OVER w AS BIGINT) AS band_cents
+    FROM (
+        SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+                 RANGE BETWEEN 500000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame (not time, not rows): for each order, count
+    and sum the same customer's orders priced within $5,000 below it — the
+    density-band shape behind "how many peers sit just under this price
+    point". RANGE frames bound the frame by the ORDER-BY *value*, so peer
+    rows with equal price are always IN the frame together — which is
+    what makes the result order-insensitive and cross-engine exact
+    (a ROWS frame over a non-unique sort would be nondeterministic).
+    Completes the frame-type matrix with window_rolling_interval (interval
+    RANGE) and window_running_agg (ROWS). The band sum accumulates
+    per-row integer cents — exact in any order, and the frame itself is
+    keyed on the cents column (Spark's rangeBetween takes integer bounds;
+    $5,000 = 500,000 cents). Scale: one shuffle on o_custkey, sort within
+    partition; frames are pointer ranges over the sorted run, no per-row
+    rescans."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    w = W.partitionBy("o_custkey").orderBy("cents").rangeBetween(-500_000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.sum("cents").over(w).alias("band_cents"),
+    )
