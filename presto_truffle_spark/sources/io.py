@@ -279,3 +279,71 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+_PYDS_PARTS = 8
+_PYDS_ROWS = 2000
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest(generate_series(0, {_PYDS_PARTS * _PYDS_ROWS} - 1)) AS id
+    )
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id % 50 + 1) AS BIGINT) AS total_qty,
+           CAST(sum((id * 97) % 1000000) AS BIGINT) AS total_cents
+    FROM g GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4 DataSource API): a partitioned
+    deterministic row generator registered as a first-class ``format()`` —
+    the idiomatic Spark-4 rendition of the reference's in-memory TPC-H
+    generator (O8, TpchDataGenerator.java:19-27): schema declared up
+    front, one InputPartition per split so the scan parallelizes like any
+    file source, rows yielded lazily per partition (never materialized on
+    the driver). This is the extension point for feeds Spark has no
+    connector for — internal services, bespoke formats — and the same API
+    scales by adding partitions. Arithmetic rows (qty = id%50+1, cents =
+    id·97 mod 1e6) keep the oracle a pure generate_series rebuild.
+
+    Classes are nested so cloudpickle ships them by VALUE — executors
+    must not need this repo importable (same rule as the UDF specimens,
+    FIXTURES.md)."""
+    del sf_dir  # synthetic source; signature kept uniform
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class GenReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PYDS_PARTS)]
+
+        def read(self, part):
+            base = part.value * _PYDS_ROWS
+            for i in range(base, base + _PYDS_ROWS):
+                yield (i, i % 50 + 1, (i * 97) % 1000000)
+
+    class GenSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tpch_pygen"
+
+        def schema(self):
+            return "id bigint, qty bigint, cents bigint"
+
+        def reader(self, schema):
+            return GenReader()
+
+    spark.dataSource.register(GenSource)
+    df = spark.read.format("tpch_pygen").load()
+    return df.groupBy((F.col("id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qty").alias("total_qty"),
+        F.sum("cents").alias("total_cents"),
+    )
