@@ -432,3 +432,77 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+               - INTERVAL 1 HOUR AS w
+    ), matched AS (
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, click_id, purchase_id FROM matched
+    UNION ALL
+    SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+      AND c.ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed if
+    a purchase follows within the hour, null-extended otherwise. Unlike
+    the inner variant, the null-extended rows CANNOT emit eagerly — only
+    when the watermark proves no matching purchase can still arrive does
+    the buffered click flush with nulls. That makes the oracle encode
+    Spark's actual state-eviction rule, which this fixture pins down
+    empirically: the join watermark is min(max event time per SIDE) − the
+    1 h delay (each side tracks its own), and an unmatched click emits
+    iff click_ts + 1 h (its join-window end) < that watermark. Clicks
+    younger than the cutoff are correctly WITHHELD at stream end — on an
+    unbounded stream they'd flush as purchases advance the watermark.
+    Replay-deterministic (verified identical across runs), hence a full
+    oracle; this plus the inner variant covers both legs Spark supports
+    at scale (full outer is the same machinery on both sides)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
