@@ -238,3 +238,31 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round("c_acctbal", 2))
         .alias("bal_nonneg"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json into the binary
+    variant encoding, typed extraction via try_variant_get, and
+    schema_of_variant introspection. Variant is the scale answer to
+    schemaless columns: parsed ONCE at ingest into a shredded binary form,
+    then every downstream path access is a cheap binary probe — vs
+    get_json_object re-parsing the string per expression per row (the
+    scalar_json_funcs battery shows that older path). The oracle reads the
+    same fields with DuckDB's JSON operators; the inferred-schema string is
+    constant for the fixture's uniform {"k": int} payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+        F.schema_of_variant("v").alias("vschema"),
+    )

@@ -347,3 +347,38 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total_qty"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → XML files (built-in xml format, Spark 4) → read back
+    with an EXPLICIT schema → aggregate. Completes the text-format source
+    matrix (csv/json/xml) — XML is the interchange format the enterprise
+    side of a migration still ships. Explicit schema as everywhere:
+    inference is an extra full pass at scale; balances aggregate as
+    integer cents for cross-engine exactness."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _scratch("customer_xml")
+    c.write.mode("overwrite").option("rowTag", "cust").format("xml").save(path)
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = (
+        spark.read.option("rowTag", "cust").schema(schema).format("xml").load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")).alias(
+            "bal_cents"
+        ),
+    )
