@@ -101,3 +101,47 @@ def test_min_label_propagation_nonconvergence_is_loud(spark, sf_dir):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_propagation(edges, max_rounds=3)
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """On an undirected graph (no dangling nodes) with r0 = 1, total rank
+    mass is invariant: sum r_{k+1} = 0.15·n + 0.85·sum r_k = n. A drift
+    here means contributions are being dropped or double-counted."""
+    from presto_truffle_spark.operators.quality_ops import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - n) < 1e-3 * n
+
+
+def test_balance_sources_deterministic_and_capped(spark, sf_dir):
+    """Two invocations must keep the identical doc set (content-hash
+    sampling, no rand()), and every source's kept count must stay within
+    binomial noise of the quota."""
+    import math
+
+    from presto_truffle_spark.operators.corpus_ops import (
+        _MIX_TARGET,
+        corpus_balance_sources,
+    )
+
+    a = {(r.doc_id, r.source) for r in corpus_balance_sources(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.source) for r in corpus_balance_sources(spark, sf_dir).collect()}
+    assert a == b
+    from collections import Counter
+    from presto_truffle_spark.catalog import load_table
+
+    kept = Counter(s for _, s in a)
+    totals = Counter(
+        r.source
+        for r in load_table(spark, sf_dir, "documents").select("source").collect()
+    )
+    import statistics
+
+    q = _MIX_TARGET * statistics.median(totals.values())
+    for src, n_total in totals.items():
+        cap = min(n_total, q)
+        assert kept[src] <= n_total
+        # 4-sigma binomial envelope around rate*n
+        assert abs(kept[src] - cap) <= 4 * math.sqrt(max(cap, 1)) + 1
