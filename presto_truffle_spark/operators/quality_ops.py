@@ -567,23 +567,130 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
-        for _ in range(_PR_ITERS):
-            ranks = (
-                edges.join(ranks, edges.src == ranks.id)
-                .join(deg, "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(
-                    (
-                        F.lit(0.15) + F.lit(0.85) * F.sum(F.col("r") / F.col("d"))
-                    ).alias("r")
-                )
-                .localCheckpoint(eager=True)
-            )
+        ranks = _power_iterate(edges)
     finally:
         edges.unpersist()
     return ranks.select(
         F.col("id").alias("doc_id"),
         (F.floor(F.col("r") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("pagerank"),
+    )
+
+
+def _power_iterate(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """The PageRank inner loop over a directed edge list (see
+    graph_pagerank for semantics): returns (id, r) with raw double ranks;
+    callers round for their oracle."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (F.lit(0.15) + F.lit(0.85) * F.sum(F.col("r") / F.col("d"))).alias(
+                    "r"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+_SURVIVOR_ORACLE = (
+    _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ), deg AS (
+        SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS id, 1.0 AS r FROM deg
+    )"""
+    + "".join(_PR_STEP.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))
+    + f""", scored AS (
+        SELECT c.doc_id, c.component,
+               floor(r{_PR_ITERS}.r * 1000000 + 0.5) / 1000000 AS r6
+        FROM comp c JOIN r{_PR_ITERS} ON r{_PR_ITERS}.id = c.doc_id
+    ), pick AS (
+        SELECT component, doc_id, r6,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY r6 DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY component) AS n_members
+        FROM scored
+    )
+    SELECT component, doc_id AS survivor, r6 AS survivor_rank,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM pick WHERE rn = 1
+"""
+)
+
+
+@query("dedup_survivor_pick", oracle=_SURVIVOR_ORACLE)
+def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end dedup decision: for every near-duplicate cluster,
+    which single document survives. Composes the whole chain — MinHash →
+    LSH bands → Jaccard-verified pairs → connected components (cluster
+    membership) → PageRank (centrality within the cluster) → argmax —
+    keeping the most-central copy instead of an arbitrary min-id, the
+    rule that preserves the least-mutated ancestor of a mutated-copy
+    family.
+
+    The argmax orders by the 1e-6-ROUNDED rank, then doc_id: raw float
+    ranks can differ across engines by sum-order ulps, and an ordering on
+    them would be a cross-engine flake exactly when two docs are near-
+    tied; 1e-6 buckets exceed the drift by ~7 orders of magnitude, and
+    symmetric cluster positions (exactly equal ranks) fall through to the
+    id tie-break. Window-per-component is skew-safe: components are
+    near-dup clusters, bounded by the LSH bucket cap upstream, never
+    corpus-sized."""
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    try:
+        labels = min_label_propagation(edges)
+        ranks = _power_iterate(edges)
+    finally:
+        edges.unpersist()
+    scored = labels.join(ranks, labels.doc_id == ranks.id).select(
+        "doc_id",
+        "component",
+        (F.floor(F.col("r") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("r6"),
+    )
+    w = W.partitionBy("component").orderBy(F.col("r6").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(W.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor"),
+            F.col("r6").alias("survivor_rank"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     )
