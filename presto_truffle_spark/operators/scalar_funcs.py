@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.catalog import load_table, register_views
 from presto_truffle_spark.registry import query
 
 
@@ -265,4 +265,39 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.try_variant_get("v", "$.k", "int").alias("k"),
         F.schema_of_variant("v").alias("vschema"),
+    )
+
+
+@query(
+    "scalar_parameterized_sql",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag
+    """,
+)
+def scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 ``spark.sql(..., args=...)``): the
+    injection-safe plumbing every query service needs — parameters bind as
+    typed literals in the parser, so Catalyst constant-folds and pushes
+    them down exactly like hand-inlined constants (same PushedFilters), and
+    the query TEXT stays cacheable/auditable while values vary per call.
+    The oracle inlines the same values."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+                   AS revenue
+        FROM lineitem
+        WHERE l_quantity < :max_qty AND l_discount BETWEEN :lo AND :hi
+        GROUP BY l_returnflag
+        """,
+        args={"max_qty": 25, "lo": 0.02, "hi": 0.08},
     )
