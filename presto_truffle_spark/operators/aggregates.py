@@ -404,3 +404,44 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_group.unionAll(merged)
+
+
+@query(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmaps (bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count): each group holds one compressed bitmap
+    per 32k-wide key bucket, per-group distinct = sum of bit counts, and
+    the corpus-wide rollup ORs the same bitmaps — deduplicating keys shared
+    across groups without rescanning, like the sketch rollup
+    (agg_sketch_rollup) but exact. This is the ClickHouse/Doris
+    materialized-bitmap pattern: precompute bitmaps once per partition/day,
+    answer any distinct rollup by OR-merging stored state. Trade vs HLL:
+    bitmap size grows with key-space density (fine for dense integer ids,
+    wrong for uuids), accuracy is exact; both rollups shuffle only
+    aggregate state, never rows. Being exact, the oracle is plain
+    COUNT(DISTINCT) at both levels — no envelope needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_orderkey").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias("bm"))
+    per_group = bm.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_orders")
+    )
+    rollup = (
+        bm.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_orders"))
+        .select(F.lit("ALL").alias("l_returnflag"), "distinct_orders")
+    )
+    return per_group.unionAll(rollup)
