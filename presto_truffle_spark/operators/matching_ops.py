@@ -1,0 +1,358 @@
+"""Matching & data-quality operators: sparse cosine similarity pair-join
+via an inverted index, blocked fuzzy (edit-distance) matching, a
+deequ-style declarative data-quality audit, exact-envelope approx top-k,
+and per-group top-k via SQL LATERAL.
+
+[EXT] surface — entity-resolution / data-quality capabilities a corpus
+pipeline needs beyond the hash/MinHash dedup family in ``dedup.py``:
+similarity joins that never materialize all-pairs, fuzzy key matching
+with blocking, and machine-checkable quality constraints over tables.
+
+Scale posture:
+  * ``text_cosine_pairs`` is the classic inverted-index similarity join:
+    candidate work is Σ_token df², bounded by the document-frequency cap
+    that drops stopword-grade tokens before the self-join (the prefix-
+    filtering idea from DIMSUM / all-pairs similarity search). Nothing
+    ever enumerates the n² document pairs.
+  * ``fuzzy_match_blocked`` compares names only inside blocking buckets
+    (first/last character × length band, two passes unioned) — the
+    standard entity-resolution trick that turns O(n²) edit-distance
+    matching into per-block work.
+  * ``quality_constraint_audit`` computes every constraint as a
+    conditional aggregate, one scan per table, unioned into a tiny
+    metrics table — the shape of a deequ/great-expectations run over
+    100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table, register_views
+from presto_truffle_spark.registry import query
+
+# Tokens appearing in more than this fraction of documents are dropped
+# before the posting-list self-join (stopword-grade tokens dominate Σ df²
+# while contributing almost no cosine signal). Relative to corpus size so
+# the filter's selectivity is stable across scale factors; the oracle
+# mirrors the same cap.
+_DF_CAP_FRAC = 0.2
+_COSINE_THRESHOLD = 0.6
+
+
+@query(
+    "text_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    kept AS (
+        SELECT token FROM tok2 GROUP BY token
+        HAVING count(*) <= {_DF_CAP_FRAC} * (SELECT count(*) FROM documents)
+    ),
+    p AS (SELECT t.doc_id, t.token FROM tok2 t JOIN kept USING (token)),
+    n AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           floor(shared * 1.0 / sqrt(na.n * nb.n) * 1000000 + 0.5) / 1000000
+               AS cosine
+    FROM shared
+    JOIN n na ON shared.doc_a = na.doc_id
+    JOIN n nb ON shared.doc_b = nb.doc_id
+    WHERE shared * 1.0 / sqrt(na.n * nb.n) >= {_COSINE_THRESHOLD}
+    """,
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with binary-vector cosine ≥ 0.6, computed with an
+    inverted-index (posting-list) self-join — never an all-pairs product.
+
+    cos(A, B) = |A∩B| / sqrt(|A|·|B|) over each document's *distinct*
+    token set. Stages: tokenize+distinct (1 shuffle) → df filter drops
+    tokens with df > 20% of the corpus (bounds the per-token self-join
+    at df², and the 1-row corpus count joins in as a broadcast) →
+    postings self-join on token → pair-count aggregate → join per-doc
+    set sizes → threshold. All arithmetic is integer counts + one IEEE
+    sqrt/divide, so Spark and DuckDB agree bit-for-bit at the threshold
+    boundary. At 100 TB the df cap is the knob that keeps Σ df² linear-ish
+    in corpus size; hot tokens are exactly the ones carrying no signal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= _DF_CAP_FRAC * F.col("n_docs"))
+        .select("token")
+    )
+    p = tok.join(kept, "token")
+    n = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = p.select(F.col("doc_id").alias("doc_a"), "token")
+    b = p.select(F.col("doc_id").alias("doc_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cos = F.col("shared") / F.sqrt(F.col("na.n") * F.col("nb.n"))
+    return (
+        shared.join(n.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .where(cos >= _COSINE_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH names AS (
+        SELECT p_name AS name, count(*) AS n_rows
+        FROM part GROUP BY 1
+    ),
+    blocked AS (
+        SELECT name, n_rows, substr(name, 1, 1) AS bkey,
+               CAST(floor(length(name) / 3) AS INTEGER) AS lband
+        FROM names
+        UNION ALL
+        SELECT name, n_rows, substr(name, length(name), 1) AS bkey,
+               CAST(floor(length(name) / 3) AS INTEGER) AS lband
+        FROM names
+    )
+    SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_distance,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM blocked a
+    JOIN blocked b
+      ON a.bkey = b.bkey AND a.lband = b.lband AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: distinct part names within edit distance ≤ 2,
+    compared only inside blocking buckets (two passes: first-character and
+    last-character, each × a length band; pair lists unioned + deduped).
+
+    Blocking is what makes edit-distance matching feasible at scale —
+    levenshtein is not indexable, so the only lever is shrinking the
+    candidate set. Two complementary single-character block keys give
+    recall against edits at either end of the string while keeping each
+    bucket tiny; the documented residual miss is a ≤2-edit pair differing
+    in BOTH its first and last characters. Spark and DuckDB implement the
+    same Wagner-Fischer edit distance, so the predicate agrees exactly.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    lband = F.floor(F.length("name") / 3).cast("int").alias("lband")
+    first = names.select(
+        "name", "n_rows", F.substring("name", 1, 1).alias("bkey"), lband
+    )
+    last = names.select(
+        "name",
+        "n_rows",
+        F.expr("substr(name, length(name), 1)").alias("bkey"),
+        lband,
+    )
+    blocked = first.unionAll(last)
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.lband") == F.col("b.lband"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(lev <= 2)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            lev.cast("int").alias("edit_distance"),
+            F.col("a.n_rows").alias("n_rows_a"),
+            F.col("b.n_rows").alias("n_rows_b"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "quality_constraint_audit",
+    oracle="""
+    WITH m AS (
+        SELECT 'completeness_c_acctbal' AS constraint,
+               floor(count(c_acctbal) * 1.0 / count(*) * 1000000 + 0.5)
+                   / 1000000 AS metric,
+               count(c_acctbal) = count(*) AS passed
+        FROM customer
+        UNION ALL
+        SELECT 'uniqueness_o_orderkey',
+               floor(count(DISTINCT o_orderkey) * 1.0 / count(*) * 1000000
+                     + 0.5) / 1000000,
+               count(DISTINCT o_orderkey) = count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'ri_orders_customer_violations',
+               CAST(count(*) FILTER (
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+               ) AS DOUBLE),
+               count(*) FILTER (
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+               ) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values_c_mktsegment',
+               CAST(count(*) FILTER (WHERE c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                    'MACHINERY')) AS DOUBLE),
+               count(*) FILTER (WHERE c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                    'MACHINERY')) = 0
+        FROM customer
+        UNION ALL
+        SELECT 'range_l_quantity_1_50',
+               CAST(count(*) FILTER (
+                   WHERE l_quantity < 1 OR l_quantity > 50) AS DOUBLE),
+               count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) = 0
+        FROM lineitem
+    )
+    SELECT * FROM m
+    """,
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (deequ / great-expectations shape):
+    each constraint evaluates to one (constraint, metric, passed) row —
+    completeness, key uniqueness, referential integrity, accepted values,
+    and a numeric range check.
+
+    Every constraint is a conditional aggregate, so the audit costs one
+    scan per table regardless of how many constraints share that table
+    (Catalyst collapses same-source aggregates; the RI check is a
+    broadcast-ready NOT IN rewritten to a null-aware anti join). That
+    single-pass property is what makes constraint suites affordable on a
+    100 TB table — the alternative, one scan per constraint, is 5× the IO
+    here. Ratios are floor-rounded to 6 places on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'completeness_c_acctbal' AS constraint,
+               floor(count(c_acctbal) * 1.0 / count(*) * 1000000 + 0.5)
+                   / 1000000 AS metric,
+               count(c_acctbal) = count(*) AS passed
+        FROM customer
+        UNION ALL
+        SELECT 'uniqueness_o_orderkey',
+               floor(count(DISTINCT o_orderkey) * 1.0 / count(*) * 1000000
+                     + 0.5) / 1000000,
+               count(DISTINCT o_orderkey) = count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'ri_orders_customer_violations',
+               CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS DOUBLE),
+               count(CASE WHEN c_custkey IS NULL THEN 1 END) = 0
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'accepted_values_c_mktsegment',
+               CAST(count(CASE WHEN c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                    'MACHINERY') THEN 1 END) AS DOUBLE),
+               count(CASE WHEN c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+                    'MACHINERY') THEN 1 END) = 0
+        FROM customer
+        UNION ALL
+        SELECT 'range_l_quantity_1_50',
+               CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                   THEN 1 END) AS DOUBLE),
+               count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                   THEN 1 END) = 0
+        FROM lineitem
+        """
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch: Spark 4's ``approx_top_k`` over event_type,
+    exploded back to (item, cnt) rows.
+
+    Exact-envelope design (same idea as the HLL/percentile envelope
+    oracles in aggregates.py): k and maxItemsTracked are set far above the
+    column's distinct cardinality, a regime where the frequent-items
+    sketch is *exact by construction* — every distinct item is tracked, no
+    eviction, so counts equal the true counts and the DuckDB oracle is a
+    plain GROUP BY. The sketch is the single-pass, fixed-memory, mergeable
+    path for heavy hitters over 100 TB where a full GROUP BY would shuffle
+    the long tail; under-k cardinality here lets the driver hash-check it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.explode(
+                F.expr("approx_top_k(event_type, 100, 10000)")
+            ).alias("entry")
+        )
+        .select(
+            F.col("entry.item").alias("item"),
+            F.col("entry.count").alias("cnt"),
+        )
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, s.c_name, s.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) AS s
+"""
+
+
+@query("join_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via a correlated LATERAL subquery with ORDER BY +
+    LIMIT — identical SQL text runs on Spark 4 and DuckDB.
+
+    This is the SQL-standard spelling of window_topk_per_group
+    (windows.py:65): Catalyst decorrelates the lateral into a
+    partition-limit plan rather than executing the subquery per outer row,
+    so at scale it behaves like the rank-filter form — one shuffle on the
+    correlation key. Ties on c_acctbal are broken by c_custkey, keeping
+    the top-3 deterministic on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

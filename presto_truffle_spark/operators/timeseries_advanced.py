@@ -1,0 +1,242 @@
+"""Advanced time-series operators: gap filling with LOCF, cascading
+(hypertable-style) rollups, and a recursive-CTE calendar join.
+
+[EXT] surface — the time-series capability layer past the basic window
+aggregates in ``timeseries.py``. These are the shapes a TimescaleDB /
+InfluxDB user expects from an analytics engine: a gap-free per-key grid
+with last-observation-carried-forward, continuous-aggregate rollups that
+merge partials instead of rescanning raw data, and gap-free calendar
+reporting (Spark 4 ``WITH RECURSIVE``).
+
+Scale posture:
+  * Gap-fill generates the grid *per key* with ``sequence()`` — grid size
+    is (span/granularity) rows per key, produced executor-side, never on
+    the driver; the fill window and the join both shuffle on the same
+    ``user_id`` key, so AQE coalesces them into one exchange.
+  * The rollup cascade re-aggregates hour partials from minute partials
+    (sum-of-sums / min-of-mins / count-of-counts over exact cent values),
+    which is the merge path an incremental 100 TB rollup pipeline uses —
+    each cascade level processes the *previous level's output* (tiny),
+    not the raw events.
+  * The recursive CTE generates a bounded calendar (driver-side fixpoint
+    over a few dozen rows) and left-joins facts to it; the fact side
+    aggregates before the join, so the recursion never touches raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table, register_views
+from presto_truffle_spark.registry import query
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+        FROM span
+    )
+    SELECT g.user_id,
+           g.bucket AS hour_start,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           coalesce(
+               last_value(h.v_cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS locf_value_cents
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-free hourly grid with LOCF (last observation carried
+    forward) — the timeseries-DB ``gapfill`` + ``locf`` primitive.
+
+    Plan: hourly aggregate (1 shuffle on user_id+bucket) → per-user span
+    (agg on user_id) → ``sequence()`` + ``explode`` generates the grid
+    executor-side → left join back → LOCF via a running ``last(ignorenulls)``
+    window. Grid generation is O(span/granularity) per key and never
+    touches the driver; every shuffle is keyed by user_id, so the join and
+    the fill window reuse one exchange. Sums are exact cent integers so
+    LOCF output is bit-identical across engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("v_cents"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL '1' HOUR"))
+        ).alias("bucket"),
+    )
+    fill_w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.col("bucket").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                F.last("v_cents", ignorenulls=True).over(
+                    W.partitionBy("user_id")
+                    .orderBy("bucket")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                F.lit(0),
+            ).alias("locf_value_cents"),
+        )
+    )
+
+
+@query(
+    "events_rollup_cascade",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: minute partials → hour partials → day
+    rollup, merging at each level (count-of-counts, sum-of-sums,
+    min-of-mins, max-of-maxes) instead of rescanning raw events.
+
+    This is the incremental-rollup merge path of a hypertable continuous
+    aggregate: at 100 TB the minute level is maintained incrementally by
+    the streaming layer and each coarser level aggregates the *previous
+    level's output* (≤ 1/60th the rows), so refreshing a day rollup never
+    touches raw data. The oracle aggregates raw events directly at day
+    grain, proving the cascade's merge functions are lossless. Sums are
+    exact cent integers, so merge order cannot perturb the result.
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"), "event_type"
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return (
+        hour.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2001-08-01'
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT months.m AS month_start,
+           CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(monthly.total_cents, 0) AS BIGINT) AS total_cents
+    FROM months LEFT JOIN monthly ON months.m = monthly.m
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): generate a gap-free
+    month calendar spanning the orders table's known date range and left
+    join monthly order aggregates onto it — months with no orders surface
+    as explicit zero rows (the classic gap-free report).
+
+    The recursion is a bounded fixpoint (80 calendar rows); the fact side
+    is pre-aggregated to month grain before the join, so the recursive
+    plan never touches raw orders rows. Same shape DuckDB executes via its
+    own WITH RECURSIVE — both engines run a genuine recursive plan, not a
+    rewrite. UNION ALL + WHERE guard is the Spark-supported recursion form
+    (UNION-distinct recursion is not yet supported, probed on 4.1).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+            WHERE m < DATE '2001-08-01'
+        ),
+        monthly AS (
+            SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS total_cents
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT months.m AS month_start,
+               CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(monthly.total_cents, 0) AS BIGINT) AS total_cents
+        FROM months LEFT JOIN monthly ON months.m = monthly.m
+        """
+    )

@@ -93,6 +93,8 @@ def load_all_modules() -> None:
     # window, which is fully claimed by the never-verified backlog; these
     # queue for the round-4 rotation. Selfcheck covers them meanwhile.
     from presto_truffle_spark.operators import tpch_round3  # noqa: F401
+    from presto_truffle_spark.operators import timeseries_advanced  # noqa: F401
+    from presto_truffle_spark.operators import matching_ops  # noqa: F401
 
     _LOADED = True
 
