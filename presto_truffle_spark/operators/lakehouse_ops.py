@@ -1,0 +1,177 @@
+"""Lakehouse layout operators: schema-evolution reads and Z-order
+(Morton-curve) clustered layout for multi-dimensional data skipping.
+
+[EXT] surface — the table-layout capabilities a long-lived 100 TB lake
+needs: old and new file generations with different schemas read as one
+table, and a write layout that clusters rows so BOTH of two query
+dimensions prune well from parquet min/max footer stats.
+
+Scale posture:
+  * Schema evolution is metadata-only — ``mergeSchema`` unions footers at
+    planning time; absent columns materialize as nulls per file, no data
+    rewrite. That is the only viable path when a 100 TB table gains a
+    column (rewriting history is off the table).
+  * Z-ordering is pure row-side bit arithmetic + one range-ish shuffle on
+    the computed key; the payoff is that a file covers a small *square*
+    in (dim1, dim2) space instead of a thin slice of one dimension, so
+    min/max skipping works for predicates on either dimension. The
+    per-bucket min/max spans in the output are exactly the stats a scan
+    planner would prune on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+)
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    WITH unified AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1995
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1996
+    )
+    SELECT coalesce(o_orderpriority, '<absent>') AS priority,
+           count(*) AS n,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+    FROM unified
+    GROUP BY 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files lack a column that
+    generation 2 added; ``mergeSchema=true`` reads both generations as one
+    table, nulling the absent column in old files.
+
+    Gen-1 = 1995 orders written WITHOUT o_orderpriority; gen-2 = 1996
+    orders written with it. The merged read then aggregates per priority,
+    with gen-1 rows surfacing under '<absent>'. Merging is footer-level
+    planning work — per-file schemas union into the widest schema, old
+    data is never rewritten — which is why adding a column to a 100 TB
+    table is O(1) in data volume. The oracle rebuilds the same union from
+    the base table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    root = _scratch("orders_evolving")
+    (
+        o.where(F.year("o_orderdate") == 1995)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen=1"))
+    )
+    (
+        o.where(F.year("o_orderdate") == 1996)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<absent>")).alias("priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
+
+
+# 16-bit × 16-bit Morton (Z-curve) interleave, generated per engine because
+# the shift spelling differs (Spark: shiftleft/shiftright functions; DuckDB:
+# << / >> operators). 16 bits/dim covers this fixture's key ranges; a
+# production layout sizes bits to the dimension cardinality.
+_N_BITS = 16
+
+
+def _z_spark(x: str, y: str) -> str:
+    terms = []
+    for i in range(_N_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_duckdb(x: str, y: str) -> str:
+    terms = []
+    for i in range(_N_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+    SELECT CAST(o_custkey AS BIGINT) AS x,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS y
+    FROM orders
+),
+z AS (SELECT x, y, {_z_duckdb('x', 'y')} AS zval FROM keyed)
+SELECT CAST(zval >> 20 AS BIGINT) AS z_bucket,
+       count(*) AS n,
+       min(x) AS min_custkey, max(x) AS max_custkey,
+       min(y) AS min_day, max(y) AS max_day
+FROM z
+GROUP BY 1
+"""
+
+
+@query("sink_zorder_layout", oracle=_ZORDER_ORACLE)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink: interleave the bits of (o_custkey,
+    days-since-epoch-of-orderdate) into a Morton key, bucket on its high
+    bits, write parquet partitioned by bucket, read back, and report each
+    bucket's row count and min/max span in BOTH dimensions.
+
+    The output is the data-skipping evidence itself: every 2^20-wide
+    z-range covers at most a 1024×1024 square of (custkey, day) space, so
+    each written file carries tight min/max footer stats on *both*
+    columns — a predicate on either dimension prunes most buckets. A
+    single-column sort gets this for one dimension only. The interleave is
+    32 shift/mask terms of row-side arithmetic (whole-stage codegen'd);
+    the only movement is the partitioned write's shuffle on z_bucket.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("bigint").alias("y"),
+    )
+    z = keyed.withColumn("zval", F.expr(_z_spark("x", "y")))
+    path = _scratch("orders_zorder")
+    (
+        z.withColumn("z_bucket", F.expr("CAST(zval >> 20 AS BIGINT)"))
+        .write.mode("overwrite")
+        .partitionBy("z_bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_custkey"),
+        F.max("x").alias("max_custkey"),
+        F.min("y").alias("min_day"),
+        F.max("y").alias("max_day"),
+    )

@@ -95,6 +95,7 @@ def load_all_modules() -> None:
     from presto_truffle_spark.operators import tpch_round3  # noqa: F401
     from presto_truffle_spark.operators import timeseries_advanced  # noqa: F401
     from presto_truffle_spark.operators import matching_ops  # noqa: F401
+    from presto_truffle_spark.operators import lakehouse_ops  # noqa: F401
 
     _LOADED = True
 
