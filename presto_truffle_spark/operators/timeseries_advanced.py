@@ -183,6 +183,71 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ohlc_downsample",
+    oracle="""
+    WITH ranked AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               event_type, value,
+               row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 hour',
+                                            CAST(ts AS TIMESTAMP)), event_type
+                   ORDER BY ts, event_id) AS rn_asc,
+               row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 hour',
+                                            CAST(ts AS TIMESTAMP)), event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM events
+    )
+    SELECT bucket AS hour_start, event_type,
+           count(*) AS n,
+           min(CASE WHEN rn_asc = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_desc = 1 THEN value END) AS close
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) hourly downsample per event type — the
+    standard lossy time-series compaction for dashboards and charting.
+
+    Open/close are first/last by (ts, event_id) — the event_id tie-break
+    makes the pick deterministic even under timestamp collisions, which is
+    what lets DuckDB hash-match a parallel Spark run. Implemented as two
+    row_number windows + conditional aggregation: one shuffle on the
+    (bucket, type) key, then the aggregate reuses that partitioning. At
+    100 TB this is the map-side-heavy shape you want — raw values never
+    leave their bucket's partition.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts").alias("bucket")
+    w_asc = W.partitionBy(F.date_trunc("hour", "ts"), F.col("event_type")).orderBy(
+        "ts", "event_id"
+    )
+    w_desc = W.partitionBy(F.date_trunc("hour", "ts"), F.col("event_type")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        bucket,
+        "event_type",
+        "value",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    return (
+        ranked.groupBy(F.col("bucket").alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(F.col("rn_asc") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rn_desc") == 1, F.col("value"))).alias("close"),
+        )
+    )
+
+
+@query(
     "sql_recursive_cte",
     oracle="""
     WITH RECURSIVE months(m) AS (
