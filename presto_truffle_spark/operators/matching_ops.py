@@ -32,12 +32,17 @@ from pyspark.sql import functions as F
 from presto_truffle_spark.catalog import load_table, register_views
 from presto_truffle_spark.registry import query
 
-# Tokens appearing in more than this fraction of documents are dropped
-# before the posting-list self-join (stopword-grade tokens dominate Σ df²
-# while contributing almost no cosine signal). Relative to corpus size so
-# the filter's selectivity is stable across scale factors; the oracle
-# mirrors the same cap.
+# Tokens are dropped before the posting-list self-join when their document
+# frequency exceeds EITHER cap (stopword-grade tokens dominate Σ df² while
+# contributing almost no cosine signal). The relative cap keeps selectivity
+# stable across scale factors; the ABSOLUTE cap is the scale-safety bound —
+# it limits every posting list to ≤ _DF_CAP_ABS entries, so candidate work
+# is ≤ kept_tokens · cap² no matter how large the corpus grows. (The 10×
+# scale audit OOM'd a relative-only cap: with corpus-constant token df,
+# nothing got dropped and Σ df² exploded — the same failure mode a real
+# mid-frequency-heavy corpus hits.) The oracle mirrors both caps.
 _DF_CAP_FRAC = 0.2
+_DF_CAP_ABS = 1000
 _COSINE_THRESHOLD = 0.6
 
 _POSTINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
@@ -72,7 +77,10 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok.groupBy("token")
             .agg(F.count(F.lit(1)).alias("df"))
             .crossJoin(F.broadcast(n_docs))
-            .where(F.col("df") <= _DF_CAP_FRAC * F.col("n_docs"))
+            .where(
+                (F.col("df") <= _DF_CAP_FRAC * F.col("n_docs"))
+                & (F.col("df") <= _DF_CAP_ABS)
+            )
             .select("token")
         )
         _POSTINGS_MEMO[key] = tok.join(kept, "token").cache()
@@ -90,6 +98,7 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT token FROM tok2 GROUP BY token
         HAVING count(*) <= {_DF_CAP_FRAC} * (SELECT count(*) FROM documents)
+           AND count(*) <= {_DF_CAP_ABS}
     ),
     p AS (SELECT t.doc_id, t.token FROM tok2 t JOIN kept USING (token)),
     n AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
@@ -349,6 +358,87 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("entry.item").alias("item"),
             F.col("entry.count").alias("cnt"),
         )
+    )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> {'w1': string_split(text, ' ')[i],
+                         'w2': string_split(text, ' ')[i+1]})) AS b
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM db GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    scored AS (
+        SELECT db.doc_id,
+               (c2.c2 * 1000000000) // c1.c1 AS p_ppb
+        FROM db
+        JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+        JOIN c1 ON db.w1 = c1.w1
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(p_ppb) // count(*) AS BIGINT) AS mean_prob_ppb,
+           CAST(min(p_ppb) AS BIGINT) AS min_prob_ppb
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: each document scored against the
+    corpus's own bigram statistics — mean and minimum transition
+    probability P(w2|w1) = C(w1,w2)/Σ_w C(w1,w) per doc. Low mean ⇒
+    unusual/low-quality text; min pinpoints the single rarest transition.
+    This is the classic model-free perplexity proxy used to filter
+    training corpora.
+
+    Determinism by construction: probabilities are integer parts-per-
+    billion (``c2 * 1e9 div c1`` — pure BIGINT arithmetic, no
+    transcendentals, no FP summation order), so Spark and DuckDB agree
+    exactly. Plan: bigram explode → corpus counts (shuffle on (w1,w2)) →
+    context counts (re-aggregate the count table, 1/60th the rows, same
+    trick as the rollup cascade) → two equi-joins back to doc bigrams →
+    per-doc aggregate. The count tables are vocabulary²-bounded and the
+    join on (w1,w2) is stopword-skewed at corpus scale — AQE skew-split
+    handles it, or pre-broadcast c1 (vocabulary-sized). No all-pairs
+    anywhere; every stage is linear in total bigrams.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    db = (
+        docs.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        db.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.expr("(c2 * 1000000000) div c1").alias("p_ppb"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(p_ppb) div count(*)").cast("bigint").alias("mean_prob_ppb"),
+        F.min("p_ppb").cast("bigint").alias("min_prob_ppb"),
     )
 
 

@@ -183,6 +183,144 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+        FROM events
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+        FROM span
+    ),
+    joined AS (
+        SELECT g.user_id, g.bucket, h.v_cents,
+               CAST(epoch(g.bucket) AS BIGINT) AS t
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    ),
+    edged AS (
+        SELECT user_id, bucket, v_cents, t,
+               last_value(v_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+               last_value(CASE WHEN v_cents IS NOT NULL THEN t END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+               first_value(v_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+               first_value(CASE WHEN v_cents IS NOT NULL THEN t END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+        FROM joined
+    )
+    SELECT user_id, bucket AS hour_start,
+           v_cents IS NOT NULL AS observed,
+           CAST(CASE
+               WHEN v_cents IS NOT NULL THEN v_cents
+               WHEN v_prev IS NULL THEN v_next
+               WHEN v_next IS NULL THEN v_prev
+               ELSE v_prev + ((v_next - v_prev) * (t - t_prev))
+                             // (t_next - t_prev)
+           END AS BIGINT) AS interp_cents
+    FROM edged
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the per-user hourly grid — the smooth
+    companion to events_gapfill_locf: missing hours get the straight-line
+    value between the surrounding observations (LOCF/NOCB at the edges).
+
+    Determinism by construction: observations are exact cent integers and
+    the interpolation is pure BIGINT arithmetic — ``v_prev + (Δv · Δt) div
+    span`` — so there is no FP rounding to diverge between engines.
+    Prev/next observation values and timestamps come from four
+    ignore-nulls running windows (two forward, two backward), all
+    partitioned on user_id: the whole operator costs the same single
+    user-keyed shuffle as the LOCF variant, just with two window passes
+    over it (Spark evaluates the forward and backward frames in two sorts
+    of the same partition, no extra exchange).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("v_cents")
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL '1' HOUR"))).alias(
+            "bucket"
+        ),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "v_cents",
+        F.unix_timestamp("bucket").alias("t"),
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # The backward fill is a DESC-ordered GROWING frame on purpose: Spark
+    # evaluates (currentRow → unboundedFollowing) frames non-incrementally
+    # (re-aggregating the remainder per row, O(n²) per partition — measured
+    # 13 s vs 1 s at sf0.1), while (unboundedPreceding → currentRow) is the
+    # incremental O(n) path. last() over DESC ≡ first() over following.
+    bwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t_obs = F.when(F.col("v_cents").isNotNull(), F.col("t"))
+    edged = joined.select(
+        "user_id",
+        "bucket",
+        "v_cents",
+        "t",
+        F.last("v_cents", ignorenulls=True).over(fwd).alias("v_prev"),
+        F.last(t_obs, ignorenulls=True).over(fwd).alias("t_prev"),
+        F.last("v_cents", ignorenulls=True).over(bwd).alias("v_next"),
+        F.last(t_obs, ignorenulls=True).over(bwd).alias("t_next"),
+    )
+    interp = (
+        F.when(F.col("v_cents").isNotNull(), F.col("v_cents"))
+        .when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + F.expr(
+                "((v_next - v_prev) * (t - t_prev)) div (t_next - t_prev)"
+            )
+        )
+    )
+    return edged.select(
+        "user_id",
+        F.col("bucket").alias("hour_start"),
+        F.col("v_cents").isNotNull().alias("observed"),
+        interp.cast("bigint").alias("interp_cents"),
+    )
+
+
+@query(
     "events_ohlc_downsample",
     oracle="""
     WITH ranked AS (
