@@ -35,9 +35,19 @@ _SCRATCH = os.path.join(
 )
 
 
-def _scratch(name: str) -> str:
+def _scratch(spark: SparkSession, name: str) -> str:
+    """Per-session scratch dir: suffixing with applicationId keeps two
+    concurrent sessions (e.g. the driver and a test run) from clobbering
+    each other's in-flight writes; stale sessions' dirs for the same op
+    are swept on entry so .tmp can't grow across sessions."""
+    import shutil
+
+    app_id = spark.sparkContext.applicationId
     os.makedirs(_SCRATCH, exist_ok=True)
-    return os.path.join(_SCRATCH, name)
+    for entry in os.listdir(_SCRATCH):
+        if entry.startswith(name + "_app-") and not entry.endswith(app_id):
+            shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+    return os.path.join(_SCRATCH, f"{name}_app-{app_id}")
 
 
 @query(
@@ -71,7 +81,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base table.
     """
     o = load_table(spark, sf_dir, "orders")
-    root = _scratch("orders_evolving")
+    root = _scratch(spark, "orders_evolving")
     (
         o.where(F.year("o_orderdate") == 1995)
         .select("o_orderkey", "o_totalprice")
@@ -160,7 +170,7 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lit("1995-01-01")).cast("bigint").alias("y"),
     )
     z = keyed.withColumn("zval", F.expr(_z_spark("x", "y")))
-    path = _scratch("orders_zorder")
+    path = _scratch(spark, "orders_zorder")
     (
         z.withColumn("z_bucket", F.expr("CAST(zval >> 20 AS BIGINT)"))
         .write.mode("overwrite")
