@@ -183,6 +183,90 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY 1
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+           count(*) AS active_users
+    FROM cohorts c
+    JOIN user_days d ON c.user_id = d.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each subsequent day they return — the (cohort, day-offset) triangle
+    every product-analytics stack computes.
+
+    Plan: distinct (user, day) → per-user min day (cohort) → join back on
+    user_id → count per (cohort, offset). Three shuffles, every one keyed
+    on user_id or the output key; the distinct collapses raw events first,
+    so the join sees |users|·|active days| rows, not raw event volume —
+    at 100 TB that reduction (events → user-days) is ~1000×. No count
+    distinct at the end: the user_days input is already distinct per
+    (user, day), so count(*) IS the distinct user count per cell.
+    """
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "events_path_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order path analysis: counts of consecutive event-type
+    transitions per user (the Markov transition matrix behind funnel and
+    journey analytics). Ordering ties broken by event_id so the lag is
+    deterministic under timestamp collisions.
+
+    One shuffle on user_id for the lag window; the transition count then
+    aggregates (type, type) pairs — a tiny key space, so the second
+    shuffle moves |types|² partials per task regardless of event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
     "events_interpolate_linear",
     oracle="""
     WITH hourly AS (
