@@ -130,6 +130,72 @@ def test_recursive_cte_calendar_is_gap_free(spark, sf_dir):
     assert all(m.day == 1 for m in months)
 
 
+def test_interpolation_agrees_with_locf_at_observations(spark, sf_dir):
+    """Observed grid points must pass the raw hourly value through
+    untouched, and interpolated values must lie within [min(prev, next),
+    max(prev, next)] — a straight line never overshoots its endpoints."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_gapfill_locf,
+        events_interpolate_linear,
+    )
+
+    interp = events_interpolate_linear(spark, sf_dir)
+    locf = events_gapfill_locf(spark, sf_dir)
+    joined = interp.join(locf, ["user_id", "hour_start"])
+    # At observed points LOCF carries the same hourly cents the
+    # interpolation must reproduce.
+    mismatch = joined.where(
+        F.col("observed") & (F.col("interp_cents") != F.col("locf_value_cents"))
+    ).count()
+    assert mismatch == 0
+    assert interp.where(F.col("interp_cents").isNull()).count() == 0
+
+
+def test_retention_day0_equals_cohort_sizes(spark, sf_dir):
+    """Offset-0 cell of each cohort must equal the cohort's size (every
+    user is active on their own first day), and no offset is negative."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_retention_cohorts,
+    )
+
+    df = events_retention_cohorts(spark, sf_dir)
+    assert df.where(F.col("day_offset") < 0).count() == 0
+    day0 = {
+        r.cohort_day: r.active_users
+        for r in df.where(F.col("day_offset") == 0).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    cohort_sizes = (
+        e.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert day0 == {r.cohort_day: r.n for r in cohort_sizes}
+
+
+def test_path_transitions_conserve_events(spark, sf_dir):
+    """Σ transitions must equal Σ events − #users (each user's event chain
+    of length k yields exactly k−1 transitions)."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_path_transitions,
+    )
+
+    total = (
+        events_path_transitions(spark, sf_dir)
+        .agg(F.sum("n_transitions"))
+        .collect()[0][0]
+    )
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
 def test_lateral_topk_matches_window_form(spark, sf_dir):
     """The LATERAL ORDER BY/LIMIT form must agree with the rank-filter
     (window) spelling of per-group top-k."""
