@@ -362,6 +362,72 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_importance_resample",
+    oracle="""
+    WITH weighted AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               least(1.0, greatest(0.1,
+                   len(string_split(text, ' ')) / 500.0)) AS keep_prob,
+               substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8)
+                   AS u_hex
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(keep_prob * 1000000 + 0.5) AS BIGINT) AS keep_prob_ppm
+    FROM weighted
+    WHERE u_hex < lpad(lower(to_hex(
+        CAST(floor(keep_prob * 4294967296) AS BIGINT))), 8, '0')
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling for corpus curation: each document is kept
+    with probability proportional to a quality weight (here length-based:
+    clamp(n_tokens/500, 0.1, 1.0)) — the standard way to up-weight long /
+    high-quality documents without a second copy of the data.
+
+    The Bernoulli draw is DERANDOMIZED: u = first 8 hex chars of
+    md5(doc_id | text) is a uniform 32-bit value, and the keep decision is
+    the lexicographic compare u_hex < hex(floor(p·2³²)) — equal-width
+    lowercase hex compare ≡ numeric compare, md5 is bit-identical in both
+    engines, so the sample is reproducible run-to-run, engine-to-engine,
+    and under any partitioning (the property a resumable 100 TB curation
+    job needs; rand()-based sampling has none of these). Pure row-side
+    map, no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    keep_prob = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.1), n_tokens / F.lit(500.0))
+    )
+    u_hex = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+        1,
+        8,
+    )
+    threshold = F.lpad(
+        F.lower(F.hex(F.floor(keep_prob * F.lit(4294967296.0)).cast("bigint"))),
+        8,
+        "0",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.floor(keep_prob * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("keep_prob_ppm"),
+            u_hex.alias("u_hex"),
+            threshold.alias("threshold"),
+        )
+        .where(F.col("u_hex") < F.col("threshold"))
+        .drop("u_hex", "threshold")
+    )
+
+
+@query(
     "text_bigram_surprisal",
     oracle="""
     WITH bg AS (

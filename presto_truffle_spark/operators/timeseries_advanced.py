@@ -405,6 +405,75 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+    ),
+    med AS (
+        SELECT user_id, quantile_cont(v, 0.5) AS med FROM cents GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.user_id, c.v, abs(c.v - m.med) AS dev, m.med
+        FROM cents c JOIN med m ON c.user_id = m.user_id
+    ),
+    mad AS (
+        SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.user_id,
+           count(*) AS n_events,
+           min(d.med) AS median_cents,
+           min(a.mad) AS mad_cents,
+           CAST(count(CASE WHEN d.dev > 3 * a.mad THEN 1 END) AS BIGINT)
+               AS n_anomalies
+    FROM dev d JOIN mad a ON d.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per user: flag events whose deviation from
+    the user's median exceeds 3× the median absolute deviation (MAD) —
+    the outlier rule that, unlike z-scores, is not itself corrupted by the
+    outliers it hunts.
+
+    Exactness by construction: values become cent integers first, and the
+    interpolated median of integers only ever lands on multiples of 0.5
+    (position fraction ∈ {0, 0.5}) — exactly representable doubles, so
+    Spark's percentile() and DuckDB's quantile_cont() agree bit-for-bit
+    and the 3·MAD comparison cannot flake. Two aggregate passes + two
+    user-keyed joins, all on the same key — one logical shuffle lineage,
+    no second exchange after the first hash partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    med = cents.groupBy("user_id").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = cents.join(med, "user_id").select(
+        "user_id", "v", F.abs(F.col("v") - F.col("med")).alias("dev"), "med"
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("median_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.count(F.when(F.col("dev") > 3 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+@query(
     "events_ohlc_downsample",
     oracle="""
     WITH ranked AS (
