@@ -508,6 +508,57 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey,
+               'https://shop.example.com/o/' || o_orderkey
+                   || '?p=' || lower(translate(o_orderpriority, '- ', '__'))
+                   || '&k=' || o_orderkey % 7 AS url
+        FROM orders
+    )
+    SELECT o_orderkey,
+           'shop.example.com' AS host,
+           '/o/' || o_orderkey AS path,
+           'p=' || lower(translate(
+               (SELECT o_orderpriority FROM orders o2
+                WHERE o2.o_orderkey = u.o_orderkey), '- ', '__'))
+               || '&k=' || o_orderkey % 7 AS query,
+           CAST(o_orderkey % 7 AS VARCHAR) AS k_param
+    FROM u
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery: build a synthetic URL per order row, then take
+    it apart again with Spark's ``parse_url`` (HOST / PATH / QUERY /
+    QUERY-parameter extraction) — the log-analytics scalar surface.
+
+    DuckDB has no parse_url, so the oracle reconstructs the expected
+    components from the same inputs — valid because the URLs are built
+    from clean alphanumerics (no percent-encoding ambiguity), making the
+    parse exactly invertible. parse_url is a row-side JVM expression:
+    the whole query is a map over the scan, no shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?p="),
+        F.lower(F.translate(F.col("o_orderpriority"), "- ", "__")),
+        F.lit("&k="),
+        (F.col("o_orderkey") % 7).cast("string"),
+    )
+    with_url = o.select("o_orderkey", url.alias("url"))
+    return with_url.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
+    )
+
+
 _LATERAL_TOPK_SQL = """
 SELECT n.n_name, s.c_name, s.c_acctbal
 FROM nation n, LATERAL (
