@@ -155,6 +155,83 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_cosine_pairs_weighted",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dfreq AS (
+        SELECT token, count(*) AS df FROM tok2 GROUP BY token
+    ),
+    kept AS (
+        SELECT token, 1000000 // df AS w FROM dfreq
+        WHERE df <= {_DF_CAP_FRAC} * (SELECT count(*) FROM documents)
+          AND df <= {_DF_CAP_ABS}
+    ),
+    p AS (
+        SELECT t.doc_id, t.token, k.w
+        FROM tok2 t JOIN kept k USING (token)
+    ),
+    norms AS (SELECT doc_id, sum(w * w) AS n2 FROM p GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(a.w * b.w) AS dot
+        FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor(dot * 1.0 / sqrt(na.n2 * nb.n2) * 1000000 + 0.5) / 1000000
+               AS cosine
+    FROM dots
+    JOIN norms na ON dots.doc_a = na.doc_id
+    JOIN norms nb ON dots.doc_b = nb.doc_id
+    WHERE dot * 1.0 / sqrt(na.n2 * nb.n2) >= {_COSINE_THRESHOLD}
+    """,
+)
+def text_cosine_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted variant of the inverted-index similarity join: tokens carry
+    an inverse-document-frequency weight, so rare shared vocabulary drives
+    similarity and common tokens barely count — the DIMSUM/tf-idf shape.
+
+    Determinism trick: the weight is the RATIONAL idf ``1e6 div df``
+    (integer division — monotone in 1/df like log-idf, but exact), so dot
+    products and squared norms are exact BIGINT sums in any aggregation
+    order; FP appears only in the final sqrt/divide, an identical IEEE
+    sequence on both engines. Same candidate bound as the binary variant
+    (shared df caps); weights ≤ 1e6 keep every sum far under 2⁶³.
+    """
+    p = _postings(spark, sf_dir)
+    dfreq = p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    weighted = p.join(
+        dfreq.select("token", F.expr("1000000 div df").alias("w")), "token"
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = weighted.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = weighted.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na.n2") * F.col("nb.n2"))
+    return (
+        dots.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .where(cos >= _COSINE_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("cosine"),
+        )
+    )
+
+
+@query(
     "fuzzy_match_blocked",
     oracle="""
     WITH names AS (

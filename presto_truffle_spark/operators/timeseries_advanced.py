@@ -405,6 +405,129 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    calendar AS (SELECT DISTINCT day FROM user_days),
+    expanded AS (
+        SELECT DISTINCT c.day, u.user_id
+        FROM calendar c
+        JOIN user_days u
+          ON u.day <= c.day AND u.day >= c.day - INTERVAL 6 DAY
+    )
+    SELECT day, count(*) AS active_users_7d
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day — the WAU-style metric
+    SQL windows cannot express (COUNT(DISTINCT) over a sliding frame is
+    unsupported in both engines' window clauses).
+
+    The scalable spelling: collapse events to distinct (user, day) rows
+    first (the ~1000× reduction), then explode each user-day into the ≤7
+    report days it contributes to (via ``sequence``), dedup, and count.
+    Work is |user-days| · 7, independent of raw event volume; the
+    contribute-forward explode replaces the quadratic day×history join a
+    naive rolling distinct performs. The oracle uses the equivalent
+    bounded range join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    calendar = user_days.select("day").distinct()
+    contributes = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("INTERVAL '1' DAY"))
+        ).alias("report_day"),
+    )
+    return (
+        contributes.join(
+            calendar, contributes.report_day == calendar.day
+        )
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
+
+
+@query(
+    "events_trend_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(date_diff('hour',
+                    (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                     FROM events),
+                    date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT user_id, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts GROUP BY 1
+    )
+    SELECT user_id, n,
+           floor((n * sxy - sx * sy) * 1000000.0
+                 / (n * sxx - sx * sx) + 0.5) / 1000000
+               AS slope_cents_per_hour
+    FROM sums
+    WHERE n * sxx - sx * sx > 0
+    """,
+)
+def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend: least-squares slope of event value (cents)
+    over time (hours) — the grouped-regression operator behind "is this
+    metric drifting?" dashboards.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) evaluated from exact BIGINT
+    sums: x is hours-since-corpus-start (small integers, so Σxy stays far
+    below 2⁶³ even at 10⁹ events/user), y is exact cents. The single FP
+    divide at the end is the same IEEE op on both engines — aggregation
+    order cannot perturb integer sums, so grouped regression is exactly
+    reproducible (the regr_slope() built-ins are FP-accumulation-ordered
+    and are not). One shuffle on user_id; the corpus-start hour joins in
+    as a 1-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    t0 = e.agg(F.min(hour).alias("t0"))
+    pts = e.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        ((F.unix_timestamp(hour) - F.unix_timestamp("t0")) / 3600)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    numer = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.where(denom > 0).select(
+        "user_id",
+        "n",
+        (F.floor(numer * 1000000.0 / denom + F.lit(0.5)) / 1000000).alias(
+            "slope_cents_per_hour"
+        ),
+    )
+
+
+@query(
     "events_anomaly_mad",
     oracle="""
     WITH cents AS (
