@@ -582,3 +582,114 @@ def dedup_chunk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# Tier 6: winnowing fingerprints (the MOSS local-fingerprinting scheme:
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003). Guarantees any shared run of
+# _SHINGLE + _WIN - 1 = 6 consecutive tokens yields at least one shared
+# fingerprint — the detection floor LSH (a global-similarity method)
+# cannot promise for short local overlaps.
+_WIN = 4  # fingerprint window: one min-hash kept per 4 consecutive shingles
+_WINNOW_HOT_CAP = 50  # fingerprints shared by more docs are dropped (boilerplate)
+_WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SHINGLE + _WIN - 1}
+    ),
+    hashes AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, n - {_SHINGLE - 1}),
+                   i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                               1, 16)) AS h,
+               n - {_SHINGLE - 1} AS m
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, m - {_WIN - 1}),
+                   i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS fp
+        FROM hashes
+    ),
+    posting AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+    cold AS (
+        SELECT f FROM posting GROUP BY f
+        HAVING count(*) <= {_WINNOW_HOT_CAP}
+    ),
+    p AS (SELECT doc_id, f FROM posting JOIN cold USING (f))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_fps
+    FROM p a JOIN p b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs: per document, hash every token 3-gram,
+    keep the MINIMUM hash of each sliding 4-shingle window (the winnowing
+    fingerprint set), and pair documents sharing ≥ 2 fingerprints after
+    dropping boilerplate fingerprints shared by > 50 docs.
+
+    Winnowing's guarantee is LOCAL: any 6-token run shared verbatim
+    between two documents produces a shared fingerprint, so it catches
+    partial-overlap/quote-level duplication that global MinHash similarity
+    dilutes away — the complementary detector to dedup_minhash_lsh, at
+    ~1/4 the index size of full shingle fingerprinting (one min per
+    window). The sliding min is the same linear slice+zip_with kernel as
+    the shingle builder (never transform(sequence) — that form re-splits
+    per element, O(n²/doc)); hot-fingerprint capping bounds the posting
+    self-join exactly like the LSH bucket guard. md5-prefix min over
+    fixed-width hex ≡ numeric min on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    m = n - (_SHINGLE - 1)  # number of shingles
+    a = F.slice(toks, 1, m)
+    b = F.slice(toks, 2, m)
+    c = F.slice(toks, 3, m)
+    grams = F.zip_with(
+        F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
+        c,
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    m2 = m - (_WIN - 1)  # number of windows
+    h1 = F.slice(hashes, 1, m2)
+    h2 = F.slice(hashes, 2, m2)
+    h3 = F.slice(hashes, 3, m2)
+    h4 = F.slice(hashes, 4, m2)
+    mins = F.zip_with(
+        F.zip_with(h1, h2, lambda x, y: F.least(x, y)),
+        F.zip_with(h3, h4, lambda x, y: F.least(x, y)),
+        lambda xy, zw: F.least(xy, zw),
+    )
+    posting = (
+        d.filter(n >= _SHINGLE + _WIN - 1)
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
+    )
+    cold = (
+        posting.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= _WINNOW_HOT_CAP)
+        .select("f")
+    )
+    p = posting.join(cold, "f")
+    pa = p.select(F.col("doc_id").alias("doc_a"), "f")
+    pb = p.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        pa.join(pb, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= _WINNOW_MIN_SHARED)
+    )

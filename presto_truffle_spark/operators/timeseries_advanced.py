@@ -405,6 +405,87 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS k
+        FROM events
+    ),
+    tot AS (
+        SELECT user_id, count(*) AS n, sum(y) AS s FROM pts GROUP BY 1
+    ),
+    cusum AS (
+        SELECT p.user_id, p.k, t.n,
+               sum(t.n * p.y - t.s) OVER (
+                   PARTITION BY p.user_id ORDER BY p.k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM pts p JOIN tot t ON p.user_id = t.user_id
+    ),
+    ranked AS (
+        SELECT user_id, n, k, abs(c) AS abs_c,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY abs(c) DESC, k) AS rn
+        FROM cusum
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS changepoint_idx,
+           CAST(abs_c AS BIGINT) AS max_abs_cusum_scaled
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user: the event index where the
+    cumulative deviation from the user's mean value peaks — the classic
+    single-changepoint estimator (the argmax of |Σ_{i≤k}(y_i − ȳ)|).
+
+    Exactness: the deviation is scaled by n (``n·y_i − S`` with S = Σy in
+    cents), so the running sum is pure BIGINT — no FP mean, no rounding
+    drift, and the argmax with (|c| desc, k asc) tie-break is identical on
+    both engines. One shuffle on user_id serves the total, the running
+    sum, and the argmax windows (same key, AQE reuses the exchange).
+    Magnitudes stay far under 2⁶³ for any realistic per-key series
+    (n·y·n ≤ 10⁹·10⁵·10⁹ only at 10⁹ events per single user).
+    """
+    e = load_table(spark, sf_dir, "events")
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+        F.row_number().over(order_w).alias("k"),
+    )
+    tot = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    run_w = (
+        W.partitionBy("user_id")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = pts.join(tot, "user_id").select(
+        "user_id",
+        "k",
+        "n",
+        F.sum(F.col("n") * F.col("y") - F.col("s")).over(run_w).alias("c"),
+    )
+    rank_w = W.partitionBy("user_id").orderBy(
+        F.abs(F.col("c")).desc(), F.col("k")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("k").cast("bigint").alias("changepoint_idx"),
+            F.abs(F.col("c")).cast("bigint").alias("max_abs_cusum_scaled"),
+        )
+    )
+
+
+@query(
     "events_rolling_distinct_users",
     oracle="""
     WITH user_days AS (
