@@ -405,6 +405,77 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_pattern_match",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                   WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                   WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                   ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 's[vc]*p')) AS BIGINT)
+               AS n_conversions,
+           CAST(len(regexp_extract_all(seq, 'e{2,}')) AS BIGINT)
+               AS n_error_bursts
+    FROM coded
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching over per-user event
+    sequences: each user's ordered event types become a one-char-coded
+    string, and SQL regexes count pattern occurrences — here conversion
+    runs ``signup (view|click)* purchase`` and error bursts ``e{2,}``.
+
+    Neither engine ships MATCH_RECOGNIZE; the coded-sequence + regex
+    emulation gives the same class of single-pass, non-overlapping greedy
+    matches for regular patterns. The sequence is built with an ORDER
+    BY-deterministic aggregation ((ts, event_id) tie-break; Spark side
+    sorts (k, code) structs inside each group — one shuffle on user_id,
+    sequence length bounded by per-user event count, so memory is the
+    same per-key bound every per-key collect in this repo documents.
+    Both engines' regex engines agree on these simple greedy patterns.
+    """
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    coded = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id", code.alias("code")).alias("k"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("k")), lambda x: x["code"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return coded.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.size(F.expr("regexp_extract_all(seq, 's[vc]*p', 0)"))
+        .cast("bigint")
+        .alias("n_conversions"),
+        F.size(F.expr("regexp_extract_all(seq, 'e{2,}', 0)"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )
+
+
+@query(
     "events_changepoint_cusum",
     oracle="""
     WITH pts AS (
