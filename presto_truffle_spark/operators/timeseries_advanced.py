@@ -405,6 +405,133 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rolling_median",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           quantile_cont(v, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS rolling_median
+    FROM cents
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of event value over each user's trailing 25
+    events — the robust smoother dashboards want where a rolling mean
+    chases outliers.
+
+    percentile() runs as a windowed aggregate over a bounded ROWS frame:
+    per-row cost is the 25-element frame (O(n·w) per key, fine for any
+    constant w; an unbounded frame would be the quadratic trap the
+    interpolation operator documents). Exactness: cent-integer inputs
+    make every interpolated median a multiple of 0.5 — exactly
+    representable, so Spark's percentile() and DuckDB's quantile_cont()
+    cannot diverge. One shuffle on user_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, W.currentRow)
+    )
+    return cents.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(v, 0.5)").over(w).alias("rolling_median"),
+    )
+
+
+@query(
+    "events_hll_sliding_distinct",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events
+    ),
+    calendar AS (SELECT DISTINCT day FROM user_days),
+    exact AS (
+        SELECT c.day, count(DISTINCT u.user_id) AS exact_n
+        FROM calendar c
+        JOIN user_days u
+          ON u.day <= c.day AND u.day >= c.day - INTERVAL 6 DAY
+        GROUP BY 1
+    )
+    SELECT day, exact_n AS exact_users_7d, true AS within_5pct
+    FROM exact
+    """,
+)
+def events_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via MERGEABLE HLL sketches: one
+    sketch per day, each report day unions its trailing 7 days' sketches
+    — the incremental path for rolling distinct counts at 100 TB, where
+    re-scanning 7 days of raw events per report day (what the exact
+    twin events_rolling_distinct_users does) is unaffordable. Day
+    sketches are built once and merged 7×; a new day costs one sketch
+    build + 7 unions, never a rescan.
+
+    Envelope oracle (repo convention for sketch ops): the output carries
+    the EXACT rolling count (computed by the same contribute-forward
+    explode, so the hash check pins real values) plus a boolean asserting
+    the HLL estimate lands within 5% of it — deterministic because HLL
+    sketch construction and max-merge are order-independent for a fixed
+    input multiset.
+    """
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    day_sketch = user_days.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    calendar = user_days.select("day").distinct()
+    contributes = day_sketch.select(
+        "sk",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("INTERVAL '1' DAY"))
+        ).alias("report_day"),
+    )
+    merged = (
+        contributes.join(calendar, contributes.report_day == calendar.day)
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    exact = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "day", F.date_add("day", 6), F.expr("INTERVAL '1' DAY")
+                )
+            ).alias("report_day"),
+        )
+        .join(calendar, F.col("report_day") == calendar.day)
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_users_7d"))
+    )
+    return exact.join(merged, "day").select(
+        "day",
+        "exact_users_7d",
+        (
+            F.abs(F.col("approx") - F.col("exact_users_7d"))
+            <= 0.05 * F.col("exact_users_7d")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
     "events_pattern_match",
     oracle="""
     WITH coded AS (
