@@ -694,3 +694,127 @@ def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+_TRI_ORACLE = (
+    _ORACLE_BANDS_CTES
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+        SELECT src AS id, count(*) AS d FROM und GROUP BY 1
+    ), oriented AS (
+        SELECT u.src, u.dst
+        FROM und u
+        JOIN deg da ON u.src = da.id
+        JOIN deg db ON u.dst = db.id
+        WHERE (da.d, u.src) < (db.d, u.dst)
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM oriented a
+        JOIN oriented b ON a.src = b.src AND a.dst <> b.dst
+        JOIN oriented e ON e.src = a.dst AND e.dst = b.dst
+    ), stats AS (
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM pairs) AS n_edges,
+               (SELECT sum(d * (d - 1) // 2) FROM deg) AS n_wedges
+    )
+    SELECT CAST(s.n_nodes AS BIGINT) AS n_nodes,
+           CAST(s.n_edges AS BIGINT) AS n_edges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           floor(3.0 * t.n_triangles / s.n_wedges * 1000000 + 0.5) / 1000000
+               AS clustering_coeff
+    FROM tri t, stats s
+"""
+)
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the verified
+    near-duplicate graph — the structure metric that distinguishes tight
+    duplicate cliques (template families, mirror sites) from chains of
+    borderline matches, which dedup survivor policies treat differently.
+
+    Degree-ordered orientation (the standard distributed triangle
+    algorithm): orient each undirected edge from its (degree, id)-smaller
+    endpoint, so every triangle is counted exactly once and — the scale
+    property — every wedge enumeration fans out from the LOWER-degree
+    endpoint, bounding join fan-out by sqrt(|E|)-ish per node instead of
+    the max degree. Two equi-joins over the oriented edge list, all
+    integer arithmetic; the clustering coefficient 3Δ/wedges gets the
+    floor-ppm rounding convention.
+    """
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select(
+        "doc_a", "doc_b"
+    )
+    und = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    oriented = (
+        und.join(deg.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("d", "d_src")
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst")),
+            "dst",
+        )
+        .where(
+            (F.col("d_src") < F.col("d_dst"))
+            | ((F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    a = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    b = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = (
+        a.join(b, "u")
+        .where(F.col("v") != F.col("w"))
+        .join(
+            oriented.select(
+                F.col("src").alias("v"), F.col("dst").alias("w")
+            ),
+            ["v", "w"],
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        )
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return tri.crossJoin(F.broadcast(stats)).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        (
+            F.floor(
+                3.0 * F.col("n_triangles") / F.col("n_wedges") * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("clustering_coeff"),
+    )
