@@ -760,8 +760,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic; the clustering coefficient 3Δ/wedges gets the
     floor-ppm rounding convention.
     """
-    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select(
-        "doc_a", "doc_b"
+    # Materialize the (tiny) verified pair list once: three consumers below
+    # (two union arms + the edge-count stat) would otherwise re-evaluate the
+    # whole LSH + shingle-verify subtree, and at 10× scale one of those
+    # re-plans picks a broadcast of the shingle table that cannot fit —
+    # the same lesson as graph_pagerank's persisted edge list.
+    pairs = (
+        _verified_pairs(spark, sf_dir, bucket_cap=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     und = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
