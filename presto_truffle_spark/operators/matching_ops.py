@@ -439,6 +439,89 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, price, w,
+               sum(w) OVER (
+                   PARTITION BY flag
+                   ORDER BY price, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM cents
+    ),
+    hit AS (
+        SELECT flag, price, cw, tw,
+               row_number() OVER (
+                   PARTITION BY flag ORDER BY cw, price) AS rn
+        FROM cum
+        WHERE 2 * cw >= tw
+    )
+    SELECT flag, CAST(price AS BIGINT) AS weighted_median_cents,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price
+    whose cumulative quantity weight reaches half the total — the
+    weighted-percentile primitive (here q=0.5) that plain percentile()
+    cannot express.
+
+    Pure integer arithmetic end to end: cent prices, integer weights, a
+    cumulative-sum window ordered by (price, orderkey, linenumber) — the
+    key tie-break makes the cumulative sequence, and therefore the
+    selected row, fully deterministic on both engines. One shuffle on the
+    group key; the two window passes and the final pick reuse it. At
+    100 TB this is the sort-based weighted-quantile shape (one sorted
+    pass per group), the same plan a hand-written TDigest replacement
+    would need anyway for an EXACT answer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    from pyspark.sql import Window as W
+
+    cum_w = (
+        W.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy("flag")
+    cum = cents.select(
+        "flag",
+        "price",
+        F.sum("w").over(cum_w).alias("cw"),
+        F.sum("w").over(tot_w).alias("tw"),
+    )
+    pick = W.partitionBy("flag").orderBy("cw", "price")
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("price").cast("bigint").alias("weighted_median_cents"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
     "corpus_importance_resample",
     oracle="""
     WITH weighted AS (

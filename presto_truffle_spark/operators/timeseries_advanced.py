@@ -603,6 +603,180 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_pattern",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(boundary) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM ordered
+    ),
+    coded AS (
+        SELECT user_id, session_id,
+               string_agg(CASE event_type
+                   WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                   WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                   ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+        FROM sess
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN regexp_matches(seq, '[vc].*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converting_sessions,
+           CAST(max(length(seq)) AS BIGINT) AS longest_session
+    FROM coded
+    GROUP BY 1
+    """,
+)
+def events_session_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped pattern matching: sessionize (30-minute inactivity
+    gaps), code each session's events into a string, and count sessions
+    whose WITHIN-SESSION journey matches browse-then-buy ``[vc].*p`` —
+    the per-visit conversion question events_pattern_match's whole-user
+    sequence cannot answer (a view on Monday doesn't 'convert' via a
+    purchase on Friday).
+
+    Composition of two verified kernels: the gaps-and-islands session
+    assignment (boundary flag + running sum, as events_sessionize_islands)
+    and the coded-sequence regex (as events_pattern_match) — all windows
+    and both aggregations keyed on user_id, one shuffle total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        code.alias("code"),
+        F.sum(boundary).over(run).alias("session_id"),
+    )
+    coded = (
+        sess.select(
+            "user_id",
+            "session_id",
+            F.struct("ts", "event_id", "code").alias("k"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("k")), lambda x: x["code"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return coded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("seq").rlike("[vc].*p"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converting_sessions"),
+        F.max(F.length("seq")).cast("bigint").alias("longest_session"),
+    )
+
+
+@query(
+    "events_bitemporal_asof",
+    oracle="""
+    WITH versioned AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               CAST(event_id % 4 AS BIGINT) AS sys_batch
+        FROM events
+    ),
+    versions(sys_version) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+    visible AS (
+        SELECT ver.sys_version, v.user_id, v.ts, v.event_id, v.v_cents
+        FROM versioned v JOIN versions ver
+          ON v.sys_batch <= ver.sys_version
+        WHERE v.ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    ranked AS (
+        SELECT sys_version, user_id, v_cents,
+               row_number() OVER (
+                   PARTITION BY sys_version, user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM visible
+    )
+    SELECT sys_version, user_id, v_cents AS asof_value_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: "what did we BELIEVE (as of system version S) the
+    latest value per user was AT valid time T?" — the two-axis time-travel
+    query of bitemporal tables (valid time = event ts, system time =
+    ingestion batch, here event_id mod 4 as the deterministic batch
+    stand-in).
+
+    For each of the 4 system versions, rows visible are those ingested in
+    batches ≤ S; within them, the as-of answer at T is the latest
+    (ts, event_id) ≤ T — picked by row_number, deterministic tie-break.
+    The version axis is a 4-row broadcast cross join (never a data copy);
+    at scale the visible-set filter is a partition-prune on the ingestion
+    batch column, so asking "as of last Tuesday" reads only the
+    partitions that existed last Tuesday.
+    """
+    e = load_table(spark, sf_dir, "events")
+    versioned = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        (F.col("event_id") % 4).cast("bigint").alias("sys_batch"),
+    ).where(F.col("ts") <= F.lit("2024-01-15 00:00:00"))
+    versions = spark.range(4).select(F.col("id").cast("bigint").alias("sys_version"))
+    visible = versioned.join(
+        F.broadcast(versions),
+        F.col("sys_batch") <= F.col("sys_version"),
+    )
+    rank_w = W.partitionBy("sys_version", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        visible.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") == 1)
+        .select("sys_version", "user_id", F.col("v_cents").alias("asof_value_cents"))
+    )
+
+
+@query(
     "events_changepoint_cusum",
     oracle="""
     WITH pts AS (
