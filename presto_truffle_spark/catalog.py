@@ -54,8 +54,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rely on session-creation configs being present.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # PySpark 4.1 resolves parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ
+            # (ignoring nanosAsLong). The session timezone is pinned UTC
+            # (session.py), so casting NTZ -> TIMESTAMP is value-preserving
+            # and matches the DuckDB oracles' CAST(ts AS TIMESTAMP).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

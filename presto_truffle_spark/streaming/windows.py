@@ -70,8 +70,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.parq*")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # PySpark 4.1 resolves parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ;
+        # withWatermark requires TIMESTAMP. Session tz is pinned UTC, so
+        # the cast is value-preserving (mirrors catalog.load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
