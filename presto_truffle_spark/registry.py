@@ -102,67 +102,71 @@ def load_all_modules() -> None:
 
 # The driver hard-verifies the FIRST 50 queries in dict order per round.
 # Names listed here are surfaced ahead of registration order — rotate this
-# list each round so driver coverage cycles through all queries. Round 3:
-# the 41 queries with no driver CORRECTNESS row after r1+r2 (the exact
-# remainder from TODO_NEXT_ROUND r2 item 1), then the two sketch ops whose
-# only driver rows were err(no_oracle) and which now register deterministic
-# envelope oracles, then 7 re-confirmation slots for queries whose
-# implementation changed this round (q2 rounding convention, tfidf
-# broadcast) or that carried prior-round fixes.
+# list each round so driver coverage cycles through all queries. Round 4:
+# recomputed from CORRECTNESS r1∪r2∪r3 — 59 registered queries have never
+# had a green driver row. The window takes (a) the 8 queries touched by the
+# TIMESTAMP_NTZ regression fix first (7 fixed + the never-checked
+# stream-static join), with events_sessionize_islands as a re-confirmation
+# of its r3 err, then (b) the remaining never-verified in registration
+# order. 10 never-verified queries whose base/family op is already in this
+# window are deferred to the round-5 rotation: text_cosine_pairs_weighted,
+# sink_zorder_incremental, events_session_pattern, graph_triangle_count,
+# dedup_winnowing, events_rolling_distinct_users, events_trend_regression,
+# events_changepoint_cusum, events_interpolate_linear,
+# events_bitemporal_asof.
 _VERIFY_FIRST = (
-    # --- the 41 never-driver-verified ---
-    "events_funnel_conversion",
-    "corpus_hash_split",
-    "corpus_contamination_check",
-    "corpus_stratified_sample",
-    "corpus_pack_bins",
-    "pipeline_corpus_release",
-    "rewrite_salted_join",
-    "rewrite_asof_generalized",
-    "join_right_outer",
-    "filter_null_safe_eq",
-    "agg_grouping_sets",
-    "scalar_map_funcs",
-    "udf_grouped_map_zscore",
-    "udf_row_scalar",
-    "cached_columnar_scan",
-    "agg_argminmax_bool",
-    "window_distribution_funcs",
-    "unpivot_stack",
-    "setop_except_all",
-    "setop_intersect_all",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "sink_partitioned_parquet",
-    "sink_bucketed_join",
-    "source_range_generator",
-    "sink_compaction",
-    "streaming_tumbling_counts",
+    # --- regression-fix re-verification (TIMESTAMP_NTZ, catalog.py) ---
+    "events_sessionize_islands",
+    "events_asof_nearest",
     "streaming_windowed_watermark",
     "streaming_dedup_watermark",
     "streaming_session_window",
-    "streaming_rate_ingest",
-    "streaming_stateful_profile",
-    "streaming_foreachbatch_upsert",
-    "text_pii_redact",
-    "text_repetition_stats",
-    "dedup_connected_components",
-    "embedding_quantize_int8",
-    "window_rolling_interval",
-    "udf_map_in_arrow",
-    "agg_histogram",
-    # --- sketch ops, newly envelope-oracled (only rows were err) ---
-    "agg_approx_distinct",
-    "agg_percentile_approx",
-    # --- re-confirmations (changed this round or prior-round fixes) ---
-    "q2_min_cost_supplier",
-    "text_tfidf_top_terms",
-    "events_sessionize_islands",
-    "agg_collect",
-    "events_dedup_first_per_key",
-    "dedup_minhash_lsh",
-    "q6",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_join",
+    "streaming_stream_static_join",
+    # --- never-driver-verified backlog, registration order ---
+    "dedup_chunk_fingerprint",
+    "text_token_entropy",
+    "agg_salted_distinct",
+    "agg_sketch_rollup",
+    "agg_bitmap_distinct_rollup",
+    "corpus_balance_sources",
+    "rewrite_bloom_filter_join",
+    "source_binary_files",
+    "source_python_datasource",
+    "source_xml_roundtrip",
+    "window_value_range_frame",
+    "scalar_variant_funcs",
+    "scalar_parameterized_sql",
+    "graph_pagerank",
+    "dedup_survivor_pick",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_suppliers_kept_waiting",
+    "events_gapfill_locf",
+    "events_rollup_cascade",
+    "events_retention_cohorts",
+    "events_path_transitions",
+    "window_rolling_median",
+    "events_hll_sliding_distinct",
+    "events_pattern_match",
+    "events_anomaly_mad",
+    "events_ohlc_downsample",
+    "sql_recursive_cte",
+    "text_cosine_pairs",
+    "fuzzy_match_blocked",
+    "quality_constraint_audit",
+    "agg_approx_top_k",
+    "agg_weighted_median",
+    "corpus_importance_resample",
+    "text_bigram_surprisal",
+    "scalar_url_funcs",
+    "join_lateral_topk",
+    "source_schema_evolution",
+    "sink_zorder_layout",
 )
 
 
