@@ -30,11 +30,14 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at EVERY scale factor (their
-# cardinality is fixed or grows far sublinearly vs the fact tables). At
-# 100 TB, `customer`/`part` stop being broadcastable — joins on those rely
-# on AQE to pick shuffle-hash vs sort-merge.
-ALWAYS_BROADCAST = ("region", "nation", "supplier")
+# Dimension tables small enough to broadcast at EVERY scale factor (fixed
+# cardinality: 5 regions, 25 nations). `supplier`/`customer`/`part` all
+# grow LINEARLY with scale factor (TPC-H: 10k/150k/200k rows per SF — and
+# visibly in the fixtures: supplier is 10/100/1,000 rows at
+# sf0.001/0.01/0.1), so at 100 TB none of them is broadcastable — joins on
+# those go through `broadcast_if_dim`, i.e. AQE's runtime size-based pick
+# of broadcast vs shuffle-hash vs sort-merge.
+ALWAYS_BROADCAST = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -269,7 +269,7 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(p),
+            broadcast_if_dim(p, "part"),
             (li.l_partkey == p.p_partkey)
             & li.l_quantity.between(p.p_size, p.p_size + 10),
         )

@@ -17,10 +17,10 @@ Schema adaptations (the fixture has no ``partsupp`` and no
 Entry styles follow tpch.py: subquery-bearing queries run identical SQL
 text through ``spark.sql`` and DuckDB (parser→analyzer→decorrelation
 exercised end-to-end); the rest use the DataFrame API. Broadcast policy:
-``F.broadcast`` only for the fixed-cardinality dims (region/nation/
-supplier); customer/part go through ``broadcast_if_dim`` → AQE decides,
-because hard-coding broadcast for a table that grows with SF is how
-100 TB jobs OOM.
+``F.broadcast`` only for the FIXED-cardinality dims (region: 5 rows,
+nation: 25 rows); supplier/customer/part all grow linearly with SF and go
+through ``broadcast_if_dim`` → AQE decides, because hard-coding broadcast
+for a table that grows with SF is how 100 TB jobs OOM.
 """
 
 from __future__ import annotations
@@ -87,7 +87,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast_if_dim(c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -148,7 +148,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         li.join(broadcast_if_dim(p, "part"), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_dim(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_truffle_spark.catalog import load_table
+from presto_truffle_spark.plans.rewrites import broadcast_if_dim
 from presto_truffle_spark.registry import query
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
@@ -416,10 +417,13 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: enrich a purchase stream with batch dimension
     tables (customer → nation), then aggregate revenue per nation. The
     static side is re-read per micro-batch (picking up dim updates) and
-    needs NO watermark or state — Spark plans it as a broadcast hash join
-    under the stream, so the 100 TB/day stream never shuffles for the
-    enrichment; only the final tiny groupBy keeps state (one row per
-    nation). Complete mode makes the fixture run emit the final totals —
+    needs NO watermark or state. nation (25 rows) broadcasts outright;
+    customer grows with SF so it routes through ``broadcast_if_dim`` —
+    at fixture scale the planner still picks broadcast from size stats,
+    while at 100 TB the enrichment becomes a shuffled join against the
+    stream's micro-batches instead of OOMing executors with a
+    multi-GB broadcast. Only the final tiny groupBy keeps state (one row
+    per nation). Complete mode makes the fixture run emit the final totals —
     identical to the batch join, hence the full oracle. Revenue sums
     integer cents (exact in any accumulation order); count/sum state per
     group is O(groups), bounded by nation cardinality."""
@@ -429,7 +433,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     enriched = purchases.join(
-        F.broadcast(c), purchases.user_id == c.c_custkey
+        broadcast_if_dim(c, "customer"), purchases.user_id == c.c_custkey
     ).join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
     agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -83,15 +83,43 @@ def test_q6_wholestage_codegen(spark, sf_dir):
 def test_q3_q5_no_growing_table_broadcast_hint(spark, sf_dir):
     """Round-1 verdict fix: customer grows with scale factor, so q3/q5 must
     not carry an explicit broadcast hint for it — only the fixed-cardinality
-    dims (q5: supplier, nation, region) are hinted; customer is left to
-    AQE's runtime size check."""
+    dims (q5: nation, region; r4 demoted supplier, which grows linearly
+    with SF) are hinted; customer/supplier are left to AQE's runtime size
+    check."""
     from presto_truffle_spark.operators.joins import (
         q3_shipping_priority,
         q5_local_supplier_volume,
     )
 
     assert inspect.broadcast_hint_count(q3_shipping_priority(spark, sf_dir)) == 0
-    assert inspect.broadcast_hint_count(q5_local_supplier_volume(spark, sf_dir)) == 3
+    assert inspect.broadcast_hint_count(q5_local_supplier_volume(spark, sf_dir)) == 2
+
+
+def test_no_growing_table_broadcast_hint_anywhere(spark, sf_dir):
+    """Round-4 verdict fix (items 8-11): NO query may carry a hard
+    broadcast hint on a table that grows with scale factor
+    (supplier/customer/part — all linear in SF). Pin the exact hint count
+    of every join query that touches a growing table: the remaining hints
+    are exclusively fixed-cardinality (region: 5, nation: 25) or 1-row
+    derived aggregates."""
+    from presto_truffle_spark.operators import tpch, tpch_round3 as t3
+    from presto_truffle_spark.operators.joins import join_range_theta
+    from presto_truffle_spark.streaming import windows as sw
+
+    expected = {
+        tpch.q7_nation_volume: 2,  # nation × 2
+        tpch.q10_returned_items: 0,
+        tpch.q14_promo_revenue: 0,
+        tpch.q16_supplier_part_counts: 0,
+        tpch.q18_large_volume_customers: 0,
+        tpch.q19_disjunctive_predicates: 0,
+        join_range_theta: 0,
+        t3.q8_national_market_share: 3,  # nation × 2 + region
+        t3.q9_product_type_profit: 1,  # nation
+    }
+    for fn, n_hints in expected.items():
+        got = inspect.broadcast_hint_count(fn(spark, sf_dir))
+        assert got == n_hints, f"{fn.__name__}: {got} hints, expected {n_hints}"
 
 
 def test_corpus_ops_plan_shapes(spark, sf_dir):
