@@ -108,8 +108,10 @@ def load_all_modules() -> None:
 # TIMESTAMP_NTZ regression fix first (7 fixed + the never-checked
 # stream-static join), with events_sessionize_islands as a re-confirmation
 # of its r3 err, then (b) the remaining never-verified in registration
-# order. 10 never-verified queries whose base/family op is already in this
-# window are deferred to the round-5 rotation: text_cosine_pairs_weighted,
+# order, with streaming_transform_with_state (newly un-gated per r3
+# verdict item 6) taking the final slot. 11 never-verified queries whose
+# base/family op is already in this window are deferred to the round-5
+# rotation: text_cosine_pairs_weighted, sink_zorder_layout,
 # sink_zorder_incremental, events_session_pattern, graph_triangle_count,
 # dedup_winnowing, events_rolling_distinct_users, events_trend_regression,
 # events_changepoint_cusum, events_interpolate_linear,
@@ -166,7 +168,7 @@ _VERIFY_FIRST = (
     "scalar_url_funcs",
     "join_lateral_topk",
     "source_schema_evolution",
-    "sink_zorder_layout",
+    "streaming_transform_with_state",
 )
 
 
