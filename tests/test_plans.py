@@ -195,9 +195,43 @@ def test_chunk_fingerprint_no_nested_loop(spark, sf_dir):
 def test_balance_sources_is_map_only_over_docs(spark, sf_dir):
     """corpus_balance_sources must broadcast the per-source thresholds —
     the whole design is one map-only scan of the corpus; a shuffle join on
-    source would reintroduce the skew the op avoids."""
+    source would reintroduce the skew the op avoids. Exchange budget
+    pinned at 3 (source-count agg partial→final + the final presentation
+    ordering); the only nested-loop allowed is the 1-row quota broadcast
+    cross join."""
     from presto_truffle_spark.operators.corpus_ops import corpus_balance_sources
 
     df = corpus_balance_sources(spark, sf_dir)
     assert inspect.uses_broadcast_join(df)
     assert inspect.broadcast_hint_count(df) >= 2  # quota row + thresholds
+    assert inspect.count_exchanges(df) <= 3
+    for line in inspect.physical_plan(df).splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line  # 1-row quota broadcast only
+
+
+def test_rollup_cascade_exchange_budget(spark, sf_dir):
+    """events_rollup_cascade: exactly 3 exchanges — one per rollup level
+    (minute from raw, hour from minute, day from hour). A 4th exchange
+    would mean a level re-scanned raw events, defeating the cascade's
+    whole 100 TB point (each level reads ≤1/60th of the previous)."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_rollup_cascade,
+    )
+
+    assert inspect.count_exchanges(events_rollup_cascade(spark, sf_dir)) == 3
+
+
+def test_pagerank_plan_stays_shallow(spark, sf_dir):
+    """graph_pagerank localCheckpoints each power iteration, so the
+    RETURNED plan must be iteration-count-independent: zero exchanges and
+    no joins in the final lineage (they all happened inside materialized
+    checkpoints). Without the checkpoint the plan nests one join tree per
+    iteration and the optimizer blows up at production iteration counts —
+    this is the plan-growth regression guard."""
+    from presto_truffle_spark.operators.quality_ops import graph_pagerank
+
+    df = graph_pagerank(spark, sf_dir)
+    assert inspect.count_exchanges(df) == 0
+    plan = inspect.physical_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
