@@ -85,19 +85,29 @@ def test_foreachbatch_upsert_equals_batch_aggregate(spark, sf_dir):
     assert got == want
 
 
-def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
-    """transformWithState requires protobuf (absent in this container); the
-    query must register iff protobuf is importable, and run correctly when
-    it is."""
-    import pytest
+def test_transform_with_state_always_registered(spark, sf_dir):
+    """r4 (verdict item 6): streaming_transform_with_state must ALWAYS be
+    registered — transformWithStateInPandas when protobuf is importable,
+    loud applyInPandasWithState fallback otherwise — and either path must
+    produce the same final per-user profile as the batch aggregate
+    (streaming_stateful_profile's contract)."""
+    import warnings
 
     from presto_truffle_spark.registry import get_queries
-    from presto_truffle_spark.streaming.stateful import _has_protobuf
+    from presto_truffle_spark.streaming.stateful import (
+        _has_protobuf,
+        streaming_stateful_profile,
+        streaming_transform_with_state,
+    )
 
-    registered = "streaming_transform_with_state" in get_queries()
-    assert registered == _has_protobuf()
+    assert "streaming_transform_with_state" in get_queries()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            tuple(r) for r in streaming_transform_with_state(spark, sf_dir).collect()
+        }
     if not _has_protobuf():
-        pytest.skip("protobuf not available: transformWithState env-blocked")
-    from presto_truffle_spark.streaming.stateful import streaming_transform_with_state
-
-    assert streaming_transform_with_state(spark, sf_dir).count() > 0
+        # the fallback must be loud, never silent
+        assert any("protobuf" in str(w.message) for w in caught)
+    want = {tuple(r) for r in streaming_stateful_profile(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
