@@ -123,15 +123,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB) plus booleans asserting the Spark sketch lands within ±5% of
     exact (rsd=0.02 ⇒ ±2σ = 4%, so 5% holds deterministically for a fixed
     fixture). The sketch itself still runs on the Spark side — the oracle
-    verifies its accuracy claim, not its bit pattern."""
+    verifies its accuracy claim, not its bit pattern.
+
+    The approx and exact aggregations run SEPARATELY and join on the
+    tiny grouped result (broadcast). Mixing them in one .agg() plans the
+    multi-distinct Expand with the HLL partial buffer (rsd=0.02 ⇒ ~820
+    longs ≈ 6.5 KB) attached to EVERY expanded (group, orderkey,
+    partkey) row — measured ~GBs of shuffle for a 3-row answer at sf0.1
+    (6× slower there; unboundedly worse at 100 TB, where the whole point
+    of the sketch is map-side merge into one 6.5 KB buffer per group)."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_ord"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_part"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-    return a.select(
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
         "l_returnflag",
         "exact_orders",
         "exact_parts",
@@ -202,13 +212,27 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
     ``quantile_cont``). Exact percentiles buffer per-group values — fine for
     bounded group counts; the 100 TB default is ``percentile_approx``
-    (see agg_percentile_approx)."""
+    (see agg_percentile_approx).
+
+    All three percentiles come from ONE ``percentile(col, array(...))``
+    call: each separate call carries its own per-group value-counts map
+    through the partial→final shuffle, so the array form moves 1/3 the
+    aggregation state (measured ~6.4 s → 1.1 s warm at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
-        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("pcts"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 4).alias("p25"),
+            F.round(F.col("pcts")[1], 4).alias("p50"),
+            F.round(F.col("pcts")[2], 4).alias("p75"),
+            "mean_price",
+        )
     )
 
 
@@ -232,18 +256,25 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the exact 0.49 and 0.51 quantiles — GK at accuracy 10000
     guarantees rank error ≤ 1e-4, so the generous ±0.01-rank bound holds
     deterministically. The sketch still runs Spark-side; the oracle checks
-    its guarantee, not its bits."""
+    its guarantee, not its bits.
+
+    The three exact quantiles come from ONE ``percentile(col, array(...))``
+    call (one value-counts buffer through the shuffle instead of three —
+    same state-size lesson as agg_percentiles/agg_approx_distinct)."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact3 = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.49), F.lit(0.5), F.lit(0.51))
+    )
     a = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_median"),
-        F.percentile("l_extendedprice", 0.49).alias("lo"),
-        F.percentile("l_extendedprice", 0.51).alias("hi"),
+        exact3.alias("exact3"),
     )
     return a.select(
         "l_returnflag",
-        "exact_median",
-        F.col("approx_median").between(F.col("lo"), F.col("hi")).alias("approx_in_bounds"),
+        F.round(F.col("exact3")[1], 4).alias("exact_median"),
+        F.col("approx_median")
+        .between(F.col("exact3")[0], F.col("exact3")[2])
+        .alias("approx_in_bounds"),
     )
 
 
