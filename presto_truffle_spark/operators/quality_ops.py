@@ -139,23 +139,33 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode. Cost is linear in corpus token count, the same shape as
     word-freq/TF-IDF."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
+    # Materialize the token array ONCE as a projected column before any
+    # lambda touches it: `element_at(split(text), i)` inside a
+    # transform(sequence(...)) re-runs the split per element (the same
+    # O(n²)-per-document trap _shingles_col documents; this very query
+    # measured ~6 s warm at sf0.1 in that form vs ~1 s in this one).
+    # Bigrams come from zip_with over two shifted slices — linear.
+    t = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 2)
+    )
+    m = F.col("n") - 1
+    bigrams = F.zip_with(
+        F.slice("toks", F.lit(1), m),
+        F.slice("toks", F.lit(2), m),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
     items = F.concat(
-        F.transform(toks, lambda t: F.struct(F.lit("t").alias("kind"), t.alias("val"))),
         F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.lit("b").alias("kind"),
-                F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ).alias("val"),
-            ),
+            "toks", lambda tok: F.struct(F.lit("t").alias("kind"), tok.alias("val"))
+        ),
+        F.transform(
+            bigrams, lambda bg: F.struct(F.lit("b").alias("kind"), bg.alias("val"))
         ),
     )
     ex = (
-        d.filter(n >= 2)
-        .select("doc_id", n.alias("n"), F.explode(items).alias("it"))
+        t.select("doc_id", "n", F.explode(items).alias("it"))
         .select("doc_id", "n", F.col("it.kind").alias("kind"), F.col("it.val").alias("val"))
     )
     per_item = ex.groupBy("doc_id", "n", "kind", "val").agg(
