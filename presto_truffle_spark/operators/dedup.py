@@ -564,16 +564,20 @@ def dedup_chunk_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a sort-free two-shuffle plan — the standard production trade.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.floor(F.size(toks) / F.lit(_CHUNK)).cast("int")
+    # Materialize the token array as a projected column BEFORE the
+    # per-chunk slice lambda: slicing the raw split() expression inside
+    # transform(sequence(...)) re-runs the split per chunk — O(n²/16)
+    # per document, a per-row straggler on long documents at scale.
+    t = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= _CHUNK)
+        .withColumn("n_chunks", F.floor(F.size("toks") / F.lit(_CHUNK)).cast("int"))
+    )
     hashes = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * _CHUNK + 1, _CHUNK))),
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * _CHUNK + 1, _CHUNK))),
     )
-    chunks = (
-        d.filter(F.size(toks) >= _CHUNK)
-        .select("doc_id", F.explode(hashes).alias("h"))
-    )
+    chunks = t.select("doc_id", F.explode(hashes).alias("h"))
     dup = (
         chunks.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
