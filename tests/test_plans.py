@@ -222,6 +222,50 @@ def test_rollup_cascade_exchange_budget(spark, sf_dir):
     assert inspect.count_exchanges(events_rollup_cascade(spark, sf_dir)) == 3
 
 
+def test_approx_distinct_hll_not_in_expand(spark, sf_dir):
+    """r4 fix: the HLL partial buffer (~6.5 KB/row at rsd=0.02) must never
+    ride the multi-distinct Expand — in the broken plan the
+    partial_approx_count_distinct was keyed by the Expand's gid, attaching
+    the buffer to every (group, orderkey, partkey) row (GBs of shuffle for
+    a 3-row answer). Fixed plan: approx and exact aggregate separately and
+    join on the tiny grouped result."""
+    from presto_truffle_spark.operators.aggregates import agg_approx_distinct
+
+    df = agg_approx_distinct(spark, sf_dir)
+    for line in inspect.physical_plan(df).splitlines():
+        if "partial_approx_count_distinct" in line:
+            assert "gid" not in line
+    assert inspect.count_exchanges(df) == 3  # exact expand + approx + bcast
+
+
+def test_percentiles_single_buffer(spark, sf_dir):
+    """r4 fix: all quantiles of one column must come from ONE
+    percentile(col, array(...)) aggregate — each separate percentile call
+    ships its own per-group value-counts map through the shuffle."""
+    from presto_truffle_spark.operators.aggregates import (
+        agg_percentile_approx,
+        agg_percentiles,
+    )
+
+    p1 = inspect.physical_plan(agg_percentiles(spark, sf_dir))
+    assert p1.count("partial_percentile(") == 1
+    p2 = inspect.physical_plan(agg_percentile_approx(spark, sf_dir))
+    assert p2.count("partial_percentile(") == 1
+    assert p2.count("partial_percentile_approx(") == 1
+
+
+def test_ngram_jaccard_is_equi_join(spark, sf_dir):
+    """r4 fix: the pair join must be the inverted-index hash join on the
+    shingle, never the doc_a < doc_b nested loop (O(n²) in the scope)."""
+    from presto_truffle_spark.operators.dedup import dedup_ngram_jaccard
+
+    df = dedup_ngram_jaccard(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert inspect.count_exchanges(df) <= 2
+
+
 def test_pagerank_plan_stays_shallow(spark, sf_dir):
     """graph_pagerank localCheckpoints each power iteration, so the
     RETURNED plan must be iteration-count-independent: zero exchanges and
