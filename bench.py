@@ -64,6 +64,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         materialize(fn(spark, SF_DIR))  # warm-up: JIT, parquet footers, broadcast
@@ -74,6 +75,12 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(trimmed_mean(samples), 4)
         spreads[name] = round(statistics.stdev(samples), 4) if len(samples) > 1 else 0.0
+        # Per-query minimum = the noise-floor estimator: on a loaded
+        # machine the trimmed mean inflates uniformly (r3's apparent 25%
+        # "regression" was exactly this), while the minimum stays near the
+        # true plan cost — diverging mean with stable min ⇒ environment,
+        # both shifting ⇒ a real plan change.
+        minima[name] = round(min(samples), 4)
 
     # Reference-scale comparison: the reference times Q6 over 5M in-memory
     # rows (TpchDataGenerator.java:16-17, PureJavaTest.java:15-20, 1000 warm
@@ -97,6 +104,7 @@ def main() -> None:
         ref_samples.append(time.perf_counter() - t0)
     timings["q6_ref_scale_5m_inmem"] = round(trimmed_mean(ref_samples), 4)
     spreads["q6_ref_scale_5m_inmem"] = round(statistics.stdev(ref_samples), 4)
+    minima["q6_ref_scale_5m_inmem"] = round(min(ref_samples), 4)
     ref.unpersist()
 
     # Skew-join demonstration (TODO_NEXT_ROUND r1 #4): a deliberately skewed
@@ -169,6 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stddev": spreads,
+                "min": minima,
                 "skew_demo": skew_demo,
                 "runs": RUNS,
                 "sf": sf_val,
