@@ -120,3 +120,51 @@ def test_minhash_jaccard_identities(spark_prop, tmp_path_factory, texts):
         for k in range(i + 1, len(texts)):
             if texts[i] == texts[k]:
                 assert any(r["doc_a"] == i and r["doc_b"] == k for r in out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        # tiny vocab + repeats: stresses the distinct-shingle dependency of
+        # the r4 inverted-index rewrite (posting match count must equal
+        # set-intersection size, which requires array_distinct upstream)
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=12),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_ngram_jaccard_inverted_index_matches_set_math(
+    spark_prop, tmp_path_factory, token_lists
+):
+    """dedup_ngram_jaccard (inverted-index form) ≡ exact set Jaccard over
+    distinct 3-gram shingles computed in pure Python — on random docs with
+    heavy token repetition (where a non-distinct posting join would
+    overcount sum(cnt_a × cnt_b) instead of |A ∩ B|)."""
+    spark = spark_prop
+    texts = [" ".join(toks) for toks in token_lists]
+    tmp = tmp_path_factory.mktemp("jac")
+    rows = [(i, t, "de", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from presto_truffle_spark.operators.dedup import dedup_ngram_jaccard
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, str(tmp)).collect()
+    }
+    shingles = {
+        i: {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        for i, toks in enumerate(token_lists)
+    }
+    want = {}
+    for a in shingles:
+        for b in shingles:
+            if a < b:
+                inter = len(shingles[a] & shingles[b])
+                if inter:
+                    want[(a, b)] = inter / len(shingles[a] | shingles[b])
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - round(want[k], 6)) < 1e-6
