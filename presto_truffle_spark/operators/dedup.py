@@ -673,32 +673,45 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width hex ≡ numeric min on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    m = n - (_SHINGLE - 1)  # number of shingles
-    a = F.slice(toks, 1, m)
-    b = F.slice(toks, 2, m)
-    c = F.slice(toks, 3, m)
+    # Each derivation (toks → grams → hashes → window mins) is materialized
+    # as a projected column before the next stage references it: slicing a
+    # raw expression re-evaluates its whole subtree per reference, so the
+    # four h-slices of an unmaterialized `hashes` would re-md5 every
+    # shingle 4× (and re-split the text under that) — measured ~4.4 s warm
+    # at sf0.1 in that form vs ~2.4 s staged.
+    t = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= _SHINGLE + _WIN - 1)
+    )
+    m = F.col("n") - (_SHINGLE - 1)  # number of shingles
     grams = F.zip_with(
-        F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
-        c,
+        F.zip_with(
+            F.slice("toks", F.lit(1), m),
+            F.slice("toks", F.lit(2), m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice("toks", F.lit(3), m),
         lambda xy, z: F.concat_ws(" ", xy, z),
     )
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
-    m2 = m - (_WIN - 1)  # number of windows
-    h1 = F.slice(hashes, 1, m2)
-    h2 = F.slice(hashes, 2, m2)
-    h3 = F.slice(hashes, 3, m2)
-    h4 = F.slice(hashes, 4, m2)
+    g = t.select(
+        "doc_id",
+        F.transform(grams, lambda gr: F.substring(F.md5(gr), 1, 16)).alias("hashes"),
+    ).withColumn("m2", F.size("hashes") - (_WIN - 1))  # number of windows
     mins = F.zip_with(
-        F.zip_with(h1, h2, lambda x, y: F.least(x, y)),
-        F.zip_with(h3, h4, lambda x, y: F.least(x, y)),
+        F.zip_with(
+            F.slice("hashes", F.lit(1), F.col("m2")),
+            F.slice("hashes", F.lit(2), F.col("m2")),
+            lambda x, y: F.least(x, y),
+        ),
+        F.zip_with(
+            F.slice("hashes", F.lit(3), F.col("m2")),
+            F.slice("hashes", F.lit(4), F.col("m2")),
+            lambda x, y: F.least(x, y),
+        ),
         lambda xy, zw: F.least(xy, zw),
     )
-    posting = (
-        d.filter(n >= _SHINGLE + _WIN - 1)
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
-    )
+    posting = g.select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
     cold = (
         posting.groupBy("f")
         .agg(F.count(F.lit(1)).alias("n_docs"))
