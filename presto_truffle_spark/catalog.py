@@ -43,12 +43,22 @@ ALWAYS_BROADCAST = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning/pushdown happen in Catalyst.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    we read it via the legacy nanos-as-long path and convert to a proper
-    TimestampType (microseconds). The division MUST be integer `div` —
-    epoch-nanos (~1.7e18) exceed a double's 2^53 exact-integer range, so a
-    float divide corrupts the microsecond digits. Truncation matches
-    DuckDB's CAST(ts_ns AS TIMESTAMP), which the oracles use.
+    `events.ts` is a naive parquet timestamp; batch operators consume it as
+    TIMESTAMP_NTZ **end-to-end** (r5, VERDICT r4 item 3): any NTZ->LTZ cast
+    interprets the naive value in ``spark.sql.session.timeZone``, which the
+    DRIVER owns and we cannot pin, and r4 proved the resulting divergence
+    live (``events_gapfill_locf``, 59,950/105,171 rows off under a non-UTC
+    session). NTZ values collect as plain naive datetimes with no zone
+    conversion anywhere (not even the Python-side ``fromtimestamp`` local
+    zone the LTZ collect path goes through), matching the DuckDB oracles'
+    naive ``CAST(ts AS TIMESTAMP)`` exactly. Zone-free arithmetic helpers
+    live in ``tztime.py``; only Structured Streaming casts to LTZ (the
+    watermark machinery requires TimestampType — streaming/windows.py).
+
+    Legacy shapes are normalized to NTZ zone-free: bigint epoch-nanos via
+    ``timestamp_add`` from the NTZ epoch (integer ``div`` — epoch-nanos
+    ~1.7e18 exceed a double's 2^53 exact range, so a float divide would
+    corrupt microsecond digits).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -59,13 +69,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # PySpark 4.1 resolves parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ
-            # (ignoring nanosAsLong). The session timezone is pinned UTC
-            # (session.py), so casting NTZ -> TIMESTAMP is value-preserving
-            # and matches the DuckDB oracles' CAST(ts AS TIMESTAMP).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif ts_type == "timestamp":
+            # Only reachable if the driver disabled NTZ inference; best
+            # effort — pin the zone so the LTZ->NTZ cast is deterministic.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

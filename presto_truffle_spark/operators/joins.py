@@ -43,7 +43,7 @@ def join_inner_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders pushed below the join (Catalyst does this automatically)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey, "inner")
@@ -83,10 +83,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LIMIT deterministic for the oracle hash."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -130,8 +130,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes it into the nation/supplier build sides."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")

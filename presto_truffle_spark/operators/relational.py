@@ -48,8 +48,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -75,8 +75,8 @@ def q6_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -167,7 +167,7 @@ def scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter in PushedFilters; at 100 TB this is the difference between
     reading 2 columns' pages and the whole table."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")).select(
         "l_orderkey", "l_extendedprice"
     )
 

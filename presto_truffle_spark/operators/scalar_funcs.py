@@ -75,6 +75,11 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday —
     reconciled with +1 on the DuckDB side.
+
+    ``o_orderdate`` loads as TIMESTAMP_NTZ (naive parquet timestamp), so
+    month truncation goes through ``trunc`` on DATE and the yyyy-MM label
+    through printf — ``date_trunc``/``date_format`` would implicitly cast
+    NTZ->LTZ in the driver-owned session zone (tztime.py).
     """
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
     return o.select(
@@ -83,12 +88,16 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("o_month"),
         F.dayofmonth("o_orderdate").alias("o_day"),
         F.dayofweek("o_orderdate").alias("o_dow"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month")
+        .cast("timestamp_ntz")
+        .alias("month_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
         F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_cutoff"
         ),
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.printf(
+            F.lit("%04d-%02d"), F.year("o_orderdate"), F.month("o_orderdate")
+        ).alias("ym"),
     )
 
 
@@ -273,8 +282,9 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+           CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                    + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.08
     GROUP BY l_returnflag
@@ -292,9 +302,9 @@ def scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                count(*) AS n,
-               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
-                                   + 0.5) AS BIGINT)) AS BIGINT) / 100.0
-                   AS revenue
+               CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    / 100.0 AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_quantity < :max_qty AND l_discount BETWEEN :lo AND :hi
         GROUP BY l_returnflag

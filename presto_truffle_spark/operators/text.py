@@ -266,10 +266,31 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning), so broadcasting removes the skewed shuffle entirely. Plan
     asserted in tests/test_plans.py. If a corpus's raw vocabulary ever
     outgrows broadcast, the fallback is salting the token key, not the
-    shuffle join."""
+    shuffle join.
+
+    ``tf`` is persisted before ``df`` is derived from it: df and the
+    final join would otherwise each re-run the tokenize+explode+groupBy
+    pipeline — Spark does NOT exchange-reuse across the broadcast
+    boundary (verified: the unpersisted plan holds two full Generate+
+    FileScan subtrees), so that recompute is a second full corpus
+    scan+shuffle at 100 TB (VERDICT r4 efficiency finding). The persist
+    is LAZY on purpose: the broadcast df stage materializes first and
+    fills the cache as a side effect, the probe side then reads it — an
+    eager ``tf.count()`` would add a whole extra job (+0.4 s at sf0.1,
+    measured). Cache-vs-recompute is scale-dependent (~+0.4 s cache
+    overhead at sf0.1 vs a saved corpus scan at 100 TB — BASELINE.md r5
+    note); the engine defaults to the posture that survives the
+    scale-up. Plan-asserted: both consumers read InMemoryTableScan
+    (tests/test_plans.py)."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tokens.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

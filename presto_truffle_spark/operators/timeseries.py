@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from presto_truffle_spark.catalog import load_table
 from presto_truffle_spark.registry import query
+from presto_truffle_spark.tztime import epoch_ms, epoch_us
 
 
 @query(
@@ -164,7 +165,7 @@ def events_sessionize_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the full-precision interval)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts"))
+    ts_us = epoch_us("ts")
     gap = ts_us - F.lag(ts_us).over(w)
     is_new = F.when(gap > _SESSION_GAP_MIN * 60 * 1_000_000, 1).otherwise(0)
     return (
@@ -214,7 +215,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.lit(None).cast("timestamp").alias("signup_ts"),
+        F.lit(None).cast("timestamp_ntz").alias("signup_ts"),
         F.lit(1).alias("is_query"),
     )
     signups = e.filter(F.col("event_type") == "signup").select(
@@ -402,13 +403,13 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors.drop("err_ts"), "user_id", "ts", "b_ts", ["b_ts"]
     )
     # forward pass: negate time so "last at-or-before" = "first at-or-after"
-    p_neg = purchases.withColumn("nts", -F.unix_micros("ts"))
+    p_neg = purchases.withColumn("nts", -epoch_us("ts"))
     e_neg = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "error")
         .select(
             "user_id",
-            (-F.unix_micros("ts")).alias("e_nts"),
+            (-epoch_us("ts")).alias("e_nts"),
             F.col("ts").alias("f_ts"),
         )
     )
@@ -416,8 +417,8 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nts"
     )
     both = back.join(fwd, ["user_id", "event_id", "ts"])
-    b_dist = F.unix_millis("ts") - F.unix_millis("b_ts")
-    f_dist = F.unix_millis("f_ts") - F.unix_millis("ts")
+    b_dist = epoch_ms("ts") - epoch_ms("b_ts")
+    f_dist = epoch_ms("f_ts") - epoch_ms("ts")
     pick_back = F.col("b_ts").isNotNull() & (
         F.col("f_ts").isNull() | (b_dist <= f_dist)
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from presto_truffle_spark.catalog import load_table, register_views
 from presto_truffle_spark.registry import query
+from presto_truffle_spark.tztime import epoch_s, trunc_ntz
 
 
 @query(
@@ -79,7 +80,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(
-            "user_id", F.date_trunc("hour", "ts").alias("bucket")
+            "user_id", trunc_ntz("hour", "ts").alias("bucket")
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -126,8 +127,8 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
-           min(value) AS min_value,
-           max(value) AS max_value
+           floor(min(value) * 1000000 + 0.5) / 1000000 AS min_value,
+           floor(max(value) * 1000000 + 0.5) / 1000000 AS max_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -148,7 +149,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     minute = (
         e.groupBy(
-            F.date_trunc("minute", "ts").alias("minute"), "event_type"
+            trunc_ntz("minute", "ts").alias("minute"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -160,7 +161,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hour = (
         minute.groupBy(
-            F.date_trunc("hour", "minute").alias("hour"), "event_type"
+            trunc_ntz("hour", "minute").alias("hour"), "event_type"
         ).agg(
             F.sum("n").alias("n"),
             F.sum("cents").alias("cents"),
@@ -170,14 +171,21 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hour.groupBy(
-            F.date_trunc("day", "hour").cast("date").alias("day"),
+            trunc_ntz("day", "hour").cast("date").alias("day"),
             "event_type",
         )
         .agg(
             F.sum("n").alias("n_events"),
             F.sum("cents").alias("total_cents"),
-            F.min("mn").alias("min_value"),
-            F.max("mx").alias("max_value"),
+            # 6dp envelope on BOTH sides (FIXTURES.md float convention):
+            # min/max pick stored doubles exactly, but the hashed output
+            # format must not depend on either engine's double repr tail.
+            (F.floor(F.min("mn") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "min_value"
+            ),
+            (F.floor(F.max("mx") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "max_value"
+            ),
         )
     )
 
@@ -216,7 +224,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     user_days = e.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
     ).distinct()
     cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
@@ -338,7 +346,7 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+        "user_id", trunc_ntz("hour", "ts").alias("bucket")
     ).agg(
         F.sum(
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
@@ -357,7 +365,7 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "bucket",
         "v_cents",
-        F.unix_timestamp("bucket").alias("t"),
+        epoch_s("bucket").alias("t"),
     )
     fwd = (
         W.partitionBy("user_id")
@@ -489,7 +497,7 @@ def events_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     user_days = e.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
     ).distinct()
     day_sketch = user_days.groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -658,7 +666,7 @@ def events_session_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                epoch_s("ts") - epoch_s(F.lag("ts").over(w))
                 > 1800
             ),
             1,
@@ -892,7 +900,7 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     e = load_table(spark, sf_dir, "events")
     user_days = e.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
     ).distinct()
     calendar = user_days.select("day").distinct()
     contributes = user_days.select(
@@ -953,11 +961,11 @@ def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a 1-row broadcast.
     """
     e = load_table(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", "ts")
+    hour = trunc_ntz("hour", "ts")
     t0 = e.agg(F.min(hour).alias("t0"))
     pts = e.crossJoin(F.broadcast(t0)).select(
         "user_id",
-        ((F.unix_timestamp(hour) - F.unix_timestamp("t0")) / 3600)
+        ((epoch_s(hour) - epoch_s("t0")) / 3600)
         .cast("bigint")
         .alias("x"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
@@ -1088,11 +1096,11 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave their bucket's partition.
     """
     e = load_table(spark, sf_dir, "events")
-    bucket = F.date_trunc("hour", "ts").alias("bucket")
-    w_asc = W.partitionBy(F.date_trunc("hour", "ts"), F.col("event_type")).orderBy(
+    bucket = trunc_ntz("hour", "ts").alias("bucket")
+    w_asc = W.partitionBy(trunc_ntz("hour", "ts"), F.col("event_type")).orderBy(
         "ts", "event_id"
     )
-    w_desc = W.partitionBy(F.date_trunc("hour", "ts"), F.col("event_type")).orderBy(
+    w_desc = W.partitionBy(trunc_ntz("hour", "ts"), F.col("event_type")).orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     ranked = e.select(

@@ -102,73 +102,74 @@ def load_all_modules() -> None:
 
 # The driver hard-verifies the FIRST 50 queries in dict order per round.
 # Names listed here are surfaced ahead of registration order — rotate this
-# list each round so driver coverage cycles through all queries. Round 4:
-# recomputed from CORRECTNESS r1∪r2∪r3 — 59 registered queries have never
-# had a green driver row. The window takes (a) the 8 queries touched by the
-# TIMESTAMP_NTZ regression fix first (7 fixed + the never-checked
-# stream-static join), with events_sessionize_islands as a re-confirmation
-# of its r3 err, then (b) the remaining never-verified in registration
-# order, with streaming_transform_with_state (newly un-gated per r3
-# verdict item 6) taking the final slot. 11 never-verified queries whose
-# base/family op is already in this window are deferred to the round-5
-# rotation: text_cosine_pairs_weighted, sink_zorder_layout,
-# sink_zorder_incremental, events_session_pattern, graph_triangle_count,
-# dedup_winnowing, events_rolling_distinct_users, events_trend_regression,
-# events_changepoint_cusum, events_interpolate_linear,
-# events_bitemporal_asof.
+# list each round so driver coverage cycles through all queries. Round 5:
+# recomputed from CORRECTNESS r1∪r2∪r3∪r4 — 15 queries lack a green driver
+# row (the 4 r4 hash-fails + the 11 deliberately-deferred never-verified).
+# Window layout: (a) the 4 r4 RED queries first, freshly fixed (decimal
+# literal cast + the NTZ zone-proofing, VERDICT r4 items 2-4); (b) the 11
+# deferred; (c) every GREEN query whose code changed THIS round and whose
+# row is therefore stale — the whole batch events family + the streaming
+# queries with NTZ output casts (tztime refactor), scalar_date_funcs, and
+# text_tfidf_top_terms (single-scan rewrite); (d) the six TPC-H queries
+# that carry the r4 broadcast retrofit but whose last green row predates
+# it (r2); (e) oldest-green LLM-pipeline headliners (dedup_ngram_jaccard's
+# inverted-index rewrite landed r4 but its row is from r2). Exactly 50.
 _VERIFY_FIRST = (
-    # --- regression-fix re-verification (TIMESTAMP_NTZ, catalog.py) ---
-    "events_sessionize_islands",
-    "events_asof_nearest",
-    "streaming_windowed_watermark",
-    "streaming_dedup_watermark",
-    "streaming_session_window",
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_left_join",
-    "streaming_stream_static_join",
-    # --- never-driver-verified backlog, registration order ---
-    "dedup_chunk_fingerprint",
-    "text_token_entropy",
-    "agg_salted_distinct",
-    "agg_sketch_rollup",
-    "agg_bitmap_distinct_rollup",
-    "corpus_balance_sources",
-    "rewrite_bloom_filter_join",
-    "source_binary_files",
-    "source_python_datasource",
-    "source_xml_roundtrip",
-    "window_value_range_frame",
-    "scalar_variant_funcs",
+    # --- (a) r4 RED, fixed this round ---
     "scalar_parameterized_sql",
-    "graph_pagerank",
-    "dedup_survivor_pick",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_suppliers_kept_waiting",
     "events_gapfill_locf",
     "events_rollup_cascade",
+    "source_schema_evolution",
+    # --- (b) never-verified backlog (deferred from r4), registration order ---
+    "dedup_winnowing",
+    "graph_triangle_count",
+    "events_interpolate_linear",
+    "events_session_pattern",
+    "events_bitemporal_asof",
+    "events_changepoint_cusum",
+    "events_rolling_distinct_users",
+    "events_trend_regression",
+    "text_cosine_pairs_weighted",
+    "sink_zorder_layout",
+    "sink_zorder_incremental",
+    # --- (c) green rows made stale by this round's edits ---
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_sessionize_islands",
+    "events_asof_join",
+    "events_asof_nearest",
+    "events_dedup_first_per_key",
+    "events_rate_per_user",
+    "events_funnel_conversion",
     "events_retention_cohorts",
     "events_path_transitions",
-    "window_rolling_median",
     "events_hll_sliding_distinct",
     "events_pattern_match",
     "events_anomaly_mad",
     "events_ohlc_downsample",
     "sql_recursive_cte",
-    "text_cosine_pairs",
-    "fuzzy_match_blocked",
-    "quality_constraint_audit",
-    "agg_approx_top_k",
-    "agg_weighted_median",
-    "corpus_importance_resample",
-    "text_bigram_surprisal",
-    "scalar_url_funcs",
-    "join_lateral_topk",
-    "source_schema_evolution",
+    "scalar_date_funcs",
+    "text_tfidf_top_terms",
+    "streaming_tumbling_counts",
+    "streaming_windowed_watermark",
+    "streaming_session_window",
+    "streaming_dedup_watermark",
+    "streaming_rate_ingest",
+    "streaming_stateful_profile",
     "streaming_transform_with_state",
+    # --- (d) r4 broadcast-retrofit carriers, last green r2 ---
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    # --- (e) oldest-green LLM-pipeline headliners ---
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "dedup_exact",
 )
 
 

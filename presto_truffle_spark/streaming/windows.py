@@ -71,15 +71,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.parq*")
     )
+    # Watermarks REQUIRE TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on NTZ), so streaming is the one place the naive fixture ts becomes
+    # LTZ. The NTZ->LTZ cast interprets the naive value in the session
+    # zone, and the DRIVER owns the session — so pin it to UTC here (not
+    # restored: the returned plans evaluate lazily at the driver's
+    # collect, and the final NTZ output casts in _ntz_cols need the same
+    # zone). Under UTC the cast is value-preserving, matching the DuckDB
+    # oracles' naive timestamps. Batch operators never cast at all — they
+    # stay NTZ end-to-end (tztime.py).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
-        # PySpark 4.1 resolves parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ;
-        # withWatermark requires TIMESTAMP. Session tz is pinned UTC, so
-        # the cast is value-preserving (mirrors catalog.load_table).
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def _ntz_cols(df: DataFrame) -> DataFrame:
+    """Cast every top-level LTZ timestamp column to TIMESTAMP_NTZ before
+    handing results to the driver: NTZ values collect as plain naive
+    datetimes with NO zone conversion (neither the session zone nor the
+    Python-side local zone the LTZ collect path consults), so the hashed
+    output cannot shift with the driver's environment. Value-preserving
+    because the session zone is pinned UTC in _events_stream."""
+    return df.select(
+        *[
+            F.col(c).cast("timestamp_ntz").alias(c) if t == "timestamp" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -133,8 +155,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = _run_to_memory(agg, "complete")
-    return out.select(
-        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    return _ntz_cols(
+        out.select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
 
 
@@ -170,8 +192,10 @@ def streaming_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
     )
     out = _run_to_memory(agg, "append")
-    return out.select(
-        F.col("w.start").alias("window_start"), "event_type", "n_events", "total"
+    return _ntz_cols(
+        out.select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total"
+        )
     )
 
 
@@ -248,11 +272,13 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = _run_to_memory(agg, "append")
-    return out.select(
-        "user_id",
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
-        "n_events",
+    return _ntz_cols(
+        out.select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 
@@ -308,7 +334,7 @@ def streaming_rate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("error")
         .alias("event_type"),
         (
-            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
             + F.make_dt_interval(secs=F.col("value").cast("double"))
         ).alias("ev_ts"),
     )

@@ -157,6 +157,24 @@ def test_tfidf_broadcasts_df_side(spark, sf_dir):
     assert inspect.broadcast_hint_count(df) >= 2  # df side + 1-row doc count
 
 
+def test_tfidf_tokenizes_corpus_once(spark, sf_dir):
+    """Both consumers of tf (the df aggregate and the final scored join)
+    must read the persisted tf cache instead of re-running the
+    tokenize+explode+groupBy pipeline — the re-computation was a second
+    full corpus scan+shuffle at 100 TB (VERDICT r4). Done-criterion: the
+    plan scans documents zero times (both branches hit
+    InMemoryTableScan); the single real scan happened at persist time."""
+    from presto_truffle_spark.operators.text import text_tfidf_top_terms
+
+    df = text_tfidf_top_terms(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    # one InMemoryTableScan under the broadcast df branch, one feeding the
+    # scored join directly (the remaining parquet reads in the plan text
+    # are the InMemoryRelation cache descriptions plus the column-pruned
+    # 1-row doc-count branch)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_round3_tpch_plan_shapes(spark, sf_dir):
     """The six r3 TPC-H additions must keep the battery's plan posture:
     dims resolve via broadcast, and nothing degenerates to a cartesian /

@@ -4,12 +4,39 @@ Runs every queries() entry at a given scale factor, runs the oracle SQL in
 DuckDB over the same parquet, and compares row count, column names/order
 (sorted), and order-insensitive values. Reports per-query PASS/FAIL.
 
+Driver-faithful since round 5 (VERDICT r4 item 1): the driver hashes EXACT
+values and formats, so a ``decimal(27,6)`` ``347498168.050000`` and a
+``double`` ``347498168.05`` are DIFFERENT even though numerically equal.
+This harness therefore:
+  * never rounds floats (``repr(v)`` exact; the old ``round(v, 9)``
+    masked exactly the r4 failures);
+  * keeps ``Decimal`` distinct from ``float`` and preserves its scale
+    (``str(Decimal)`` keeps trailing zeros);
+  * keeps ``int`` distinct from ``float`` (``5`` vs ``5.0``);
+  * tags tz-aware datetimes with their UTC offset (Spark always collects
+    naive; a tz-aware DuckDB TIMESTAMPTZ must not silently equal it).
+Queries needing numeric slack must build the envelope into the query
+itself (round on BOTH sides) — the repo convention since r2 (FIXTURES.md).
+
 Usage: python tools/selfcheck.py [sf_dir] [query_name ...]
+Flags (anywhere in argv):
+  --dump DIR   persist each side's canonical sorted rows to
+               DIR/<query>.{spark,duck}.txt for offline diffing
+  --approx     legacy 9-digit float rounding (debugging only — NOT what
+               the driver does)
+  --tz ZONE    set spark.sql.session.timeZone to ZONE after session
+               creation, simulating a driver that owns a non-UTC session
+               (VERDICT r4 item 8; combine with the TZ env var to also
+               shift the Python/JVM OS zone). Results must be identical
+               under every zone — queries are required to be zone-proof.
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
+import os
 import sys
 import time
 import traceback
@@ -18,8 +45,22 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+APPROX = "--approx" in _args
+DUMP_DIR = None
+if "--dump" in _args:
+    i = _args.index("--dump")
+    DUMP_DIR = _args[i + 1]
+    del _args[i : i + 2]
+SESSION_TZ = None
+if "--tz" in _args:
+    i = _args.index("--tz")
+    SESSION_TZ = _args[i + 1]
+    del _args[i : i + 2]
+_args = [a for a in _args if a != "--approx"]
+
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -27,7 +68,8 @@ TABLES = (
 
 
 def norm_cell(v):
-    """Normalize a cell for comparison (mirror of a value-hash)."""
+    """Canonicalize a cell the way the driver's value-hash sees it:
+    exact value AND exact type/format."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -35,21 +77,23 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver hashes exact values; we normalize trailing float noise
-        return repr(round(v, 9))
+        if APPROX:
+            return repr(round(v, 9))
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        if APPROX:
+            return repr(round(float(v), 9))
+        # str() preserves scale ("1.050000" != "1.05") — intentionally
+        # distinct from float so decimal-vs-double mismatches FAIL here
+        # the way they fail the driver hash.
+        return "dec:" + str(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return repr(round(float(v), 9))
-    except ImportError:
-        pass
-    import datetime
-
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        s = v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if v.tzinfo is not None:
+            s += f" tz:{v.utcoffset()}"
+        return s
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
     return str(v)
@@ -64,11 +108,23 @@ def canon(rows, cols):
     return out
 
 
+def _dump(name, side, rows):
+    if not DUMP_DIR:
+        return
+    os.makedirs(DUMP_DIR, exist_ok=True)
+    with open(os.path.join(DUMP_DIR, f"{name}.{side}.txt"), "w") as f:
+        for r in rows:
+            f.write("\t".join(r) + "\n")
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from presto_truffle_spark.session import get_spark
 
     spark = get_spark("selfcheck")
+    if SESSION_TZ:
+        spark.conf.set("spark.sql.session.timeZone", SESSION_TZ)
+        print(f"session timezone deliberately set to {SESSION_TZ}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -83,6 +139,11 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
+            if SESSION_TZ:
+                # re-pin per query: streaming sources legitimately pin the
+                # session back to UTC, and the gauntlet must re-shift for
+                # whatever runs next
+                spark.conf.set("spark.sql.session.timeZone", SESSION_TZ)
             sdf = qs[name](spark, SF_DIR)
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
@@ -118,6 +179,8 @@ def main() -> int:
             continue
         a = canon(spark_rows, spark_cols)
         b = canon(duck_rows, duck_cols)
+        _dump(name, "spark", a)
+        _dump(name, "duck", b)
         if a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: values differ; first diffs: {diff}")
