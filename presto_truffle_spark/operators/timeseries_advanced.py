@@ -214,21 +214,24 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each subsequent day they return — the (cohort, day-offset) triangle
     every product-analytics stack computes.
 
-    Plan: distinct (user, day) → per-user min day (cohort) → join back on
-    user_id → count per (cohort, offset). Three shuffles, every one keyed
-    on user_id or the output key; the distinct collapses raw events first,
-    so the join sees |users|·|active days| rows, not raw event volume —
-    at 100 TB that reduction (events → user-days) is ~1000×. No count
-    distinct at the end: the user_days input is already distinct per
-    (user, day), so count(*) IS the distinct user count per cell.
+    Plan: distinct (user, day) → cohort as ``min(day) OVER (PARTITION BY
+    user_id)`` → count per (cohort, offset). The window REPLACES the r4
+    groupBy+self-join spelling: that shape recomputed the scan+distinct
+    pipeline for both consumers (r5 rescan audit, SCALING.md — zero
+    exchange reuse at execution), while the window reads the distinct
+    output once. Same three exchanges, half the scans/distincts; the
+    distinct collapses raw events ~1000× before anything else runs. No
+    count distinct at the end: the user_days input is already distinct
+    per (user, day), so count(*) IS the distinct user count per cell.
     """
     e = load_table(spark, sf_dir, "events")
     user_days = e.select(
         "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
     ).distinct()
-    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        user_days.join(cohorts, "user_id")
+        user_days.withColumn(
+            "cohort_day", F.min("day").over(W.partitionBy("user_id"))
+        )
         .groupBy(
             "cohort_day",
             F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
@@ -494,11 +497,21 @@ def events_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HLL estimate lands within 5% of it — deterministic because HLL
     sketch construction and max-merge are order-independent for a fixed
     input multiset.
+
+    ``user_days`` feeds FOUR consumers (day sketches, the calendar, and
+    both sides of the exact branch); without a persist each re-runs the
+    corpus scan + distinct shuffle (r5 rescan audit: zero exchange reuse
+    at execution). The cached frame is the ~1000×-reduced user-day set,
+    so MEMORY_AND_DISK is tiny relative to the scan it saves.
     """
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
-    ).distinct()
+    user_days = (
+        e.select("user_id", trunc_ntz("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     day_sketch = user_days.groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
@@ -897,11 +910,19 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     contribute-forward explode replaces the quadratic day×history join a
     naive rolling distinct performs. The oracle uses the equivalent
     bounded range join.
+
+    ``user_days`` is persisted: the calendar and the contribute explode
+    both consume it, and without the cache each re-runs the corpus
+    scan + distinct shuffle (r5 rescan audit — no exchange reuse).
     """
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
-    ).distinct()
+    user_days = (
+        e.select("user_id", trunc_ntz("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     calendar = user_days.select("day").distinct()
     contributes = user_days.select(
         "user_id",

@@ -175,6 +175,32 @@ def test_tfidf_tokenizes_corpus_once(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2
 
 
+def test_user_days_consumers_share_one_pipeline(spark, sf_dir):
+    """r5 rescan-audit fixes: the events→distinct(user,day) reduction must
+    be computed ONCE per query. Retention replaced its groupBy+self-join
+    with a window (structurally one scan); the two rolling-distinct
+    queries persist user_days so every consumer reads the cache (Spark
+    performs no exchange reuse across these shapes — measured, zero
+    ReusedExchange at execution)."""
+    import re
+
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_hll_sliding_distinct,
+        events_retention_cohorts,
+        events_rolling_distinct_users,
+    )
+
+    plan = inspect.physical_plan(events_retention_cohorts(spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet .*?events\.parquet", plan)) == 1
+    assert "InMemoryTableScan" not in plan  # window rewrite, no cache needed
+
+    plan = inspect.physical_plan(events_hll_sliding_distinct(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 4  # sketch, calendar, exact×2
+
+    plan = inspect.physical_plan(events_rolling_distinct_users(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2  # calendar + contributes
+
+
 def test_round3_tpch_plan_shapes(spark, sf_dir):
     """The six r3 TPC-H additions must keep the battery's plan posture:
     dims resolve via broadcast, and nothing degenerates to a cartesian /
