@@ -109,11 +109,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("hour_start"),
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
             F.coalesce(
-                F.last("v_cents", ignorenulls=True).over(
-                    W.partitionBy("user_id")
-                    .orderBy("bucket")
-                    .rowsBetween(W.unboundedPreceding, W.currentRow)
-                ),
+                F.last("v_cents", ignorenulls=True).over(fill_w),
                 F.lit(0),
             ).alias("locf_value_cents"),
         )

@@ -190,6 +190,14 @@ def test_user_days_consumers_share_one_pipeline(spark, sf_dir):
         events_rolling_distinct_users,
     )
 
+    # The rolling-distinct queries persist user_days with the IDENTICAL
+    # logical plan retention builds; if they ran earlier in this session
+    # (test_entry runs every query), the CacheManager substitutes that
+    # cache into retention's plan and the scan-count assertion below
+    # would count the cache description's embedded FileScan text. Clear
+    # the cache so each assertion sees the intrinsic plan shape.
+    spark.catalog.clearCache()
+
     plan = inspect.physical_plan(events_retention_cohorts(spark, sf_dir))
     assert len(re.findall(r"FileScan parquet .*?events\.parquet", plan)) == 1
     assert "InMemoryTableScan" not in plan  # window rewrite, no cache needed
