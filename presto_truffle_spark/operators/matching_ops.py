@@ -356,51 +356,63 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness, key uniqueness, referential integrity, accepted values,
     and a numeric range check.
 
-    Every constraint is a conditional aggregate, so the audit costs one
-    scan per table regardless of how many constraints share that table
-    (Catalyst collapses same-source aggregates; the RI check is a
-    broadcast-ready NOT IN rewritten to a null-aware anti join). That
-    single-pass property is what makes constraint suites affordable on a
-    100 TB table — the alternative, one scan per constraint, is 5× the IO
-    here. Ratios are floor-rounded to 6 places on both engines.
+    One aggregation pass per table, NOT one per constraint: each table's
+    constraints compute inside a single 1-row aggregate which ``stack()``
+    unpivots into (constraint, metric, passed) rows. The r4 UNION ALL
+    spelling re-scanned customer 3× and orders 2× — Catalyst does NOT
+    collapse same-source aggregates across union branches (r5 rescan
+    audit, SCALING.md), and SQL CTEs inline per reference so a WITH
+    block would not dedupe either. The RI check rides the SAME orders
+    pass as key uniqueness: joining through the customer PK preserves
+    orders' row count, so count(*)/count(DISTINCT) are unchanged and the
+    null-probe count comes for free; customer's second appearance is the
+    single-column pruned join build side. 4 scans total (was 6) — the
+    single-pass property that makes constraint suites affordable on a
+    100 TB table. Ratios are floor-rounded to 6 places on both engines.
     """
     register_views(spark, sf_dir)
-    return spark.sql(
+    cust = spark.sql(
         """
-        SELECT 'completeness_c_acctbal' AS constraint,
-               floor(count(c_acctbal) * 1.0 / count(*) * 1000000 + 0.5)
-                   / 1000000 AS metric,
-               count(c_acctbal) = count(*) AS passed
-        FROM customer
-        UNION ALL
-        SELECT 'uniqueness_o_orderkey',
-               floor(count(DISTINCT o_orderkey) * 1.0 / count(*) * 1000000
-                     + 0.5) / 1000000,
-               count(DISTINCT o_orderkey) = count(*)
-        FROM orders
-        UNION ALL
-        SELECT 'ri_orders_customer_violations',
-               CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS DOUBLE),
-               count(CASE WHEN c_custkey IS NULL THEN 1 END) = 0
-        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-        UNION ALL
-        SELECT 'accepted_values_c_mktsegment',
+        SELECT CAST(floor(count(c_acctbal) * 1.0 / count(*) * 1000000 + 0.5)
+                    / 1000000 AS DOUBLE) AS completeness,
+               count(c_acctbal) = count(*) AS completeness_ok,
                CAST(count(CASE WHEN c_mktsegment NOT IN
                    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
-                    'MACHINERY') THEN 1 END) AS DOUBLE),
-               count(CASE WHEN c_mktsegment NOT IN
-                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
-                    'MACHINERY') THEN 1 END) = 0
+                    'MACHINERY') THEN 1 END) AS DOUBLE) AS bad_segments
         FROM customer
-        UNION ALL
-        SELECT 'range_l_quantity_1_50',
+        """
+    ).selectExpr(
+        "stack(2, 'completeness_c_acctbal', completeness, completeness_ok,"
+        "         'accepted_values_c_mktsegment', bad_segments,"
+        "         bad_segments = CAST(0 AS DOUBLE))"
+        " AS (constraint, metric, passed)"
+    )
+    ords = spark.sql(
+        """
+        SELECT CAST(floor(count(DISTINCT o_orderkey) * 1.0 / count(*)
+                          * 1000000 + 0.5) / 1000000 AS DOUBLE) AS uniq,
+               count(DISTINCT o_orderkey) = count(*) AS uniq_ok,
+               CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END)
+                    AS DOUBLE) AS ri_violations
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """
+    ).selectExpr(
+        "stack(2, 'uniqueness_o_orderkey', uniq, uniq_ok,"
+        "         'ri_orders_customer_violations', ri_violations,"
+        "         ri_violations = CAST(0 AS DOUBLE))"
+        " AS (constraint, metric, passed)"
+    )
+    li = spark.sql(
+        """
+        SELECT 'range_l_quantity_1_50' AS constraint,
                CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                   THEN 1 END) AS DOUBLE),
+                   THEN 1 END) AS DOUBLE) AS metric,
                count(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                   THEN 1 END) = 0
+                   THEN 1 END) = 0 AS passed
         FROM lineitem
         """
     )
+    return cust.unionByName(ords).unionByName(li)
 
 
 @query(
@@ -635,7 +647,16 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on (w1,w2) is stopword-skewed at corpus scale — AQE skew-split
     handles it, or pre-broadcast c1 (vocabulary-sized). No all-pairs
     anywhere; every stage is linear in total bigrams.
+
+    ``c2`` is persisted (vocabulary²-bounded — a REDUCED intermediate per
+    the SCALING.md rescan rule): c1 derives from it and the scored join
+    probes it, and without the cache each consumer re-ran the whole
+    bigram explode+count pipeline. The doc-bigram probe side ``db`` is
+    deliberately NOT cached — it is corpus-scale, and its recompute is
+    one map-side explode, the cheap half of the pipeline.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     db = (
@@ -651,7 +672,11 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = (
+        db.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         db.join(c2, ["w1", "w2"])

@@ -112,8 +112,13 @@ def load_all_modules() -> None:
 # queries with NTZ output casts (tztime refactor), scalar_date_funcs, and
 # text_tfidf_top_terms (single-scan rewrite); (d) the six TPC-H queries
 # that carry the r4 broadcast retrofit but whose last green row predates
-# it (r2); (e) oldest-green LLM-pipeline headliners (dedup_ngram_jaccard's
-# inverted-index rewrite landed r4 but its row is from r2). Exactly 50.
+# it (r2); (e) LLM-pipeline rows needing re-proof: dedup_ngram_jaccard's
+# inverted-index rewrite landed r4 but its row is from r2; minhash is the
+# bench headliner; text_bigram_surprisal + quality_constraint_audit were
+# rewritten single-pass THIS round (rescan audit), staling their fresh r4
+# rows — a stale green row outranks re-confirming an unchanged old one
+# (ann_cosine_topk/dedup_exact, green r2, code untouched, yield the two
+# slots). Exactly 50.
 _VERIFY_FIRST = (
     # --- (a) r4 RED, fixed this round ---
     "scalar_parameterized_sql",
@@ -165,11 +170,11 @@ _VERIFY_FIRST = (
     "q16_supplier_part_counts",
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
-    # --- (e) oldest-green LLM-pipeline headliners ---
+    # --- (e) LLM-pipeline rows needing re-proof ---
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "dedup_exact",
+    "text_bigram_surprisal",
+    "quality_constraint_audit",
 )
 
 

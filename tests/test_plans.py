@@ -209,6 +209,40 @@ def test_user_days_consumers_share_one_pipeline(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2  # calendar + contributes
 
 
+def test_quality_audit_scans_each_table_once(spark, sf_dir):
+    """The constraint audit must aggregate each table in ONE pass (r5:
+    the UNION ALL spelling re-scanned customer 3× and orders 2× — same-
+    source aggregates do not collapse across union branches). Allowed
+    remainder: customer appears twice because its second read is the
+    single-column pruned build side of the referential-integrity join."""
+    import re
+
+    from presto_truffle_spark.operators.matching_ops import (
+        quality_constraint_audit,
+    )
+
+    plan = inspect.physical_plan(quality_constraint_audit(spark, sf_dir))
+    counts = {
+        t: len(re.findall(rf"FileScan parquet .*?{t}\.parquet", plan))
+        for t in ("customer", "orders", "lineitem")
+    }
+    assert counts == {"customer": 2, "orders": 1, "lineitem": 1}, counts
+
+
+def test_bigram_surprisal_counts_computed_once(spark, sf_dir):
+    """The vocabulary²-bounded bigram count table c2 must be persisted:
+    c1 derives from it and the scored join probes it — both must read
+    the cache instead of re-running the corpus explode+count (r5 rescan
+    audit). The corpus-scale probe side stays uncached by design."""
+    from presto_truffle_spark.operators.matching_ops import (
+        text_bigram_surprisal,
+    )
+
+    spark.catalog.clearCache()
+    plan = inspect.physical_plan(text_bigram_surprisal(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_round3_tpch_plan_shapes(spark, sf_dir):
     """The six r3 TPC-H additions must keep the battery's plan posture:
     dims resolve via broadcast, and nothing degenerates to a cartesian /
