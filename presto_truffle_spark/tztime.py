@@ -78,12 +78,18 @@ def trunc_ntz(unit: str, c) -> Column:
     """Truncate an NTZ timestamp to second/minute/hour/day/week, staying
     NTZ end-to-end (epoch-aligned fixed-width buckets — identical to
     ``date_trunc`` for sub-day units and for day/week on naive inputs,
-    but with no session-zone dependence)."""
+    but with no session-zone dependence).
+
+    ``pmod``, not ``%``: the sign of ``%`` follows the dividend, so plain
+    modulo would round PRE-1970 timestamps toward zero (up) instead of
+    flooring — pmod keeps the bucket start at-or-before the value on
+    both sides of the epoch (property-tested against DuckDB date_trunc
+    over 1900-2100 in tests/test_tz_proof.py)."""
     step = _UNIT_US[unit]
     us = epoch_us(c)
     if unit == "week":
         us = us + F.lit(_WEEK_SHIFT_US)
-    bucket = us - (us % F.lit(step))
+    bucket = us - F.pmod(us, F.lit(step))
     if unit == "week":
         bucket = bucket - F.lit(_WEEK_SHIFT_US)
     return F.timestamp_add("MICROSECOND", bucket, EPOCH_NTZ())

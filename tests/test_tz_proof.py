@@ -59,6 +59,45 @@ def test_batch_query_is_session_tz_invariant(spark, sf_dir, fn):
     assert utc_rows == la_rows
 
 
+def test_trunc_ntz_matches_duckdb_date_trunc(spark):
+    """tztime.trunc_ntz must agree with DuckDB's date_trunc on naive
+    timestamps across 1900-2100 — including PRE-1970 values, where a
+    plain `%` would round toward zero instead of flooring (pmod fix),
+    and the Thursday-epoch week shift."""
+    import datetime
+
+    import duckdb
+
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    # deterministic spread: pre-epoch, epoch edge, DST-adjacent, far future
+    samples = [
+        datetime.datetime(1901, 2, 3, 4, 5, 6, 789012),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 0),
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 1),
+        datetime.datetime(2024, 3, 10, 2, 30, 0, 500000),
+        datetime.datetime(2024, 11, 3, 1, 30, 0, 1),
+        datetime.datetime(2031, 6, 15, 13, 59, 59, 123456),
+        datetime.datetime(2099, 12, 31, 23, 0, 1, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t in samples], "ts timestamp_ntz")
+    con = duckdb.connect()
+    for unit in ("minute", "hour", "day", "week"):
+        got = {
+            r[0]: r[1]
+            for r in df.select(
+                "ts", trunc_ntz(unit, "ts").alias("b")
+            ).collect()
+        }
+        for t in samples:
+            # CAST: DuckDB returns DATE for day/week grains
+            want = con.execute(
+                f"SELECT CAST(date_trunc('{unit}', TIMESTAMP '{t}') AS TIMESTAMP)"
+            ).fetchone()[0]
+            assert got[t] == want, (unit, t, got[t], want)
+
+
 def test_ts_stays_ntz_end_to_end(spark, sf_dir):
     """The events scan itself must surface ts as TIMESTAMP_NTZ — any LTZ
     appearance upstream of a collect reintroduces the session-zone
