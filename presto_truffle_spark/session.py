@@ -12,8 +12,11 @@ session tuned so the same logical plans behave at both test scale
     scale AQE's coalescing makes the initial number mostly a ceiling.
   * Arrow enabled — every pandas UDF (similarity search, multimodal
     decode) rides vectorized Arrow batches instead of pickled rows.
-  * Session timezone pinned to UTC so timestamp semantics agree with the
-    DuckDB oracle (DuckDB timestamps are UTC-naive).
+  * Session timezone pinned to UTC as a belt — but since r5 the queries
+    no longer rely on it: batch event time is TIMESTAMP_NTZ end-to-end
+    (tztime.py) and results are bit-identical under any session zone
+    (tools/selfcheck.py --tz). The pin only matters for sessions WE
+    create; the driver owns its own.
 """
 
 from __future__ import annotations
