@@ -62,7 +62,7 @@ def _scratch(spark: SparkSession, name: str) -> str:
     )
     SELECT coalesce(o_orderpriority, '<absent>') AS priority,
            count(*) AS n,
-           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
     FROM unified
     GROUP BY 1
     """,

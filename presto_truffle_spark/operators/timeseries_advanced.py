@@ -56,11 +56,11 @@ from presto_truffle_spark.tztime import epoch_s, trunc_ntz
     SELECT g.user_id,
            g.bucket AS hour_start,
            CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
-           coalesce(
+           CAST(coalesce(
                last_value(h.v_cents IGNORE NULLS) OVER (
                    PARTITION BY g.user_id ORDER BY g.bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               0) AS locf_value_cents
+               0) AS BIGINT) AS locf_value_cents
     FROM grid g
     LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
     """,
@@ -122,7 +122,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
            event_type,
            count(*) AS n_events,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
            floor(min(value) * 1000000 + 0.5) / 1000000 AS min_value,
            floor(max(value) * 1000000 + 0.5) / 1000000 AS max_value
     FROM events

@@ -45,18 +45,29 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
+_USAGE = (
+    "usage: python tools/selfcheck.py [sf_dir] [query_name ...] "
+    "[--dump DIR] [--tz ZONE] [--approx]"
+)
+
+
+def _flag_value(args, flag):
+    """Pop ``flag VALUE`` from args; exit with usage if VALUE is missing."""
+    if flag not in args:
+        return None
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        print(f"{flag} requires a value\n{_USAGE}", file=sys.stderr)
+        sys.exit(2)
+    value = args[i + 1]
+    del args[i : i + 2]
+    return value
+
+
 _args = sys.argv[1:]
 APPROX = "--approx" in _args
-DUMP_DIR = None
-if "--dump" in _args:
-    i = _args.index("--dump")
-    DUMP_DIR = _args[i + 1]
-    del _args[i : i + 2]
-SESSION_TZ = None
-if "--tz" in _args:
-    i = _args.index("--tz")
-    SESSION_TZ = _args[i + 1]
-    del _args[i : i + 2]
+DUMP_DIR = _flag_value(_args, "--dump")
+SESSION_TZ = _flag_value(_args, "--tz")
 _args = [a for a in _args if a != "--approx"]
 
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
@@ -97,6 +108,34 @@ def norm_cell(v):
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
     return str(v)
+
+
+def oracle_dtype_violations(con, sql, spark_dtypes=None):
+    """DESCRIBE the oracle and return (column, duck_type) pairs whose
+    result type the ``fetchall()`` value comparison is structurally blind
+    to (VERDICT r5 item 2).
+
+    DuckDB's Python ``fetchall()`` renders HUGEINT (int128 — the default
+    type of ``sum(BIGINT)``) as a lossless Python ``int``, identical to a
+    BIGINT fetch — but the driver's Arrow/pandas-path hash distinguishes
+    them (int128 has no int64 Arrow type and decays to decimal/float).
+    That asymmetry is exactly how 3 oracles stayed RED for three rounds
+    while passing selfcheck. Gate: any HUGEINT/UHUGEINT column is a
+    violation; a DECIMAL column is a violation unless the Spark side is
+    DecimalType too (``spark_dtypes``: {col_lower: dtype_string}).
+    DESCRIBE is plan-only — the oracle is not executed."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    sdt = {k.lower(): v for k, v in (spark_dtypes or {}).items()}
+    bad = []
+    for row in desc:
+        col, typ = row[0], row[1].upper()
+        if "HUGEINT" in typ:
+            bad.append((col, typ))
+        elif typ.startswith("DECIMAL") and not sdt.get(
+            col.lower(), ""
+        ).startswith("decimal"):
+            bad.append((col, typ))
+    return bad
 
 
 def canon(rows, cols):
@@ -158,6 +197,17 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
+            gate = oracle_dtype_violations(
+                con, oracles[name], dict(sdf.dtypes)
+            )
+            if gate:
+                print(
+                    f"FAIL  {name}: oracle dtype gate — {gate} "
+                    "(fetchall() cannot see this skew; the driver hash can)"
+                )
+                n_fail += 1
+                failures.append(name)
+                continue
             res = con.execute(oracles[name])
             duck_cols = [d[0].lower() for d in res.description]
             duck_rows = res.fetchall()
