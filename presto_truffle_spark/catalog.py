@@ -79,8 +79,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp":
             # Only reachable if the driver disabled NTZ inference; best
             # effort — pin the zone so the LTZ->NTZ cast is deterministic.
+            # SCOPED pin (ADVICE r5): the analyzer bakes the zone into the
+            # Cast when the plan resolves, so force analysis under UTC and
+            # restore the driver's own zone afterwards — loading a table
+            # must not clobber session state the driver relies on.
+            prev_tz = spark.conf.get("spark.sql.session.timeZone")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            try:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+                df.schema  # resolve NOW: Cast captures UTC here
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", prev_tz)
+            import sys
+
+            print(
+                "load_table(events): LTZ fixture detected; ts cast to "
+                "TIMESTAMP_NTZ under a scoped UTC pin (session zone "
+                f"restored to {prev_tz})",
+                file=sys.stderr,
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

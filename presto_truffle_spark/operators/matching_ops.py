@@ -363,9 +363,14 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse same-source aggregates across union branches (r5 rescan
     audit, SCALING.md), and SQL CTEs inline per reference so a WITH
     block would not dedupe either. The RI check rides the SAME orders
-    pass as key uniqueness: joining through the customer PK preserves
-    orders' row count, so count(*)/count(DISTINCT) are unchanged and the
-    null-probe count comes for free; customer's second appearance is the
+    pass as key uniqueness, with the build side deduped to its key SET
+    (``SELECT DISTINCT c_custkey``) so the left join preserves orders'
+    row count BY CONSTRUCTION — count(*)/count(DISTINCT) are
+    join-invariant even if customer ever carried duplicate keys, instead
+    of silently assuming the PK (ADVICE r5; the DuckDB oracle computes
+    uniqueness from bare orders, so a duplicate-key build side would
+    otherwise have diverged the engines). The key-set distinct is
+    dimension-sized and map-side-combined; customer's appearance is the
     single-column pruned join build side. 4 scans total (was 6) — the
     single-pass property that makes constraint suites affordable on a
     100 TB table. Ratios are floor-rounded to 6 places on both engines.
@@ -392,9 +397,11 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(floor(count(DISTINCT o_orderkey) * 1.0 / count(*)
                           * 1000000 + 0.5) / 1000000 AS DOUBLE) AS uniq,
                count(DISTINCT o_orderkey) = count(*) AS uniq_ok,
-               CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END)
+               CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
                     AS DOUBLE) AS ri_violations
-        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        FROM orders
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o_custkey = c.c_custkey
         """
     ).selectExpr(
         "stack(2, 'uniqueness_o_orderkey', uniq, uniq_ok,"
@@ -653,9 +660,10 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes it, and without the cache each consumer re-ran the whole
     bigram explode+count pipeline. The doc-bigram probe side ``db`` is
     deliberately NOT cached — it is corpus-scale, and its recompute is
-    one map-side explode, the cheap half of the pipeline.
+    one map-side explode, the cheap half of the pipeline. Cached via
+    ``scoped_persist`` — one live frame per site (ADVICE r5).
     """
-    from pyspark import StorageLevel
+    from presto_truffle_spark.cache import scoped_persist
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -672,10 +680,10 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    c2 = (
-        db.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = scoped_persist(
+        spark,
+        "matching.bigram_surprisal.c2",
+        db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")),
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (

@@ -6,10 +6,13 @@ falls back to a VENDORED pure-numpy 24-bit BMP codec (``encode_bmp`` /
 ``decode_bmp``) — real byte decoding (header parse, stride arithmetic,
 pixel stats) runs even here, exercised end-to-end through mapInPandas in
 tests/test_multimodal_decode.py. Opaque non-BMP payloads without Pillow
-still raise loudly. The registered queries keep the length-derived fake
-decode (their oracles predate the codec and registration is frozen in
-r5); a ``multimodal_decode_real`` registration is queued for r6. The
-Spark-side plumbing is real and tested end-to-end:
+still raise loudly. Since r6 the codec path is also DRIVER-CHECKED:
+``multimodal_decode_real`` synthesizes BMP payloads from doc_id, pushes
+the binary column through Arrow, decodes the actual bytes, and its oracle
+recomputes every output from the generative formula. The earlier
+registered queries keep the length-derived fake decode (their oracles
+predate the codec). The Spark-side plumbing is real and tested
+end-to-end:
 
   * a `media` view with a BINARY payload column + typed metadata, derived
     deterministically from `documents` (payload = utf-8 bytes of text);
@@ -255,6 +258,113 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(spark, sf_dir).filter(F.col("media_type") == "image").mapInPandas(
         plan, schema
     )
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 31 + 1 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 23 + 1 AS INTEGER) AS height,
+           'BGR' AS mode,
+           CAST(((doc_id % 256) + (doc_id * 3) % 256 + (doc_id * 5) % 256)
+                * (doc_id % 31 + 1) * ((doc_id * 7) % 23 + 1)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-byte decoding as a driver-checked query (VERDICT r5
+    item 4): synthesize a genuine 24-bit BMP per document (dims and fill
+    color derived deterministically from doc_id), carry it as a BINARY
+    column through Arrow, then decode the actual bytes — header parse,
+    stride/padding arithmetic, pixel-array sum — in a second
+    Arrow-batched ``mapInPandas``. Nothing length-based: width/height
+    come out of the BITMAPINFOHEADER and pixel_sum out of the decoded
+    pixel array, while the oracle recomputes all three from the
+    generative formula alone. A divergence anywhere in the codec pair
+    (or the Arrow binary round-trip) breaks the hash.
+
+    pixel_sum (an exact integer, = (b+g+r)·w·h for a constant fill) is
+    deliberately reported instead of the float mean so the comparison is
+    bit-exact across engines.
+
+    Scale posture: two chained map-only stages — no shuffle anywhere;
+    payloads live only between the two pandas stages and are dropped
+    before output. At 100 TB the encode stage is replaced by the parquet
+    scan of a real payload column and the decode batch size is bounded
+    by ``spark.sql.files.maxPartitionBytes``. The codec UDFs are
+    self-contained closures (no module references) so the query runs
+    when the driver imports __spark_entry__ from outside the repo;
+    tests/test_multimodal_decode.py pins them to the module-level
+    encode_bmp/decode_bmp.
+    """
+    import struct
+
+    schema_enc = "media_id long, payload binary"
+    schema_dec = (
+        "media_id long, width int, height int, mode string, pixel_sum long"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(i: int) -> bytes:
+            w, h = i % 31 + 1, (i * 7) % 23 + 1
+            bgr = (i % 256, (i * 3) % 256, (i * 5) % 256)
+            row = bytes(bgr) * w
+            pad = b"\x00" * ((4 - (3 * w) % 4) % 4)
+            pixels = (row + pad) * h
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+            )
+            file_hdr = struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+            )
+            return file_hdr + info + pixels
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: enc(int(i))),
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dec(payload: bytes):
+            if payload[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            data_off = struct.unpack("<I", payload[10:14])[0]
+            w, h = struct.unpack("<ii", payload[18:26])
+            bpp = struct.unpack("<H", payload[28:30])[0]
+            if bpp != 24:
+                raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+            h = abs(h)
+            stride = (3 * w + 3) // 4 * 4
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, : 3 * w]
+            return (w, h, "BGR", int(rows.astype(np.int64).sum()))
+
+        for pdf in batches:
+            meta = [dec(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "mode": [m[2] for m in meta],
+                    "pixel_sum": pd.Series(
+                        [m[3] for m in meta], dtype="int64"
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)
 
 
 @query(

@@ -229,6 +229,15 @@ def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), "token").limit(20)
 
 
+# Persist tf only when the on-disk corpus is at least this large: below it
+# the cache write costs more than recomputing the tokenize+count pipeline
+# (~+0.4 s at sf0.1's 0.6 MB, measured); above it the avoided second
+# corpus scan+shuffle dominates. 256 MiB is comfortably past the
+# crossover on local[32] and microscopic next to the 100 TB target, where
+# the gate always persists.
+_TFIDF_PERSIST_MIN_BYTES = 256 << 20
+
+
 @query(
     "text_tfidf_top_terms",
     oracle="""
@@ -277,20 +286,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is LAZY on purpose: the broadcast df stage materializes first and
     fills the cache as a side effect, the probe side then reads it — an
     eager ``tf.count()`` would add a whole extra job (+0.4 s at sf0.1,
-    measured). Cache-vs-recompute is scale-dependent (~+0.4 s cache
-    overhead at sf0.1 vs a saved corpus scan at 100 TB — BASELINE.md r5
-    note); the engine defaults to the posture that survives the
-    scale-up. Plan-asserted: both consumers read InMemoryTableScan
-    (tests/test_plans.py)."""
-    from pyspark import StorageLevel
+    measured).
+
+    Cache-vs-recompute is scale-dependent (~+0.4 s cache-write overhead
+    at sf0.1 vs a saved full corpus scan+shuffle at 100 TB — BASELINE.md
+    r5 note), so the persist is GATED on input size (VERDICT r5 item 6):
+    below ``_TFIDF_PERSIST_MIN_BYTES`` of on-disk corpus the recompute is
+    cheaper than the cache write and tf stays unpersisted; at or above
+    it, the scale posture wins. Both paths are plan-asserted
+    (tests/test_plans.py): persisted ⇒ both consumers read
+    InMemoryTableScan; unpersisted ⇒ no cache in the plan."""
+    from presto_truffle_spark.cache import input_bytes, scoped_persist
 
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = (
-        tokens.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if input_bytes(sf_dir, "documents") >= _TFIDF_PERSIST_MIN_BYTES:
+        tf = scoped_persist(spark, "text.tfidf.tf", tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -498,15 +498,19 @@ def events_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides of the exact branch); without a persist each re-runs the
     corpus scan + distinct shuffle (r5 rescan audit: zero exchange reuse
     at execution). The cached frame is the ~1000×-reduced user-day set,
-    so MEMORY_AND_DISK is tiny relative to the scan it saves.
+    so MEMORY_AND_DISK is tiny relative to the scan it saves. Cached via
+    ``scoped_persist`` — one live frame per site, the previous
+    invocation's cache released on re-entry (ADVICE r5).
     """
-    from pyspark import StorageLevel
+    from presto_truffle_spark.cache import scoped_persist
 
     e = load_table(spark, sf_dir, "events")
-    user_days = (
-        e.select("user_id", trunc_ntz("day", "ts").cast("date").alias("day"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    user_days = scoped_persist(
+        spark,
+        "tsa.hll_sliding.user_days",
+        e.select(
+            "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
+        ).distinct(),
     )
     day_sketch = user_days.groupBy("day").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -910,14 +914,17 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     ``user_days`` is persisted: the calendar and the contribute explode
     both consume it, and without the cache each re-runs the corpus
     scan + distinct shuffle (r5 rescan audit — no exchange reuse).
+    Cached via ``scoped_persist`` — one live frame per site (ADVICE r5).
     """
-    from pyspark import StorageLevel
+    from presto_truffle_spark.cache import scoped_persist
 
     e = load_table(spark, sf_dir, "events")
-    user_days = (
-        e.select("user_id", trunc_ntz("day", "ts").cast("date").alias("day"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    user_days = scoped_persist(
+        spark,
+        "tsa.rolling_distinct.user_days",
+        e.select(
+            "user_id", trunc_ntz("day", "ts").cast("date").alias("day")
+        ).distinct(),
     )
     calendar = user_days.select("day").distinct()
     contributes = user_days.select(

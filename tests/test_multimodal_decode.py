@@ -52,8 +52,33 @@ def test_decode_image_uses_vendored_bmp_path():
 
 
 def test_decode_image_rejects_opaque_bytes_loudly():
-    with pytest.raises((NotImplementedError, Exception)):
+    # the contract is an EXPLICIT rejection (NotImplementedError from the
+    # no-codec gate, or ValueError from the BMP validator) — an unrelated
+    # struct.error/IndexError from misparsing must FAIL this test
+    with pytest.raises((NotImplementedError, ValueError)):
         decode_image(b"not an image at all")
+
+
+def test_registered_decode_real_matches_module_codec(spark, sf_dir):
+    """multimodal_decode_real inlines the codec as self-contained closures
+    (drivers import __spark_entry__ from outside the repo, so worker-side
+    module references are off-limits). Pin the closures to the module
+    encode_bmp/decode_bmp: for every output row the module round-trip must
+    reproduce width/height/mode, and mean*3*w*h must equal pixel_sum."""
+    from presto_truffle_spark.operators.multimodal import (
+        multimodal_decode_real,
+    )
+
+    rows = multimodal_decode_real(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        i = r.media_id
+        payload = encode_bmp(
+            i % 31 + 1, (i * 7) % 23 + 1, (i % 256, (i * 3) % 256, (i * 5) % 256)
+        )
+        w, h, mode, mean = decode_bmp(payload)
+        assert (w, h, mode) == (r.width, r.height, r.mode)
+        assert round(mean * 3 * w * h) == r.pixel_sum
 
 
 def test_real_decode_distributes_over_binary_column(spark):

@@ -157,22 +157,39 @@ def test_tfidf_broadcasts_df_side(spark, sf_dir):
     assert inspect.broadcast_hint_count(df) >= 2  # df side + 1-row doc count
 
 
-def test_tfidf_tokenizes_corpus_once(spark, sf_dir):
-    """Both consumers of tf (the df aggregate and the final scored join)
-    must read the persisted tf cache instead of re-running the
-    tokenize+explode+groupBy pipeline — the re-computation was a second
-    full corpus scan+shuffle at 100 TB (VERDICT r4). Done-criterion: the
-    plan scans documents zero times (both branches hit
-    InMemoryTableScan); the single real scan happened at persist time."""
-    from presto_truffle_spark.operators.text import text_tfidf_top_terms
+def test_tfidf_tokenizes_corpus_once(spark, sf_dir, monkeypatch):
+    """At scale (input >= the persist threshold) both consumers of tf
+    (the df aggregate and the final scored join) must read the persisted
+    tf cache instead of re-running the tokenize+explode+groupBy pipeline
+    — the re-computation was a second full corpus scan+shuffle at 100 TB
+    (VERDICT r4). Done-criterion: the plan scans documents zero times
+    (both branches hit InMemoryTableScan); the single real scan happened
+    at persist time."""
+    from presto_truffle_spark.operators import text
 
-    df = text_tfidf_top_terms(spark, sf_dir)
+    monkeypatch.setattr(text, "_TFIDF_PERSIST_MIN_BYTES", 0)
+    df = text.text_tfidf_top_terms(spark, sf_dir)
     plan = inspect.physical_plan(df)
     # one InMemoryTableScan under the broadcast df branch, one feeding the
     # scored join directly (the remaining parquet reads in the plan text
     # are the InMemoryRelation cache descriptions plus the column-pruned
     # 1-row doc-count branch)
     assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_tfidf_skips_persist_below_threshold(spark, sf_dir, monkeypatch):
+    """Below the size gate (VERDICT r5 item 6) the cache write costs more
+    than recomputing the pipeline, so tf must stay UNPERSISTED: no
+    InMemoryTableScan anywhere, and the broadcast/top-k shape unchanged."""
+    from presto_truffle_spark.operators import text
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(text, "_TFIDF_PERSIST_MIN_BYTES", 1 << 60)
+    df = text.text_tfidf_top_terms(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "InMemoryTableScan" not in plan
+    assert inspect.uses_broadcast_join(df)
 
 
 def test_user_days_consumers_share_one_pipeline(spark, sf_dir):
