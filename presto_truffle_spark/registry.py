@@ -102,79 +102,76 @@ def load_all_modules() -> None:
 
 # The driver hard-verifies the FIRST 50 queries in dict order per round.
 # Names listed here are surfaced ahead of registration order — rotate this
-# list each round so driver coverage cycles through all queries. Round 5:
-# recomputed from CORRECTNESS r1∪r2∪r3∪r4 — 15 queries lack a green driver
-# row (the 4 r4 hash-fails + the 11 deliberately-deferred never-verified).
-# Window layout: (a) the 4 r4 RED queries first, freshly fixed (decimal
-# literal cast + the NTZ zone-proofing, VERDICT r4 items 2-4); (b) the 11
-# deferred; (c) every GREEN query whose code changed THIS round and whose
-# row is therefore stale — the whole batch events family + the streaming
-# queries with NTZ output casts (tztime refactor), scalar_date_funcs, and
-# text_tfidf_top_terms (single-scan rewrite); (d) the six TPC-H queries
-# that carry the r4 broadcast retrofit but whose last green row predates
-# it (r2); (e) LLM-pipeline rows needing re-proof: dedup_ngram_jaccard's
-# inverted-index rewrite landed r4 but its row is from r2; minhash is the
-# bench headliner; text_bigram_surprisal + quality_constraint_audit were
-# rewritten single-pass THIS round (rescan audit), staling their fresh r4
-# rows — a stale green row outranks re-confirming an unchanged old one
-# (ann_cosine_topk/dedup_exact, green r2, code untouched, yield the two
-# slots). Exactly 50.
+# list each round so driver coverage cycles through all queries. Round 6
+# (tools/rotation_helper.py): never-green backlog is 4 — the 3 HUGEINT
+# oracles (RED r3-r5, root-caused by the r5 judge: DuckDB types
+# sum(BIGINT) as HUGEINT and the driver's Arrow-path hash renders int128
+# unlike int64; fixed with outer CAST ... AS BIGINT, guarded by the new
+# selfcheck dtype gate) plus the newly registered multimodal_decode_real.
+# Window layout: (a) those 4 first; (b) the 5 green rows staled by THIS
+# round's edits — tfidf (persist size-gate), the two user_days queries +
+# bigram_surprisal (scoped_persist refactor), constraint_audit
+# (join-invariant uniqueness via key-set dedup); (c) all 40 queries whose
+# last green row is STILL r1 — the oldest evidence in the registry,
+# predating the r4 broadcast retrofits and the r5 NTZ work (their code
+# paths are shared with refactored modules even where their own functions
+# didn't change); (d) the single oldest r2 row (dedup_exact) to fill slot
+# 50. Exactly 50. r2-era rows (35 remaining) head the r7 rotation.
 _VERIFY_FIRST = (
-    # --- (a) r4 RED, fixed this round ---
-    "scalar_parameterized_sql",
+    # --- (a) never-green: 3 HUGEINT-fixed + the new registration ---
     "events_gapfill_locf",
     "events_rollup_cascade",
     "source_schema_evolution",
-    # --- (b) never-verified backlog (deferred from r4), registration order ---
-    "dedup_winnowing",
-    "graph_triangle_count",
-    "events_interpolate_linear",
-    "events_session_pattern",
-    "events_bitemporal_asof",
-    "events_changepoint_cusum",
-    "events_rolling_distinct_users",
-    "events_trend_regression",
-    "text_cosine_pairs_weighted",
-    "sink_zorder_layout",
-    "sink_zorder_incremental",
-    # --- (c) green rows made stale by this round's edits ---
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionize_islands",
-    "events_asof_join",
-    "events_asof_nearest",
-    "events_dedup_first_per_key",
-    "events_rate_per_user",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_path_transitions",
-    "events_hll_sliding_distinct",
-    "events_pattern_match",
-    "events_anomaly_mad",
-    "events_ohlc_downsample",
-    "sql_recursive_cte",
-    "scalar_date_funcs",
+    "multimodal_decode_real",
+    # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
-    "streaming_tumbling_counts",
-    "streaming_windowed_watermark",
-    "streaming_session_window",
-    "streaming_dedup_watermark",
-    "streaming_rate_ingest",
-    "streaming_stateful_profile",
-    "streaming_transform_with_state",
-    # --- (d) r4 broadcast-retrofit carriers, last green r2 ---
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    # --- (e) LLM-pipeline rows needing re-proof ---
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "events_hll_sliding_distinct",
+    "events_rolling_distinct_users",
     "text_bigram_surprisal",
     "quality_constraint_audit",
+    # --- (c) oldest evidence: every row whose last green is r1 ---
+    "q1_pricing_summary",
+    "agg_minmax_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_having",
+    "agg_stats",
+    "agg_pivot",
+    "q6_count",
+    "filter_predicates",
+    "project_case_when",
+    "scan_prune",
+    "sort_limit",
+    "join_inner_fact_fact",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_theta",
+    "join_broadcast_dims",
+    "subquery_scalar_agg",
+    "window_ranking",
+    "window_topk_per_group",
+    "window_lag_lead",
+    "window_running_agg",
+    "window_first_last",
+    "window_share_of_group",
+    "setop_union_distinct",
+    "setop_union_all_counts",
+    "setop_intersect",
+    "setop_except",
+    "setop_distinct_rows",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "events_from_json",
+    "scalar_null_handling",
+    # --- (d) oldest r2 row fills slot 50 ---
+    "dedup_exact",
 )
 
 
