@@ -1,0 +1,157 @@
+"""Measure the ReorderCheapConjuncts rule's effect (native ext, r6).
+
+Same 20M-row frame, one filter spelled with the EXPENSIVE conjunct first
+(a backtracking-prone anchored regex over ~90-char strings), timed in
+two SEPARATE subprocesses:
+
+  vanilla — Catalyst evaluates the And chain as written: the regex runs
+            on every row (cheap-first spelling also timed for reference);
+  ext     — the extension reorders deterministic conjuncts by cost, so
+            the `id % 1000 = 0` check short-circuits 99.9% of rows past
+            the regex.
+
+Subprocess isolation is mandatory, not a convenience: PySpark launches
+the py4j JVM once per process with the FIRST session's conf as launch
+args, so spark.jars/spark.sql.extensions silently persist into every
+later in-process session — an in-process A/B measures ext against ext
+(observed: "vanilla" second-session timings matched the extension's).
+
+Usage: python tools/native_ext_bench.py          # orchestrates both
+Prints one JSON line; results recorded in BASELINE.md. Kept out of
+bench.py's driver-run battery (two JVM cycles don't belong in the timed
+protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JAR = os.path.join(REPO, "native", "presto-truffle-ext.jar")
+
+# 20M rows × ~90-char strings × a backtracking-prone anchored regex:
+# calibrated so predicate order dominates the runtime (cheap-first
+# ~0.2 s vs expensive-first ~7 s on local[8]) instead of the ~0.1 s
+# scheduling floor, which swallowed the effect at smaller sizes.
+N = 20_000_000
+RUNS = 5
+RX = "(payload-[0-9]+-seg){5}payload-[0-9]*000-seg$"
+
+
+def _mk(extension: bool):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master("local[8]")
+        .appName("ext-bench")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    )
+    if extension:
+        b = b.config("spark.jars", JAR).config(
+            "spark.sql.extensions", "prestotruffle.PrestoTruffleExtensions"
+        )
+    return b.getOrCreate()
+
+
+def _time(df) -> float:
+    samples = []
+    df.write.format("noop").mode("overwrite").save()  # warm
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def _frame(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(N, numPartitions=8).select(
+        F.col("id"),
+        F.repeat(
+            F.concat(
+                F.lit("payload-"),
+                (F.col("id") % 100000).cast("string"),
+                F.lit("-seg"),
+            ),
+            6,
+        ).alias("s"),
+    )
+
+
+def _cheap_first(df):
+    from pyspark.sql import functions as F
+
+    return df.filter((F.col("id") % 1000 == 0) & F.col("s").rlike(RX)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _expensive_first(df):
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col("s").rlike(RX) & (F.col("id") % 1000 == 0)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _phase(which: str) -> None:
+    spark = _mk(extension=(which == "ext"))
+    df = _frame(spark)
+    out: dict = {}
+    plan = _expensive_first(df)._jdf.queryExecution().optimizedPlan().toString()
+    fl = next(l for l in plan.splitlines() if "Filter " in l)
+    reordered = fl.find("% 1000") < fl.find("RLIKE")
+    if which == "ext":
+        assert reordered, f"extension rule did not fire: {fl}"
+        out["ext_rule_fired"] = True
+        out["ext_expensive_first"] = _time(_expensive_first(df))
+    else:
+        assert not reordered, f"vanilla session unexpectedly reordered: {fl}"
+        out["vanilla_cheap_first"] = _time(_cheap_first(df))
+        out["vanilla_expensive_first"] = _time(_expensive_first(df))
+    out[f"{which}_rows"] = _expensive_first(df).collect()[0].n
+    spark.stop()
+    print("PHASE_JSON " + json.dumps(out))
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        _phase(sys.argv[1])
+        return 0
+
+    merged: dict = {}
+    for which in ("ext", "vanilla"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), which],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+        line = next(
+            l for l in proc.stdout.splitlines() if l.startswith("PHASE_JSON ")
+        )
+        merged.update(json.loads(line[len("PHASE_JSON "):]))
+
+    assert merged.pop("ext_rows") == merged["vanilla_rows"] == merged.setdefault(
+        "rows", merged["vanilla_rows"]
+    )
+    merged.pop("vanilla_rows")
+    merged["speedup_vs_written_order"] = round(
+        merged["vanilla_expensive_first"] / merged["ext_expensive_first"], 2
+    )
+    print(json.dumps(merged))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
