@@ -40,10 +40,95 @@ package prestotruffle
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native vector dot product over array<float> / array<double> columns.
+ *
+ *  The similarity family's hot inner loop: the pure-SQL spelling
+ *  `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)`
+ *  allocates an intermediate array and dispatches two interpreted
+ *  lambdas PER ELEMENT; this expression is one fused primitive loop
+ *  over the two ArrayData buffers, with whole-stage codegen emitting
+ *  the loop inline into the enclosing stage. At 100 TB × 1024-dim
+ *  embeddings that per-element interpreter dispatch is the dominant
+ *  cost of a brute-force or IVF-probe scan.
+ *
+ *  Null semantics: NULL if either side is NULL (standard binary
+ *  expression); mismatched lengths raise — a silent truncation would
+ *  corrupt similarity scores.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if a == b && (a == FloatType || a == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two arrays of matching float/double " +
+            s"element type, got ${left.dataType.sql} and ${right.dataType.sql}"
+        )
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"$prettyName: length mismatch ${n} vs ${b.numElements()}"
+      )
+    }
+    var s = 0.0d
+    var i = 0
+    if (elemType == FloatType) {
+      while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += (double) $a.$get($i) * (double) $b.$get($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): DotProduct = copy(left = newLeft, right = newRight)
+}
 
 object ReorderCheapConjuncts extends Rule[LogicalPlan] {
 
@@ -84,6 +169,13 @@ object ReorderCheapConjuncts extends Rule[LogicalPlan] {
 class PrestoTruffleExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReorderCheapConjuncts)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))
+      )
+    )
     ext.injectFunction(
       (
         FunctionIdentifier("cents"),

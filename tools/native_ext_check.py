@@ -84,6 +84,47 @@ def main() -> int:
     n = df.filter(F.expr("cents(x) % 10 = 3")).count()
     assert n > 0
 
+    # 5. vec_dot: the native fused dot-product loop must match the
+    # pure-SQL aggregate/zip_with spelling bit-for-bit (both accumulate
+    # sequentially in double). Double arrays...
+    vdf = spark.range(200).select(
+        F.col("id"),
+        F.expr("transform(sequence(0, 63), j -> cos(id * j + 0.5))").alias("a"),
+        F.expr("transform(sequence(0, 63), j -> sin(id + j * 0.25))").alias("b"),
+    )
+    cmp = vdf.select(
+        F.expr("vec_dot(a, b)").alias("native"),
+        F.expr(
+            "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        ).alias("sql"),
+    ).collect()
+    assert all(r.native == r.sql for r in cmp), next(
+        (r.native, r.sql) for r in cmp if r.native != r.sql
+    )
+    # ...and float arrays (promote-to-double before multiply on both sides)
+    fdf = vdf.select(
+        F.expr("transform(a, x -> CAST(x AS FLOAT))").alias("a"),
+        F.expr("transform(b, x -> CAST(x AS FLOAT))").alias("b"),
+    )
+    fcmp = fdf.select(
+        F.expr("vec_dot(a, b)").alias("native"),
+        F.expr(
+            "aggregate(zip_with(a, b, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+        ).alias("sql"),
+    ).collect()
+    assert all(r.native == r.sql for r in fcmp)
+    # NULL propagates; length mismatch raises loudly
+    nl = spark.sql(
+        "SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS v"
+    ).collect()
+    assert nl[0].v is None
+    try:
+        spark.sql("SELECT vec_dot(array(1.0D), array(1.0D, 2.0D))").collect()
+        raise AssertionError("length mismatch did not raise")
+    except Exception as e:  # noqa: BLE001
+        assert "length mismatch" in str(e)
+
     print("NATIVE_EXT_OK")
     spark.stop()
     return 0
