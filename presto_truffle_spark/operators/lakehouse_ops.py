@@ -229,3 +229,95 @@ def sink_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_day"),
         F.max("y").alias("max_day"),
     )
+
+
+@query(
+    "lakehouse_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) < 1997
+    ), v2 AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   * CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END AS cents
+        FROM orders
+        WHERE year(o_orderdate) < 1998 AND o_orderkey % 13 <> 0
+    ), classified AS (
+        SELECT CASE
+                 WHEN v1.k IS NULL THEN 'added'
+                 WHEN v2.k IS NULL THEN 'removed'
+                 WHEN v1.cents <> v2.cents THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type,
+               coalesce(v2.k, v1.k) AS k,
+               coalesce(v2.cents, 0) - coalesce(v1.cents, 0) AS delta
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT change_type,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS keys_sum,
+           CAST(sum(delta) AS BIGINT) AS cents_delta
+    FROM classified
+    GROUP BY 1
+    """,
+)
+def lakehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-versioning primitive every lakehouse
+    exposes (Delta CDF / Iceberg changelog shape): classify every key
+    across two table versions as added / removed / changed / unchanged
+    and report per-class counts, a key checksum, and the net value
+    delta.
+
+    Versions are derived deterministically from the base table so the
+    oracle can rebuild them: v1 = orders before 1997; v2 = orders before
+    1998 minus every 13th key (deletes) with every 7th key's cents
+    doubled (updates). The diff itself is version-agnostic: one FULL
+    OUTER JOIN on the key, NULL-side tests for added/removed, value
+    compare for changed.
+
+    Scale posture: a single key-partitioned shuffle joins the two
+    snapshots (at 100 TB both sides are parquet scans that co-partition
+    on the join key; with bucketed tables the shuffle disappears
+    entirely), then a K=4-row aggregate. No broadcast of anything that
+    grows; the classification is row-local CASE logic in whole-stage
+    codegen. Cents stay exact BIGINTs end-to-end (FIXTURES.md
+    convention) so the delta sum is hash-stable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    v1 = o.where(F.year("o_orderdate") < 1997).select(
+        F.col("o_orderkey").alias("k1"), cents.alias("cents1")
+    )
+    v2 = (
+        o.where((F.year("o_orderdate") < 1998) & (F.col("o_orderkey") % 13 != 0))
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            (
+                cents
+                * F.when(F.col("o_orderkey") % 7 == 0, F.lit(2)).otherwise(
+                    F.lit(1)
+                )
+            ).alias("cents2"),
+        )
+    )
+    joined = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    change_type = (
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(F.col("cents1") != F.col("cents2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    classified = joined.select(
+        change_type.alias("change_type"),
+        F.coalesce("k2", "k1").alias("k"),
+        (
+            F.coalesce("cents2", F.lit(0)) - F.coalesce("cents1", F.lit(0))
+        ).alias("delta"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("keys_sum"),
+        F.sum("delta").cast("bigint").alias("cents_delta"),
+    )

@@ -392,3 +392,98 @@ def multimodal_size_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(blen), 4).alias("avg_bytes"),
         F.max(blen).cast("long").alias("max_bytes"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH t AS (
+        SELECT d.doc_id,
+               CAST(d.doc_id % 400 + 100 AS BIGINT) AS n_samples,
+               r.range AS t
+        FROM documents d CROSS JOIN range(0, 499) r
+        WHERE r.range < d.doc_id % 400 + 100
+    ), s AS (
+        SELECT doc_id,
+               CAST(t // 160 AS INTEGER) AS win_idx,
+               ((doc_id * 31 + 7 * t * t) % 2048) - 1024 AS v
+        FROM t
+    )
+    SELECT doc_id AS media_id,
+           win_idx,
+           count(*) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with REAL byte decoding — the PCM analog
+    of ``multimodal_decode_real``: synthesize 16-bit little-endian PCM
+    per document (sample t = ((doc_id·31 + 7t²) mod 2048) − 1024,
+    doc_id%400+100 samples), carry it as a BINARY column through Arrow,
+    then parse the actual bytes (``np.frombuffer('<i2')``) in a second
+    ``mapInPandas`` and emit per-window (160-sample ≈ 10 ms @ 16 kHz)
+    energy and peak — the framing every VAD / loudness-normalization /
+    silence-trim pipeline starts from. The oracle recomputes every value
+    from the generative formula alone; energies are exact integers
+    (int16² sums), so the hash is bit-stable.
+
+    Scale posture: two chained map-only stages, no shuffle until the
+    K-per-doc window aggregate (and that groupBy collapses map-side:
+    samples of one payload never leave their partition). At 100 TB the
+    synth stage is replaced by the parquet scan of a real audio column;
+    window framing work is linear in total samples and batch-bounded by
+    ``spark.sql.files.maxPartitionBytes``.
+    """
+    schema_enc = "media_id long, payload binary"
+    schema_dec = (
+        "media_id long, win_idx int, n_samples long, energy long, peak long"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def synth(i: int) -> bytes:
+            n = i % 400 + 100
+            t = np.arange(n, dtype=np.int64)
+            v = ((i * 31 + 7 * t * t) % 2048) - 1024
+            return v.astype("<i2").tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: synth(int(i))),
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "win_idx": [], "n_samples": [], "energy": [], "peak": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                v = np.frombuffer(bytes(p), dtype="<i2").astype(np.int64)
+                for w in range(0, len(v), 160):
+                    chunk = v[w : w + 160]
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w // 160)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(int((chunk * chunk).sum()))
+                    out["peak"].append(int(np.abs(chunk).max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "win_idx": pd.Series(out["win_idx"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)

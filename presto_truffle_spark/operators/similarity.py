@@ -460,3 +460,98 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
+
+
+@query(
+    "ann_kmeans_iteration",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+        FROM embeddings WHERE vec_id BETWEEN 10 AND {10 + _N_CENTROIDS - 1}
+    ), pts AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+        FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, vv, c_id, d2 FROM (
+            SELECT p.vec_id, p.vv, c.c_id,
+                   round(p.vv - 2 * list_dot_product(p.ev, c.ce) + c.cc, 6) AS d2,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY round(p.vv - 2 * list_dot_product(p.ev, c.ce)
+                                                     + c.cc, 6), c.c_id) AS rn
+            FROM pts p CROSS JOIN cent c)
+        WHERE rn = 1
+    ), comp AS (
+        SELECT a.vec_id, a.c_id, a.d2,
+               list_sum(p.ev) AS vsum
+        FROM assigned a JOIN pts p ON a.vec_id = p.vec_id
+    )
+    SELECT c_id AS cluster_id,
+           count(*) AS n_members,
+           round(sum(d2), 4) AS inertia,
+           round(sum(vsum), 4) AS member_component_sum
+    FROM comp
+    GROUP BY 1
+    """,
+)
+def ann_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embedding corpus — the
+    training step the IVF queries' docstrings point at ("real IVF trains
+    k-means"): assign every vector to its nearest centroid by squared L2
+    distance, then report each cluster's size, inertia contribution
+    (sum of assigned distances — the quantity Lloyd descends), and the
+    member component sum (the numerator of the new centroid mean; the
+    mean itself is a downstream division by n_members, kept un-divided
+    per the repo's sum+count convention so no avg lands on a rounding
+    boundary).
+
+    d2 is expanded as ||v||² − 2·v·c + ||c||² from three sequential-fold
+    dot products (identical evaluation order to DuckDB's
+    list_dot_product), rounded to 6dp BEFORE the argmin so ULP noise
+    cannot flip an assignment between engines; ties break on centroid
+    id.
+
+    Scale posture: the K=8 centroid table is broadcast (K is always
+    broadcastable — it is the model, not the data); the corpus side is
+    scanned once, amplified ×K map-side, reduced by the per-vector
+    argmin window on vec_id (one shuffle), then aggregated per cluster
+    (second shuffle, K rows out). Iterating to convergence re-runs this
+    plan with the updated (still tiny) centroid table — the loop driver
+    stays outside Spark, the data never leaves the executors. At 100 TB
+    this is the canonical mini-batch-able k-means step.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").cast("array<double>").alias("ce"),
+        )
+        .withColumn("cc", _dot(F.col("ce"), F.col("ce")))
+    )
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    ).withColumn("vv", _dot(F.col("ev"), F.col("ev")))
+    d2 = F.round(
+        F.col("vv") - 2 * _dot(F.col("ev"), F.col("ce")) + F.col("cc"), 6
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("d2", "c_id")
+    assigned = (
+        pts.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "c_id",
+            d2.alias("d2"),
+            F.aggregate(
+                F.col("ev"), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("vsum"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy(F.col("c_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("d2"), 4).alias("inertia"),
+        F.round(F.sum("vsum"), 4).alias("member_component_sum"),
+    )

@@ -115,14 +115,20 @@ def load_all_modules() -> None:
 # last green row is STILL r1 — the oldest evidence in the registry,
 # predating the r4 broadcast retrofits and the r5 NTZ work (their code
 # paths are shared with refactored modules even where their own functions
-# didn't change); (d) the single oldest r2 row (dedup_exact) to fill slot
-# 50. Exactly 50. r2-era rows (35 remaining) head the r7 rotation.
+# didn't change). The three operators REGISTERED this round (kmeans
+# iteration, snapshot diff, audio energy) join block (a) — never-green
+# outranks re-confirmation — displacing the three lowest-priority
+# oldest-evidence rows. Exactly 50. r2-era rows (36 incl. dedup_exact)
+# plus the three displaced r1 rows head the r7 rotation.
 _VERIFY_FIRST = (
-    # --- (a) never-green: 3 HUGEINT-fixed + the new registration ---
+    # --- (a) never-green: 3 HUGEINT-fixed + the 4 new r6 registrations ---
     "events_gapfill_locf",
     "events_rollup_cascade",
     "source_schema_evolution",
     "multimodal_decode_real",
+    "ann_kmeans_iteration",
+    "lakehouse_snapshot_diff",
+    "multimodal_audio_energy",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -168,10 +174,9 @@ _VERIFY_FIRST = (
     "scalar_math_funcs",
     "scalar_array_funcs",
     "scalar_json_funcs",
-    "events_from_json",
-    "scalar_null_handling",
-    # --- (d) oldest r2 row fills slot 50 ---
-    "dedup_exact",
+    # (events_from_json, scalar_null_handling, dedup_exact yield their
+    # slots to the three new never-green registrations; they lead r7's
+    # oldest-evidence block instead)
 )
 
 
