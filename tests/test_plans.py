@@ -382,3 +382,48 @@ def test_pagerank_plan_stays_shallow(spark, sf_dir):
     assert inspect.count_exchanges(df) == 0
     plan = inspect.physical_plan(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_kmeans_broadcasts_centroids_and_prunes_scan(spark, sf_dir):
+    """The Lloyd step must broadcast the K=8 centroid side (the model is
+    always broadcastable; shuffling the corpus against it would be the
+    100 TB mistake) and push the centroid vec_id filter to its scan."""
+    from presto_truffle_spark.operators.similarity import ann_kmeans_iteration
+
+    df = ann_kmeans_iteration(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # centroid filter reaches parquet (8-row side scans 8 rows, not 500)
+    assert "vec_id" in plan and "PushedFilters: [" in plan
+
+
+def test_snapshot_diff_is_one_key_shuffle_no_broadcast_growth(spark, sf_dir):
+    """The version diff is a key-partitioned FULL OUTER join: both sides
+    grow with the table, so neither may be broadcast; classification is
+    row-local (no extra exchange beyond the join + final 4-row agg)."""
+    from presto_truffle_spark.operators.lakehouse_ops import (
+        lakehouse_snapshot_diff,
+    )
+
+    import re
+
+    df = lakehouse_snapshot_diff(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*FullOuter", plan)
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_energy_is_map_only_until_output(spark, sf_dir):
+    """Synth and decode are two chained Arrow stages with NO shuffle
+    anywhere: samples of one payload never leave their partition (the
+    windowed aggregate happens inside the decode UDF)."""
+    from presto_truffle_spark.operators.multimodal import (
+        multimodal_audio_energy,
+    )
+
+    df = multimodal_audio_energy(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("ArrowEvalPython") >= 2 or plan.count("MapInPandas") >= 2
+    assert "Exchange" not in plan
