@@ -1,0 +1,174 @@
+"""Random-query differential fuzzer: Spark vs DuckDB on random frames.
+
+SURVEY §5.2 generalized — the 200 registered queries differential-test
+FIXED plans; this harness derives the query itself from a seed: a random
+table (int measures, low-cardinality string keys, NULLs) written to
+parquet, then a random filter + group-by + aggregate query rendered
+TWICE from one AST — as a Spark DataFrame chain and as DuckDB SQL — and
+compared with the driver-faithful canonicalization from selfcheck.
+
+Grammar is deliberately confined to constructs with identical
+cross-engine semantics: integer arithmetic/comparisons, IS [NOT] NULL,
+AND/OR, string equality, count/count(distinct)/sum/min/max over ints —
+no doubles in aggregates (ULP), no collation-sensitive ordering, no
+zone-dependent time functions. NULL semantics (3-valued logic in
+filters, null-skipping aggregates, NULL group keys) are fully in scope —
+that is where engines classically diverge.
+
+Usage: python tools/fuzz_differential.py [n_cases] [base_seed]
+Prints per-case PASS/FAIL + a summary; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from tools.selfcheck import canon
+
+KEYS = ["k1", "k2"]
+MEASURES = ["m1", "m2", "m3"]
+
+
+def gen_rows(rng: random.Random, n: int):
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                rng.choice(["a", "b", "c", None]),
+                rng.choice(["x", "y", None]),
+                rng.choice([None, *range(-5, 20)]),
+                rng.choice([None, *range(0, 1000, 7)]),
+                rng.randint(-(10**6), 10**6),
+            )
+        )
+    return rows
+
+
+def gen_predicate(rng: random.Random) -> str:
+    """One boolean term over the columns, SQL spelling shared by both
+    engines (Spark parses it via F.expr)."""
+    c = rng.random()
+    if c < 0.25:
+        col = rng.choice(MEASURES)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{col} {op} {rng.randint(-10, 25)}"
+    if c < 0.45:
+        col = rng.choice(KEYS + MEASURES)
+        return f"{col} IS {'NOT ' if rng.random() < 0.5 else ''}NULL"
+    if c < 0.65:
+        col = rng.choice(KEYS)
+        return f"{col} = '{rng.choice(['a', 'b', 'c', 'x', 'y'])}'"
+    if c < 0.85:
+        a, b = rng.sample(MEASURES, 2)
+        return f"{a} + {b} > {rng.randint(-10, 30)}"
+    col = rng.choice(MEASURES)
+    return f"{col} % {rng.randint(2, 7)} = {rng.randint(0, 1)}"
+
+
+def gen_query(rng: random.Random):
+    """Returns (where_sql, group_cols, agg_specs) where each agg spec is
+    (alias, sql_expr, spark_builder_name, col)."""
+    n_pred = rng.randint(1, 3)
+    parts = [gen_predicate(rng) for _ in range(n_pred)]
+    glue = [rng.choice([" AND ", " OR "]) for _ in range(n_pred - 1)]
+    where = parts[0]
+    for g, p in zip(glue, parts[1:]):
+        where += g + p
+    group_cols = rng.sample(KEYS, rng.randint(0, 2))
+    aggs = [("cnt", "count(*)")]
+    for i in range(rng.randint(1, 3)):
+        col = rng.choice(MEASURES)
+        fn = rng.choice(["sum", "min", "max", "count", "count_distinct"])
+        if fn == "count_distinct":
+            aggs.append((f"a{i}", f"count(DISTINCT {col})"))
+        else:
+            aggs.append((f"a{i}", f"{fn}({col})"))
+    return where, group_cols, aggs
+
+
+def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
+    """Returns None on agreement, else a description of the mismatch."""
+    rows = gen_rows(rng, rng.randint(0, 400))
+    schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
+    path = os.path.join(tmp, f"fuzz_{case_id}.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+
+    where, group_cols, aggs = gen_query(rng)
+    # every aggregate wrapped CAST(... AS BIGINT): count() is bigint in
+    # both engines but DuckDB types sum(BIGINT) as HUGEINT (the r6 gate
+    # class) — the cast is the registered-oracle convention
+    sel = ", ".join(
+        [*group_cols, *(f"CAST({expr} AS BIGINT) AS {alias}" for alias, expr in aggs)]
+    )
+    gb = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    sql = f"SELECT {sel} FROM t WHERE {where}{gb}"
+
+    sdf = spark.read.parquet(path).where(where)
+    from pyspark.sql import functions as F
+
+    agg_cols = [
+        F.expr(expr).cast("bigint").alias(alias) for alias, expr in aggs
+    ]
+    sdf = (
+        sdf.groupBy(*group_cols).agg(*agg_cols)
+        if group_cols
+        else sdf.agg(*agg_cols)
+    )
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    # Spark writes a DIRECTORY of part files; DuckDB reads it via glob
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    res = con.execute(sql)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return f"columns {sorted(spark_cols)} vs {sorted(duck_cols)} [{sql}]"
+    if len(spark_rows) != len(duck_rows):
+        return f"rowcount {len(spark_rows)} vs {len(duck_rows)} [{sql}]"
+    a = canon(spark_rows, spark_cols)
+    b = canon(duck_rows, duck_cols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        return f"values {diff} [{sql}]"
+    return None
+
+
+def main() -> int:
+    from presto_truffle_spark.session import get_spark
+
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    spark = get_spark("fuzz-differential", cpus="8")
+    con = duckdb.connect()
+    tmp = tempfile.mkdtemp(prefix="fuzz_diff_")
+    failures = []
+    try:
+        for i in range(n_cases):
+            rng = random.Random(base_seed * 100003 + i)
+            err = run_case(spark, con, rng, tmp, i)
+            if err:
+                print(f"FAIL  case {i}: {err}")
+                failures.append(i)
+            else:
+                print(f"PASS  case {i}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(f"\n{n_cases - len(failures)} pass, {len(failures)} fail of {n_cases}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
