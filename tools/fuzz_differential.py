@@ -9,11 +9,14 @@ compared with the driver-faithful canonicalization from selfcheck.
 
 Grammar is deliberately confined to constructs with identical
 cross-engine semantics: integer arithmetic/comparisons, IS [NOT] NULL,
-AND/OR, string equality, count/count(distinct)/sum/min/max over ints —
-no doubles in aggregates (ULP), no collation-sensitive ordering, no
-zone-dependent time functions. NULL semantics (3-valued logic in
-filters, null-skipping aggregates, NULL group keys) are fully in scope —
-that is where engines classically diverge.
+AND/OR, string equality, count/count(distinct)/sum/min/max over ints,
+and two-table INNER/LEFT/FULL equi-joins on a NULL-bearing string key
+(filter applied after the join in both spellings) — no doubles in
+aggregates (ULP), no collation-sensitive ordering, no zone-dependent
+time functions. NULL semantics (3-valued logic in filters,
+null-skipping aggregates, NULL group keys, never-joining NULL keys,
+outer-join null extension) are fully in scope — that is where engines
+classically diverge.
 
 Usage: python tools/fuzz_differential.py [n_cases] [base_seed]
 Prints per-case PASS/FAIL + a summary; exit 1 on any mismatch.
@@ -94,14 +97,51 @@ def gen_query(rng: random.Random):
     return where, group_cols, aggs
 
 
+def gen_join_rows(rng: random.Random, n: int):
+    """Right-side table: string key (shared value space with t.k1, plus
+    values that never match, plus NULLs — NULL keys must not join in
+    either engine) and one int measure."""
+    return [
+        (rng.choice(["a", "b", "c", "z", None]), rng.randint(-100, 100))
+        for _ in range(n)
+    ]
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
+    from pyspark.sql import functions as F
+
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
     path = os.path.join(tmp, f"fuzz_{case_id}.parquet")
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
 
     where, group_cols, aggs = gen_query(rng)
+    join_type = rng.choice([None, "JOIN", "LEFT JOIN", "FULL JOIN"])
+    join_sql = ""
+    src = spark.read.parquet(path)
+    if join_type is not None:
+        upath = os.path.join(tmp, f"fuzz_{case_id}_u.parquet")
+        urows = gen_join_rows(rng, rng.randint(0, 60))
+        spark.createDataFrame(urows, "uk string, n1 long").write.mode(
+            "overwrite"
+        ).parquet(upath)
+        con.execute(
+            f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
+        )
+        join_sql = f" {join_type} u ON t.k1 = u.uk"
+        how = {"JOIN": "inner", "LEFT JOIN": "left", "FULL JOIN": "full_outer"}[
+            join_type
+        ]
+        src = src.join(
+            spark.read.parquet(upath), F.col("k1") == F.col("uk"), how
+        )
+        # joins widen the aggregate surface to the right side too
+        if rng.random() < 0.7:
+            aggs.append(("j0", rng.choice(["sum(n1)", "count(n1)", "min(n1)"])))
+        if rng.random() < 0.3:
+            group_cols = group_cols + ["uk"]
+
     # every aggregate wrapped CAST(... AS BIGINT): count() is bigint in
     # both engines but DuckDB types sum(BIGINT) as HUGEINT (the r6 gate
     # class) — the cast is the registered-oracle convention
@@ -109,11 +149,12 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         [*group_cols, *(f"CAST({expr} AS BIGINT) AS {alias}" for alias, expr in aggs)]
     )
     gb = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
-    sql = f"SELECT {sel} FROM t WHERE {where}{gb}"
+    # WHERE applies AFTER the join in both spellings (deliberate: the
+    # same placement, so outer-join null-extension then filter semantics
+    # are exercised identically)
+    sql = f"SELECT {sel} FROM t{join_sql} WHERE {where}{gb}"
 
-    sdf = spark.read.parquet(path).where(where)
-    from pyspark.sql import functions as F
-
+    sdf = src.where(where)
     agg_cols = [
         F.expr(expr).cast("bigint").alias(alias) for alias, expr in aggs
     ]
