@@ -107,9 +107,90 @@ def gen_join_rows(rng: random.Random, n: int):
     ]
 
 
+def gen_window_exprs(rng: random.Random) -> list[str]:
+    """Window expressions with a TOTAL order (rid is unique per row, so
+    rank/lag/frames are deterministic in both engines). Rendered once and
+    fed verbatim to DuckDB SQL and Spark selectExpr."""
+    out = []
+    for i in range(rng.randint(1, 3)):
+        part = rng.choice(["", "PARTITION BY k1 ", "PARTITION BY k1, k2 "])
+        # NULLS FIRST is spelled explicitly: fuzzing WITHOUT it found a
+        # real cross-engine divergence — Spark defaults ascending NULLS
+        # FIRST, DuckDB NULLS LAST, so any window ordered on a nullable
+        # column silently reorders between engines (now a FIXTURES.md
+        # oracle convention).
+        order = f"ORDER BY {rng.choice(['m1', 'm2'])} NULLS FIRST, rid"
+        frame = rng.choice(
+            [
+                "",
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                f" ROWS BETWEEN {rng.randint(1, 3)} PRECEDING AND CURRENT ROW",
+                f" ROWS BETWEEN 1 PRECEDING AND {rng.randint(1, 2)} FOLLOWING",
+            ]
+        )
+        fn = rng.choice(
+            [
+                "row_number()",
+                "rank()",
+                "dense_rank()",
+                f"sum({rng.choice(MEASURES)})",
+                f"min({rng.choice(MEASURES)})",
+                f"count({rng.choice(MEASURES)})",
+                "lag(m1, 1)",
+                "lead(m2, 1)",
+            ]
+        )
+        if fn in ("row_number()", "rank()", "dense_rank()") or fn.startswith(
+            ("lag", "lead")
+        ):
+            frame = ""  # ranking/offset functions take no frame
+        out.append(
+            f"CAST({fn} OVER ({part}{order}{frame}) AS BIGINT) AS w{i}"
+        )
+    return out
+
+
+def run_window_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Window-function case: per-row output over a totally ordered frame,
+    identical SQL text on both engines."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 200)))]
+    schema = "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    path = os.path.join(tmp, f"fuzz_{case_id}_w.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+
+    where = gen_predicate(rng)
+    wexprs = gen_window_exprs(rng)
+    sel = ", ".join(["rid", *wexprs])
+    sql = f"SELECT {sel} FROM t WHERE {where}"
+
+    sdf = spark.read.parquet(path).where(where).selectExpr("rid", *wexprs)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    res = con.execute(sql)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    if len(spark_rows) != len(duck_rows):
+        return f"rowcount {len(spark_rows)} vs {len(duck_rows)} [{sql}]"
+    a = canon(spark_rows, spark_cols)
+    b = canon(duck_rows, duck_cols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        return f"values {diff} [{sql}]"
+    return None
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
+
+    if rng.random() < 0.35:
+        return run_window_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
