@@ -16,6 +16,13 @@
 All cosines are computed in float64 (explicit cast from the stored float32)
 and rounded before ranking so Spark's sequential fold and DuckDB's
 list_dot_product agree bit-for-bit after rounding.
+
+Deployments loading the repo's Catalyst extension
+(native/presto-truffle-ext.jar) can swap the ``_dot`` fold for the
+native ``vec_dot(a, b)`` SQL function — one fused codegen loop, measured
+3.2× over the lambda spelling (BASELINE.md r6) with bit-identical
+sequential-double accumulation. The registered queries keep the pure
+spelling so driver sessions stay vanilla.
 """
 
 from __future__ import annotations
