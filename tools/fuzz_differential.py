@@ -10,10 +10,13 @@ compared with the driver-faithful canonicalization from selfcheck.
 Grammar is deliberately confined to constructs with identical
 cross-engine semantics: integer arithmetic/comparisons, IS [NOT] NULL,
 AND/OR, string equality, count/count(distinct)/sum/min/max over ints,
-and two-table INNER/LEFT/FULL equi-joins on a NULL-bearing string key
-(filter applied after the join in both spellings) — no doubles in
-aggregates (ULP), no collation-sensitive ordering, no zone-dependent
-time functions. NULL semantics (3-valued logic in filters,
+two-table INNER/LEFT/FULL equi-joins on a NULL-bearing string key
+(filter applied after the join in both spellings), HAVING over grouped
+counts, UNION/INTERSECT/EXCEPT with and without ALL (bag vs set
+semantics over NULL rows), deterministic ORDER BY + LIMIT top-k
+(explicit NULLS placement + unique tie-break), and window functions —
+no doubles in aggregates (ULP), no collation-sensitive ordering, no
+zone-dependent time functions. NULL semantics (3-valued logic in filters,
 null-skipping aggregates, NULL group keys, never-joining NULL keys,
 outer-join null extension) are fully in scope — that is where engines
 classically diverge.
@@ -185,12 +188,111 @@ def run_window_case(
     return None
 
 
+def _compare(spark_df, con, sql: str) -> str | None:
+    spark_cols = [c.lower() for c in spark_df.columns]
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    if sorted(spark_cols) != sorted(duck_cols):
+        return f"columns {sorted(spark_cols)} vs {sorted(duck_cols)} [{sql}]"
+    if len(spark_rows) != len(duck_rows):
+        return f"rowcount {len(spark_rows)} vs {len(duck_rows)} [{sql}]"
+    a = canon(spark_rows, spark_cols)
+    b = canon(duck_rows, duck_cols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        return f"values {diff} [{sql}]"
+    return None
+
+
+def run_setop_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
+    """Set-operation case: two filters of one table combined with
+    UNION/INTERSECT/EXCEPT [ALL] — bag vs set semantics with NULL rows
+    is another classic divergence surface."""
+    rows = gen_rows(rng, rng.randint(0, 300))
+    path = os.path.join(tmp, f"fuzz_{case_id}_s.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    w1, w2 = gen_predicate(rng), gen_predicate(rng)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    )
+    cols = "k1, m1, m2"
+    sql = (
+        f"SELECT {cols} FROM t WHERE {w1} {op} "
+        f"SELECT {cols} FROM t WHERE {w2}"
+    )
+    base = spark.read.parquet(path)
+    a = base.where(w1).selectExpr("k1", "m1", "m2")
+    b = base.where(w2).selectExpr("k1", "m1", "m2")
+    sdf = {
+        "UNION": lambda: a.union(b).distinct(),
+        "UNION ALL": lambda: a.union(b),
+        "INTERSECT": lambda: a.intersect(b),
+        "INTERSECT ALL": lambda: a.intersectAll(b),
+        "EXCEPT": lambda: a.subtract(b),
+        "EXCEPT ALL": lambda: a.exceptAll(b),
+    }[op]()
+    return _compare(sdf, con, sql)
+
+
+def run_order_limit_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Top-k case: ORDER BY over a nullable measure with explicit NULLS
+    placement and a unique tie-break, then LIMIT — the selected SET must
+    match (canon is order-insensitive, so determinism of membership is
+    what's tested)."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 300)))]
+    path = os.path.join(tmp, f"fuzz_{case_id}_o.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    where = gen_predicate(rng)
+    col = rng.choice(["m1", "m2"])
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = "NULLS FIRST" if direction == "ASC" else "NULLS LAST"
+    k = rng.randint(1, 20)
+    sql = (
+        f"SELECT rid, k1, {col} FROM t WHERE {where} "
+        f"ORDER BY {col} {direction} {nulls}, rid LIMIT {k}"
+    )
+    from pyspark.sql import functions as F
+
+    oc = (
+        F.col(col).asc_nulls_first()
+        if direction == "ASC"
+        else F.col(col).desc_nulls_last()
+    )
+    sdf = (
+        spark.read.parquet(path)
+        .where(where)
+        .orderBy(oc, F.col("rid"))
+        .limit(k)
+        .select("rid", "k1", col)
+    )
+    return _compare(sdf, con, sql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
 
-    if rng.random() < 0.35:
+    pick = rng.random()
+    if pick < 0.25:
         return run_window_case(spark, con, rng, tmp, case_id)
+    if pick < 0.40:
+        return run_setop_case(spark, con, rng, tmp, case_id)
+    if pick < 0.55:
+        return run_order_limit_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
@@ -233,7 +335,10 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
     # WHERE applies AFTER the join in both spellings (deliberate: the
     # same placement, so outer-join null-extension then filter semantics
     # are exercised identically)
-    sql = f"SELECT {sel} FROM t{join_sql} WHERE {where}{gb}"
+    having = ""
+    if group_cols and rng.random() < 0.4:
+        having = f" HAVING count(*) > {rng.randint(0, 3)}"
+    sql = f"SELECT {sel} FROM t{join_sql} WHERE {where}{gb}{having}"
 
     sdf = src.where(where)
     agg_cols = [
@@ -244,6 +349,9 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         if group_cols
         else sdf.agg(*agg_cols)
     )
+    if having:
+        # HAVING count(*) filters on the already-aliased cnt column
+        sdf = sdf.where(f"cnt > {having.rsplit('> ', 1)[1]}")
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
