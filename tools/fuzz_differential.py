@@ -282,16 +282,68 @@ def run_order_limit_case(
     return _compare(sdf, con, sql)
 
 
+def gen_scalar_exprs(rng: random.Random) -> list[str]:
+    """Per-row scalar expressions with identical cross-engine NULL
+    semantics. `||` is used for concatenation, NEVER concat(): DuckDB's
+    concat() SKIPS NULL arguments while Spark's returns NULL — a live
+    divergence this fuzzer's probe confirmed (FIXTURES.md r6). substr
+    start stays >= 1 (0/negative starts differ)."""
+    out = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 5)
+        if kind == 0:
+            out.append(f"upper(k1) || '_' || coalesce(k2, 'NA') AS s{i}")
+        elif kind == 1:
+            out.append(
+                f"substr(k1 || k1 || 'xyz', {rng.randint(1, 4)}, "
+                f"{rng.randint(1, 5)}) AS s{i}"
+            )
+        elif kind == 2:
+            out.append(f"CAST(length(k1 || coalesce(k2, '')) AS BIGINT) AS s{i}")
+        elif kind == 3:
+            out.append(f"coalesce(nullif(k1, 'a'), k2, 'zz') AS s{i}")
+        elif kind == 4:
+            out.append(
+                f"CASE WHEN m1 > {rng.randint(-5, 10)} THEN k1 ELSE k2 END AS s{i}"
+            )
+        else:
+            out.append(f"lower(k1) || CAST(m1 AS STRING) AS s{i}")
+    return out
+
+
+def run_scalar_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Scalar-projection case: per-row string/conditional expressions,
+    identical SQL text on both engines."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 250)))]
+    path = os.path.join(tmp, f"fuzz_{case_id}_c.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    where = gen_predicate(rng)
+    exprs = gen_scalar_exprs(rng)
+    sel = ", ".join(["rid", *exprs])
+    sql = f"SELECT {sel} FROM t WHERE {where}"
+    sdf = spark.read.parquet(path).where(where).selectExpr("rid", *exprs)
+    return _compare(sdf, con, sql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
 
     pick = rng.random()
-    if pick < 0.25:
+    if pick < 0.22:
         return run_window_case(spark, con, rng, tmp, case_id)
-    if pick < 0.40:
+    if pick < 0.34:
+        return run_scalar_case(spark, con, rng, tmp, case_id)
+    if pick < 0.46:
         return run_setop_case(spark, con, rng, tmp, case_id)
-    if pick < 0.55:
+    if pick < 0.58:
         return run_order_limit_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
