@@ -487,3 +487,122 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(6 + doc_id % 6 AS BIGINT) AS h,
+               CAST(4 + doc_id % 12 AS BIGINT) AS nf
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h, f.range AS frame_idx, p.range AS p
+        FROM dims d
+        CROSS JOIN range(0, 16) f
+        CROSS JOIN range(0, 192) p
+        WHERE f.range < d.nf AND p.range < d.w * d.h
+    ), frames AS (
+        SELECT doc_id, frame_idx,
+               CAST(sum((doc_id + 3 * frame_idx * frame_idx + p) % 256)
+                    AS BIGINT) AS lum_sum,
+               CAST(max(w * h) AS BIGINT) AS n_px
+        FROM px
+        GROUP BY 1, 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           lum_sum,
+           coalesce(
+               abs(lum_sum - lag(lum_sum) OVER (PARTITION BY doc_id
+                                                ORDER BY frame_idx)) * 10
+                   > n_px * 128,
+               FALSE) AS is_cut
+    FROM frames
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection with REAL byte decoding — the third
+    modality kernel (image: ``multimodal_decode_real``, audio:
+    ``multimodal_audio_energy``): synthesize raw 8-bit grayscale video
+    (pixel(f, p) = (doc_id + 3f² + p) mod 256, w×h from 8-15 × 6-11,
+    4-15 frames), carry the frame-concatenated payload as BINARY
+    through Arrow, then parse the actual bytes — per-frame stride
+    ``w*h`` into the flat buffer — and flag a cut wherever the
+    frame-luminance delta exceeds 12.8 gray levels per pixel
+    (``|Δlum_sum|·10 > n_px·128`` in exact integers). The oracle
+    recomputes every luminance sum from the generative formula alone.
+
+    The cut decision needs frame f−1: all frames of one payload are
+    BY CONSTRUCTION in the same executor batch, so the lag runs inside
+    the decode UDF — zero shuffle anywhere in the plan. That locality
+    is the point at 100 TB: per-video temporal features (cuts, motion,
+    GOP stats) never justify a shuffle because the video itself is the
+    co-location unit. The oracle spells the same lag as a window over
+    the reconstructed frame table.
+    """
+    schema_enc = "media_id long, w int, h int, payload binary"
+    schema_dec = (
+        "media_id long, frame_idx int, lum_sum long, is_cut boolean"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def synth(i: int) -> tuple[int, int, bytes]:
+            w, h, nf = 8 + i % 8, 6 + i % 6, 4 + i % 12
+            p = np.arange(w * h, dtype=np.int64)
+            frames = [
+                ((i + 3 * f * f + p) % 256).astype(np.uint8) for f in range(nf)
+            ]
+            return (w, h, np.concatenate(frames).tobytes())
+
+        for pdf in batches:
+            trip = [synth(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "w": pd.Series([t[0] for t in trip], dtype="int32"),
+                    "h": pd.Series([t[1] for t in trip], dtype="int32"),
+                    "payload": [t[2] for t in trip],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "lum_sum": [], "is_cut": []}
+            for mid, w, h, p in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n_px = int(w) * int(h)
+                sums = buf.reshape(-1, n_px).sum(axis=1)
+                prev = None
+                for f, s in enumerate(sums):
+                    cut = (
+                        False
+                        if prev is None
+                        else abs(int(s) - prev) * 10 > n_px * 128
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["lum_sum"].append(int(s))
+                    out["is_cut"].append(bool(cut))
+                    prev = int(s)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "lum_sum": pd.Series(out["lum_sum"], dtype="int64"),
+                    "is_cut": pd.Series(out["is_cut"], dtype="bool"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)

@@ -115,11 +115,13 @@ def load_all_modules() -> None:
 # last green row is STILL r1 — the oldest evidence in the registry,
 # predating the r4 broadcast retrofits and the r5 NTZ work (their code
 # paths are shared with refactored modules even where their own functions
-# didn't change). The three operators REGISTERED this round (kmeans
-# iteration, snapshot diff, audio energy) join block (a) — never-green
-# outranks re-confirmation — displacing the three lowest-priority
-# oldest-evidence rows. Exactly 50. r2-era rows (36 incl. dedup_exact)
-# plus the three displaced r1 rows head the r7 rotation.
+# didn't change). The four operators REGISTERED this round (kmeans
+# iteration, snapshot diff, audio energy, video scene cuts) join block
+# (a) — never-green outranks re-confirmation — displacing the four
+# lowest-priority oldest-evidence rows. Exactly 50. r2-era rows (36
+# incl. dedup_exact) plus the four displaced r1 rows (events_from_json,
+# scalar_null_handling, dedup_exact, setop_distinct_rows) head the r7
+# rotation.
 _VERIFY_FIRST = (
     # --- (a) never-green: 3 HUGEINT-fixed + the 4 new r6 registrations ---
     "events_gapfill_locf",
@@ -129,6 +131,7 @@ _VERIFY_FIRST = (
     "ann_kmeans_iteration",
     "lakehouse_snapshot_diff",
     "multimodal_audio_energy",
+    "multimodal_video_scene_cuts",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -169,7 +172,6 @@ _VERIFY_FIRST = (
     "setop_union_all_counts",
     "setop_intersect",
     "setop_except",
-    "setop_distinct_rows",
     "scalar_string_funcs",
     "scalar_math_funcs",
     "scalar_array_funcs",

@@ -427,3 +427,17 @@ def test_audio_energy_is_map_only_until_output(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert plan.count("ArrowEvalPython") >= 2 or plan.count("MapInPandas") >= 2
     assert "Exchange" not in plan
+
+
+def test_video_scene_cuts_is_map_only(spark, sf_dir):
+    """The cut decision needs frame f-1, but all frames of one payload
+    are executor-local by construction, so the lag runs inside the
+    decode UDF — the plan must contain NO exchange (per-video temporal
+    features never justify a shuffle at 100 TB)."""
+    from presto_truffle_spark.operators.multimodal import (
+        multimodal_video_scene_cuts,
+    )
+
+    plan = inspect.physical_plan(multimodal_video_scene_cuts(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Window" not in plan  # the oracle's lag window stays SQL-side
