@@ -20,6 +20,38 @@ def _dot(a, b):
     )
 
 
+def test_lloyd_iteration_is_monotone(spark, sf_dir):
+    """Two chained update steps from the registered seeds must not
+    increase inertia (Lloyd's theorem) — pins the convergence tool's
+    kernel in CI without the full 4-iteration study."""
+    from pyspark.sql import functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from tools.kmeans_convergence import lloyd_iteration
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    ).withColumn(
+        "vv",
+        F.aggregate(
+            F.zip_with("ev", "ev", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    seed = [
+        (i, [float(x) for x in r.ev])
+        for i, r in enumerate(
+            pts.filter(F.col("vec_id").between(10, 17)).collect()
+        )
+    ]
+    i1, c1 = lloyd_iteration(spark, pts, seed)
+    i2, _ = lloyd_iteration(spark, pts, c1)
+    assert i2 <= i1 + 1e-6
+    assert len(c1) == 8 and all(len(v) == len(c1[0][1]) for _, v in c1)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 7])
 def test_lloyd_assignment_matches_numpy(spark, seed):
     rng = np.random.RandomState(seed)
