@@ -14,9 +14,13 @@ two-table INNER/LEFT/FULL equi-joins on a NULL-bearing string key
 (filter applied after the join in both spellings), HAVING over grouped
 counts, UNION/INTERSECT/EXCEPT with and without ALL (bag vs set
 semantics over NULL rows), deterministic ORDER BY + LIMIT top-k
-(explicit NULLS placement + unique tie-break), and window functions —
-no doubles in aggregates (ULP), no collation-sensitive ordering, no
-zone-dependent time functions. NULL semantics (3-valued logic in filters,
+(explicit NULLS placement + unique tie-break), window functions,
+EXISTS/NOT EXISTS/IN/NOT IN subquery predicates over a NULL-bearing
+inner set (NOT IN with inner NULLs must yield zero rows — 3-valued
+logic), and double aggregates restricted to exactly-representable
+quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
+aggregates (ULP), no collation-sensitive ordering, no zone-dependent
+time functions. NULL semantics (3-valued logic in filters,
 null-skipping aggregates, NULL group keys, never-joining NULL keys,
 outer-join null extension) are fully in scope — that is where engines
 classically diverge.
@@ -97,6 +101,18 @@ def gen_query(rng: random.Random):
             aggs.append((f"a{i}", f"count(DISTINCT {col})"))
         else:
             aggs.append((f"a{i}", f"{fn}({col})"))
+    if rng.random() < 0.5:
+        # double aggregate over EXACTLY-REPRESENTABLE values: quarters of
+        # ints sum exactly in float64 (|sum| << 2^51), so the comparison
+        # stays bit-exact while the DOUBLE pipeline (spark double vs duck
+        # DOUBLE) is genuinely exercised. The CAST to DOUBLE is explicit
+        # on the operand: a bare 0.25/"/4" literal would pull one engine
+        # into DECIMAL arithmetic (the r5 decimal-literal lesson).
+        col = rng.choice(MEASURES)
+        fn = rng.choice(["sum", "min", "max"])
+        aggs.append(
+            (f"d{len(aggs)}", f"{fn}(CAST({col} AS DOUBLE) / 4)", "double")
+        )
     return where, group_cols, aggs
 
 
@@ -332,18 +348,67 @@ def run_scalar_case(
     return _compare(sdf, con, sql)
 
 
+def run_subquery_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Subquery-predicate case: EXISTS / NOT EXISTS / IN / NOT IN
+    against a NULL-bearing inner table, IDENTICAL SQL text through
+    spark.sql (temp views) and DuckDB. NOT IN over an inner set
+    containing NULL must yield zero rows in standard 3-valued logic —
+    the classic subquery trap — and correlated EXISTS exercises the
+    decorrelation machinery on the Spark side."""
+    rows = gen_rows(rng, rng.randint(0, 250))
+    urows = gen_join_rows(rng, rng.randint(0, 40))
+    tpath = os.path.join(tmp, f"fuzz_{case_id}_qt.parquet")
+    upath = os.path.join(tmp, f"fuzz_{case_id}_qu.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(tpath)
+    spark.createDataFrame(urows, "uk string, n1 long").write.mode(
+        "overwrite"
+    ).parquet(upath)
+    spark.read.parquet(tpath).createOrReplaceTempView("t")
+    spark.read.parquet(upath).createOrReplaceTempView("u")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{tpath}/*.parquet'"
+    )
+    con.execute(
+        f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
+    )
+    kind = rng.randint(0, 3)
+    if kind == 0:
+        pred = "EXISTS (SELECT 1 FROM u WHERE u.uk = t.k1)"
+    elif kind == 1:
+        pred = (
+            "NOT EXISTS (SELECT 1 FROM u WHERE u.uk = t.k1 "
+            f"AND u.n1 > {rng.randint(-50, 50)})"
+        )
+    elif kind == 2:
+        pred = "k1 IN (SELECT uk FROM u)"
+    else:
+        pred = "k1 NOT IN (SELECT uk FROM u)"
+    extra = gen_predicate(rng)
+    sql = (
+        "SELECT k1, count(*) AS n, CAST(sum(m1) AS BIGINT) AS s "
+        f"FROM t WHERE ({pred}) AND ({extra}) GROUP BY k1"
+    )
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
 
     pick = rng.random()
-    if pick < 0.22:
+    if pick < 0.20:
         return run_window_case(spark, con, rng, tmp, case_id)
-    if pick < 0.34:
+    if pick < 0.30:
         return run_scalar_case(spark, con, rng, tmp, case_id)
-    if pick < 0.46:
+    if pick < 0.40:
+        return run_subquery_case(spark, con, rng, tmp, case_id)
+    if pick < 0.50:
         return run_setop_case(spark, con, rng, tmp, case_id)
-    if pick < 0.58:
+    if pick < 0.60:
         return run_order_limit_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
@@ -377,11 +442,18 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         if rng.random() < 0.3:
             group_cols = group_cols + ["uk"]
 
-    # every aggregate wrapped CAST(... AS BIGINT): count() is bigint in
-    # both engines but DuckDB types sum(BIGINT) as HUGEINT (the r6 gate
-    # class) — the cast is the registered-oracle convention
+    # every integer aggregate wrapped CAST(... AS BIGINT): count() is
+    # bigint in both engines but DuckDB types sum(BIGINT) as HUGEINT
+    # (the r6 gate class) — the cast is the registered-oracle
+    # convention; double aggregates (3-tuples) stay DOUBLE on both sides
     sel = ", ".join(
-        [*group_cols, *(f"CAST({expr} AS BIGINT) AS {alias}" for alias, expr in aggs)]
+        [
+            *group_cols,
+            *(
+                f"CAST({a[1]} AS {'DOUBLE' if len(a) > 2 else 'BIGINT'}) AS {a[0]}"
+                for a in aggs
+            ),
+        ]
     )
     gb = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
     # WHERE applies AFTER the join in both spellings (deliberate: the
@@ -394,7 +466,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
 
     sdf = src.where(where)
     agg_cols = [
-        F.expr(expr).cast("bigint").alias(alias) for alias, expr in aggs
+        F.expr(a[1]).cast("double" if len(a) > 2 else "bigint").alias(a[0])
+        for a in aggs
     ]
     sdf = (
         sdf.groupBy(*group_cols).agg(*agg_cols)
