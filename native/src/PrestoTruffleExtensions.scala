@@ -43,10 +43,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, NumericType, TimestampNTZType, TimestampType}
 
 /** Native vector dot product over array<float> / array<double> columns.
  *
@@ -166,9 +167,156 @@ object ReorderCheapConjuncts extends Rule[LogicalPlan] {
   }
 }
 
+/** Rewrite an equi-key-less interval join into a bin-bucketed equi-join
+ *  (SURVEY §4.3 bullet 2, the rule-form half: "optionally a custom rule
+ *  rewriting an as-of/range pattern to [the bucketed range join]").
+ *
+ *  `a JOIN b ON a.p >= b.lo AND a.p <= b.hi` has no equi-conjunct, so
+ *  Spark's join selection falls through to BroadcastNestedLoopJoin (or a
+ *  cartesian product) — O(|a|·|b|) comparisons, the canonical 100 TB
+ *  scale-killer. With a user-declared bin width W
+ *  (`spark.prestotruffle.rangeJoin.binSize`, same contract as the
+ *  published Databricks range-join hint), the rule rewrites to:
+ *
+ *    point side     + __pt_bin   = floor(double(p)  / W)
+ *    interval side  × explode(sequence(floor(double(lo)/W),
+ *                                      floor(double(hi)/W)))
+ *    JOIN ON __pt_bin = __pt_bin_r AND <original condition>
+ *
+ *  Correctness: bin(x) = floor(double(x)/W) composes monotone
+ *  non-decreasing maps (long→double rounding, divide by W>0, floor), so
+ *  lo ≤ p ≤ hi ⇒ bin(p) ∈ [bin(lo), bin(hi)] — the equi-join keeps every
+ *  true match (no false negatives even where double loses integer
+ *  precision: all three values go through the SAME monotone map), and
+ *  the re-applied original predicate removes the bin-collision false
+ *  positives. Each left row carries exactly one bin and matches exactly
+ *  one exploded copy of a satisfying right row, so multiplicity is
+ *  preserved. Intervals with lo > hi or NULL endpoints match nothing in
+ *  both plans (empty/NULL sequence explodes to zero rows). Fires only on
+ *  INNER joins whose condition is deterministic and has no cross-side
+ *  equality conjunct (the guard also makes the rule idempotent inside
+ *  Catalyst's fixed-point operator-optimization batch — the rewritten
+ *  join HAS an equality conjunct). Oversized bin counts fail loudly in
+ *  Sequence's array-length check rather than silently exploding.
+ */
+object BinRangeJoin extends Rule[LogicalPlan] {
+
+  private val BIN_SIZE_KEY = "spark.prestotruffle.rangeJoin.binSize"
+
+  private def binnable(t: DataType): Boolean = t match {
+    case _: NumericType                     => true
+    case TimestampType | TimestampNTZType   => true
+    case _                                  => false
+  }
+
+  // TimeZoneAwareExpressions (Cast where tz-sensitive, Sequence) are
+  // UNRESOLVED until timeZoneId is set — an optimizer rule runs after
+  // analysis, so it must thread the session zone itself.
+  private def bin(e: Expression, w: Double, tz: String): Expression =
+    Cast(
+      Floor(Divide(Cast(e, DoubleType, Some(tz)), Literal(w))),
+      LongType,
+      Some(tz))
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** (small, big) pairs asserted `small <= big` (or <) by one conjunct. */
+  private def lowerBounds(c: Expression): Seq[(Expression, Expression)] =
+    c match {
+      case LessThanOrEqual(a, b)    => Seq((a, b))
+      case LessThan(a, b)           => Seq((a, b))
+      case GreaterThanOrEqual(a, b) => Seq((b, a))
+      case GreaterThan(a, b)        => Seq((b, a))
+      case _                        => Seq.empty
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w =
+      try conf.getConfString(BIN_SIZE_KEY, "0").toDouble
+      catch { case _: NumberFormatException => 0.0 }
+    if (!(w > 0)) return plan
+
+    plan transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if cond.deterministic && j.resolved =>
+        val conjuncts = splitConjuncts(cond)
+        def sideOf(e: Expression): Option[Boolean] = {
+          val refs = e.references
+          if (refs.isEmpty) None
+          else if (refs.subsetOf(left.outputSet)) Some(true)
+          else if (refs.subsetOf(right.outputSet)) Some(false)
+          else None
+        }
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (sideOf(a), sideOf(b)) match {
+              case (Some(x), Some(y)) => x != y
+              case _                  => false
+            }
+          case EqualNullSafe(a, b) =>
+            (sideOf(a), sideOf(b)) match {
+              case (Some(x), Some(y)) => x != y
+              case _                  => false
+            }
+          case _ => false
+        }
+        if (hasEqui) j
+        else {
+          val les = conjuncts.flatMap(lowerBounds)
+          // find (lo <= p) and (p <= hi): p one side, lo & hi the other
+          val rewrite = les.iterator.flatMap { case (lo, p) =>
+            les.collect {
+              case (p2, hi)
+                  if p.semanticEquals(p2) &&
+                    binnable(p.dataType) && binnable(lo.dataType) &&
+                    binnable(hi.dataType) &&
+                    sideOf(p).isDefined && sideOf(lo).isDefined &&
+                    sideOf(lo) == sideOf(hi) && sideOf(p) != sideOf(lo) =>
+                (p, lo, hi, sideOf(p).get)
+            }
+          }.toSeq.headOption
+          rewrite match {
+            case None => j
+            case Some((p, lo, hi, pOnLeft)) =>
+              val tz = conf.sessionLocalTimeZone
+              val (pointChild, ivalChild) =
+                if (pOnLeft) (left, right) else (right, left)
+              val binAlias = Alias(bin(p, w, tz), "__pt_bin")()
+              val newPoint =
+                Project(pointChild.output :+ binAlias, pointChild)
+              val seq = new Sequence(
+                bin(lo, w, tz), bin(hi, w, tz), Some(Literal(1L)), Some(tz))
+              val genOut =
+                AttributeReference("__pt_bin_r", LongType, nullable = false)()
+              // Sequence THROWS on start > stop with step 1, so drop
+              // inverted / NULL-endpoint intervals up front — they match
+              // nothing under an inner join (p >= lo AND p <= hi is
+              // unsatisfiable or NULL). bin() is monotone, so no
+              // satisfiable interval is dropped.
+              val satisfiable =
+                Filter(LessThanOrEqual(bin(lo, w, tz), bin(hi, w, tz)), ivalChild)
+              val newIval = Generate(
+                Explode(seq), Nil, outer = false, None, Seq(genOut), satisfiable)
+              val (newLeft, newRight) =
+                if (pOnLeft) (newPoint, newIval) else (newIval, newPoint)
+              val newCond =
+                And(EqualTo(binAlias.toAttribute, genOut), cond)
+              Project(
+                j.output,
+                Join(newLeft, newRight, Inner, Some(newCond), hint))
+          }
+        }
+    }
+  }
+}
+
 class PrestoTruffleExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReorderCheapConjuncts)
+    ext.injectOptimizerRule(_ => BinRangeJoin)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

@@ -106,6 +106,27 @@ def _expensive_first(df):
     )
 
 
+def _range_join(spark):
+    """1M points × 5k intervals with NO equi-key: vanilla Spark has no
+    strategy but BroadcastNestedLoopJoin (5×10^9 predicate evals); the
+    extension's BinRangeJoin turns it into an equi-join on bins whose
+    cost is O(points + intervals + matches) — the gap widens
+    quadratically with scale."""
+    from pyspark.sql import functions as F
+
+    points = spark.range(1_000_000, numPartitions=8).select(
+        F.col("id").alias("pid"), ((F.col("id") * 7919) % 10_000_000).alias("p")
+    )
+    ivals = spark.range(5_000).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 104729) % 9_990_000).alias("lo"),
+        (((F.col("id") * 104729) % 9_990_000) + 1_000).alias("hi"),
+    )
+    return points.join(
+        ivals, (points.p >= ivals.lo) & (points.p <= ivals.hi)
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("pid") * F.col("iid")).alias("chk"))
+
+
 def _phase(which: str) -> None:
     spark = _mk(extension=(which == "ext"))
     df = _frame(spark)
@@ -155,10 +176,26 @@ def _phase(which: str) -> None:
         out["vec_dot_native"] = _time(native)
         out["vec_dot_sql_lambda"] = _time(lam)
         assert native.collect()[0].s == lam.collect()[0].s
+        spark.conf.set("spark.prestotruffle.rangeJoin.binSize", "1000")
+        rj = _range_join(spark)
+        rj_plan = rj._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in rj_plan and "__pt_bin" in rj_plan, rj_plan
+        out["rangejoin_binned"] = _time(rj)
+        r = rj.collect()[0]
+        out["rangejoin_rows"], out["rangejoin_chk"] = r.n, int(r.chk)
     else:
         assert not reordered, f"vanilla session unexpectedly reordered: {fl}"
         out["vanilla_cheap_first"] = _time(_cheap_first(df))
         out["vanilla_expensive_first"] = _time(_expensive_first(df))
+        rj = _range_join(spark)
+        rj_plan = rj._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" in rj_plan, rj_plan
+        out["rangejoin_nested_loop"] = _time(rj)
+        r = rj.collect()[0]
+        out["rangejoin_rows_vanilla"], out["rangejoin_chk_vanilla"] = (
+            r.n,
+            int(r.chk),
+        )
     out[f"{which}_rows"] = _expensive_first(df).collect()[0].n
     spark.stop()
     print("PHASE_JSON " + json.dumps(out))
@@ -192,6 +229,11 @@ def main() -> int:
     )
     merged["vec_dot_speedup"] = round(
         merged["vec_dot_sql_lambda"] / merged["vec_dot_native"], 2
+    )
+    assert merged.pop("rangejoin_rows_vanilla") == merged["rangejoin_rows"]
+    assert merged.pop("rangejoin_chk_vanilla") == merged.pop("rangejoin_chk")
+    merged["rangejoin_speedup"] = round(
+        merged["rangejoin_nested_loop"] / merged["rangejoin_binned"], 2
     )
     print(json.dumps(merged))
     return 0

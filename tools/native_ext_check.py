@@ -125,6 +125,94 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         assert "length mismatch" in str(e)
 
+    # 6. BinRangeJoin: an equi-key-less interval join must become an
+    # equi-join on bins (no NestedLoop in the physical plan) and return
+    # EXACTLY the rows/multiplicities of the unrewritten plan.
+    points = spark.range(5000).select(
+        F.col("id").alias("pid"), (F.col("id") % 977 * 3).alias("p")
+    )
+    # overlapping intervals, a duplicate interval row, an inverted one,
+    # and a NULL endpoint — every edge the rewrite must preserve
+    ivals = spark.sql(
+        """
+        SELECT iid, lo, hi FROM VALUES
+          (1, 0, 500), (2, 400, 900), (3, 400, 900), (4, 2900, 100),
+          (5, NULL, 50), (6, 2500, 2930), (7, 2800, 2800)
+        AS t(iid, lo, hi)
+        """
+    )
+    # NOTE: a Dataset memoizes its QueryExecution at creation, so every
+    # conf flip below REBUILDS the join to get a fresh optimization.
+    def ijoin():
+        return points.join(
+            ivals, (points.p >= ivals.lo) & (points.p <= ivals.hi)
+        )
+
+    # rule OFF (no bin size): plan stays a nested loop
+    spark.conf.unset("spark.prestotruffle.rangeJoin.binSize")
+    joined = ijoin()
+    plan_off = joined._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in plan_off or "Cartesian" in plan_off, plan_off
+    expected = sorted((r.pid, r.iid) for r in joined.collect())
+
+    # rule ON: no nested loop anywhere; identical multiset of rows
+    spark.conf.set("spark.prestotruffle.rangeJoin.binSize", "256")
+    joined = ijoin()
+    plan_on = joined._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan_on and "Cartesian" not in plan_on, plan_on
+    assert "explode" in plan_on and "__pt_bin" in plan_on, plan_on
+    got6 = sorted((r.pid, r.iid) for r in joined.collect())
+    assert got6 == expected, (
+        f"range-join rewrite changed results: {len(got6)} vs {len(expected)}"
+    )
+    assert len(expected) > 0  # the fixture actually exercises matches
+
+    # guard: a join that already has an equi-key is left alone
+    eq = points.join(
+        ivals,
+        (points.pid % 7 == ivals.iid)
+        & (points.p >= ivals.lo)
+        & (points.p <= ivals.hi),
+    )
+    eq_plan = eq._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" not in eq_plan, eq_plan
+
+    # guard: non-inner joins are left alone
+    lj = points.join(
+        ivals, (points.p >= ivals.lo) & (points.p <= ivals.hi), "left"
+    )
+    lj_plan = lj._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" not in lj_plan, lj_plan
+
+    # timestamps bin via cast-to-epoch-seconds: same rewrite, same rows
+    tpoints = spark.sql(
+        "SELECT id AS pid, timestamp'2024-01-01 00:00:00' + make_interval"
+        "(0, 0, 0, 0, 0, 0, id * 37) AS ts FROM range(2000)"
+    )
+    tivals = spark.sql(
+        """
+        SELECT iid,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,s) AS lo,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,e) AS hi
+        FROM VALUES (1, 0, 3600), (2, 3000, 9000), (3, 70000, 74000)
+        AS t(iid, s, e)
+        """
+    )
+    def tjoin():
+        return tpoints.join(
+            tivals, (tpoints.ts >= tivals.lo) & (tpoints.ts <= tivals.hi)
+        )
+
+    spark.conf.unset("spark.prestotruffle.rangeJoin.binSize")
+    t_expected = sorted((r.pid, r.iid) for r in tjoin().collect())
+    spark.conf.set("spark.prestotruffle.rangeJoin.binSize", "600")
+    tj = tjoin()
+    t_plan = tj._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in t_plan and "__pt_bin" in t_plan, t_plan
+    t_got = sorted((r.pid, r.iid) for r in tj.collect())
+    assert t_got == t_expected and len(t_expected) > 0
+    spark.conf.unset("spark.prestotruffle.rangeJoin.binSize")
+
     print("NATIVE_EXT_OK")
     spark.stop()
     return 0
