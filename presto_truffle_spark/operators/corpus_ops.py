@@ -361,3 +361,146 @@ def corpus_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+# --- training-chunk generation -----------------------------------------
+
+_CHUNK_CHARS = 240
+_CHUNK_STRIDE = 180
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0, CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0)
+                           AS BIGINT))) AS i
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(1 + i * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(1 + i * {_CHUNK_STRIDE} AS INTEGER),
+                              {_CHUNK_CHARS})) AS BIGINT) AS chunk_chars,
+           substr(md5(substr(text, CAST(1 + i * {_CHUNK_STRIDE} AS INTEGER),
+                             {_CHUNK_CHARS})), 1, 16) AS chunk_hash
+    FROM idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width training chunks: windows of {240} chars at
+    stride {180} (60-char overlap), the standard prep step for feeding
+    long documents to a bounded context window without losing boundary
+    text. Chunk starts are 1, 1+S, 1+2S, ... while start <= length, so
+    every doc yields ceil(length/S-ish) chunks and the LAST chunk may be
+    short — exactly the cross-engine-exact substr semantics both engines
+    share for start >= 1.
+
+    100 TB posture: explode(sequence(...)) is a map-side generate — no
+    shuffle at all; output size is input x (C/S) ≈ 1.33x, streamed
+    straight to the sink. The guard ``greatest(..., 0)`` matters: Spark's
+    ``sequence(0, -1)`` counts DOWN ([0, -1]) where DuckDB's
+    generate_series returns empty — an empty doc would fabricate chunks
+    on one engine only (the filter removes empties on both)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks_hi = F.greatest(
+        F.floor((F.length("text") - F.lit(1)) / F.lit(float(_CHUNK_STRIDE))),
+        F.lit(0),
+    ).cast("int")
+    start = (F.lit(1) + F.col("i") * _CHUNK_STRIDE).cast("int")
+    chunk = F.substring(F.col("text"), start, _CHUNK_CHARS)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks_hi)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            F.substring(F.md5(chunk.cast("binary")), 1, 16).alias("chunk_hash"),
+        )
+    )
+
+
+# --- distribution-drift detection --------------------------------------
+
+_PSI_BIN_CHARS = 64  # fixture texts span ~44-577 chars -> bins 0..9
+_PSI_EPS = 1e-6
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT least(CAST(floor(length(text) / {_PSI_BIN_CHARS}.0) AS BIGINT),
+                     9) AS bin,
+               substr(md5(text), 1, 1) < '8' AS is_ref
+        FROM documents
+    ), bins AS (
+        SELECT bin,
+               CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS n_ref,
+               CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS n_new
+        FROM tagged GROUP BY bin
+    ), p AS (
+        SELECT bin, n_ref, n_new,
+               n_ref * 1.0 / sum(n_ref) OVER () AS p_ref,
+               n_new * 1.0 / sum(n_new) OVER () AS p_new
+        FROM bins
+    )
+    SELECT bin, n_ref, n_new,
+           round(p_ref, 6) AS p_ref,
+           round(p_new, 6) AS p_new,
+           round((p_new - p_ref) * ln((p_new + {_PSI_EPS}) / (p_ref + {_PSI_EPS})),
+                 6) AS psi_term
+    FROM p
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two deterministic halves
+    of the corpus (hash-split stand-ins for "last snapshot" vs "this
+    snapshot"), per length bin. PSI is the standard go/no-go gate before
+    a new crawl batch joins the training mix: a bin's term
+    (p_new − p_ref)·ln(p_new/p_ref) spikes where the distribution moved.
+
+    Per-BIN terms are the output, deliberately NOT the summed scalar:
+    10 float additions have no portable ordering across engines, while
+    each term is one exactly-rounded expression both engines agree on
+    after round(6) (FIXTURES.md float convention). Consumers sum the
+    tiny result themselves.
+
+    100 TB posture: one map-only scan into a 10-group aggregate plus a
+    window over 10 rows — effectively free at any scale; the hash split
+    keeps the comparison replayable (no rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        F.least(
+            F.floor(F.length("text") / F.lit(float(_PSI_BIN_CHARS))).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        (F.substring(F.md5(F.col("text").cast("binary")), 1, 1) < "8").alias(
+            "is_ref"
+        ),
+    )
+    bins = tagged.groupBy("bin").agg(
+        F.count_if(F.col("is_ref")).alias("n_ref"),
+        F.count_if(~F.col("is_ref")).alias("n_new"),
+    )
+    w = W.partitionBy()
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(w)
+    p_new = F.col("n_new") / F.sum("n_new").over(w)
+    return bins.select(
+        "bin",
+        "n_ref",
+        "n_new",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round(
+            (p_new - p_ref) * F.log((p_new + _PSI_EPS) / (p_ref + _PSI_EPS)), 6
+        ).alias("psi_term"),
+    )

@@ -1204,3 +1204,68 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN monthly ON months.m = monthly.m
         """
     )
+
+
+@query(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_id, ts, event_type FROM ordered
+        WHERE prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           event_type AS state,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from a change log: collapse
+    each user's event stream to its state CHANGES (consecutive-duplicate
+    elimination via lag), then stitch validity intervals —
+    effective_from = change ts, effective_to = next change ts (NULL while
+    current), with a per-key version counter. The standard way a
+    warehouse derives a versioned dimension from CDC/event feeds; the
+    reference has no dimension machinery at all (its schema is 4 fixed
+    fact columns, TpchQuery6.java:24-36), so this is [EXT] capability
+    surface.
+
+    Determinism: (ts, event_id) total order per user — equal timestamps
+    cannot flip versions between runs or engines. ``IS DISTINCT FROM``
+    (Spark: negated ``eqNullSafe``) keeps NULL states well-defined.
+
+    100 TB posture: two windows over the SAME (user_id, ts, event_id)
+    partitioning — one shuffle, the second window reuses the sort
+    (Catalyst collapses adjacent Window nodes on one ordering); output is
+    bounded by the number of state changes, typically << input."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w_all).alias("prev_type"),
+        )
+        .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
+        .drop("prev_type")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

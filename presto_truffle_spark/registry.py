@@ -118,12 +118,14 @@ def load_all_modules() -> None:
 # didn't change). The four operators REGISTERED this round (kmeans
 # iteration, snapshot diff, audio energy, video scene cuts) join block
 # (a) — never-green outranks re-confirmation — displacing the four
-# lowest-priority oldest-evidence rows. Exactly 50. r2-era rows (36
-# incl. dedup_exact) plus the four displaced r1 rows (events_from_json,
-# scalar_null_handling, dedup_exact, setop_distinct_rows) head the r7
-# rotation.
+# lowest-priority oldest-evidence rows; the second r6 wave
+# (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi) displaces
+# three more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
+# six displaced r1 rows (events_from_json, scalar_null_handling,
+# dedup_exact, scalar_math_funcs, scalar_array_funcs,
+# scalar_json_funcs) head the r7 rotation.
 _VERIFY_FIRST = (
-    # --- (a) never-green: 3 HUGEINT-fixed + the 4 new r6 registrations ---
+    # --- (a) never-green: 3 HUGEINT-fixed + the 7 new r6 registrations ---
     "events_gapfill_locf",
     "events_rollup_cascade",
     "source_schema_evolution",
@@ -132,6 +134,9 @@ _VERIFY_FIRST = (
     "lakehouse_snapshot_diff",
     "multimodal_audio_energy",
     "multimodal_video_scene_cuts",
+    "scd2_dimension_build",
+    "text_chunk_overlap",
+    "corpus_drift_psi",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -173,12 +178,11 @@ _VERIFY_FIRST = (
     "setop_intersect",
     "setop_except",
     "scalar_string_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    # (events_from_json, scalar_null_handling, dedup_exact yield their
-    # slots to the three new never-green registrations; they lead r7's
-    # oldest-evidence block instead)
+    # (events_from_json, scalar_null_handling, dedup_exact yielded slots
+    # to the first three late registrations; scalar_math_funcs,
+    # scalar_array_funcs, scalar_json_funcs yield theirs to the second
+    # wave — scd2_dimension_build, text_chunk_overlap, corpus_drift_psi.
+    # All six displaced rows lead r7's oldest-evidence block.)
 )
 
 

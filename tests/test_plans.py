@@ -441,3 +441,44 @@ def test_video_scene_cuts_is_map_only(spark, sf_dir):
     plan = inspect.physical_plan(multimodal_video_scene_cuts(spark, sf_dir))
     assert "Exchange" not in plan
     assert "Window" not in plan  # the oracle's lag window stays SQL-side
+
+
+def test_scd2_windows_share_one_shuffle_and_sort(spark, sf_dir):
+    """The change-detect lag window and the interval-stitch
+    row_number/lead window use the SAME (user_id, ts, event_id)
+    partitioning+ordering, so Catalyst must plan ONE exchange and ONE
+    sort for the whole build — a second sort would double the cost of a
+    CDC dimension refresh for nothing."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        scd2_dimension_build,
+    )
+
+    plan = inspect.physical_plan(scd2_dimension_build(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_chunk_overlap_is_shuffle_free_generate(spark, sf_dir):
+    """Chunking is explode(sequence) + substr — a pure map-side
+    Generate. Any Exchange here would mean shuffling the full corpus
+    text to produce a per-row derivation."""
+    from presto_truffle_spark.operators.corpus_ops import text_chunk_overlap
+
+    plan = inspect.physical_plan(text_chunk_overlap(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_drift_psi_aggregates_before_any_window(spark, sf_dir):
+    """PSI reduces the corpus to <= 10 bin rows via partial+final hash
+    aggregate BEFORE the total-share window touches anything — the
+    window's single-partition exchange must see 10 rows, never the
+    corpus. Pin: exactly the agg exchange + the tiny window exchange,
+    and the window sits above the aggregate."""
+    from presto_truffle_spark.operators.corpus_ops import corpus_drift_psi
+
+    plan = inspect.physical_plan(corpus_drift_psi(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.index("HashAggregate") > plan.index("Window"), (
+        "window must consume the aggregate output (plans print top-down)"
+    )
