@@ -241,3 +241,110 @@ def rewrite_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Equi-key-less interval join WITHOUT the nested loop: the
+    DataFrame-level twin of the Scala ``BinRangeJoin`` optimizer rule
+    (native/src/PrestoTruffleExtensions.scala) for the registered-query
+    surface, where driver sessions are vanilla and cannot load the jar.
+
+    ``points JOIN intervals ON p BETWEEN lo AND hi`` has no equi
+    conjunct, so Spark's only strategy is BroadcastNestedLoopJoin —
+    O(|points|·|intervals|), infeasible at 100 TB. This helper joins on
+    bin numbers instead: each point carries floor(p/W); each interval
+    explodes floor(lo/W)..floor(hi/W); the original predicate re-filters
+    bin-collision false positives. floor(x/W) is monotone, so
+    lo ≤ p ≤ hi ⇒ bin(p) ∈ [bin(lo), bin(hi)] — no true match is lost —
+    and each point has exactly ONE bin, so multiplicity is preserved.
+    Inverted / NULL-endpoint intervals are dropped up front (they cannot
+    match under inner-join semantics, and Spark's ``sequence`` counts
+    DOWN when start > stop rather than returning empty). INNER join
+    only: the bin pre-filter on the interval side would change outer
+    semantics.
+
+    Pick W near the typical interval width: explode factor is
+    (hi−lo)/W + 1 per interval row, while smaller W tightens the
+    re-filter's selectivity. Columns must be numeric (cast dates /
+    timestamps to day numbers / epoch seconds first)."""
+    w = float(bin_width)
+    if not w > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
+    pb = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(w)).cast("long")
+    )
+    iv = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
+        "_bin_r",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    joined = pb.join(
+        iv,
+        (pb["_bin"] == iv["_bin_r"])
+        & (pb[point_col] >= iv[lo_col])
+        & (pb[point_col] <= iv[hi_col]),
+    )
+    return joined.drop("_bin").drop("_bin_r")
+
+
+@query(
+    "rewrite_binned_range_join",
+    oracle="""
+    WITH big AS (
+        SELECT o_orderkey,
+               datediff('day', DATE '1992-01-01', o_orderdate) AS lo_d,
+               datediff('day', DATE '1992-01-01', o_orderdate) + 3 AS hi_d
+        FROM orders WHERE o_totalprice > 450000
+    )
+    SELECT big.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_ship_lines,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM big JOIN lineitem l
+      ON datediff('day', DATE '1992-01-01', l.l_shipdate)
+         BETWEEN big.lo_d AND big.hi_d
+    GROUP BY big.o_orderkey
+    """,
+)
+def rewrite_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): for every high-value order, count
+    the lineitems — of ANY order — that shipped within its 3-day
+    follow-on window. The "global blackout / promo window" shape that
+    degrades to a nested loop in vanilla Spark; routed through
+    ``binned_range_join`` it is an ordinary equi shuffle join on 4-day
+    bins (each ≤4-day interval explodes to at most 2 bins). The oracle
+    states the declarative BETWEEN join; DuckDB plans it with its native
+    IEJoin — two engines, two genuinely different range-join strategies,
+    one result. Day numbers via datediff from a fixed epoch on both
+    sides, so no timestamp arithmetic leaks into the output (zone-free
+    by construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01")
+    big = o.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).alias("lo_d"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 3).alias("hi_d"),
+    )
+    pts = li.select(
+        F.datediff(F.col("l_shipdate"), epoch).alias("ship_d"),
+        "l_quantity",
+    )
+    return (
+        binned_range_join(pts, big, "ship_d", "lo_d", "hi_d", 4.0)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_ship_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

@@ -119,8 +119,8 @@ def load_all_modules() -> None:
 # iteration, snapshot diff, audio energy, video scene cuts) join block
 # (a) — never-green outranks re-confirmation — displacing the four
 # lowest-priority oldest-evidence rows; the second r6 wave
-# (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi) displaces
-# three more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
+# (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
+# rewrite_binned_range_join) displaces four more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
 # six displaced r1 rows (events_from_json, scalar_null_handling,
 # dedup_exact, scalar_math_funcs, scalar_array_funcs,
 # scalar_json_funcs) head the r7 rotation.
@@ -137,6 +137,7 @@ _VERIFY_FIRST = (
     "scd2_dimension_build",
     "text_chunk_overlap",
     "corpus_drift_psi",
+    "rewrite_binned_range_join",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -177,12 +178,12 @@ _VERIFY_FIRST = (
     "setop_union_all_counts",
     "setop_intersect",
     "setop_except",
-    "scalar_string_funcs",
     # (events_from_json, scalar_null_handling, dedup_exact yielded slots
     # to the first three late registrations; scalar_math_funcs,
-    # scalar_array_funcs, scalar_json_funcs yield theirs to the second
-    # wave — scd2_dimension_build, text_chunk_overlap, corpus_drift_psi.
-    # All six displaced rows lead r7's oldest-evidence block.)
+    # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs yield
+    # theirs to the second wave — scd2_dimension_build,
+    # text_chunk_overlap, corpus_drift_psi, rewrite_binned_range_join.
+    # All seven displaced rows lead r7's oldest-evidence block.)
 )
 
 

@@ -82,3 +82,57 @@ def test_asof_lastward_matches_bruteforce_with_ties(spark):
     assert got[(2, 15)] == "x"
     assert got[(3, 50)] is None
     assert len(got) == len(query_rows)
+
+
+def test_binned_range_join_equals_nested_loop_on_adversarial_intervals(spark):
+    """binned_range_join vs the naive BETWEEN join on inputs built to
+    break binning: duplicate intervals (multiplicity), overlapping and
+    nested intervals, zero-width and bin-boundary-straddling intervals,
+    inverted (lo > hi) and NULL-endpoint rows, negative coordinates, and
+    points exactly ON bin edges. Exact multiset equality required, plus
+    the plan guarantee the helper exists for: no nested loop."""
+    from presto_truffle_spark.plans.rewrites import binned_range_join
+
+    points = spark.range(4000).selectExpr(
+        "id AS pid", "CAST((id * 13) % 700 - 100 AS LONG) AS p"
+    )
+    ivals = spark.createDataFrame(
+        [
+            (1, -100, -50),   # fully negative
+            (2, -10, 10),     # straddles zero / a bin edge
+            (3, 0, 0),        # zero-width on a bin edge
+            (4, 64, 64),      # zero-width on the next bin edge (W=64)
+            (5, 100, 500),    # wide (spans many bins)
+            (6, 100, 500),    # DUPLICATE of 5 — multiplicity
+            (7, 120, 130),    # nested inside 5
+            (8, 500, 100),    # inverted — matches nothing
+            (9, None, 50),    # NULL lo — matches nothing
+            (10, 50, None),   # NULL hi — matches nothing
+            (11, 599, 601),   # straddles the domain edge
+        ],
+        "iid long, lo long, hi long",
+    )
+    naive = points.join(
+        ivals, (points.p >= ivals.lo) & (points.p <= ivals.hi)
+    ).select("pid", "iid")
+    fast = binned_range_join(points, ivals, "p", "lo", "hi", 64.0).select(
+        "pid", "iid"
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    naive_rows = sorted((r.pid, r.iid) for r in naive.collect())
+    fast_rows = sorted((r.pid, r.iid) for r in fast.collect())
+    assert fast_rows == naive_rows
+    assert len(naive_rows) > 0
+
+
+def test_registered_binned_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    from presto_truffle_spark.plans.rewrites import rewrite_binned_range_join
+
+    plan = (
+        rewrite_binned_range_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
