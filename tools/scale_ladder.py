@@ -111,8 +111,40 @@ def main() -> int:
                 )
             )
 
+        # binned range join: N fact points vs 250 one-day intervals with
+        # NO equi key (coverage ~10% of the 2500-day ship domain, so
+        # matches ≈ 0.1·N). The naive spelling is a nested loop (N×250
+        # predicate evals — quadratic-class); through binned_range_join
+        # it is an ordinary bin equi-join whose time should stay ~linear
+        # in N like every other kernel here.
+        from presto_truffle_spark.plans.rewrites import binned_range_join
+
+        ivals = (
+            spark.range(250)
+            .select(
+                (F.abs(F.xxhash64("id")) % 2400).alias("lo"),
+            )
+            .withColumn("hi", F.col("lo") + 1)
+            .cache()
+        )
+        pts = li.select(
+            F.datediff(
+                F.col("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("ship_d"),
+            "l_quantity",
+        )
+
+        def rjoin():
+            return binned_range_join(
+                pts, ivals, "ship_d", "lo", "hi", 4.0
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("sq"),
+            )
+
         timed("q6", n, q6)
         timed("q1", n, q1)
+        timed("rjoin", n, rjoin)
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
@@ -121,9 +153,10 @@ def main() -> int:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         li.unpersist()
         orders.unpersist()
+        ivals.unpersist()
 
     sizes_m = [s // 1_000_000 for s in SIZES]
-    for label in ("q6", "q1", "join"):
+    for label in ("q6", "q1", "rjoin", "join"):
         t_small = out[f"{label}_{sizes_m[0]}m_s"]
         t_large = out[f"{label}_{sizes_m[-1]}m_s"]
         out[f"{label}_time_ratio_16x_data"] = round(t_large / t_small, 2)
