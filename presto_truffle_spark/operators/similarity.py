@@ -562,3 +562,101 @@ def ann_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d2"), 4).alias("inertia"),
         F.round(F.sum("vsum"), 4).alias("member_component_sum"),
     )
+
+
+# Product quantization: _PQ_M subspaces of _PQ_SUBDIM dims each; per
+# subspace the codebook is the corresponding SLICE of _PQ_K pinned seed
+# vectors (vec_id 20..23 — disjoint from the IVF seeds so the two
+# models stay independently replayable).
+_PQ_M = 4
+_PQ_SUBDIM = 16  # 64-dim fixture embeddings / _PQ_M
+_PQ_K = 4
+_PQ_SEED_LO = 20
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH subs AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(sub_id)
+    ), cb AS (
+        SELECT s.sub_id,
+               e.vec_id - {_PQ_SEED_LO} AS code,
+               list_slice(e.embedding::DOUBLE[],
+                          s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS cs
+        FROM embeddings e CROSS JOIN subs s
+        WHERE e.vec_id BETWEEN {_PQ_SEED_LO} AND {_PQ_SEED_LO + _PQ_K - 1}
+    ), pt AS (
+        SELECT e.vec_id, s.sub_id,
+               list_slice(e.embedding::DOUBLE[],
+                          s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS vs
+        FROM embeddings e CROSS JOIN subs s
+    )
+    SELECT vec_id, sub_id, code, sub_err FROM (
+        SELECT pt.vec_id, pt.sub_id, cb.code,
+               round(list_dot_product(pt.vs, pt.vs)
+                     - 2 * list_dot_product(pt.vs, cb.cs)
+                     + list_dot_product(cb.cs, cb.cs), 6) AS sub_err,
+               row_number() OVER (
+                   PARTITION BY pt.vec_id, pt.sub_id
+                   ORDER BY round(list_dot_product(pt.vs, pt.vs)
+                                  - 2 * list_dot_product(pt.vs, cb.cs)
+                                  + list_dot_product(cb.cs, cb.cs), 6),
+                            cb.code) AS rn
+        FROM pt JOIN cb ON pt.sub_id = cb.sub_id)
+    WHERE rn = 1
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the compression half of IVF-PQ,
+    the standard way billion-vector indexes shrink embeddings ~32× while
+    keeping approximate distances computable from m small lookup tables.
+    Each vector splits into m=4 subvectors; each subvector is
+    assigned its nearest codebook entry (k=4 per subspace, slices
+    of pinned seed vectors — real PQ trains per-subspace k-means, and
+    ann_kmeans_iteration IS that training step) by squared L2, rounded
+    to 6dp BEFORE the argmin with ties on code id (the ULP discipline
+    every assignment op in this family shares).
+
+    Output is per (vec_id, sub_id) — deliberately NOT pivoted to one
+    row: the 4 sub-errors would then need a cross-column float sum whose
+    addition order is engine-dependent; per-subspace rows keep every
+    float a single exactly-rounded expression.
+
+    Scale posture: the codebook (m·k = 16 slices) is the model — always
+    broadcast; the corpus explodes ×m map-side (slices are projections,
+    not shuffles), and the only exchange is the per-(vec, sub) argmin
+    window. Encoding 100 TB of embeddings is one scan, one bounded-width
+    shuffle, no all-pairs anything."""
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    ev = F.col("embedding").cast("array<double>")
+    sl = lambda: F.slice(ev, F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM)  # noqa: E731
+    cb = (
+        e.filter(
+            F.col("vec_id").between(_PQ_SEED_LO, _PQ_SEED_LO + _PQ_K - 1)
+        )
+        .crossJoin(subs)
+        .select(
+            "sub_id",
+            (F.col("vec_id") - _PQ_SEED_LO).alias("code"),
+            sl().alias("cs"),
+        )
+    )
+    pt = e.crossJoin(subs).select("vec_id", "sub_id", sl().alias("vs"))
+    d2 = F.round(
+        _dot(F.col("vs"), F.col("vs"))
+        - 2 * _dot(F.col("vs"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    w = W.partitionBy("vec_id", "sub_id").orderBy("sub_err", "code")
+    return (
+        pt.join(F.broadcast(cb), "sub_id")
+        .select("vec_id", "sub_id", "code", d2.alias("sub_err"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -120,7 +120,7 @@ def load_all_modules() -> None:
 # (a) — never-green outranks re-confirmation — displacing the four
 # lowest-priority oldest-evidence rows; the second r6 wave
 # (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
-# rewrite_binned_range_join) displaces four more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
+# rewrite_binned_range_join, ann_pq_codes) displaces five more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
 # six displaced r1 rows (events_from_json, scalar_null_handling,
 # dedup_exact, scalar_math_funcs, scalar_array_funcs,
 # scalar_json_funcs) head the r7 rotation.
@@ -138,6 +138,7 @@ _VERIFY_FIRST = (
     "text_chunk_overlap",
     "corpus_drift_psi",
     "rewrite_binned_range_join",
+    "ann_pq_codes",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -177,13 +178,13 @@ _VERIFY_FIRST = (
     "setop_union_distinct",
     "setop_union_all_counts",
     "setop_intersect",
-    "setop_except",
     # (events_from_json, scalar_null_handling, dedup_exact yielded slots
     # to the first three late registrations; scalar_math_funcs,
-    # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs yield
-    # theirs to the second wave — scd2_dimension_build,
-    # text_chunk_overlap, corpus_drift_psi, rewrite_binned_range_join.
-    # All seven displaced rows lead r7's oldest-evidence block.)
+    # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
+    # setop_except yield theirs to the second wave —
+    # scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
+    # rewrite_binned_range_join, ann_pq_codes. All eight displaced rows
+    # lead r7's oldest-evidence block.)
 )
 
 

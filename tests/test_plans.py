@@ -482,3 +482,18 @@ def test_drift_psi_aggregates_before_any_window(spark, sf_dir):
     assert plan.index("HashAggregate") > plan.index("Window"), (
         "window must consume the aggregate output (plans print top-down)"
     )
+
+
+def test_pq_codes_broadcasts_codebook_single_argmin_shuffle(spark, sf_dir):
+    """The PQ codebook is the model (m*k = 16 slice rows) — it must
+    broadcast; the only exchange in the encode plan is the per-(vec,sub)
+    argmin window. A SortMergeJoin here would mean shuffling the corpus
+    against a 16-row table."""
+    from presto_truffle_spark.operators.similarity import ann_pq_codes
+
+    plan = inspect.physical_plan(ann_pq_codes(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exchanges: the codebook broadcast plus ONE hash exchange feeding
+    # the argmin window (plus AQE cosmetics); no second data shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
