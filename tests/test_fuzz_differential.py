@@ -49,3 +49,51 @@ def test_fuzz_differential_sample(spark):
         assert failures == []
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_date_function_divergences_pinned(spark):
+    """FIXTURES.md r6 date conventions, probed cross-engine:
+    1. extract(dow) is OFF BY ONE — Spark numbers Sunday=1..Saturday=7,
+       DuckDB Sunday=0..Saturday=6. Never use bare dow in shared SQL.
+    2. Result-TYPE divergences the fuzzer casts away: Spark's
+       date_trunc returns TIMESTAMP where DuckDB returns DATE, and
+       DuckDB widens DATE ± INTERVAL to TIMESTAMP where Spark keeps
+       DATE — values agree, types don't (exactly the dtype-gate class).
+    3. The SAFE set the fuzz grammar uses: date_trunc month/week/
+       quarter/year (Monday-start weeks BOTH engines), extract year/
+       month/day/quarter/week/doy, last_day (leap-day clamping), date ±
+       INTERVAL DAY/MONTH under CAST, greatest/least."""
+    import datetime
+
+    # 1969-12-31 was a WEDNESDAY
+    wed = "DATE '1969-12-31'"
+    s_dow = spark.sql(f"SELECT extract(dow FROM {wed}) AS v").collect()[0].v
+    con = duckdb.connect()
+    d_dow = con.execute(f"SELECT extract(dow FROM {wed}) AS v").fetchall()[0][0]
+    assert (s_dow, d_dow) == (4, 3), (s_dow, d_dow)
+
+    s_tr = spark.sql("SELECT date_trunc('month', DATE '2024-02-29') AS v")
+    assert dict(s_tr.dtypes)["v"] == "timestamp"
+    assert "DATE" in str(
+        con.execute(
+            "DESCRIBE SELECT date_trunc('month', DATE '2024-02-29') AS v"
+        ).fetchall()[0][1]
+    )
+
+    s_add = spark.sql("SELECT DATE '2024-02-29' + INTERVAL 1 DAY AS v")
+    assert dict(s_add.dtypes)["v"] == "date"
+    assert "TIMESTAMP" in str(
+        con.execute(
+            "DESCRIBE SELECT DATE '2024-02-29' + INTERVAL 1 DAY AS v"
+        ).fetchall()[0][1]
+    )
+
+    # Monday-start weeks agree in both engines (safe-set membership)
+    for d, monday in [("2024-12-30", "2024-12-30"), ("2025-01-01", "2024-12-30")]:
+        sv = spark.sql(
+            f"SELECT CAST(date_trunc('week', DATE '{d}') AS DATE) AS v"
+        ).collect()[0].v
+        dv = con.execute(
+            f"SELECT CAST(date_trunc('week', DATE '{d}') AS DATE) AS v"
+        ).fetchall()[0][0]
+        assert sv == dv == datetime.date.fromisoformat(monday)

@@ -17,9 +17,14 @@ semantics over NULL rows), deterministic ORDER BY + LIMIT top-k
 (explicit NULLS placement + unique tie-break), window functions,
 EXISTS/NOT EXISTS/IN/NOT IN subquery predicates over a NULL-bearing
 inner set (NOT IN with inner NULLs must yield zero rows — 3-valued
-logic), ROLLUP/CUBE/GROUPING SETS through the DataFrame API with
+logic), correlated scalar subqueries in the SELECT list (max-NULL vs
+count-0 on no-match rows — the decorrelation "COUNT bug"),
+ROLLUP/CUBE/GROUPING SETS through the DataFrame API with
 GROUPING() discriminators over NULL-bearing keys (empty input is a
-PINNED divergence — see run_grouping_case), and double aggregates
+PINNED divergence — see run_grouping_case), date functions over a
+probed safe set spanning 1960-2100 (dow is PINNED off-by-one and
+excluded; date_trunc / date±INTERVAL result-type skew cast away — see
+gen_date_exprs), and double aggregates
 restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -378,7 +383,27 @@ def run_subquery_case(
     con.execute(
         f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
     )
-    kind = rng.randint(0, 3)
+    kind = rng.randint(0, 5)
+    if kind >= 4:
+        # correlated SCALAR subquery in the SELECT list — exercises
+        # Spark's decorrelation into a left outer aggregate join. The
+        # no-match row must surface NULL for max but 0 for count(*) —
+        # the classic decorrelation "COUNT bug": a naive outer-join
+        # rewrite yields NULL for both, and only the engine's
+        # null-to-zero compensation projection distinguishes them.
+        inner = (
+            "(SELECT CAST(max(u.n1) AS BIGINT) FROM u WHERE u.uk = t.k1)"
+            if kind == 4
+            else (
+                "(SELECT CAST(count(*) AS BIGINT) FROM u WHERE u.uk = t.k1 "
+                f"AND u.n1 > {rng.randint(-50, 50)})"
+            )
+        )
+        extra = gen_predicate(rng)
+        sql = (
+            f"SELECT k1, m1, {inner} AS sub FROM t WHERE ({extra})"
+        )
+        return _compare(spark.sql(sql), con, sql)
     if kind == 0:
         pred = "EXISTS (SELECT 1 FROM u WHERE u.uk = t.k1)"
     elif kind == 1:
@@ -396,6 +421,81 @@ def run_subquery_case(
         f"FROM t WHERE ({pred}) AND ({extra}) GROUP BY k1"
     )
     return _compare(spark.sql(sql), con, sql)
+
+
+def gen_date_exprs(rng: random.Random) -> list[str]:
+    """Date expressions with probed cross-engine parity (see
+    tests/test_fuzz_differential.py): date_trunc agrees for
+    month/week/quarter/year (Monday-start weeks in BOTH engines) but
+    Spark returns TIMESTAMP where DuckDB returns DATE — hence the
+    explicit CAST AS DATE; extract agrees for
+    year/month/day/quarter/week/doy but NOT dow (Spark Sunday=1,
+    DuckDB Sunday=0 — pinned, excluded); interval arithmetic and
+    last_day agree including leap days and month-end clamping."""
+    out = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            unit = rng.choice(["month", "week", "quarter", "year"])
+            out.append(f"CAST(date_trunc('{unit}', d) AS DATE) AS e{i}")
+        elif kind == 1:
+            part = rng.choice(["year", "month", "day", "quarter", "week", "doy"])
+            out.append(f"CAST(extract({part} FROM d) AS BIGINT) AS e{i}")
+        elif kind == 2:
+            out.append(f"last_day(d) AS e{i}")
+        elif kind == 3:
+            # CAST required: Spark keeps DATE ± INTERVAL a DATE, DuckDB
+            # widens it to TIMESTAMP (found by seeds 5208/5209 — the
+            # same result-TYPE divergence class as date_trunc)
+            n = rng.randint(1, 40)
+            unit = rng.choice(["DAY", "MONTH"])
+            sign = rng.choice(["+", "-"])
+            out.append(f"CAST(d {sign} INTERVAL {n} {unit} AS DATE) AS e{i}")
+        else:
+            lit = rng.choice(["1995-03-31", "2000-02-29", "2024-12-31"])
+            fn = rng.choice(["greatest", "least"])
+            out.append(f"{fn}(d, DATE '{lit}') AS e{i}")
+    return out
+
+
+def run_date_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Date-function case over random dates spanning 1960-2100 (leap
+    days, century boundary, pre-epoch) with NULLs, identical SQL text on
+    both engines."""
+    import datetime
+
+    base = datetime.date(1960, 1, 1)
+    rows = [
+        (
+            i,
+            None
+            if rng.random() < 0.1
+            else base + datetime.timedelta(days=rng.randint(0, 51100)),
+        )
+        for i in range(rng.randint(0, 200))
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_d.parquet")
+    spark.createDataFrame(rows, "rid long, d date").write.mode(
+        "overwrite"
+    ).parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    where = rng.choice(
+        [
+            "d IS NOT NULL",
+            "d IS NULL OR d < DATE '2050-01-01'",
+            f"extract(month FROM d) = {rng.randint(1, 12)}",
+            "TRUE",
+        ]
+    )
+    exprs = gen_date_exprs(rng)
+    sel = ", ".join(["rid", *exprs])
+    sql = f"SELECT {sel} FROM t WHERE {where}"
+    sdf = spark.read.parquet(path).where(where).selectExpr("rid", *exprs)
+    return _compare(sdf, con, sql)
 
 
 def run_grouping_case(
@@ -481,6 +581,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_order_limit_case(spark, con, rng, tmp, case_id)
     if pick < 0.63:
         return run_grouping_case(spark, con, rng, tmp, case_id)
+    if pick < 0.71:
+        return run_date_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
