@@ -120,7 +120,8 @@ def load_all_modules() -> None:
 # (a) — never-green outranks re-confirmation — displacing the four
 # lowest-priority oldest-evidence rows; the second r6 wave
 # (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
-# rewrite_binned_range_join, ann_pq_codes) displaces five more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
+# rewrite_binned_range_join, ann_pq_codes,
+# streaming_range_join_windows) displaces six more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
 # six displaced r1 rows (events_from_json, scalar_null_handling,
 # dedup_exact, scalar_math_funcs, scalar_array_funcs,
 # scalar_json_funcs) head the r7 rotation.
@@ -139,6 +140,7 @@ _VERIFY_FIRST = (
     "corpus_drift_psi",
     "rewrite_binned_range_join",
     "ann_pq_codes",
+    "streaming_range_join_windows",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -177,14 +179,14 @@ _VERIFY_FIRST = (
     "window_share_of_group",
     "setop_union_distinct",
     "setop_union_all_counts",
-    "setop_intersect",
     # (events_from_json, scalar_null_handling, dedup_exact yielded slots
     # to the first three late registrations; scalar_math_funcs,
     # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
-    # setop_except yield theirs to the second wave —
+    # setop_except, setop_intersect yield theirs to the second wave —
     # scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
-    # rewrite_binned_range_join, ann_pq_codes. All eight displaced rows
-    # lead r7's oldest-evidence block.)
+    # rewrite_binned_range_join, ann_pq_codes,
+    # streaming_range_join_windows. All nine displaced rows lead r7's
+    # oldest-evidence block.)
 )
 
 

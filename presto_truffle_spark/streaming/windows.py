@@ -542,3 +542,65 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     return out.select(
         F.col("c_user").alias("user_id"), "click_id", "purchase_id"
     )
+
+
+@query(
+    "streaming_range_join_windows",
+    oracle="""
+    WITH wins AS (
+        SELECT event_id AS win_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 3600 AS hi
+        FROM events WHERE event_id % 500 = 0
+    )
+    SELECT win_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM wins JOIN events e
+      ON CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+         BETWEEN wins.lo AND wins.hi
+    GROUP BY win_id
+    """,
+)
+def streaming_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static INTERVAL join — no equi key: every streamed event
+    lands in whichever 1-hour observation windows (static side, seeded
+    from every 500th event) contain its timestamp. Stream-static inner
+    joins are stateless per micro-batch, but the join condition has no
+    equality, so vanilla Spark would nested-loop every micro-batch
+    against the window table; routing through ``binned_range_join``
+    (W = the window width) makes each micro-batch an ordinary equi join
+    on hour bins — the same rewrite the batch surface and the Scala
+    BinRangeJoin rule apply, proven here under Structured Streaming.
+
+    Epoch seconds via FLOOR on both engines (unix_timestamp truncates;
+    DuckDB's epoch() keeps the microsecond fraction — a bare BIGINT cast
+    would ROUND and shift boundary events by one second). Only the final
+    per-window aggregate keeps state: O(#windows) rows, complete mode.
+    At 100 TB the window table is the model-sized side (broadcast), the
+    stream never accumulates join state, and cents sums stay exact in
+    any accumulation order."""
+    from presto_truffle_spark.plans.rewrites import binned_range_join
+    from presto_truffle_spark.tztime import epoch_s
+
+    wins = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 500 == 0)
+        .select(
+            F.col("event_id").alias("win_id"),
+            epoch_s(F.col("ts")).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 3600)
+    )
+    pts = _events_stream(spark, sf_dir).select(
+        F.unix_timestamp("ts").alias("p"), "value"
+    )
+    joined = binned_range_join(pts, wins, "p", "lo", "hi", 3600.0)
+    agg = joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("total_value_cents"),
+    )
+    return _run_to_memory(agg, "complete")
