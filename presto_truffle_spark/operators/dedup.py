@@ -728,3 +728,70 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .where(F.col("n_shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {_SHINGLE - 1}),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS shingles
+        FROM documents
+        WHERE lang = 'fr' AND len(string_split(text, ' ')) >= {_SHINGLE}
+    )
+    SELECT doc_a, doc_b, containment FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                     least(len(a.shingles), len(b.shingles)), 6) AS containment
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE containment >= 0.05
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) — the asymmetric twin
+    of Jaccard that catches what Jaccard structurally misses: a short
+    document embedded verbatim inside a much longer one (boilerplate
+    wrapping, quote-with-commentary, template stuffing) scores
+    containment ≈ 1 while its Jaccard stays near |A|/|B| ≈ 0. Standard
+    practice in training-data dedup is to run BOTH metrics; this is the
+    missing half.
+
+    Same inverted-index shape as dedup_ngram_jaccard (explode distinct
+    shingles, hash-join postings, per-pair match count = intersection
+    size), so the pair space stays postings + co-occurring pairs — never
+    n². Only the normalizer changes (min size vs union), plus a
+    threshold (0.05 here — the synthetic fixture's vocabulary is tiny,
+    so real-corpus thresholds like 0.5 match nothing; the cut still
+    drops ~90% of co-occurring pairs) because weak containment, unlike
+    weak overlap, is ubiquitous among same-language docs and would
+    drown the signal.
+    Scoped to the 'fr' slice — a different partition than jaccard's
+    'de', widening fixture coverage."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "fr") & (F.size(F.split(F.col("text"), " ")) >= _SHINGLE)
+    )
+    sh = d.select("doc_id", _shingles_col().alias("shingles"))
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.col("s")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.col("s")
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.round(F.col("inter") / F.least("sz_a", "sz_b"), 6)
+    return (
+        pairs.select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.05)
+    )

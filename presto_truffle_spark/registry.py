@@ -121,7 +121,8 @@ def load_all_modules() -> None:
 # lowest-priority oldest-evidence rows; the second r6 wave
 # (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
 # rewrite_binned_range_join, ann_pq_codes,
-# streaming_range_join_windows) displaces six more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
+# streaming_range_join_windows, dedup_ngram_containment) displaces
+# seven more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
 # six displaced r1 rows (events_from_json, scalar_null_handling,
 # dedup_exact, scalar_math_funcs, scalar_array_funcs,
 # scalar_json_funcs) head the r7 rotation.
@@ -141,6 +142,7 @@ _VERIFY_FIRST = (
     "rewrite_binned_range_join",
     "ann_pq_codes",
     "streaming_range_join_windows",
+    "dedup_ngram_containment",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -178,14 +180,14 @@ _VERIFY_FIRST = (
     "window_first_last",
     "window_share_of_group",
     "setop_union_distinct",
-    "setop_union_all_counts",
     # (events_from_json, scalar_null_handling, dedup_exact yielded slots
     # to the first three late registrations; scalar_math_funcs,
     # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
-    # setop_except, setop_intersect yield theirs to the second wave —
-    # scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
-    # rewrite_binned_range_join, ann_pq_codes,
-    # streaming_range_join_windows. All nine displaced rows lead r7's
+    # setop_except, setop_intersect, setop_union_all_counts yield
+    # theirs to the second wave — scd2_dimension_build,
+    # text_chunk_overlap, corpus_drift_psi, rewrite_binned_range_join,
+    # ann_pq_codes, streaming_range_join_windows,
+    # dedup_ngram_containment. All ten displaced rows lead r7's
     # oldest-evidence block.)
 )
 

@@ -497,3 +497,13 @@ def test_pq_codes_broadcasts_codebook_single_argmin_shuffle(spark, sf_dir):
     # exchanges: the codebook broadcast plus ONE hash exchange feeding
     # the argmin window (plus AQE cosmetics); no second data shuffle
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ngram_containment_is_equi_join(spark, sf_dir):
+    """Same inverted-index guarantee as jaccard: the pair space is
+    postings co-occurrence through a hash join on the shingle — any
+    cartesian/BNLJ here would be the O(n²) all-pairs form."""
+    from presto_truffle_spark.operators.dedup import dedup_ngram_containment
+
+    plan = inspect.physical_plan(dedup_ngram_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
