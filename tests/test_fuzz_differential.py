@@ -97,3 +97,21 @@ def test_date_function_divergences_pinned(spark):
             f"SELECT CAST(date_trunc('week', DATE '{d}') AS DATE) AS v"
         ).fetchall()[0][0]
         assert sv == dv == datetime.date.fromisoformat(monday)
+
+
+def test_string_literal_backslash_divergence_pinned(spark):
+    """FIXTURES.md r6: Spark SQL processes C-style escapes inside string
+    literals by default ('a\\c' is a 3-char string) while DuckDB is
+    SQL-standard (the same text is 4 chars) — identical shared SQL text
+    denotes DIFFERENT strings the moment a backslash appears. The LIKE
+    fuzz family therefore builds patterns backslash-free and escapes
+    metacharacters with ESCAPE '!' (no escape meaning in either
+    engine's literal syntax)."""
+    s_len = spark.sql(r"SELECT length('a\\c') AS n").collect()[0].n
+    con = duckdb.connect()
+    d_len = con.execute(r"SELECT length('a\\c') AS n").fetchall()[0][0]
+    assert (s_len, d_len) == (3, 4), (s_len, d_len)
+    # the '!' escape spelling agrees exactly
+    q = "SELECT count(*) AS n FROM (VALUES ('a%b'), ('axb'), ('a!b')) "\
+        "AS t(s) WHERE s LIKE 'a!%b' ESCAPE '!'"
+    assert spark.sql(q).collect()[0].n == con.execute(q).fetchall()[0][0] == 1

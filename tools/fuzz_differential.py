@@ -24,7 +24,10 @@ GROUPING() discriminators over NULL-bearing keys (empty input is a
 PINNED divergence — see run_grouping_case), date functions over a
 probed safe set spanning 1960-2100 (dow is PINNED off-by-one and
 excluded; date_trunc / date±INTERVAL result-type skew cast away — see
-gen_date_exprs), and double aggregates
+gen_date_exprs), LIKE/NOT LIKE/ILIKE over metacharacter-bearing
+strings with ESCAPE '!' (backslash string literals are PINNED
+divergent — Spark C-style escapes vs DuckDB SQL-standard — see
+run_like_case), and double aggregates
 restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -423,6 +426,53 @@ def run_subquery_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_like_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """LIKE / NOT LIKE / ILIKE case over strings containing the
+    metacharacters themselves (%, _, !) plus empties and NULLs.
+    Patterns are built WITHOUT backslashes and use ESCAPE '!' when a
+    metacharacter is matched literally: Spark processes C-style
+    backslash escapes inside SQL string literals by default while
+    DuckDB is SQL-standard (a backslash is a character), so any
+    backslash in shared SQL text silently denotes DIFFERENT strings —
+    pinned in tests/test_fuzz_differential.py; '!' carries no escape
+    meaning in either literal syntax."""
+    alphabet = ["ab", "a%b", "a_b", "aXb", "", "A%B", "xy!z", "aab", "b"]
+    rows = [
+        (i, rng.choice([*alphabet, None]))
+        for i in range(rng.randint(0, 200))
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_l.parquet")
+    spark.createDataFrame(rows, "rid long, s string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    pats = []
+    for _ in range(rng.randint(1, 2)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            pat, esc = rng.choice(["a%", "%b", "a_b", "%X%", "_", "%"]), ""
+        elif kind == 1:
+            pat, esc = rng.choice(["a!%b", "a!_b", "%!%%"]), " ESCAPE '!'"
+        elif kind == 2:
+            pat, esc = rng.choice(["A%", "a%B", "A!_B"]), (
+                " ESCAPE '!'" if rng.random() < 0.5 else ""
+            )
+            pats.append(f"s {'NOT ' if rng.random() < 0.3 else ''}ILIKE '{pat}'{esc if '!' in pat else ''}")
+            continue
+        else:
+            pat, esc = rng.choice(["ab", "aab", ""]), ""
+        neg = "NOT " if rng.random() < 0.3 else ""
+        pats.append(f"s {neg}LIKE '{pat}'{esc}")
+    where = " OR ".join(pats)
+    sql = f"SELECT rid, s FROM t WHERE {where}"
+    sdf = spark.read.parquet(path).where(where).select("rid", "s")
+    return _compare(sdf, con, sql)
+
+
 def gen_date_exprs(rng: random.Random) -> list[str]:
     """Date expressions with probed cross-engine parity (see
     tests/test_fuzz_differential.py): date_trunc agrees for
@@ -583,6 +633,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_grouping_case(spark, con, rng, tmp, case_id)
     if pick < 0.71:
         return run_date_case(spark, con, rng, tmp, case_id)
+    if pick < 0.78:
+        return run_like_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
