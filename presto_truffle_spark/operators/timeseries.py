@@ -433,3 +433,74 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pick_back, b_dist).otherwise(f_dist).alias("dist_ms"),
         )
     )
+
+
+@query(
+    "events_session_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ts AS TIMESTAMP)
+               + CASE WHEN event_type = 'purchase'
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 10 MINUTE END AS fin
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts, fin,
+               CASE WHEN COALESCE(
+                        ts > max(fin) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                        TRUE)
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ), sess AS (
+        SELECT user_id, ts, fin,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(fin) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT gap — purchases hold a session
+    open 30 minutes, everything else 10 — via Spark's builtin
+    ``session_window(ts, gap_expr)``, the dynamic-gap form (a capability
+    the islands rewrite in events_sessionize_islands doesn't need but
+    real funnels do: high-intent actions extend sessions).
+
+    Differential value: the Spark side runs the engine's native
+    session-merge operator while the oracle states the DECLARATIVE spec
+    — each event spans [ts, ts+gap); sessions are the connected unions
+    of overlapping spans (running-max-of-ends island detection) — so
+    the hash equality checks Spark's stateful merge implementation
+    against the mathematical definition, not against a re-spelling of
+    itself. Touching boundaries (next ts == running end) MERGE in both
+    formulations (Spark merges on start <= end; the oracle starts new
+    sessions only on strict >).
+
+    Scale posture: one shuffle on user_id (the session assembly is
+    per-key and Spark sorts within partitions); output is bounded by
+    session count. Stays NTZ end-to-end — session_window preserves
+    timestamp_ntz in batch, so no zone surface (tztime.py doctrine)."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
