@@ -606,3 +606,127 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)
+
+
+def _dhash_oracle_sql() -> str:
+    """Build the 64-bit dHash oracle: every sample point of the 9x8
+    difference-hash grid is recomputed ANALYTICALLY from the generative
+    gradient formula g(x,y) = (a*x + b*y + c) % 256 — pure integer SQL,
+    no bytes — while the Spark side gets each value from real decoded
+    BMP pixels. Bit (r,c) compares horizontally adjacent samples."""
+
+    def s(r: int, k: int) -> str:
+        return (
+            f"(((doc_id % 5 + 1) * (({k} * w) // 9)"
+            f" + ((doc_id * 3) % 7 + 1) * (({r} * h) // 8)"
+            f" + doc_id % 256) % 256)"
+        )
+
+    bits = " || ".join(
+        f"CASE WHEN {s(r, c + 1)} > {s(r, c)} THEN '1' ELSE '0' END"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(9 + doc_id % 24 AS BIGINT) AS w,
+               CAST(8 + (doc_id * 7) % 17 AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           {bits} AS dhash
+    FROM dims
+    """
+
+
+@query("multimodal_image_dhash", oracle=_dhash_oracle_sql())
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) from REAL decoded image bytes —
+    the image near-dup primitive (near-identical images differ in a few
+    bits; exact re-encodes collide exactly). Each document synthesizes a
+    genuine 24-bit BMP whose gray level is the GRADIENT
+    g(x,y) = (a·x + b·y + c) % 256 (a,b,c,dims from doc_id), carried as
+    a BINARY column through Arrow; the decode stage parses the actual
+    header/stride/pixel bytes, nearest-samples the canonical 9×8 dHash
+    grid (x_k = ⌊k·w/9⌋, y_r = ⌊r·h/8⌋ in FILE row order — BMPs are
+    bottom-up, and defining y in file order keeps encoder, decoder, and
+    oracle in one geometry with no flips), and emits the 64 comparison
+    bits. The oracle recomputes every bit analytically from the formula
+    — a divergence anywhere in encode, Arrow, stride math, sampling, or
+    bit packing breaks the hash. The bit vector is a '0'/'1' string:
+    64 bits overflow signed BIGINT and a hex rendering would just
+    re-encode the same string.
+
+    Scale posture: two chained map-only Arrow stages, no shuffle;
+    payloads are dropped before output. Downstream near-dup grouping is
+    a groupBy on the 64-char hash or banded substrings of it — the
+    SimHash/LSH machinery in dedup.py applies unchanged."""
+    import struct
+
+    schema_enc = "media_id long, payload binary"
+    schema_dec = "media_id long, width int, height int, dhash string"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def enc(i: int) -> bytes:
+            w, h = 9 + i % 24, 8 + (i * 7) % 17
+            a, b, c = i % 5 + 1, (i * 3) % 7 + 1, i % 256
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)[:, None]
+            g = ((a * x + b * y + c) % 256).astype(np.uint8)  # h × w
+            stride = (3 * w + 3) // 4 * 4
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : 3 * w] = np.repeat(g, 3, axis=1)  # BGR all = g
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 2835, 2835, 0, 0
+            )
+            hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + rows.size, 0, 0, 54)
+            return hdr + info + rows.tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: enc(int(i))),
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(payload: bytes) -> tuple[int, int, str]:
+            if payload[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            off = struct.unpack("<I", payload[10:14])[0]
+            w, h = struct.unpack("<ii", payload[18:26])
+            h = abs(h)
+            stride = (3 * w + 3) // 4 * 4
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)
+            gray = rows[:, 0 : 3 * w : 3].astype(np.int64)  # B channel = g
+            xs = (np.arange(9) * w) // 9
+            ys = (np.arange(8) * h) // 8
+            s = gray[np.ix_(ys, xs)]  # 8 × 9 samples, file row order
+            bits = (s[:, 1:] > s[:, :-1]).astype(np.uint8)  # 8 × 8
+            return w, h, "".join("1" if b else "0" for b in bits.ravel())
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(dhash)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                    "dhash": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return ids.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)

@@ -507,3 +507,15 @@ def test_ngram_containment_is_equi_join(spark, sf_dir):
 
     plan = inspect.physical_plan(dedup_ngram_containment(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_image_dhash_is_map_only(spark, sf_dir):
+    """Encode and decode/hash are two chained Arrow stages with NO
+    shuffle: payloads must never cross an exchange (at 100 TB the
+    binary column dominates all other traffic)."""
+    from presto_truffle_spark.operators.multimodal import (
+        multimodal_image_dhash,
+    )
+
+    plan = inspect.physical_plan(multimodal_image_dhash(spark, sf_dir))
+    assert "Exchange" not in plan, plan
