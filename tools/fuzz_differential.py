@@ -516,6 +516,8 @@ def run_date_case(
     both engines."""
     import datetime
 
+    from pyspark.sql import functions as F
+
     base = datetime.date(1960, 1, 1)
     rows = [
         (
@@ -541,6 +543,25 @@ def run_date_case(
             "TRUE",
         ]
     )
+    if rng.random() < 0.35:
+        # GROUP BY a truncated date — the rollup-reporting composition
+        # (bucket per month/week/etc., NULL dates forming a NULL group)
+        unit = rng.choice(["month", "week", "quarter", "year"])
+        g = f"CAST(date_trunc('{unit}', d) AS DATE)"
+        sql = (
+            f"SELECT {g} AS g, CAST(count(*) AS BIGINT) AS cnt, "
+            f"CAST(count(d) AS BIGINT) AS nn FROM t WHERE {where} GROUP BY {g}"
+        )
+        sdf = (
+            spark.read.parquet(path)
+            .where(where)
+            .groupBy(F.expr(g).alias("g"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.count("d").cast("bigint").alias("nn"),
+            )
+        )
+        return _compare(sdf, con, sql)
     exprs = gen_date_exprs(rng)
     sel = ", ".join(["rid", *exprs])
     sql = f"SELECT {sel} FROM t WHERE {where}"
