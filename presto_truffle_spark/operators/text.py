@@ -400,3 +400,70 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy"
         ),
     )
+
+
+_PHRASE = ("stream", "table", "hash")  # 3-token query phrase (fixture-present)
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pos
+    WHERE t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'
+          AND t[i+2] = '{_PHRASE[2]}'
+    GROUP BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search through a POSITIONAL inverted index — the
+    operator behind "find every document containing this exact n-gram"
+    (dataset decontamination against a benchmark phrase, memorization
+    probes, quote tracing). posexplode(token) builds (doc, position,
+    token) postings; the phrase match is an adjacency self-join —
+    token_k at position p+k for each phrase word — so only the postings
+    of the THREE query words are ever joined, never the corpus.
+
+    Token-level positions (not instr) deliberately: a substring scan
+    would also match across word boundaries ('restream table hashing'),
+    the classic phrase-search false positive. The oracle re-derives
+    positions by scanning the token array — same semantics through a
+    different algorithm (array scan vs index join).
+
+    Scale posture: the filter to the 3 phrase tokens prunes postings
+    BEFORE any join (predicate pushdown through posexplode's Generate);
+    the joins are equi on (doc_id, position±k) and shuffle only the
+    pruned postings. At 100 TB with a real index the postings lists are
+    pre-materialized and bucketed by token — this query is the
+    on-the-fly version of the same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    posts = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = [
+        posts.filter(F.col("tok") == word).select(
+            F.col("doc_id").alias(f"d{k}"), F.col("pos").alias(f"p{k}")
+        )
+        for k, word in enumerate(_PHRASE)
+    ]
+    joined = (
+        w[0]
+        .join(
+            w[1],
+            (F.col("d0") == F.col("d1")) & (F.col("p1") == F.col("p0") + 1),
+        )
+        .join(
+            w[2],
+            (F.col("d0") == F.col("d2")) & (F.col("p2") == F.col("p0") + 2),
+        )
+    )
+    return joined.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
