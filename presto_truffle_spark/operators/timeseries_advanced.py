@@ -1269,3 +1269,62 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("effective_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               max(CAST(ts AS TIMESTAMP)) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS frontier
+        FROM events
+    ), late AS (
+        SELECT CAST(floor(epoch(frontier)) - floor(epoch(ts)) AS BIGINT)
+               AS late_s
+        FROM arr
+    )
+    SELECT d.delay_s,
+           CAST(count(*) FILTER (WHERE late.late_s > d.delay_s) AS BIGINT)
+               AS n_dropped,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM late CROSS JOIN (
+        SELECT unnest([0, 60, 300, 900, 3600]) AS delay_s
+    ) d
+    GROUP BY d.delay_s
+    """,
+)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning, answered from batch history: for each candidate
+    watermark delay, how many events would a streaming job have DROPPED?
+    An event is late by (event-time frontier at its arrival − its own
+    event time), with arrival order = event_id (the ingestion sequence);
+    it survives a delay-d watermark iff lateness ≤ d. This is the audit
+    every team runs before picking `withWatermark(...)` — the streaming
+    queries in streaming/windows.py consume the number this produces.
+
+    One running-max window over arrival order (single-partition ordered
+    scan — at 100 TB run it per shard/partition of the ingest log, the
+    frontier is per-source there anyway), then one 5-row
+    candidate-delay cross join over the tiny lateness aggregate side —
+    the explode factor is the candidate count, not the data.
+
+    Lateness is computed in whole epoch seconds on BOTH sides (Spark
+    unix_timestamp truncates; DuckDB epoch() keeps fractional seconds —
+    the floor-epoch convention from streaming_range_join_windows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    late = e.select(
+        (epoch_s(F.max("ts").over(w)) - epoch_s(F.col("ts"))).alias("late_s")
+    )
+    delays = F.array([F.lit(x) for x in (0, 60, 300, 900, 3600)])
+    return (
+        late.select("late_s", F.explode(delays).alias("delay_s"))
+        .groupBy("delay_s")
+        .agg(
+            F.count_if(F.col("late_s") > F.col("delay_s")).alias("n_dropped"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )

@@ -123,7 +123,8 @@ def load_all_modules() -> None:
 # rewrite_binned_range_join, ann_pq_codes,
 # streaming_range_join_windows, dedup_ngram_containment,
 # lakehouse_incremental_agg, events_session_dynamic_gap,
-# multimodal_image_dhash, text_phrase_search) displaces eleven more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
+# multimodal_image_dhash, text_phrase_search,
+# events_watermark_lateness_audit) displaces twelve more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
 # six displaced r1 rows (events_from_json, scalar_null_handling,
 # dedup_exact, scalar_math_funcs, scalar_array_funcs,
 # scalar_json_funcs) head the r7 rotation.
@@ -148,6 +149,7 @@ _VERIFY_FIRST = (
     "events_session_dynamic_gap",
     "multimodal_image_dhash",
     "text_phrase_search",
+    "events_watermark_lateness_audit",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -180,19 +182,20 @@ _VERIFY_FIRST = (
     "subquery_scalar_agg",
     "window_ranking",
     "window_topk_per_group",
-    "window_lag_lead",
     # (events_from_json, scalar_null_handling, dedup_exact yielded slots
     # to the first three late registrations; scalar_math_funcs,
     # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
     # setop_except, setop_intersect, setop_union_all_counts,
     # setop_union_distinct, window_share_of_group, window_first_last,
-    # window_running_agg yield theirs to the second wave —
+    # window_running_agg, window_lag_lead yield theirs to the second
+    # wave —
     # scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
     # rewrite_binned_range_join, ann_pq_codes,
     # streaming_range_join_windows, dedup_ngram_containment,
     # lakehouse_incremental_agg, events_session_dynamic_gap,
-    # multimodal_image_dhash, text_phrase_search. All fourteen
-    # displaced rows lead r7's oldest-evidence block.)
+    # multimodal_image_dhash, text_phrase_search,
+    # events_watermark_lateness_audit. All fifteen displaced rows lead
+    # r7's oldest-evidence block.)
 )
 
 
