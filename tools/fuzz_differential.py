@@ -27,7 +27,9 @@ excluded; date_trunc / date±INTERVAL result-type skew cast away — see
 gen_date_exprs), LIKE/NOT LIKE/ILIKE over metacharacter-bearing
 strings with ESCAPE '!' (backslash string literals are PINNED
 divergent — Spark C-style escapes vs DuckDB SQL-standard — see
-run_like_case), and double aggregates
+run_like_case), exact DECIMAL arithmetic with derived-scale parity
+and outer-CAST-pinned aggregate types (avg excluded — DuckDB routes
+it through DOUBLE; see run_decimal_case), and double aggregates
 restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -426,6 +428,73 @@ def run_subquery_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_decimal_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Exact-decimal arithmetic case (the r5 decimal-literal lesson as a
+    grammar): int measures cast to DECIMAL(18,3), combined with
+    +, *, % and terminating division (divisors 2/4/5/8/10 keep every
+    quotient exact within scale 6), plus sum/min/max/avg aggregates —
+    every result whose derived TYPE could differ between engines is
+    pinned by an explicit outer CAST (sum: Spark precision+10 vs
+    DuckDB's 38; division/avg: different intermediate scales), because
+    the driver hash is type/format-exact and Decimal scale is part of
+    the rendering. Probed: the uncast +/*/%/min/max derive matching
+    scales in both engines."""
+    rows = gen_rows(rng, rng.randint(0, 250))
+    path = os.path.join(tmp, f"fuzz_{case_id}_dec.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    where = gen_predicate(rng)
+
+    def dcol():
+        return f"CAST({rng.choice(MEASURES)} AS DECIMAL(18,3))"
+
+    if rng.random() < 0.5:
+        # projection shape (row-exact values, derived scales match)
+        exprs = []
+        for i in range(rng.randint(1, 3)):
+            kind = rng.randint(0, 3)
+            if kind == 0:
+                exprs.append(
+                    f"{dcol()} * CAST({rng.randint(-9, 9)} AS DECIMAL(9,2)) AS e{i}"
+                )
+            elif kind == 1:
+                exprs.append(
+                    f"{dcol()} + CAST({rng.randint(-999, 999)}"
+                    f" * 0.125 AS DECIMAL(12,3)) AS e{i}"
+                )
+            elif kind == 2:
+                exprs.append(
+                    f"CAST({dcol()} / {rng.choice([2, 4, 5, 8, 10])}"
+                    f" AS DECIMAL(38,6)) AS e{i}"
+                )
+            else:
+                exprs.append(
+                    f"{dcol()} % CAST({rng.randint(2, 9)} AS DECIMAL(9,0)) AS e{i}"
+                )
+        rid_free = ", ".join(["k1", *exprs])
+        sql = f"SELECT {rid_free} FROM t WHERE {where}"
+        sdf = spark.read.parquet(path).where(where).selectExpr("k1", *exprs)
+        return _compare(sdf, con, sql)
+    # aggregate shape — outer CAST pins precision AND scale. avg is
+    # deliberately excluded: DuckDB's avg(DECIMAL) goes through DOUBLE
+    # while Spark's stays exact decimal, so a non-terminating mean can
+    # flip the last cast digit between engines.
+    fn = rng.choice(["sum", "min", "max"])
+    group = rng.random() < 0.6
+    agg = f"CAST({fn}({dcol()}) AS DECIMAL(38,6)) AS a0"
+    gb = " GROUP BY k1" if group else ""
+    sel = ("k1, " if group else "") + f"CAST(count(*) AS BIGINT) AS cnt, {agg}"
+    sql = f"SELECT {sel} FROM t WHERE {where}{gb}"
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_like_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -656,6 +725,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_date_case(spark, con, rng, tmp, case_id)
     if pick < 0.78:
         return run_like_case(spark, con, rng, tmp, case_id)
+    if pick < 0.84:
+        return run_decimal_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
