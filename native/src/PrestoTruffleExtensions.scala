@@ -212,11 +212,23 @@ object BinRangeJoin extends Rule[LogicalPlan] {
   // TimeZoneAwareExpressions (Cast where tz-sensitive, Sequence) are
   // UNRESOLVED until timeZoneId is set — an optimizer rule runs after
   // analysis, so it must thread the session zone itself.
-  private def bin(e: Expression, w: Double, tz: String): Expression =
-    Cast(
-      Floor(Divide(Cast(e, DoubleType, Some(tz)), Literal(w))),
-      LongType,
-      Some(tz))
+  //
+  // TIMESTAMP_NTZ cannot cast to DOUBLE directly (DATATYPE_MISMATCH on
+  // Spark 4) — it goes through TIMESTAMP first, with the cast's zone
+  // pinned to UTC: a session-zone NTZ→LTZ conversion would be
+  // NON-monotone across DST fall-back (naive times repeat, the mapped
+  // instant steps backward), and the whole correctness argument rests
+  // on all three of p/lo/hi sharing one MONOTONE map. UTC has no
+  // transitions, so the pinned cast is order-preserving and the binning
+  // zone-free regardless of what zone the session runs in.
+  private def bin(e: Expression, w: Double, tz: String): Expression = {
+    val numeric = e.dataType match {
+      case TimestampNTZType =>
+        Cast(Cast(e, TimestampType, Some("UTC")), DoubleType, Some("UTC"))
+      case _ => Cast(e, DoubleType, Some(tz))
+    }
+    Cast(Floor(Divide(numeric, Literal(w))), LongType, Some(tz))
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

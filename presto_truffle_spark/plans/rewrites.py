@@ -277,11 +277,22 @@ def binned_range_join(
     w = float(bin_width)
     if not w > 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
+    # withColumn REPLACES an existing column of the same name and the
+    # final drop would then delete the caller's data — refuse loudly
+    # instead of silently corrupting (the Scala rule is immune: it
+    # allocates fresh attributes).
+    pbin, ibin = "__pt_bin__", "__pt_bin_r__"
+    clash = ({pbin} & set(points.columns)) | ({ibin} & set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"binned_range_join reserves column name(s) {sorted(clash)}; "
+            "rename them on the input before calling"
+        )
     pb = points.withColumn(
-        "_bin", F.floor(F.col(point_col) / F.lit(w)).cast("long")
+        pbin, F.floor(F.col(point_col) / F.lit(w)).cast("long")
     )
     iv = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
-        "_bin_r",
+        ibin,
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
@@ -291,11 +302,11 @@ def binned_range_join(
     )
     joined = pb.join(
         iv,
-        (pb["_bin"] == iv["_bin_r"])
+        (pb[pbin] == iv[ibin])
         & (pb[point_col] >= iv[lo_col])
         & (pb[point_col] <= iv[hi_col]),
     )
-    return joined.drop("_bin").drop("_bin_r")
+    return joined.drop(pbin).drop(ibin)
 
 
 @query(

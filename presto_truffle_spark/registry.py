@@ -102,34 +102,28 @@ def load_all_modules() -> None:
 
 # The driver hard-verifies the FIRST 50 queries in dict order per round.
 # Names listed here are surfaced ahead of registration order — rotate this
-# list each round so driver coverage cycles through all queries. Round 6
-# (tools/rotation_helper.py): never-green backlog is 4 — the 3 HUGEINT
-# oracles (RED r3-r5, root-caused by the r5 judge: DuckDB types
-# sum(BIGINT) as HUGEINT and the driver's Arrow-path hash renders int128
-# unlike int64; fixed with outer CAST ... AS BIGINT, guarded by the new
-# selfcheck dtype gate) plus the newly registered multimodal_decode_real.
-# Window layout: (a) those 4 first; (b) the 5 green rows staled by THIS
-# round's edits — tfidf (persist size-gate), the two user_days queries +
-# bigram_surprisal (scoped_persist refactor), constraint_audit
-# (join-invariant uniqueness via key-set dedup); (c) all 40 queries whose
-# last green row is STILL r1 — the oldest evidence in the registry,
-# predating the r4 broadcast retrofits and the r5 NTZ work (their code
-# paths are shared with refactored modules even where their own functions
-# didn't change). The four operators REGISTERED this round (kmeans
-# iteration, snapshot diff, audio energy, video scene cuts) join block
-# (a) — never-green outranks re-confirmation — displacing the four
-# lowest-priority oldest-evidence rows; the second r6 wave
-# (scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
-# rewrite_binned_range_join, ann_pq_codes,
-# streaming_range_join_windows, dedup_ngram_containment,
-# lakehouse_incremental_agg, events_session_dynamic_gap,
-# multimodal_image_dhash, text_phrase_search,
-# events_watermark_lateness_audit) displaces twelve more. Exactly 50. r2-era rows (36 incl. dedup_exact) plus the
-# six displaced r1 rows (events_from_json, scalar_null_handling,
-# dedup_exact, scalar_math_funcs, scalar_array_funcs,
-# scalar_json_funcs) head the r7 rotation.
+# list each round so driver coverage cycles through all queries.
+#
+# Round-6 window (tools/rotation_helper.py), exactly 50 = 20 + 5 + 25:
+# (a) 20 never-green rows — the 3 HUGEINT-fixed oracles (RED r3-r5,
+#     root-caused by the r5 judge: DuckDB types sum(BIGINT) as HUGEINT
+#     and the driver's Arrow-path hash renders int128 unlike int64;
+#     fixed with outer CAST ... AS BIGINT, guarded by the selfcheck
+#     dtype gate) + the 5 pre-restart r6 registrations (decode_real,
+#     kmeans, snapshot_diff, audio, video) + the 12 continuation-window
+#     registrations. Never-green outranks re-confirmation.
+# (b) 5 green rows staled by this round's edits — tfidf (persist
+#     size-gate), the two user_days queries + bigram_surprisal
+#     (scoped_persist refactor), constraint_audit (join-invariant
+#     uniqueness).
+# (c) 25 oldest-evidence rows (last green STILL r1 — predating the r4
+#     broadcast retrofits and r5 NTZ work).
+# The 12 continuation registrations displaced 12 r1-era rows (listed at
+# the tuple tail) on top of the pre-restart displacements
+# (events_from_json, scalar_null_handling, dedup_exact); ALL displaced
+# rows + the 36 r2-era rows head the r7 rotation.
 _VERIFY_FIRST = (
-    # --- (a) never-green: 3 HUGEINT-fixed + the 7 new r6 registrations ---
+    # --- (a) never-green: 3 HUGEINT-fixed + 5 pre-restart + 12 continuation ---
     "events_gapfill_locf",
     "events_rollup_cascade",
     "source_schema_evolution",
@@ -182,20 +176,13 @@ _VERIFY_FIRST = (
     "subquery_scalar_agg",
     "window_ranking",
     "window_topk_per_group",
-    # (events_from_json, scalar_null_handling, dedup_exact yielded slots
-    # to the first three late registrations; scalar_math_funcs,
+    # Displaced r1-era rows (head r7's oldest-evidence block):
+    # pre-restart — events_from_json, scalar_null_handling, dedup_exact;
+    # continuation (12, one per new registration) — scalar_math_funcs,
     # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
     # setop_except, setop_intersect, setop_union_all_counts,
     # setop_union_distinct, window_share_of_group, window_first_last,
-    # window_running_agg, window_lag_lead yield theirs to the second
-    # wave —
-    # scd2_dimension_build, text_chunk_overlap, corpus_drift_psi,
-    # rewrite_binned_range_join, ann_pq_codes,
-    # streaming_range_join_windows, dedup_ngram_containment,
-    # lakehouse_incremental_agg, events_session_dynamic_gap,
-    # multimodal_image_dhash, text_phrase_search,
-    # events_watermark_lateness_audit. All fifteen displaced rows lead
-    # r7's oldest-evidence block.)
+    # window_running_agg, window_lag_lead.
 )
 
 

@@ -213,6 +213,45 @@ def main() -> int:
     assert t_got == t_expected and len(t_expected) > 0
     spark.conf.unset("spark.prestotruffle.rangeJoin.binSize")
 
+    # TIMESTAMP_NTZ: cannot cast to DOUBLE directly, so the rule routes
+    # it through a UTC-pinned cast to TIMESTAMP. Run under a NON-UTC
+    # session zone to prove the binning is zone-free (a session-zone
+    # conversion would be non-monotone across DST).
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ntz_pts = spark.sql(
+            "SELECT id AS pid, timestamp_ntz'2024-11-03 00:00:00' +"
+            " make_interval(0,0,0,0,0,0, id * 137) AS ts FROM range(1500)"
+        )
+        ntz_iv = spark.sql(
+            """
+            SELECT iid,
+                   timestamp_ntz'2024-11-03 00:00:00'
+                     + make_interval(0,0,0,0,0,0,s) AS lo,
+                   timestamp_ntz'2024-11-03 00:00:00'
+                     + make_interval(0,0,0,0,0,0,e) AS hi
+            FROM VALUES (1, 0, 7200), (2, 5000, 20000), (3, 100000, 110000)
+            AS t(iid, s, e)
+            """
+        )
+        assert dict(ntz_pts.dtypes)["ts"] == "timestamp_ntz"
+
+        def njoin():
+            return ntz_pts.join(
+                ntz_iv, (ntz_pts.ts >= ntz_iv.lo) & (ntz_pts.ts <= ntz_iv.hi)
+            )
+
+        n_expected = sorted((r.pid, r.iid) for r in njoin().collect())
+        spark.conf.set("spark.prestotruffle.rangeJoin.binSize", "3600")
+        nj = njoin()
+        n_plan = nj._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in n_plan and "__pt_bin" in n_plan, n_plan
+        n_got = sorted((r.pid, r.iid) for r in nj.collect())
+        assert n_got == n_expected and len(n_expected) > 0
+    finally:
+        spark.conf.unset("spark.prestotruffle.rangeJoin.binSize")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     print("NATIVE_EXT_OK")
     spark.stop()
     return 0

@@ -62,13 +62,15 @@ def main() -> None:
             out[:, s * sub : (s + 1) * sub] = codebooks[s][codes[:, s]]
         return out
 
+    # exact ground truth is codebook-independent — computed ONCE and
+    # closed over by every adc_recall() call (it dominates the cost)
+    exact = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(exact, np.inf)
+    truth = np.argsort(exact, axis=1)[:, :TOPK]
+
     def adc_recall(codebooks):
         codes = encode(codebooks)
         rec = reconstruct(codebooks, codes)
-        # exact ground truth (excluding self)
-        exact = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2)
-        np.fill_diagonal(exact, np.inf)
-        truth = np.argsort(exact, axis=1)[:, :TOPK]
         # ADC: query exact vs reconstructed database
         approx = ((emb[:, None, :] - rec[None, :, :]) ** 2).sum(axis=2)
         np.fill_diagonal(approx, np.inf)
