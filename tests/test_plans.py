@@ -519,3 +519,55 @@ def test_image_dhash_is_map_only(spark, sf_dir):
 
     plan = inspect.physical_plan(multimodal_image_dhash(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_session_dynamic_gap_single_shuffle(spark, sf_dir):
+    """The builtin session_window assembles sessions per key after ONE
+    exchange on user_id — a second shuffle would mean the merge isn't
+    running partition-local."""
+    from presto_truffle_spark.operators.timeseries import (
+        events_session_dynamic_gap,
+    )
+
+    plan = inspect.physical_plan(events_session_dynamic_gap(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_phrase_search_joins_are_equi_extracted(spark, sf_dir):
+    """The adjacency condition (d0=d1 AND p1=p0+1) must be EXTRACTED as
+    equi keys — hash/sort-merge joins over the three pruned postings
+    sets, never a nested loop over the corpus."""
+    from presto_truffle_spark.operators.text import text_phrase_search
+
+    plan = inspect.physical_plan(text_phrase_search(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert (
+        plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin") >= 2
+    ), plan
+
+
+def test_lateness_audit_one_exchange(spark, sf_dir):
+    """Running-frontier window + 5-candidate explode + aggregate: one
+    exchange total (the global-order window; the candidate explode is
+    map-side and the final aggregate rides AQE's tiny-output path)."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_watermark_lateness_audit,
+    )
+
+    plan = inspect.physical_plan(
+        events_watermark_lateness_audit(spark, sf_dir)
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_agg_two_group_exchanges(spark, sf_dir):
+    """MV refresh = partials aggregate (one group exchange, written to
+    state) + merge aggregate (one group exchange over state ∪ delta
+    partials) — anything more would mean the base facts are rescanned."""
+    from presto_truffle_spark.operators.lakehouse_ops import (
+        lakehouse_incremental_agg,
+    )
+
+    plan = inspect.physical_plan(lakehouse_incremental_agg(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
