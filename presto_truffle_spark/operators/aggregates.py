@@ -15,7 +15,7 @@ sums are cast to BIGINT in the SQL; float aggregates rounded on both sides
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from presto_truffle_spark.catalog import load_table
@@ -476,3 +476,71 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("l_returnflag"), "distinct_orders")
     )
     return per_group.unionAll(rollup)
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS and_key,
+           CAST(bit_or(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS or_key,
+           CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS xor_key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and / bit_or / bit_xor) — the
+    flag-mask rollup surface (permission masks, feature-bit columns,
+    bloom-ish membership words). Exact integer semantics in both
+    engines, order-independent by construction (bitwise ops are
+    commutative and associative), so the hash comparison needs no
+    rounding envelope at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(key).alias("and_key"),
+        F.bit_or(key).alias("or_key"),
+        F.bit_xor(key).alias("xor_key"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, mode_qty, mode_count FROM (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               CAST(count(*) AS BIGINT) AS mode_count,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_quantity) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value per group). The builtin
+    ``mode()`` is unusable for differential work — both engines pick an
+    ARBITRARY value on frequency ties — so the repo spells the
+    deterministic form: count per (group, value), then top-1 by
+    (count DESC, value ASC). Same count-then-rank shape both sides; the
+    tie-break makes the answer a function of the data alone.
+
+    Scale posture: the (group × value) aggregate is the usual
+    partial+final hash aggregate; the rank window shuffles only the
+    aggregated pairs (bounded by distinct values per group, here ≤50),
+    never the fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("mode_count").desc(), F.col("mode_qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
