@@ -325,3 +325,42 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal < 1000)
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware anti join — the physical operator behind NOT IN, which
+    is NOT the plain anti join: under 3-valued logic one NULL in the
+    subquery result empties the whole output, and a NULL probe key never
+    qualifies, so Spark plans a dedicated null-aware variant (the
+    BuildRight `true` flag / NullAwareAntiJoin) instead of LeftAnti
+    semantics. The fixture's keys are non-null, so the result here
+    coincides with anti-join rows — but the PLAN is the null-aware
+    operator, which is the coverage this query adds over join_anti
+    (tests/test_plans.py pins the flag). The fuzzer's subquery family
+    covers the NULL-bearing value semantics; this registers the
+    operator itself.
+
+    Scale posture: the build side must be broadcast for the null-aware
+    single-column case (Spark restriction); it is the filtered dim here.
+    A growing build side at 100 TB means rewriting to a
+    null-safe LEFT JOIN + filter — the planner layer's job, not a
+    silent fallback."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal < 1000)
+        """
+    )

@@ -467,3 +467,49 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("d0").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+@query(
+    "text_regex_extract_profile",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) (table|hash|scan)', 1) AS before_kw,
+           regexp_replace(text, '[aeiou]', '_', 'g') IS NOT NULL AS replaced_ok,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS len_no_vowels,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def text_regex_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface over the SAFE cross-engine subset. The probe
+    behind this query (pinned in tests/test_fuzz_differential.py) found
+    the regex functions where the engines genuinely fork:
+    ``regexp_replace`` replaces ALL matches in Spark but only the FIRST
+    in DuckDB (DuckDB needs the 'g' flag — so the two sides here use
+    each engine's own global-replace idiom, same semantics, different
+    spelling); ``split`` is regex-delimited in Spark but LITERAL in
+    DuckDB; ``RLIKE``/``regexp_count`` don't exist in DuckDB; and any
+    backslash class ('\\d') hits the pinned string-literal divergence —
+    bracket classes ([0-9], [a-z]) are the portable spelling.
+    ``regexp_extract`` (group extraction, '' on no-match, NULL in/out)
+    agrees exactly and is the one function shared verbatim.
+
+    Scale posture: pure row-side projection, single scan, no shuffle —
+    regex cost is per-row CPU inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "([a-z]+) (table|hash|scan)", 1).alias(
+            "before_kw"
+        ),
+        F.regexp_replace(F.col("text"), "[aeiou]", "_").isNotNull().alias(
+            "replaced_ok"
+        ),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")).cast(
+            "long"
+        ).alias("len_no_vowels"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").alias(
+            "n_words"
+        ),
+    )

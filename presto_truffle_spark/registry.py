@@ -104,27 +104,27 @@ def load_all_modules() -> None:
 # Names listed here are surfaced ahead of registration order — rotate this
 # list each round so driver coverage cycles through all queries.
 #
-# Round-6 window (tools/rotation_helper.py), exactly 50 = 22 + 5 + 23:
-# (a) 22 never-green rows — the 3 HUGEINT-fixed oracles (RED r3-r5,
+# Round-6 window (tools/rotation_helper.py), exactly 50 = 24 + 5 + 21:
+# (a) 24 never-green rows — the 3 HUGEINT-fixed oracles (RED r3-r5,
 #     root-caused by the r5 judge: DuckDB types sum(BIGINT) as HUGEINT
 #     and the driver's Arrow-path hash renders int128 unlike int64;
 #     fixed with outer CAST ... AS BIGINT, guarded by the selfcheck
 #     dtype gate) + the 5 pre-restart r6 registrations (decode_real,
 #     kmeans, snapshot_diff, audio, video) + the continuation-window
-#     registrations (14 after agg_bitwise / agg_mode_deterministic —
-#     block (a) is 22). Never-green outranks re-confirmation.
+#     registrations (16 after the late regex/null-aware-anti adds —
+#     block (a) is 24). Never-green outranks re-confirmation.
 # (b) 5 green rows staled by this round's edits — tfidf (persist
 #     size-gate), the two user_days queries + bigram_surprisal
 #     (scoped_persist refactor), constraint_audit (join-invariant
 #     uniqueness).
-# (c) 23 oldest-evidence rows (last green STILL r1 — predating the r4
+# (c) 21 oldest-evidence rows (last green STILL r1 — predating the r4
 #     broadcast retrofits and r5 NTZ work).
-# The 14 continuation registrations displaced 14 r1-era rows (listed at
+# The 16 continuation registrations displaced 16 r1-era rows (listed at
 # the tuple tail) on top of the pre-restart displacements
 # (events_from_json, scalar_null_handling, dedup_exact); ALL displaced
 # rows + the 36 r2-era rows head the r7 rotation.
 _VERIFY_FIRST = (
-    # --- (a) never-green: 3 HUGEINT-fixed + 5 pre-restart + 14 continuation ---
+    # --- (a) never-green: 3 HUGEINT-fixed + 5 pre-restart + 16 continuation ---
     "events_gapfill_locf",
     "events_rollup_cascade",
     "source_schema_evolution",
@@ -147,6 +147,8 @@ _VERIFY_FIRST = (
     "events_watermark_lateness_audit",
     "agg_bitwise",
     "agg_mode_deterministic",
+    "text_regex_extract_profile",
+    "join_null_aware_anti",
     # --- (b) green rows made stale by this round's edits ---
     "text_tfidf_top_terms",
     "events_hll_sliding_distinct",
@@ -175,16 +177,14 @@ _VERIFY_FIRST = (
     "join_semi",
     "join_anti",
     "join_range_theta",
-    "join_broadcast_dims",
-    "subquery_scalar_agg",
     # Displaced r1-era rows (head r7's oldest-evidence block):
     # pre-restart — events_from_json, scalar_null_handling, dedup_exact;
-    # continuation (14, one per new registration) — scalar_math_funcs,
+    # continuation (16, one per new registration) — scalar_math_funcs,
     # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
     # setop_except, setop_intersect, setop_union_all_counts,
     # setop_union_distinct, window_share_of_group, window_first_last,
     # window_running_agg, window_lag_lead, window_ranking,
-    # window_topk_per_group.
+    # window_topk_per_group, join_broadcast_dims, subquery_scalar_agg.
 )
 
 

@@ -115,3 +115,40 @@ def test_string_literal_backslash_divergence_pinned(spark):
     q = "SELECT count(*) AS n FROM (VALUES ('a%b'), ('axb'), ('a!b')) "\
         "AS t(s) WHERE s LIKE 'a!%b' ESCAPE '!'"
     assert spark.sql(q).collect()[0].n == con.execute(q).fetchall()[0][0] == 1
+
+
+def test_regex_function_divergences_pinned(spark):
+    """FIXTURES.md r6 regex conventions, probed cross-engine:
+    1. regexp_replace replaces ALL matches in Spark but only the FIRST
+       in DuckDB — DuckDB needs the explicit 'g' flag for the same
+       semantics, so the function is never shared verbatim.
+    2. split() is regex-delimited in Spark, LITERAL in DuckDB
+       (string_split) — never share split over a pattern.
+    3. RLIKE and regexp_count don't exist in DuckDB.
+    4. regexp_extract with bracket classes agrees exactly ('' on
+       no-match, NULL propagation) and is the shared-verbatim citizen;
+       Spark's regexp_extract_all requires an explicit group 0 when the
+       pattern has no capture group."""
+    con = duckdb.connect()
+    s_all = spark.sql(
+        "SELECT regexp_replace('a1b2c3', '[0-9]', '#') AS v"
+    ).collect()[0].v
+    d_first = con.execute(
+        "SELECT regexp_replace('a1b2c3', '[0-9]', '#') AS v"
+    ).fetchall()[0][0]
+    d_glob = con.execute(
+        "SELECT regexp_replace('a1b2c3', '[0-9]', '#', 'g') AS v"
+    ).fetchall()[0][0]
+    assert (s_all, d_first, d_glob) == ("a#b#c#", "a#b2c3", "a#b#c#")
+
+    s_split = spark.sql("SELECT split('a1b2', '[0-9]') AS v").collect()[0].v
+    d_split = con.execute("SELECT split('a1b2', '[0-9]') AS v").fetchall()[0][0]
+    assert s_split == ["a", "b", ""] and d_split == ["a1b2"]
+
+    s_x = spark.sql(
+        "SELECT regexp_extract('abc123', '([0-9]+)', 1) AS v"
+    ).collect()[0].v
+    d_x = con.execute(
+        "SELECT regexp_extract('abc123', '([0-9]+)', 1) AS v"
+    ).fetchall()[0][0]
+    assert s_x == d_x == "123"

@@ -571,3 +571,17 @@ def test_incremental_agg_two_group_exchanges(spark, sf_dir):
 
     plan = inspect.physical_plan(lakehouse_incremental_agg(spark, sf_dir))
     assert plan.count("Exchange") == 2, plan
+
+
+def test_null_aware_anti_join_operator_planned(spark, sf_dir):
+    """NOT IN must plan the NULL-AWARE anti join (the BuildRight `true`
+    flag on the broadcast hash join), not decay to plain LeftAnti —
+    3-valued-logic semantics live in that operator."""
+    from presto_truffle_spark.operators.joins import join_null_aware_anti
+
+    plan = inspect.physical_plan(join_null_aware_anti(spark, sf_dir))
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any(
+        "LeftAnti" in l and ("true" in l or "NullAware" in l)
+        for l in join_lines
+    ), join_lines
