@@ -437,15 +437,26 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     different algorithm (array scan vs index join).
 
     Scale posture: the filter to the 3 phrase tokens prunes postings
-    BEFORE any join (predicate pushdown through posexplode's Generate);
-    the joins are equi on (doc_id, position±k) and shuffle only the
-    pruned postings. At 100 TB with a real index the postings lists are
-    pre-materialized and bucketed by token — this query is the
-    on-the-fly version of the same plan."""
+    BEFORE any join (predicate pushdown through posexplode's Generate),
+    and the PRUNED postings frame is scoped_persist'ed so the corpus is
+    tokenized ONCE — the three per-word branches below would otherwise
+    each re-scan and re-explode the full text column (the rescan-audit
+    class; the cached frame is the tiny 3-word postings set, exactly
+    the "persist only reduced intermediates" doctrine). The joins are
+    equi on (doc_id, position±k) and shuffle only the pruned postings.
+    At 100 TB with a real index the postings lists are pre-materialized
+    and bucketed by token — this query is the on-the-fly version of the
+    same plan."""
+    from presto_truffle_spark.cache import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
-    posts = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    posts = scoped_persist(
+        spark,
+        "text_phrase_search.posts",
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        ).filter(F.col("tok").isin(*_PHRASE)),
     )
     w = [
         posts.filter(F.col("tok") == word).select(
