@@ -29,7 +29,9 @@ strings with ESCAPE '!' (backslash string literals are PINNED
 divergent — Spark C-style escapes vs DuckDB SQL-standard — see
 run_like_case), exact DECIMAL arithmetic with derived-scale parity
 and outer-CAST-pinned aggregate types (avg excluded — DuckDB routes
-it through DOUBLE; see run_decimal_case), and double aggregates
+it through DOUBLE; see run_decimal_case), window functions OVER join results (join
+multiplicity and outer-join null extension inside frames — see
+run_join_window_case), and double aggregates
 restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -428,6 +430,64 @@ def run_subquery_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_join_window_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Composition case: a window function evaluated OVER a join result.
+    The single-table window family can't see partition keys whose
+    cardinality the join changed (duplicate right keys multiply rows;
+    outer joins add null-extended rows into frames), and the join
+    family never runs post-join windows. rid stays unique per LEFT row
+    but duplicates across join multiplicity, so the total order needs
+    (rid, un) — un being the right side's unique id."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 150)))]
+    urows = [
+        (i, k, n)
+        for i, (k, n) in enumerate(gen_join_rows(rng, rng.randint(0, 40)))
+    ]
+    tpath = os.path.join(tmp, f"fuzz_{case_id}_jwt.parquet")
+    upath = os.path.join(tmp, f"fuzz_{case_id}_jwu.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(tpath)
+    spark.createDataFrame(urows, "un long, uk string, n1 long").write.mode(
+        "overwrite"
+    ).parquet(upath)
+    spark.read.parquet(tpath).createOrReplaceTempView("t")
+    spark.read.parquet(upath).createOrReplaceTempView("u")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{tpath}/*.parquet'"
+    )
+    con.execute(
+        f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
+    )
+    join = rng.choice(["JOIN", "LEFT JOIN"])
+    part = rng.choice(["k1", "uk", "k1, k2"])
+    fn = rng.choice(
+        [
+            "row_number()",
+            "rank()",
+            "sum(n1)",
+            "count(n1)",
+            "lag(m1, 1)",
+            "min(m2)",
+        ]
+    )
+    frame = (
+        ""
+        if fn in ("row_number()", "rank()") or fn.startswith("lag")
+        else " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    order = "ORDER BY m1 NULLS FIRST, rid, un NULLS FIRST"
+    where = gen_predicate(rng)
+    sql = (
+        f"SELECT rid, un, CAST({fn} OVER (PARTITION BY {part} {order}{frame})"
+        f" AS BIGINT) AS w FROM (SELECT * FROM t {join} u ON t.k1 = u.uk"
+        f" WHERE {where})"
+    )
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_decimal_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -727,6 +787,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_like_case(spark, con, rng, tmp, case_id)
     if pick < 0.84:
         return run_decimal_case(spark, con, rng, tmp, case_id)
+    if pick < 0.90:
+        return run_join_window_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
