@@ -353,14 +353,17 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     A growing build side at 100 TB means rewriting to a
     null-safe LEFT JOIN + filter — the planner layer's job, not a
     silent fallback."""
-    o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    c = load_table(spark, sf_dir, "customer")
-    c.createOrReplaceTempView("customer")
+    # Query-private view names: rebinding the session-global 'orders' /
+    # 'customer' here would silently repoint every later spark.sql
+    # consumer at THIS sf_dir (only catalog.register_all owns those).
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("naa_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "naa_customer"
+    )
     return spark.sql(
         """
-        SELECT o_orderkey, o_custkey FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        SELECT o_orderkey, o_custkey FROM naa_orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM naa_customer
                                 WHERE c_acctbal < 1000)
         """
     )

@@ -152,3 +152,24 @@ def test_regex_function_divergences_pinned(spark):
         "SELECT regexp_extract('abc123', '([0-9]+)', 1) AS v"
     ).fetchall()[0][0]
     assert s_x == d_x == "123"
+
+    # point 3 pinned by ABSENCE: if a DuckDB upgrade grows regexp_count
+    # or RLIKE, this fails and the convention must be re-probed (same
+    # or different semantics both matter)
+    for bad in (
+        "SELECT regexp_count('a1b2', '[0-9]')",
+        "SELECT 'a1' RLIKE '[0-9]'",
+    ):
+        try:
+            con.execute(bad)
+            raise AssertionError(f"DuckDB now accepts: {bad}")
+        except duckdb.Error:
+            pass
+    # ...and the documented substitutes agree with Spark's spelling
+    s_n = spark.sql(
+        "SELECT CAST(regexp_count('a1b2c3', '[0-9]') AS BIGINT) AS v"
+    ).collect()[0].v
+    d_n = con.execute(
+        "SELECT CAST(len(regexp_extract_all('a1b2c3', '[0-9]')) AS BIGINT) AS v"
+    ).fetchall()[0][0]
+    assert s_n == d_n == 3

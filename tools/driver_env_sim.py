@@ -101,23 +101,28 @@ def main() -> int:
         )
         results[which] = json.loads(line[len("PHASE_JSON "):])
 
-    diverged = sorted(
-        name
-        for name in names
-        if results["vanilla"][name] != results["engine"][name]
-    )
+    # an ERROR is a failure even when both phases error IDENTICALLY —
+    # a missing fixture dir would otherwise hash-match on the error
+    # string and report a false 50/50 green
     errored = sorted(
         name
         for name in names
         if results["vanilla"][name].startswith("ERROR")
         or results["engine"][name].startswith("ERROR")
     )
+    diverged = sorted(
+        name
+        for name in names
+        if name not in errored
+        and results["vanilla"][name] != results["engine"][name]
+    )
     print(
         json.dumps(
             {
                 "queries": len(names),
-                "identical": len(names) - len(diverged),
+                "identical": len(names) - len(diverged) - len(errored),
                 "diverged": diverged,
+                "errored": errored,
                 "errors": {
                     n: {
                         "vanilla": results["vanilla"][n],
@@ -129,7 +134,7 @@ def main() -> int:
             }
         )
     )
-    return 1 if diverged else 0
+    return 1 if diverged or errored else 0
 
 
 if __name__ == "__main__":

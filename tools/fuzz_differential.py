@@ -363,6 +363,41 @@ def run_scalar_case(
     return _compare(sdf, con, sql)
 
 
+def _materialize_pair(
+    spark,
+    con,
+    tmp: str,
+    tag: str,
+    t_rows,
+    t_schema: str,
+    u_rows,
+    u_schema: str,
+) -> None:
+    """Write the (t, u) table pair to parquet and register BOTH engines'
+    views — the one copy of the two-table temp-view boilerplate (the
+    subquery and join-window families; a glob/registration fix lands
+    once). The base aggregate family keeps its own single-table +
+    optional-u setup: it drives Spark through DataFrame chains, not
+    temp views."""
+    tpath = os.path.join(tmp, f"{tag}_t.parquet")
+    upath = os.path.join(tmp, f"{tag}_u.parquet")
+    spark.createDataFrame(t_rows, t_schema).write.mode("overwrite").parquet(
+        tpath
+    )
+    spark.createDataFrame(u_rows, u_schema).write.mode("overwrite").parquet(
+        upath
+    )
+    spark.read.parquet(tpath).createOrReplaceTempView("t")
+    spark.read.parquet(upath).createOrReplaceTempView("u")
+    # Spark writes a DIRECTORY of part files; DuckDB reads via glob
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{tpath}/*.parquet'"
+    )
+    con.execute(
+        f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
+    )
+
+
 def run_subquery_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -372,23 +407,15 @@ def run_subquery_case(
     containing NULL must yield zero rows in standard 3-valued logic —
     the classic subquery trap — and correlated EXISTS exercises the
     decorrelation machinery on the Spark side."""
-    rows = gen_rows(rng, rng.randint(0, 250))
-    urows = gen_join_rows(rng, rng.randint(0, 40))
-    tpath = os.path.join(tmp, f"fuzz_{case_id}_qt.parquet")
-    upath = os.path.join(tmp, f"fuzz_{case_id}_qu.parquet")
-    spark.createDataFrame(
-        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
-    ).write.mode("overwrite").parquet(tpath)
-    spark.createDataFrame(urows, "uk string, n1 long").write.mode(
-        "overwrite"
-    ).parquet(upath)
-    spark.read.parquet(tpath).createOrReplaceTempView("t")
-    spark.read.parquet(upath).createOrReplaceTempView("u")
-    con.execute(
-        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{tpath}/*.parquet'"
-    )
-    con.execute(
-        f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
+    _materialize_pair(
+        spark,
+        con,
+        tmp,
+        f"fuzz_{case_id}_q",
+        gen_rows(rng, rng.randint(0, 250)),
+        "k1 string, k2 string, m1 long, m2 long, m3 long",
+        gen_join_rows(rng, rng.randint(0, 40)),
+        "uk string, n1 long",
     )
     kind = rng.randint(0, 5)
     if kind >= 4:
@@ -440,26 +467,18 @@ def run_join_window_case(
     family never runs post-join windows. rid stays unique per LEFT row
     but duplicates across join multiplicity, so the total order needs
     (rid, un) — un being the right side's unique id."""
-    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 150)))]
-    urows = [
-        (i, k, n)
-        for i, (k, n) in enumerate(gen_join_rows(rng, rng.randint(0, 40)))
-    ]
-    tpath = os.path.join(tmp, f"fuzz_{case_id}_jwt.parquet")
-    upath = os.path.join(tmp, f"fuzz_{case_id}_jwu.parquet")
-    spark.createDataFrame(
-        rows, "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
-    ).write.mode("overwrite").parquet(tpath)
-    spark.createDataFrame(urows, "un long, uk string, n1 long").write.mode(
-        "overwrite"
-    ).parquet(upath)
-    spark.read.parquet(tpath).createOrReplaceTempView("t")
-    spark.read.parquet(upath).createOrReplaceTempView("u")
-    con.execute(
-        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{tpath}/*.parquet'"
-    )
-    con.execute(
-        f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'"
+    _materialize_pair(
+        spark,
+        con,
+        tmp,
+        f"fuzz_{case_id}_jw",
+        [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 150)))],
+        "rid long, k1 string, k2 string, m1 long, m2 long, m3 long",
+        [
+            (i, k, n)
+            for i, (k, n) in enumerate(gen_join_rows(rng, rng.randint(0, 40)))
+        ],
+        "un long, uk string, n1 long",
     )
     join = rng.choice(["JOIN", "LEFT JOIN"])
     part = rng.choice(["k1", "uk", "k1, k2"])
