@@ -31,8 +31,11 @@ run_like_case), exact DECIMAL arithmetic with derived-scale parity
 and outer-CAST-pinned aggregate types (avg excluded — DuckDB routes
 it through DOUBLE; see run_decimal_case), window functions OVER join results (join
 multiplicity and outer-join null extension inside frames — see
-run_join_window_case), and double aggregates
-restricted to exactly-representable
+run_join_window_case), higher-order array lambdas through paired
+per-engine templates (transform/filter/aggregate vs
+list_transform/list_filter/list_reduce; zip_with excluded — DuckDB's
+list_zip builds structs, not a lambda twin — see run_hof_case), and
+double aggregates restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
 time functions. NULL semantics (3-valued logic in filters,
@@ -507,6 +510,72 @@ def run_join_window_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_hof_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Higher-order array-lambda case: transform / filter / reduce /
+    sort / size over per-row integer arrays, rendered as PAIRED
+    per-engine templates from one set of random parameters (Spark's
+    transform/filter/aggregate vs DuckDB's list_transform /
+    list_filter / list_reduce — same semantics, different names; probed
+    equal, while zip_with has NO DuckDB lambda twin — list_zip builds
+    structs — and stays out of the family). Array RESULTS serialize via
+    array_join/array_to_string (canon cannot hash lists — the
+    registered-oracle convention applies to the fuzzer too); elements
+    are coalesced non-null so the two serializers' NULL-skipping
+    never matters."""
+    rows = gen_rows(rng, rng.randint(0, 200))
+    path = os.path.join(tmp, f"fuzz_{case_id}_h.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    arr_s = "array(coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), {k})"
+    arr_d = "[coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), {k}]"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        k = rng.randint(-5, 5)
+        a_s, a_d = arr_s.format(k=k), arr_d.format(k=k)
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            m, c = rng.randint(-3, 3), rng.randint(-10, 10)
+            s = f"array_join(transform({a_s}, x -> x * {m} + {c}), ',')"
+            d = f"array_to_string(list_transform({a_d}, x -> x * {m} + {c}), ',')"
+        elif kind == 1:
+            md = rng.randint(2, 5)
+            s = f"array_join(filter({a_s}, x -> x % {md} = 0), ',')"
+            d = f"array_to_string(list_filter({a_d}, x -> x % {md} = 0), ',')"
+        elif kind == 2:
+            # init must be BIGINT: Spark requires the fold's merge type
+            # to equal the zero's type exactly (no coercion on lambdas)
+            s = (
+                f"CAST(aggregate({a_s}, CAST(0 AS BIGINT),"
+                " (a, x) -> a + x) AS BIGINT)"
+            )
+            d = f"CAST(list_reduce([0] || {a_d}, (a, x) -> a + x) AS BIGINT)"
+        elif kind == 3:
+            s = f"array_join(sort_array({a_s}), ',')"
+            d = f"array_to_string(list_sort({a_d}), ',')"
+        else:
+            md = rng.randint(2, 4)
+            s = f"CAST(size(filter({a_s}, x -> x % {md} = 0)) AS BIGINT)"
+            d = f"CAST(len(list_filter({a_d}, x -> x % {md} = 0)) AS BIGINT)"
+        exprs.append((f"{s} AS h{i}", f"{d} AS h{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_decimal_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -808,6 +877,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_decimal_case(spark, con, rng, tmp, case_id)
     if pick < 0.90:
         return run_join_window_case(spark, con, rng, tmp, case_id)
+    if pick < 0.95:
+        return run_hof_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
