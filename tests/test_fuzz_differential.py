@@ -173,3 +173,23 @@ def test_regex_function_divergences_pinned(spark):
         "SELECT CAST(len(regexp_extract_all('a1b2c3', '[0-9]')) AS BIGINT) AS v"
     ).fetchall()[0][0]
     assert s_n == d_n == 3
+
+
+def test_empty_array_serialization_divergence_pinned(spark):
+    """FIXTURES.md r6: serializing an EMPTY array yields '' from
+    Spark's array_join but NULL from DuckDB's array_to_string — any
+    oracle stringifying a possibly-empty array must coalesce the
+    DuckDB side (found live by the HOF fuzz family, seed 72000/63)."""
+    sv = spark.sql(
+        "SELECT array_join(filter(array(1), x -> x > 5), ',') AS v"
+    ).collect()[0].v
+    con = duckdb.connect()
+    dv = con.execute(
+        "SELECT array_to_string(list_filter([1], x -> x > 5), ',') AS v"
+    ).fetchall()[0][0]
+    assert sv == "" and dv is None
+    dv2 = con.execute(
+        "SELECT coalesce(array_to_string(list_filter([1], x -> x > 5),"
+        " ','), '') AS v"
+    ).fetchall()[0][0]
+    assert dv2 == ""

@@ -540,14 +540,25 @@ def run_hof_case(
         k = rng.randint(-5, 5)
         a_s, a_d = arr_s.format(k=k), arr_d.format(k=k)
         kind = rng.randint(0, 4)
+        # coalesce on the DuckDB serializer: array_to_string of an
+        # EMPTY list is NULL while Spark's array_join is '' — a live
+        # divergence this family's seed 72000/63 found (now a pinned
+        # FIXTURES.md convention for any oracle serializing a
+        # possibly-empty array)
         if kind == 0:
             m, c = rng.randint(-3, 3), rng.randint(-10, 10)
             s = f"array_join(transform({a_s}, x -> x * {m} + {c}), ',')"
-            d = f"array_to_string(list_transform({a_d}, x -> x * {m} + {c}), ',')"
+            d = (
+                f"coalesce(array_to_string(list_transform({a_d},"
+                f" x -> x * {m} + {c}), ','), '')"
+            )
         elif kind == 1:
             md = rng.randint(2, 5)
             s = f"array_join(filter({a_s}, x -> x % {md} = 0), ',')"
-            d = f"array_to_string(list_filter({a_d}, x -> x % {md} = 0), ',')"
+            d = (
+                f"coalesce(array_to_string(list_filter({a_d},"
+                f" x -> x % {md} = 0), ','), '')"
+            )
         elif kind == 2:
             # init must be BIGINT: Spark requires the fold's merge type
             # to equal the zero's type exactly (no coercion on lambdas)
@@ -558,7 +569,7 @@ def run_hof_case(
             d = f"CAST(list_reduce([0] || {a_d}, (a, x) -> a + x) AS BIGINT)"
         elif kind == 3:
             s = f"array_join(sort_array({a_s}), ',')"
-            d = f"array_to_string(list_sort({a_d}), ',')"
+            d = f"coalesce(array_to_string(list_sort({a_d}), ','), '')"
         else:
             md = rng.randint(2, 4)
             s = f"CAST(size(filter({a_s}, x -> x % {md} = 0)) AS BIGINT)"
