@@ -104,87 +104,74 @@ def load_all_modules() -> None:
 # Names listed here are surfaced ahead of registration order — rotate this
 # list each round so driver coverage cycles through all queries.
 #
-# Round-6 window (tools/rotation_helper.py), exactly 50 = 24 + 5 + 21:
-# (a) 24 never-green rows — the 3 HUGEINT-fixed oracles (RED r3-r5,
-#     root-caused by the r5 judge: DuckDB types sum(BIGINT) as HUGEINT
-#     and the driver's Arrow-path hash renders int128 unlike int64;
-#     fixed with outer CAST ... AS BIGINT, guarded by the selfcheck
-#     dtype gate) + the 5 pre-restart r6 registrations (decode_real,
-#     kmeans, snapshot_diff, audio, video) + the continuation-window
-#     registrations (16 after the late regex/null-aware-anti adds —
-#     block (a) is 24). Never-green outranks re-confirmation.
-# (b) 5 green rows staled by this round's edits — tfidf (persist
-#     size-gate), the two user_days queries + bigram_surprisal
-#     (scoped_persist refactor), constraint_audit (join-invariant
-#     uniqueness).
-# (c) 21 oldest-evidence rows (last green STILL r1 — predating the r4
-#     broadcast retrofits and r5 NTZ work).
-# The 16 continuation registrations displaced 16 r1-era rows (listed at
-# the tuple tail) on top of the pre-restart displacements
-# (events_from_json, scalar_null_handling, dedup_exact); ALL displaced
-# rows + the 36 r2-era rows head the r7 rotation.
+# Round-7 window (tools/rotation_helper.py), exactly 50 = 1 + 19 + 30:
+# (a) 1 never-green row — multimodal_dhash_dup_groups, registered at the
+#     tail of r6 after the window was last rebuilt (the r6 verdict's #1
+#     item: it was absent from this tuple, so the driver never saw it).
+# (b) 19 oldest-evidence rows — every query whose last driver green is
+#     STILL r1 (the windows/setops/scalar tails displaced by the r6
+#     continuation registrations, plus join_broadcast_dims and
+#     subquery_scalar_agg).
+# (c) 30 of the 36 r2-era rows, registration order (the LLM-pipeline
+#     dedup/ANN/text/multimodal blocks). The remaining 6 r2 rows
+#     (q17/q20/q22/q12, scalar_json_tuple, udtf_token_explode) plus any
+#     rows staled or registered this round head the r8 rotation.
+# NOTE r7 in-round edits: new registrations MUST be inserted after (a)
+# and the (c) tail trimmed to keep the window at exactly 50.
 _VERIFY_FIRST = (
-    # --- (a) never-green: 3 HUGEINT-fixed + 5 pre-restart + 16 continuation ---
-    "events_gapfill_locf",
-    "events_rollup_cascade",
-    "source_schema_evolution",
-    "multimodal_decode_real",
-    "ann_kmeans_iteration",
-    "lakehouse_snapshot_diff",
-    "multimodal_audio_energy",
-    "multimodal_video_scene_cuts",
-    "scd2_dimension_build",
-    "text_chunk_overlap",
-    "corpus_drift_psi",
-    "rewrite_binned_range_join",
-    "ann_pq_codes",
-    "streaming_range_join_windows",
-    "dedup_ngram_containment",
-    "lakehouse_incremental_agg",
-    "events_session_dynamic_gap",
-    "multimodal_image_dhash",
-    "text_phrase_search",
-    "events_watermark_lateness_audit",
-    "agg_bitwise",
-    "agg_mode_deterministic",
-    "text_regex_extract_profile",
-    "join_null_aware_anti",
-    # --- (b) green rows made stale by this round's edits ---
-    "text_tfidf_top_terms",
-    "events_hll_sliding_distinct",
-    "events_rolling_distinct_users",
-    "text_bigram_surprisal",
-    "quality_constraint_audit",
-    # --- (c) oldest evidence: every row whose last green is r1 ---
-    "q1_pricing_summary",
-    "agg_minmax_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_percentiles",
-    "agg_having",
-    "agg_stats",
-    "agg_pivot",
-    "q6_count",
-    "filter_predicates",
-    "project_case_when",
-    "scan_prune",
-    "sort_limit",
-    "join_inner_fact_fact",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    # Displaced r1-era rows (head r7's oldest-evidence block):
-    # pre-restart — events_from_json, scalar_null_handling, dedup_exact;
-    # continuation (16, one per new registration) — scalar_math_funcs,
-    # scalar_array_funcs, scalar_json_funcs, scalar_string_funcs,
-    # setop_except, setop_intersect, setop_union_all_counts,
-    # setop_union_distinct, window_share_of_group, window_first_last,
-    # window_running_agg, window_lag_lead, window_ranking,
-    # window_topk_per_group, join_broadcast_dims, subquery_scalar_agg.
+    # --- (a) never-green ---
+    "multimodal_dhash_dup_groups",
+    # --- (b) oldest evidence: last green r1 ---
+    "join_broadcast_dims",
+    "subquery_scalar_agg",
+    "window_ranking",
+    "window_topk_per_group",
+    "window_lag_lead",
+    "window_running_agg",
+    "window_first_last",
+    "window_share_of_group",
+    "setop_union_distinct",
+    "setop_union_all_counts",
+    "setop_intersect",
+    "setop_except",
+    "setop_distinct_rows",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "events_from_json",
+    "scalar_null_handling",
+    # --- (c) r2-era re-confirmation (first 30 in registration order) ---
+    "dedup_exact",
+    "dedup_exact_survivors",
+    "dedup_normalized",
+    "dedup_minhash_lsh_capped",
+    "dedup_lsh_bucket_guard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "ann_lsh_buckets",
+    "ann_lsh_bucket_stats",
+    "knn_label_vote",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe3",
+    "embedding_norm_stats",
+    "text_token_stats",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_word_freq",
+    "text_lang_profile",
+    "multimodal_extract_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "multimodal_size_by_type",
+    "pipeline_corpus_prep",
+    "pipeline_embedding_dedup",
+    "events_malformed_json_robust",
+    "q4_order_priority",
 )
 
 
