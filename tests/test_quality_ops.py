@@ -103,6 +103,92 @@ def test_min_label_propagation_nonconvergence_is_loud(spark, sf_dir):
         min_label_propagation(edges, max_rounds=3)
 
 
+def _bidir(spark, pairs):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return df.selectExpr("a AS src", "b AS dst").unionAll(
+        df.selectExpr("b AS src", "a AS dst")
+    )
+
+
+def test_star_components_fixpoint_equals_min_label(spark, sf_dir):
+    """large/small-star must produce the EXACT labeling of the reference
+    min-label propagation (component = min member id) on adversarial
+    shapes: a deep chain, a star, two merged stars (barbell), and a seeded
+    random graph with singletons and multiple components."""
+    import random
+
+    from presto_truffle_spark.operators.quality_ops import (
+        large_small_star_components,
+        min_label_propagation,
+    )
+
+    rng = random.Random(41)
+    rand_pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    graphs = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "star": [(0, i) for i in range(1, 20)],
+        "barbell": [(0, i) for i in range(1, 10)]
+        + [(100, 100 + i) for i in range(1, 10)]
+        + [(9, 109)],
+        "random": [(a, b) for a, b in rand_pairs if a != b],
+    }
+    for name, pairs in graphs.items():
+        edges = _bidir(spark, pairs)
+        want = {r.doc_id: r.component for r in min_label_propagation(edges).collect()}
+        got = {
+            r.doc_id: r.component
+            for r in large_small_star_components(edges).collect()
+        }
+        assert got == want, f"{name}: star labeling diverges from reference"
+
+
+def test_star_components_logarithmic_rounds(spark, sf_dir):
+    """On a 512-node chain (diameter 511) the star algorithm must converge
+    in ≤ ⌈log₂ n⌉ + 1 = 10 rounds (the +1 is the final no-change
+    confirmation round) — the entire point of replacing min-label, which
+    needs 511. Measured: 7/9/10/11 rounds for n=64/256/512/1024, i.e.
+    exactly ⌈log₂ n⌉+1. tools/cc_star_study.py runs the 10k-node version."""
+    import math
+
+    from presto_truffle_spark.operators.quality_ops import (
+        large_small_star_components,
+    )
+
+    n = 512
+    edges = _bidir(spark, [(i, i + 1) for i in range(n - 1)])
+    labels, rounds = large_small_star_components(edges, return_rounds=True)
+    got = {r.doc_id: r.component for r in labels.collect()}
+    assert len(got) == n and set(got.values()) == {0}
+    assert rounds <= math.ceil(math.log2(n)) + 1, f"took {rounds} rounds"
+
+
+def test_star_components_nonconvergence_is_loud(spark, sf_dir):
+    """Exhausting max_rounds must raise, never return an under-merged
+    labeling — same loudness contract as the min-label reference."""
+    import pytest
+
+    from presto_truffle_spark.operators.quality_ops import (
+        large_small_star_components,
+    )
+
+    edges = _bidir(spark, [(i, i + 1) for i in range(100)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        large_small_star_components(edges, max_rounds=1)
+
+
+def test_star_components_empty_and_selfloop(spark, sf_dir):
+    """Empty edge set converges immediately; self-loops label themselves."""
+    from presto_truffle_spark.operators.quality_ops import (
+        large_small_star_components,
+    )
+
+    empty = _bidir(spark, []).filter("src IS NOT NULL")
+    assert large_small_star_components(empty).count() == 0
+    loops = _bidir(spark, [(5, 5), (7, 7), (7, 8)])
+    got = {r.doc_id: r.component for r in large_small_star_components(loops).collect()}
+    assert got == {5: 5, 7: 7, 8: 7}
+
+
 def test_pagerank_mass_conservation(spark, sf_dir):
     """On an undirected graph (no dangling nodes) with r0 = 1, total rank
     mass is invariant: sum r_{k+1} = 0.15·n + 0.85·sum r_k = n. A drift
