@@ -660,3 +660,486 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# End-to-end IVF-PQ retrieval: coarse-probe nprobe cells, rank in-cell
+# candidates by the PQ ADC (asymmetric distance computation) lookup-table
+# sum, exact re-rank only the shortlist. k' below is the shortlist width.
+_IVFPQ_NPROBE = 3
+_IVFPQ_SHORTLIST = 30
+
+
+@query(
+    "ann_ivfpq_retrieval",
+    oracle=f"""
+    WITH subs AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(sub_id)
+    ), ev AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS c_id, ev AS ce FROM ev
+        WHERE vec_id BETWEEN 10 AND {10 + _N_CENTROIDS - 1}
+    ), ranked AS (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_dot_product(e.ev, c.ce) /
+                         (sqrt(list_dot_product(e.ev, e.ev)) *
+                          sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                   c.c_id) AS rn
+        FROM ev e CROSS JOIN cent c
+    ), cand_cell AS (
+        SELECT vec_id AS cid, c_id AS cc FROM ranked
+        WHERE vec_id >= {_N_QUERIES} AND rn = 1
+    ), q_probe AS (
+        SELECT vec_id AS qid, c_id AS qc FROM ranked
+        WHERE vec_id < {_N_QUERIES} AND rn <= {_IVFPQ_NPROBE}
+    ), cb AS (
+        SELECT s.sub_id, e.vec_id - {_PQ_SEED_LO} AS code,
+               list_slice(e.ev, s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS cs
+        FROM ev e CROSS JOIN subs s
+        WHERE e.vec_id BETWEEN {_PQ_SEED_LO} AND {_PQ_SEED_LO + _PQ_K - 1}
+    ), pt AS (
+        SELECT e.vec_id AS cid, s.sub_id,
+               list_slice(e.ev, s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS vs
+        FROM ev e CROSS JOIN subs s WHERE e.vec_id >= {_N_QUERIES}
+    ), codes AS (
+        SELECT cid, sub_id, code FROM (
+            SELECT pt.cid, pt.sub_id, cb.code,
+                   row_number() OVER (PARTITION BY pt.cid, pt.sub_id ORDER BY
+                       round(list_dot_product(pt.vs, pt.vs)
+                             - 2 * list_dot_product(pt.vs, cb.cs)
+                             + list_dot_product(cb.cs, cb.cs), 6),
+                       cb.code) AS rn
+            FROM pt JOIN cb ON pt.sub_id = cb.sub_id)
+        WHERE rn = 1
+    ), qs AS (
+        SELECT e.vec_id AS qid, s.sub_id,
+               list_slice(e.ev, s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS qsv
+        FROM ev e CROSS JOIN subs s WHERE e.vec_id < {_N_QUERIES}
+    ), lut AS (
+        SELECT qs.qid, qs.sub_id, cb.code,
+               CAST(floor(round(list_dot_product(qs.qsv, qs.qsv)
+                                - 2 * list_dot_product(qs.qsv, cb.cs)
+                                + list_dot_product(cb.cs, cb.cs), 6)
+                          * 1000000 + 0.5) AS BIGINT) AS lut_micro
+        FROM qs JOIN cb ON qs.sub_id = cb.sub_id
+    ), adc AS (
+        SELECT p.qid, p.cid, CAST(sum(l.lut_micro) AS BIGINT) AS adc_micro
+        FROM (SELECT q.qid, c.cid FROM cand_cell c
+              JOIN q_probe q ON c.cc = q.qc) p
+        JOIN codes co ON co.cid = p.cid
+        JOIN lut l ON l.qid = p.qid AND l.sub_id = co.sub_id
+                   AND l.code = co.code
+        GROUP BY p.qid, p.cid
+    ), short AS (
+        SELECT qid, cid, adc_micro FROM (
+            SELECT qid, cid, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro, cid) AS rn
+            FROM adc)
+        WHERE rn <= {_IVFPQ_SHORTLIST}
+    ), rer AS (
+        SELECT s.qid, s.cid, s.adc_micro,
+               round(list_dot_product(q.ev, q.ev)
+                     - 2 * list_dot_product(q.ev, c.ev)
+                     + list_dot_product(c.ev, c.ev), 6) AS l2_exact
+        FROM short s
+        JOIN ev q ON q.vec_id = s.qid
+        JOIN ev c ON c.vec_id = s.cid
+    )
+    SELECT qid, cid, l2_exact, adc_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT qid, cid, adc_micro, l2_exact,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY l2_exact, cid) AS rnk
+        FROM rer)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ retrieval — the billion-vector search shape,
+    composing the registered pieces: the coarse quantizer is
+    ``ann_ivf_topk``'s cosine cell assignment (candidates live in their 1
+    nearest-centroid cell, queries probe their nprobe=3 nearest), the
+    compressed index is ``ann_pq_codes``'s per-subspace L2 code
+    assignment, and candidate ranking is ADC (asymmetric distance
+    computation): per query, a 16-entry (m=4 subspaces × k=4 codes)
+    lookup table of exact query-subvector→codebook-entry squared-L2
+    terms; a candidate's approximate distance is the sum of its m looked-
+    up entries. The ADC top-k'=30 shortlist is then re-ranked by EXACT
+    squared L2 against the raw vectors, and the top-10 emitted.
+
+    Cross-engine determinism: each LUT term is rounded to 6dp then fixed-
+    pointed to integer MICRO-units (floor(x*1e6+0.5) as BIGINT), so the
+    m-way ADC sum is exact integer arithmetic — no float-accumulation
+    order to disagree on (the cents discipline, FIXTURES.md); shortlist
+    and final ranks tie-break on cid.
+
+    Scale posture (the whole point of IVF-PQ): the model — centroids
+    (8) + codebooks (16 slices) + query probe map + per-query LUT (80
+    rows) — is broadcast everywhere; the corpus is scanned once for cell
+    assignment + encoding (map-side ×m slice projection), candidates
+    are restricted to probed cells BEFORE any distance work, ADC needs
+    only the m×1-byte codes (32× compression — the corpus vectors are
+    never moved), and exact vectors are fetched for just k' rows per
+    query. At 100 TB: one scan, bounded-width shuffles keyed by
+    (vec, sub), no all-pairs join anywhere. Recall study on a CLUSTERED
+    fixture (tools/ivfpq_study.py → BASELINE.md): raw-vector PQ as here
+    reaches recall@10 0.086 at 7.5% corpus scanned; the residual-encoded
+    variant (``ann_ivfpq_residual``) lifts that to 0.240 (m=4) / 0.422
+    (m=8) at the same scan fraction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    # --- coarse quantizer: cosine cell assignment (ann_ivf_topk kernel) ---
+    cent = (
+        ev.filter(F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1))
+        .select(F.col("vec_id").alias("c_id"), F.col("ev").alias("ce"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    evn = ev.withColumn("evnorm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    sim_c = _dot(F.col("ev"), F.col("ce")) / (F.col("evnorm") * F.col("cnorm"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
+    ranked = evn.join(F.broadcast(cent)).select(
+        "vec_id", F.row_number().over(w_assign).alias("rn"), "c_id"
+    )
+    cand_cell = ranked.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("rn") == 1)
+    ).select(F.col("vec_id").alias("cid"), F.col("c_id").alias("cc"))
+    q_probe = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("c_id").alias("qc"))
+    # --- PQ encode the corpus (ann_pq_codes kernel) ---
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    sl = lambda: F.slice(  # noqa: E731
+        F.col("ev"), F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+    )
+    cb = (
+        ev.filter(F.col("vec_id").between(_PQ_SEED_LO, _PQ_SEED_LO + _PQ_K - 1))
+        .crossJoin(subs)
+        .select(
+            "sub_id", (F.col("vec_id") - _PQ_SEED_LO).alias("code"), sl().alias("cs")
+        )
+    )
+    pt = (
+        ev.filter(F.col("vec_id") >= _N_QUERIES)
+        .crossJoin(subs)
+        .select(F.col("vec_id").alias("cid"), "sub_id", sl().alias("vs"))
+    )
+    d2 = F.round(
+        _dot(F.col("vs"), F.col("vs"))
+        - 2 * _dot(F.col("vs"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    w_code = W.partitionBy("cid", "sub_id").orderBy("sub_err", "code")
+    codes = (
+        pt.join(F.broadcast(cb), "sub_id")
+        .select("cid", "sub_id", "code", d2.alias("sub_err"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("cid", "sub_id", "code")
+    )
+    # --- per-query ADC lookup table, fixed-pointed to integer micros ---
+    qsub = (
+        ev.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(subs)
+        .select(F.col("vec_id").alias("qid"), "sub_id", sl().alias("qsv"))
+    )
+    lutd = F.round(
+        _dot(F.col("qsv"), F.col("qsv"))
+        - 2 * _dot(F.col("qsv"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    lut = qsub.join(F.broadcast(cb), "sub_id").select(
+        "qid",
+        "sub_id",
+        "code",
+        F.floor(lutd * 1_000_000 + F.lit(0.5)).cast("long").alias("lut_micro"),
+    )
+    # --- ADC over probed cells only; exact integer sum ---
+    pairs = cand_cell.join(F.broadcast(q_probe), F.col("cc") == F.col("qc")).select(
+        "qid", "cid"
+    )
+    adc = (
+        pairs.join(codes, "cid")
+        .join(F.broadcast(lut), ["qid", "sub_id", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("lut_micro").alias("adc_micro"))
+    )
+    w_adc = W.partitionBy("qid").orderBy("adc_micro", "cid")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("qid", "cid", "adc_micro")
+    )
+    # --- exact re-rank of the shortlist only ---
+    qv = ev.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe")
+    )
+    cv = ev.select(F.col("vec_id").alias("cid"), F.col("ev").alias("cvv"))
+    l2 = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("cvv"))
+        + _dot(F.col("cvv"), F.col("cvv")),
+        6,
+    )
+    rer = (
+        cv.join(F.broadcast(short), "cid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "cid", "adc_micro", l2.alias("l2_exact"))
+    )
+    w_f = W.partitionBy("qid").orderBy("l2_exact", "cid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "cid", "l2_exact", "adc_micro", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "ann_ivfpq_residual",
+    oracle=f"""
+    WITH subs AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(sub_id)
+    ), ev AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS c_id, ev AS ce FROM ev
+        WHERE vec_id BETWEEN 10 AND {10 + _N_CENTROIDS - 1}
+    ), ranked AS (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_dot_product(e.ev, c.ce) /
+                         (sqrt(list_dot_product(e.ev, e.ev)) *
+                          sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                   c.c_id) AS rn
+        FROM ev e CROSS JOIN cent c
+    ), cand_res AS (
+        -- corpus residual v - centroid(cell(v)): IVFADC encodes residuals
+        SELECT r.vec_id AS cid, r.c_id AS cc,
+               list_transform(list_zip(e.ev, c.ce), x -> x[1] - x[2]) AS rv
+        FROM ranked r
+        JOIN ev e ON e.vec_id = r.vec_id
+        JOIN cent c ON c.c_id = r.c_id
+        WHERE r.vec_id >= {_N_QUERIES} AND r.rn = 1
+    ), q_res AS (
+        -- query residual per PROBED cell
+        SELECT r.vec_id AS qid, r.c_id AS qc,
+               list_transform(list_zip(e.ev, c.ce), x -> x[1] - x[2]) AS qrv
+        FROM ranked r
+        JOIN ev e ON e.vec_id = r.vec_id
+        JOIN cent c ON c.c_id = r.c_id
+        WHERE r.vec_id < {_N_QUERIES} AND r.rn <= {_IVFPQ_NPROBE}
+    ), cb AS (
+        SELECT s.sub_id, e.vec_id - {_PQ_SEED_LO} AS code,
+               list_slice(e.ev, s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS cs
+        FROM ev e CROSS JOIN subs s
+        WHERE e.vec_id BETWEEN {_PQ_SEED_LO} AND {_PQ_SEED_LO + _PQ_K - 1}
+    ), pt AS (
+        SELECT c.cid, c.cc, s.sub_id,
+               list_slice(c.rv, s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS vs
+        FROM cand_res c CROSS JOIN subs s
+    ), codes AS (
+        SELECT cid, cc, sub_id, code FROM (
+            SELECT pt.cid, pt.cc, pt.sub_id, cb.code,
+                   row_number() OVER (PARTITION BY pt.cid, pt.sub_id ORDER BY
+                       round(list_dot_product(pt.vs, pt.vs)
+                             - 2 * list_dot_product(pt.vs, cb.cs)
+                             + list_dot_product(cb.cs, cb.cs), 6),
+                       cb.code) AS rn
+            FROM pt JOIN cb ON pt.sub_id = cb.sub_id)
+        WHERE rn = 1
+    ), qs AS (
+        SELECT q.qid, q.qc, s.sub_id,
+               list_slice(q.qrv, s.sub_id * {_PQ_SUBDIM} + 1,
+                          s.sub_id * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS qsv
+        FROM q_res q CROSS JOIN subs s
+    ), lut AS (
+        SELECT qs.qid, qs.qc, qs.sub_id, cb.code,
+               CAST(floor(round(list_dot_product(qs.qsv, qs.qsv)
+                                - 2 * list_dot_product(qs.qsv, cb.cs)
+                                + list_dot_product(cb.cs, cb.cs), 6)
+                          * 1000000 + 0.5) AS BIGINT) AS lut_micro
+        FROM qs JOIN cb ON qs.sub_id = cb.sub_id
+    ), adc AS (
+        SELECT l.qid, co.cid, CAST(sum(l.lut_micro) AS BIGINT) AS adc_micro
+        FROM codes co
+        JOIN lut l ON l.qc = co.cc AND l.sub_id = co.sub_id
+                   AND l.code = co.code
+        GROUP BY l.qid, co.cid
+    ), short AS (
+        SELECT qid, cid, adc_micro FROM (
+            SELECT qid, cid, adc_micro,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_micro, cid) AS rn
+            FROM adc)
+        WHERE rn <= {_IVFPQ_SHORTLIST}
+    ), rer AS (
+        SELECT s.qid, s.cid, s.adc_micro,
+               round(list_dot_product(q.ev, q.ev)
+                     - 2 * list_dot_product(q.ev, c.ev)
+                     + list_dot_product(c.ev, c.ev), 6) AS l2_exact
+        FROM short s
+        JOIN ev q ON q.vec_id = s.qid
+        JOIN ev c ON c.vec_id = s.cid
+    )
+    SELECT qid, cid, l2_exact, adc_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT qid, cid, adc_micro, l2_exact,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY l2_exact, cid) AS rnk
+        FROM rer)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): identical pipeline to
+    ``ann_ivfpq_retrieval`` except PQ encodes the RESIDUAL v − c(v)
+    (each vector minus its own cell centroid), and the per-query ADC
+    lookup table is built from the query's residual against each PROBED
+    cell's centroid — so codes and query live in the same residual
+    space. This is the variant real billion-vector indexes ship:
+    residuals strip the coarse cluster structure the cell assignment
+    already captured, leaving the codebooks to spend their bits on
+    within-cell geometry. MEASURED on the clustered fixture
+    (tools/ivfpq_study.py, trained codebooks): recall@10 0.086 (raw PQ)
+    → 0.240 (residual, m=4) → 0.422 (residual, m=8) at the same 7.5%
+    corpus scanned; recorded in BASELINE.md.
+
+    Plan deltas vs the raw variant: the corpus residual is a map-side
+    ``zip_with`` subtraction against the (broadcast) centroid of the
+    row's own cell — still one scan, no new exchange; the LUT grows
+    ×nprobe (one residual table per probed cell, 240 rows total) and
+    stays broadcast; the ADC join now matches on (cell, sub, code) so a
+    candidate is only ever scored against the LUT of the cell it lives
+    in. Same integer-micro exact-sum discipline throughout."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    cent = (
+        ev.filter(F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1))
+        .select(F.col("vec_id").alias("c_id"), F.col("ev").alias("ce"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    evn = ev.withColumn("evnorm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    sim_c = _dot(F.col("ev"), F.col("ce")) / (F.col("evnorm") * F.col("cnorm"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
+    ranked = evn.join(F.broadcast(cent)).select(
+        "vec_id", "ev", F.row_number().over(w_assign).alias("rn"), "c_id"
+    )
+    sub_res = F.zip_with("ev", "ce", lambda x, y: x - y)
+    cand_res = (
+        ranked.filter((F.col("vec_id") >= _N_QUERIES) & (F.col("rn") == 1))
+        .join(F.broadcast(cent.select("c_id", "ce")), "c_id")
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("c_id").alias("cc"),
+            sub_res.alias("rv"),
+        )
+    )
+    q_res = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVFPQ_NPROBE))
+        .join(F.broadcast(cent.select("c_id", "ce")), "c_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("c_id").alias("qc"),
+            sub_res.alias("qrv"),
+        )
+    )
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    cb = (
+        ev.filter(F.col("vec_id").between(_PQ_SEED_LO, _PQ_SEED_LO + _PQ_K - 1))
+        .crossJoin(subs)
+        .select(
+            "sub_id",
+            (F.col("vec_id") - _PQ_SEED_LO).alias("code"),
+            F.slice(
+                F.col("ev"), F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+            ).alias("cs"),
+        )
+    )
+    pt = cand_res.crossJoin(subs).select(
+        "cid",
+        "cc",
+        "sub_id",
+        F.slice(F.col("rv"), F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("vs"),
+    )
+    d2 = F.round(
+        _dot(F.col("vs"), F.col("vs"))
+        - 2 * _dot(F.col("vs"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    w_code = W.partitionBy("cid", "sub_id").orderBy("sub_err", "code")
+    codes = (
+        pt.join(F.broadcast(cb), "sub_id")
+        .select("cid", "cc", "sub_id", "code", d2.alias("sub_err"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("cid", "cc", "sub_id", "code")
+    )
+    qs = q_res.crossJoin(subs).select(
+        "qid",
+        "qc",
+        "sub_id",
+        F.slice(F.col("qrv"), F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+            "qsv"
+        ),
+    )
+    lutd = F.round(
+        _dot(F.col("qsv"), F.col("qsv"))
+        - 2 * _dot(F.col("qsv"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    lut = qs.join(F.broadcast(cb), "sub_id").select(
+        "qid",
+        F.col("qc").alias("cc"),
+        "sub_id",
+        "code",
+        F.floor(lutd * 1_000_000 + F.lit(0.5)).cast("long").alias("lut_micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cc", "sub_id", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("lut_micro").alias("adc_micro"))
+    )
+    w_adc = W.partitionBy("qid").orderBy("adc_micro", "cid")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("qid", "cid", "adc_micro")
+    )
+    qv = ev.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe")
+    )
+    cv = ev.select(F.col("vec_id").alias("cid"), F.col("ev").alias("cvv"))
+    l2 = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("cvv"))
+        + _dot(F.col("cvv"), F.col("cvv")),
+        6,
+    )
+    rer = (
+        cv.join(F.broadcast(short), "cid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "cid", "adc_micro", l2.alias("l2_exact"))
+    )
+    w_f = W.partitionBy("qid").orderBy("l2_exact", "cid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "qid",
+            "cid",
+            "l2_exact",
+            "adc_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -104,23 +104,32 @@ def load_all_modules() -> None:
 # Names listed here are surfaced ahead of registration order — rotate this
 # list each round so driver coverage cycles through all queries.
 #
-# Round-7 window (tools/rotation_helper.py), exactly 50 = 1 + 19 + 30:
-# (a) 1 never-green row — multimodal_dhash_dup_groups, registered at the
-#     tail of r6 after the window was last rebuilt (the r6 verdict's #1
-#     item: it was absent from this tuple, so the driver never saw it).
+# Round-7 window (tools/rotation_helper.py), exactly 50 = 3 + 2 + 19 + 26:
+# (a) 3 never-green rows — multimodal_dhash_dup_groups (registered at the
+#     tail of r6 after the window was last rebuilt; the r6 verdict's #1
+#     item) + the two r7 IVF-PQ registrations.
+# (a') 2 green rows staled by r7 edits — the CC queries now running
+#     large/small-star instead of min-label propagation.
 # (b) 19 oldest-evidence rows — every query whose last driver green is
 #     STILL r1 (the windows/setops/scalar tails displaced by the r6
 #     continuation registrations, plus join_broadcast_dims and
 #     subquery_scalar_agg).
-# (c) 30 of the 36 r2-era rows, registration order (the LLM-pipeline
-#     dedup/ANN/text/multimodal blocks). The remaining 6 r2 rows
-#     (q17/q20/q22/q12, scalar_json_tuple, udtf_token_explode) plus any
-#     rows staled or registered this round head the r8 rotation.
+# (c) 26 of the 36 r2-era rows, registration order (the LLM-pipeline
+#     dedup/ANN/text/multimodal blocks). The remaining 10 r2 rows
+#     (pipeline_corpus_prep, pipeline_embedding_dedup,
+#     events_malformed_json_robust, q4/q17/q20/q22/q12,
+#     scalar_json_tuple, udtf_token_explode) plus any rows staled or
+#     registered later this round head the r8 rotation.
 # NOTE r7 in-round edits: new registrations MUST be inserted after (a)
 # and the (c) tail trimmed to keep the window at exactly 50.
 _VERIFY_FIRST = (
-    # --- (a) never-green ---
+    # --- (a) never-green: the r6 leftover + the two r7 IVF-PQ registrations ---
     "multimodal_dhash_dup_groups",
+    "ann_ivfpq_retrieval",
+    "ann_ivfpq_residual",
+    # --- (a') green rows staled by the r7 large/small-star CC rewrite ---
+    "dedup_connected_components",
+    "dedup_survivor_pick",
     # --- (b) oldest evidence: last green r1 ---
     "join_broadcast_dims",
     "subquery_scalar_agg",
@@ -168,10 +177,6 @@ _VERIFY_FIRST = (
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "multimodal_size_by_type",
-    "pipeline_corpus_prep",
-    "pipeline_embedding_dedup",
-    "events_malformed_json_robust",
-    "q4_order_priority",
 )
 
 
