@@ -142,8 +142,10 @@ object ReorderCheapConjuncts extends Rule[LogicalPlan] {
       nodes += 1
       val c: Long = n match {
         case _: UserDefinedExpression => 1000000L // ScalaUDF / PythonUDF
-        case _: RLike                 => 10000L
-        case _: Like | _: LikeAll | _: LikeAny => 1000L
+        case _: RLike | _: RegExpReplace | _: RegExpExtract |
+            _: RegExpExtractAll       => 10000L // regex machinery
+        case _: HigherOrderFunction   => 2000L // per-element lambda dispatch
+        case _: Like | _: LikeAll | _: LikeAny | _: StringSplit => 1000L
         case _: Contains | _: StartsWith | _: EndsWith => 100L
         case _: In | _: InSet         => 10L
         case _                        => 1L
@@ -192,16 +194,18 @@ object ReorderCheapConjuncts extends Rule[LogicalPlan] {
  *  positives. Each left row carries exactly one bin and matches exactly
  *  one exploded copy of a satisfying right row, so multiplicity is
  *  preserved. Intervals with lo > hi or NULL endpoints match nothing in
- *  both plans (empty/NULL sequence explodes to zero rows). Fires only on
- *  INNER joins whose condition is deterministic and has no cross-side
- *  equality conjunct (the guard also makes the rule idempotent inside
- *  Catalyst's fixed-point operator-optimization batch — the rewritten
- *  join HAS an equality conjunct). Oversized bin counts fail loudly in
- *  Sequence's array-length check rather than silently exploding.
+ *  both plans (empty/NULL sequence explodes to zero rows). Oversized bin
+ *  counts fail loudly in Sequence's array-length check rather than
+ *  silently exploding.
+ *
+ *  Shared by two rules: `BinRangeJoin` fires only on INNER joins whose
+ *  deterministic condition has NO cross-side equality conjunct (the
+ *  guard doubles as idempotence inside Catalyst's fixed-point batch —
+ *  the rewritten join HAS one); `BinKeyedRangeJoin` is the keyed/as-of
+ *  complement that REQUIRES an equi conjunct and guards idempotence via
+ *  the rewrite's marker columns instead.
  */
-object BinRangeJoin extends Rule[LogicalPlan] {
-
-  private val BIN_SIZE_KEY = "spark.prestotruffle.rangeJoin.binSize"
+private[prestotruffle] object BinJoinSupport {
 
   private def binnable(t: DataType): Boolean = t match {
     case _: NumericType                     => true
@@ -230,7 +234,7 @@ object BinRangeJoin extends Rule[LogicalPlan] {
     Cast(Floor(Divide(numeric, Literal(w))), LongType, Some(tz))
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other     => Seq(other)
   }
@@ -245,6 +249,102 @@ object BinRangeJoin extends Rule[LogicalPlan] {
       case _                        => Seq.empty
     }
 
+  def hasCrossSideEqui(
+      conjuncts: Seq[Expression],
+      sideOf: Expression => Option[Boolean]
+  ): Boolean = conjuncts.exists {
+    case EqualTo(a, b) =>
+      (sideOf(a), sideOf(b)) match {
+        case (Some(x), Some(y)) => x != y
+        case _                  => false
+      }
+    case EqualNullSafe(a, b) =>
+      (sideOf(a), sideOf(b)) match {
+        case (Some(x), Some(y)) => x != y
+        case _                  => false
+      }
+    case _ => false
+  }
+
+  def sideResolver(
+      left: LogicalPlan,
+      right: LogicalPlan
+  ): Expression => Option[Boolean] = { e =>
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(left.outputSet)) Some(true)
+    else if (refs.subsetOf(right.outputSet)) Some(false)
+    else None
+  }
+
+  /** The shared bin rewrite: find one (lo ≤ p ≤ hi) cross-side range
+   *  pair in `cond` and turn the join into an equi-join on bin numbers
+   *  (point side projects its one bin; interval side explodes its bin
+   *  range; the FULL original condition — including any equi-key
+   *  conjuncts the caller allowed through — is re-applied on top).
+   *  Returns None when no binnable pair exists. */
+  def rewriteWithBins(
+      j: Join,
+      w: Double,
+      tz: String
+  ): Option[LogicalPlan] = {
+    val Join(left, right, Inner, Some(cond), hint) = j
+    val sideOf = sideResolver(left, right)
+    val conjuncts = splitConjuncts(cond)
+    val les = conjuncts.flatMap(lowerBounds)
+    // find (lo <= p) and (p <= hi): p one side, lo & hi the other
+    val rewrite = les.iterator.flatMap { case (lo, p) =>
+      les.collect {
+        case (p2, hi)
+            if p.semanticEquals(p2) &&
+              binnable(p.dataType) && binnable(lo.dataType) &&
+              binnable(hi.dataType) &&
+              sideOf(p).isDefined && sideOf(lo).isDefined &&
+              sideOf(lo) == sideOf(hi) && sideOf(p) != sideOf(lo) =>
+          (p, lo, hi, sideOf(p).get)
+      }
+    }.toSeq.headOption
+    rewrite.map { case (p, lo, hi, pOnLeft) =>
+      val (pointChild, ivalChild) =
+        if (pOnLeft) (left, right) else (right, left)
+      val binAlias = Alias(bin(p, w, tz), "__pt_bin")()
+      val newPoint =
+        Project(pointChild.output :+ binAlias, pointChild)
+      val seq = new Sequence(
+        bin(lo, w, tz), bin(hi, w, tz), Some(Literal(1L)), Some(tz))
+      val genOut =
+        AttributeReference("__pt_bin_r", LongType, nullable = false)()
+      // Sequence THROWS on start > stop with step 1, so drop
+      // inverted / NULL-endpoint intervals up front — they match
+      // nothing under an inner join (p >= lo AND p <= hi is
+      // unsatisfiable or NULL). bin() is monotone, so no
+      // satisfiable interval is dropped.
+      val satisfiable =
+        Filter(LessThanOrEqual(bin(lo, w, tz), bin(hi, w, tz)), ivalChild)
+      val newIval = Generate(
+        Explode(seq), Nil, outer = false, None, Seq(genOut), satisfiable)
+      val (newLeft, newRight) =
+        if (pOnLeft) (newPoint, newIval) else (newIval, newPoint)
+      val newCond =
+        And(EqualTo(binAlias.toAttribute, genOut), cond)
+      Project(
+        j.output,
+        Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
+  }
+
+  /** Marker for idempotence of the keyed rule (whose OUTPUT still has an
+   *  equi conjunct, so the absence-of-equi guard can't be reused): the
+   *  rewrite's own helper columns. */
+  def alreadyBinned(left: LogicalPlan, right: LogicalPlan): Boolean =
+    (left.output ++ right.output).exists(a =>
+      a.name == "__pt_bin" || a.name == "__pt_bin_r")
+}
+
+object BinRangeJoin extends Rule[LogicalPlan] {
+
+  private val BIN_SIZE_KEY = "spark.prestotruffle.rangeJoin.binSize"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w =
       try conf.getConfString(BIN_SIZE_KEY, "0").toDouble
@@ -252,75 +352,62 @@ object BinRangeJoin extends Rule[LogicalPlan] {
     if (!(w > 0)) return plan
 
     plan transform {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if cond.deterministic && j.resolved =>
-        val conjuncts = splitConjuncts(cond)
-        def sideOf(e: Expression): Option[Boolean] = {
-          val refs = e.references
-          if (refs.isEmpty) None
-          else if (refs.subsetOf(left.outputSet)) Some(true)
-          else if (refs.subsetOf(right.outputSet)) Some(false)
-          else None
-        }
-        val hasEqui = conjuncts.exists {
-          case EqualTo(a, b) =>
-            (sideOf(a), sideOf(b)) match {
-              case (Some(x), Some(y)) => x != y
-              case _                  => false
-            }
-          case EqualNullSafe(a, b) =>
-            (sideOf(a), sideOf(b)) match {
-              case (Some(x), Some(y)) => x != y
-              case _                  => false
-            }
-          case _ => false
-        }
-        if (hasEqui) j
-        else {
-          val les = conjuncts.flatMap(lowerBounds)
-          // find (lo <= p) and (p <= hi): p one side, lo & hi the other
-          val rewrite = les.iterator.flatMap { case (lo, p) =>
-            les.collect {
-              case (p2, hi)
-                  if p.semanticEquals(p2) &&
-                    binnable(p.dataType) && binnable(lo.dataType) &&
-                    binnable(hi.dataType) &&
-                    sideOf(p).isDefined && sideOf(lo).isDefined &&
-                    sideOf(lo) == sideOf(hi) && sideOf(p) != sideOf(lo) =>
-                (p, lo, hi, sideOf(p).get)
-            }
-          }.toSeq.headOption
-          rewrite match {
-            case None => j
-            case Some((p, lo, hi, pOnLeft)) =>
-              val tz = conf.sessionLocalTimeZone
-              val (pointChild, ivalChild) =
-                if (pOnLeft) (left, right) else (right, left)
-              val binAlias = Alias(bin(p, w, tz), "__pt_bin")()
-              val newPoint =
-                Project(pointChild.output :+ binAlias, pointChild)
-              val seq = new Sequence(
-                bin(lo, w, tz), bin(hi, w, tz), Some(Literal(1L)), Some(tz))
-              val genOut =
-                AttributeReference("__pt_bin_r", LongType, nullable = false)()
-              // Sequence THROWS on start > stop with step 1, so drop
-              // inverted / NULL-endpoint intervals up front — they match
-              // nothing under an inner join (p >= lo AND p <= hi is
-              // unsatisfiable or NULL). bin() is monotone, so no
-              // satisfiable interval is dropped.
-              val satisfiable =
-                Filter(LessThanOrEqual(bin(lo, w, tz), bin(hi, w, tz)), ivalChild)
-              val newIval = Generate(
-                Explode(seq), Nil, outer = false, None, Seq(genOut), satisfiable)
-              val (newLeft, newRight) =
-                if (pOnLeft) (newPoint, newIval) else (newIval, newPoint)
-              val newCond =
-                And(EqualTo(binAlias.toAttribute, genOut), cond)
-              Project(
-                j.output,
-                Join(newLeft, newRight, Inner, Some(newCond), hint))
-          }
-        }
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if cond.deterministic && j.resolved &&
+            !BinJoinSupport.hasCrossSideEqui(
+              BinJoinSupport.splitConjuncts(cond),
+              BinJoinSupport.sideResolver(left, right)) =>
+        BinJoinSupport
+          .rewriteWithBins(j, w, conf.sessionLocalTimeZone)
+          .getOrElse(j)
+    }
+  }
+}
+
+/** Keyed/as-of variant of `BinRangeJoin` (the remaining SURVEY §4.3
+ *  as-of bullet in rule form): fires on inner joins that DO have a
+ *  cross-side equi-key conjunct alongside a bounded range pair — the
+ *  event-time as-of-with-tolerance shape
+ *
+ *    q JOIN r ON q.key = r.key
+ *              AND r.ts >= q.ts - tol AND r.ts <= q.ts
+ *
+ *  (every tolerance-bounded as-of join's candidate-generation step; the
+ *  top-1-per-row argmax above it is unchanged). Spark's join selection
+ *  sees the equi-key and picks a sort-merge/hash join on `key` ALONE,
+ *  evaluating the range as a post-join filter — per-key-group cartesian
+ *  cost, which is quadratic exactly when keys are low-cardinality
+ *  (symbols, tenants, devices) and each key carries millions of rows.
+ *  Adding the bin number to the join key bounds each group to rows in
+ *  overlapping bins: cost drops from Σ_k |q_k|·|r_k| to
+ *  Σ_(k,bin) |q_(k,bin)|·|r_(k,bin)| ≈ matches.
+ *
+ *  Same monotone-map correctness argument and rewrite as BinRangeJoin
+ *  (the re-applied original condition carries the equi keys through
+ *  the new join). Idempotence needs its own guard — the rewritten join
+ *  still HAS equi conjuncts — so the rule bails when either child
+ *  already exposes the rewrite's `__pt_bin`/`__pt_bin_r` columns.
+ *  Opt-in via its own conf, like the published range-join hints. */
+object BinKeyedRangeJoin extends Rule[LogicalPlan] {
+
+  private val BIN_SIZE_KEY = "spark.prestotruffle.keyedRangeJoin.binSize"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w =
+      try conf.getConfString(BIN_SIZE_KEY, "0").toDouble
+      catch { case _: NumberFormatException => 0.0 }
+    if (!(w > 0)) return plan
+
+    plan transform {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if cond.deterministic && j.resolved &&
+            !BinJoinSupport.alreadyBinned(left, right) &&
+            BinJoinSupport.hasCrossSideEqui(
+              BinJoinSupport.splitConjuncts(cond),
+              BinJoinSupport.sideResolver(left, right)) =>
+        BinJoinSupport
+          .rewriteWithBins(j, w, conf.sessionLocalTimeZone)
+          .getOrElse(j)
     }
   }
 }
@@ -329,6 +416,7 @@ class PrestoTruffleExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReorderCheapConjuncts)
     ext.injectOptimizerRule(_ => BinRangeJoin)
+    ext.injectOptimizerRule(_ => BinKeyedRangeJoin)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

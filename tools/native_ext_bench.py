@@ -127,6 +127,89 @@ def _range_join(spark):
     ).agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("pid") * F.col("iid")).alias("chk"))
 
 
+_QG_CACHE = {}
+
+
+def _quality_gate(spark, expensive_first: bool):
+    """The corpus-scale conjunct-reorder case (r7, VERDICT r6 item 8):
+    the text-quality-gate predicate chain over the documents fixture
+    replicated ×200 (≈1M rows, persisted so filter pushdown cannot slip
+    past the replication and shrink the evaluated row count) — a regex
+    non-alpha-ratio check (expensive), a split+size token-count band
+    (mid), and a cheap selective id gate. Written regex-first, vanilla
+    Catalyst pays the regex on every row; the extension's cost table
+    (regex 10000 > HOF 2000 > split 1000 > arithmetic 1) hoists the id
+    gate and token band ahead of it."""
+    from pyspark.sql import functions as F
+
+    if "d" not in _QG_CACHE:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        d = (
+            docs.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(199))).alias("rep"),
+                "text",
+            )
+            .repartition(8)
+            .persist()
+        )
+        d.count()  # materialize before timing
+        _QG_CACHE["d"] = d
+    d = _QG_CACHE["d"]
+    nonalpha = (
+        F.length(F.regexp_replace("text", "[a-z ]", "")) / F.length("text")
+    )
+    ntok = F.size(F.split(F.col("text"), " "))
+    cheap = (F.col("doc_id") + F.col("rep")) % 10 == 0
+    if expensive_first:
+        cond = (nonalpha < F.lit(0.2)) & ntok.between(20, 1000) & cheap
+    else:
+        cond = cheap & ntok.between(20, 1000) & (nonalpha < F.lit(0.2))
+    return d.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_id") * (F.col("rep") + 1)).alias("chk"),
+    )
+
+
+def _keyed_asof(spark):
+    """1M quote rows × 100k query rows sharing 200 low-cardinality keys,
+    as-of-with-tolerance candidate join (`k = rk AND rts in (qts-2000,
+    qts]`). Vanilla Spark joins on the key ALONE and evaluates the range
+    as a post-join filter — Σ_k |q_k|·|r_k| = 2.5×10^9 pair evaluations;
+    BinKeyedRangeJoin adds the bin number to the join key, bounding each
+    group to overlapping bins. The checksum covers the full as-of (argmax
+    latest rts per query) so both plans are verified end-to-end."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    quotes = spark.range(1_000_000, numPartitions=8).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 200).alias("rk"),
+        ((F.col("id") * 7919) % 10_000_000).alias("rts"),
+    )
+    trades = spark.range(100_000, numPartitions=8).select(
+        F.col("id").alias("qid"),
+        (F.col("id") % 200).alias("k"),
+        ((F.col("id") * 104729) % 10_000_000).alias("qts"),
+    )
+    cand = trades.join(
+        quotes,
+        (trades.k == quotes.rk)
+        & (quotes.rts > trades.qts - 2_000)
+        & (quotes.rts <= trades.qts),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rts").desc(), F.col("rid"))
+    asof = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return asof.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qid") * F.col("rid")).alias("chk"),
+    )
+
+
 def _phase(which: str) -> None:
     spark = _mk(extension=(which == "ext"))
     df = _frame(spark)
@@ -183,6 +266,20 @@ def _phase(which: str) -> None:
         out["rangejoin_binned"] = _time(rj)
         r = rj.collect()[0]
         out["rangejoin_rows"], out["rangejoin_chk"] = r.n, int(r.chk)
+        spark.conf.set("spark.prestotruffle.keyedRangeJoin.binSize", "2000")
+        ka = _keyed_asof(spark)
+        ka_plan = ka._jdf.queryExecution().executedPlan().toString()
+        assert "__pt_bin" in ka_plan, ka_plan
+        out["keyed_asof_binned"] = _time(ka)
+        r = ka.collect()[0]
+        out["keyed_asof_rows"], out["keyed_asof_chk"] = r.n, int(r.chk)
+        qg = _quality_gate(spark, expensive_first=True)
+        qg_plan = qg._jdf.queryExecution().optimizedPlan().toString()
+        qf = next(l for l in qg_plan.splitlines() if "Filter" in l)
+        assert qf.find("% 10") < qf.find("regexp_replace"), qf
+        out["quality_gate_regex_first"] = _time(qg)
+        r = qg.collect()[0]
+        out["qg_rows"], out["qg_chk"] = r.n, int(r.chk)
     else:
         assert not reordered, f"vanilla session unexpectedly reordered: {fl}"
         out["vanilla_cheap_first"] = _time(_cheap_first(df))
@@ -196,6 +293,25 @@ def _phase(which: str) -> None:
             r.n,
             int(r.chk),
         )
+        ka = _keyed_asof(spark)
+        ka_plan = ka._jdf.queryExecution().executedPlan().toString()
+        assert "__pt_bin" not in ka_plan, ka_plan
+        out["keyed_asof_key_only"] = _time(ka)
+        r = ka.collect()[0]
+        out["keyed_asof_rows_vanilla"], out["keyed_asof_chk_vanilla"] = (
+            r.n,
+            int(r.chk),
+        )
+        qg = _quality_gate(spark, expensive_first=True)
+        qg_plan = qg._jdf.queryExecution().optimizedPlan().toString()
+        qf = next(l for l in qg_plan.splitlines() if "Filter" in l)
+        assert qf.find("regexp_replace") < qf.find("% 10"), qf
+        out["vanilla_quality_gate_regex_first"] = _time(qg)
+        out["vanilla_quality_gate_cheap_first"] = _time(
+            _quality_gate(spark, expensive_first=False)
+        )
+        r = qg.collect()[0]
+        out["qg_rows_vanilla"], out["qg_chk_vanilla"] = r.n, int(r.chk)
     out[f"{which}_rows"] = _expensive_first(df).collect()[0].n
     spark.stop()
     print("PHASE_JSON " + json.dumps(out))
@@ -234,6 +350,18 @@ def main() -> int:
     assert merged.pop("rangejoin_chk_vanilla") == merged.pop("rangejoin_chk")
     merged["rangejoin_speedup"] = round(
         merged["rangejoin_nested_loop"] / merged["rangejoin_binned"], 2
+    )
+    assert merged.pop("keyed_asof_rows_vanilla") == merged["keyed_asof_rows"]
+    assert merged.pop("keyed_asof_chk_vanilla") == merged.pop("keyed_asof_chk")
+    merged["keyed_asof_speedup"] = round(
+        merged["keyed_asof_key_only"] / merged["keyed_asof_binned"], 2
+    )
+    assert merged.pop("qg_rows_vanilla") == merged["qg_rows"]
+    assert merged.pop("qg_chk_vanilla") == merged.pop("qg_chk")
+    merged["quality_gate_speedup"] = round(
+        merged["vanilla_quality_gate_regex_first"]
+        / merged["quality_gate_regex_first"],
+        2,
     )
     print(json.dumps(merged))
     return 0

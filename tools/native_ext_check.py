@@ -252,6 +252,89 @@ def main() -> int:
         spark.conf.unset("spark.prestotruffle.rangeJoin.binSize")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # ------------------------------------------------------------------
+    # BinKeyedRangeJoin: the as-of-with-tolerance shape — equi-key AND
+    # bounded range. Vanilla Spark joins on the key alone and filters the
+    # range post-join (per-key cartesian); the keyed rule adds the bin
+    # number to the join key.
+    # ------------------------------------------------------------------
+    kq = spark.sql(
+        "SELECT id AS qid, id % 5 AS k, (id * 13) % 10000 AS qts"
+        " FROM range(4000)"
+    )
+    kr = spark.sql(
+        "SELECT id AS rid, id % 5 AS rk, (id * 29) % 10000 AS rts"
+        " FROM range(3000)"
+    )
+
+    def kjoin():
+        # as-of candidate generation: same key, rts in (qts-200, qts]
+        return kq.join(
+            kr,
+            (kq.k == kr.rk) & (kr.rts > kq.qts - 200) & (kr.rts <= kq.qts),
+        )
+
+    spark.conf.unset("spark.prestotruffle.keyedRangeJoin.binSize")
+    kj = kjoin()
+    k_plan_off = kj._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" not in k_plan_off, k_plan_off
+    k_expected = sorted((r.qid, r.rid) for r in kj.collect())
+
+    spark.conf.set("spark.prestotruffle.keyedRangeJoin.binSize", "128")
+    kj = kjoin()
+    k_plan_on = kj._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" in k_plan_on, k_plan_on
+    # idempotence inside the fixed-point batch: exactly ONE explode was
+    # introduced (a re-fire would nest a second Generate)
+    assert k_plan_on.count("explode(sequence") == 1, k_plan_on
+    k_got = sorted((r.qid, r.rid) for r in kj.collect())
+    assert k_got == k_expected and len(k_expected) > 0, (
+        f"keyed range-join rewrite changed results: "
+        f"{len(k_got)} vs {len(k_expected)}"
+    )
+
+    # the full as-of: argmax (latest rts per qid) on top of the rewritten
+    # candidate join must equal the vanilla as-of result
+    from pyspark.sql import Window as W
+
+    def asof(df):
+        w = W.partitionBy("qid").orderBy(
+            F.col("rts").desc(), F.col("rid")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", "rid", "rts")
+        )
+
+    a_got = sorted(tuple(r) for r in asof(kjoin()).collect())
+    spark.conf.unset("spark.prestotruffle.keyedRangeJoin.binSize")
+    a_expected = sorted(tuple(r) for r in asof(kjoin()).collect())
+    assert a_got == a_expected and len(a_expected) > 0
+
+    # guard: the keyed rule must NOT touch a join with no equi conjunct
+    # (that is BinRangeJoin's territory, gated by its own conf)
+    spark.conf.set("spark.prestotruffle.keyedRangeJoin.binSize", "128")
+    ne = kq.join(kr, (kr.rts > kq.qts - 200) & (kr.rts <= kq.qts))
+    ne_plan = ne._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" not in ne_plan, ne_plan
+
+    # guard: an UNBOUNDED as-of (no lower bound) has no bin range to
+    # explode — left alone
+    ub = kq.join(kr, (kq.k == kr.rk) & (kr.rts <= kq.qts))
+    ub_plan = ub._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" not in ub_plan, ub_plan
+
+    # guard: non-inner stays untouched
+    klj = kq.join(
+        kr,
+        (kq.k == kr.rk) & (kr.rts > kq.qts - 200) & (kr.rts <= kq.qts),
+        "left",
+    )
+    klj_plan = klj._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pt_bin" not in klj_plan, klj_plan
+    spark.conf.unset("spark.prestotruffle.keyedRangeJoin.binSize")
+
     print("NATIVE_EXT_OK")
     spark.stop()
     return 0
