@@ -780,13 +780,19 @@ def ann_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (the whole point of IVF-PQ): the model — centroids
     (8) + codebooks (16 slices) + query probe map + per-query LUT (80
-    rows) — is broadcast everywhere; the corpus is scanned once for cell
-    assignment + encoding (map-side ×m slice projection), candidates
-    are restricted to probed cells BEFORE any distance work, ADC needs
-    only the m×1-byte codes (32× compression — the corpus vectors are
-    never moved), and exact vectors are fetched for just k' rows per
-    query. At 100 TB: one scan, bounded-width shuffles keyed by
-    (vec, sub), no all-pairs join anywhere. Recall study on a CLUSTERED
+    rows) — is broadcast everywhere; candidates are restricted to probed
+    cells BEFORE any distance work, ADC needs only the m×1-byte codes
+    (32× compression — the corpus vectors are never moved), and exact
+    vectors are fetched for just k' rows per query. Honest scan
+    accounting (rescan audit): this end-to-end plan makes THREE
+    corpus-wide passes — cell assignment, PQ encoding, and the shortlist
+    vector fetch (the other embeddings scans are pruned to the ≤24
+    model-seed rows by pushed-down vec_id filters). At 100 TB the first
+    two are the INDEX BUILD, run once and materialized (cells + codes
+    written to storage, exactly what ann_pq_codes emits); the per-query
+    path then touches codes in probed cells plus k' raw vectors only —
+    bounded-width shuffles keyed by (vec, sub), no all-pairs join
+    anywhere. Recall study on a CLUSTERED
     fixture (tools/ivfpq_study.py → BASELINE.md): raw-vector PQ as here
     reaches recall@10 0.086 at 7.5% corpus scanned; the residual-encoded
     variant (``ann_ivfpq_residual``) lifts that to 0.240 (m=4) / 0.422
@@ -1015,7 +1021,9 @@ def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan deltas vs the raw variant: the corpus residual is a map-side
     ``zip_with`` subtraction against the (broadcast) centroid of the
-    row's own cell — still one scan, no new exchange; the LUT grows
+    row's own cell — no new corpus pass (same three-pass
+    build/build/fetch accounting as the raw variant's docstring); the
+    LUT grows
     ×nprobe (one residual table per probed cell, 240 rows total) and
     stays broadcast; the ADC join now matches on (cell, sub, code) so a
     candidate is only ever scored against the LUT of the cell it lives

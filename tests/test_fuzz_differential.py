@@ -10,6 +10,7 @@ import shutil
 import tempfile
 
 import duckdb
+import pytest
 
 from tools.fuzz_differential import run_case
 
@@ -193,3 +194,57 @@ def test_empty_array_serialization_divergence_pinned(spark):
         " ','), '') AS v"
     ).fetchall()[0][0]
     assert dv2 == ""
+
+
+def test_map_extraction_divergence_pinned(spark):
+    """FIXTURES.md r7: DuckDB map extraction returns a ONE-ELEMENT LIST
+    where Spark returns the value — the DuckDB side of any shared map
+    lookup appends [1], which also aligns missing-key NULLs (found live
+    on landing the map-HOF fuzz family)."""
+    sv = spark.sql("SELECT map('a', 7)['a'] AS v").collect()[0].v
+    assert sv == 7
+    con = duckdb.connect()
+    raw = con.execute("SELECT map(['a'], [7])['a'] AS v").fetchall()[0][0]
+    assert raw == [7], raw  # the divergence: a list, not 7
+    fixed = con.execute("SELECT map(['a'], [7])['a'][1] AS v").fetchall()[0][0]
+    assert fixed == 7
+    # missing key: [][1] = NULL on the DuckDB side = Spark's NULL
+    s_missing = spark.sql("SELECT map('a', 7)['z'] AS v").collect()[0].v
+    d_missing = con.execute(
+        "SELECT map(['a'], [7])['z'][1] AS v"
+    ).fetchall()[0][0]
+    assert s_missing is None and d_missing is None
+
+
+def test_month_interval_spelling_divergences_pinned(spark):
+    """FIXTURES.md r7: DuckDB rejects negative INTERVAL literals and has
+    no add_months — to_months(k) is the portable spelling; the CLAMPING
+    semantics themselves agree (Jan 31 + 1 month = leap-aware Feb end)."""
+    import datetime
+
+    con = duckdb.connect()
+    with pytest.raises(duckdb.Error):
+        con.execute("SELECT DATE '2024-03-31' + INTERVAL -1 MONTH")
+    with pytest.raises(duckdb.Error):
+        con.execute("SELECT add_months(DATE '2024-03-31', -1)")
+    for y, mo, day, k in [
+        (2024, 1, 31, 1),   # leap Feb 29
+        (2023, 1, 31, 1),   # non-leap Feb 28
+        (2100, 1, 31, 1),   # century non-leap Feb 28
+        (2024, 3, 31, -1),  # backward into leap Feb
+        (2024, 10, 31, -4), # backward across months
+        (2024, 2, 29, 12),  # leap day + 1 year -> Feb 28
+    ]:
+        s = spark.sql(
+            f"SELECT add_months(make_date({y}, {mo}, {day}), {k}) AS d"
+        ).collect()[0].d
+        s2 = spark.sql(
+            f"SELECT CAST(make_date({y}, {mo}, {day})"
+            f" + INTERVAL {k} MONTH AS DATE) AS d"
+        ).collect()[0].d
+        d = con.execute(
+            f"SELECT CAST(make_date({y}, {mo}, {day})"
+            f" + to_months({k}) AS DATE) AS d"
+        ).fetchall()[0][0]
+        assert s == s2 == d, (y, mo, day, k, s, s2, d)
+        assert isinstance(d, datetime.date)

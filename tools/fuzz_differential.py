@@ -34,7 +34,19 @@ multiplicity and outer-join null extension inside frames — see
 run_join_window_case), higher-order array lambdas through paired
 per-engine templates (transform/filter/aggregate vs
 list_transform/list_filter/list_reduce; zip_with excluded — DuckDB's
-list_zip builds structs, not a lambda twin — see run_hof_case), and
+list_zip builds structs, not a lambda twin — see run_hof_case), map
+higher-order functions (lookup/cardinality/transform_values/map_filter;
+DuckDB map extraction returns a one-element LIST — PINNED, the DuckDB
+side appends [1] — and has no map lambdas, so its twin goes through
+map_values + list lambdas — see run_map_hof_case), multi-level
+correlated subqueries (scalar-in-scalar, EXISTS inside correlated
+scalars, EXISTS-in-EXISTS — see run_nested_subquery_case), EXISTS/IN
+under CASE incl. inside aggregate arguments (run_exists_in_case_case),
+interval month-end clamping over 1996-2100 with leap/century edges
+(DuckDB lacks negative INTERVAL literals and add_months — PINNED, its
+side spells to_months(k) — see run_month_interval_case), struct field
+access incl. nested and array-of-struct element paths
+(named_struct ↔ struct-literal paired templates — run_struct_case), and
 double aggregates restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -863,33 +875,328 @@ def run_grouping_case(
     return _compare(sdf, con, sql)
 
 
+def _materialize_single(spark, con, rng, tmp, tag: str, n_max: int = 200):
+    """Single-table setup shared by the r7 expression families: random
+    (k1,k2,m1..m3) rows to parquet, `t` registered in both engines."""
+    rows = gen_rows(rng, rng.randint(0, n_max))
+    path = os.path.join(tmp, f"{tag}.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+
+
+def run_map_hof_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Map higher-order-function case (r7): per-row maps built from the
+    integer measures, exercised through lookup / cardinality / key-value
+    serialization / transform_values / map_filter, as paired per-engine
+    templates (DuckDB has no map lambdas — its side spells the same
+    semantics through map_values + list lambdas). PINNED divergence
+    found on landing (FIXTURES.md): DuckDB map extraction (`m[k]`,
+    element_at) yields a one-element LIST, not the value — every DuckDB
+    lookup template appends `[1]`; a missing key is then `[][1]` = NULL,
+    matching Spark's NULL."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_m")
+    m_s = "map('a', coalesce(m1,0), 'b', coalesce(m2,1), 'c', coalesce(m3,2))"
+    m_d = "map(['a','b','c'], [coalesce(m1,0), coalesce(m2,1), coalesce(m3,2)])"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            key = rng.choice(["a", "b", "c", "z"])  # 'z' misses → NULL
+            s = f"CAST({m_s}['{key}'] AS BIGINT)"
+            d = f"CAST({m_d}['{key}'][1] AS BIGINT)"
+        elif kind == 1:
+            s = f"CAST(cardinality({m_s}) AS BIGINT)"
+            d = f"CAST(cardinality({m_d}) AS BIGINT)"
+        elif kind == 2:
+            which = rng.choice(["map_keys", "map_values"])
+            s = f"array_join({which}({m_s}), ',')"
+            d = f"coalesce(array_to_string({which}({m_d}), ','), '')"
+        elif kind == 3:
+            mul, c = rng.randint(-3, 3), rng.randint(-10, 10)
+            key = rng.choice(["a", "b", "c"])
+            s = (
+                f"CAST(transform_values({m_s},"
+                f" (k, v) -> v * {mul} + {c})['{key}'] AS BIGINT)"
+            )
+            d = f"CAST({m_d}['{key}'][1] * {mul} + {c} AS BIGINT)"
+        else:
+            md = rng.randint(2, 5)
+            s = (
+                f"CAST(cardinality(map_filter({m_s},"
+                f" (k, v) -> v % {md} = 0)) AS BIGINT)"
+            )
+            d = (
+                f"CAST(len(list_filter(map_values({m_d}),"
+                f" x -> x % {md} = 0)) AS BIGINT)"
+            )
+        exprs.append((f"{s} AS p{i}", f"{d} AS p{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def _materialize_triple(spark, con, rng, tmp, tag: str) -> None:
+    """(t, u, v) setup for the multi-level subquery families: the outer
+    table, a middle table keyed by uk, and an inner table keyed by vk —
+    all NULL-bearing."""
+    _materialize_pair(
+        spark,
+        con,
+        tmp,
+        tag,
+        gen_rows(rng, rng.randint(0, 150)),
+        "k1 string, k2 string, m1 long, m2 long, m3 long",
+        gen_join_rows(rng, rng.randint(0, 40)),
+        "uk string, n1 long",
+    )
+    vpath = os.path.join(tmp, f"{tag}_v.parquet")
+    vrows = [
+        (r[0], r[1] if r[1] is None else r[1] * 3 - 7)
+        for r in gen_join_rows(rng, rng.randint(0, 30))
+    ]
+    spark.createDataFrame(vrows, "vk string, vn long").write.mode(
+        "overwrite"
+    ).parquet(vpath)
+    spark.read.parquet(vpath).createOrReplaceTempView("v")
+    con.execute(
+        f"CREATE OR REPLACE VIEW v AS SELECT * FROM '{vpath}/*.parquet'"
+    )
+
+
+def run_nested_subquery_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Multi-level correlated subqueries (r7): scalar-inside-scalar
+    (the inner subquery correlates to the MIDDLE table), EXISTS inside
+    a correlated scalar (the COUNT-bug surface one level deeper), and
+    EXISTS-in-EXISTS — identical SQL text through both engines, every
+    integer aggregate CAST-pinned."""
+    _materialize_triple(spark, con, rng, tmp, f"fuzz_{case_id}_n")
+    c1, c2 = rng.randint(-50, 50), rng.randint(-20, 20)
+    kind = rng.randint(0, 3)
+    if kind == 0:
+        sql = (
+            "SELECT k1, m1, (SELECT CAST(max(u.n1) AS BIGINT) FROM u "
+            "WHERE u.uk = t.k1 AND u.n1 > (SELECT coalesce(min(v.vn), "
+            f"{c2}) FROM v WHERE v.vk = u.uk)) AS sub "
+            f"FROM t WHERE ({gen_predicate(rng)})"
+        )
+    elif kind == 1:
+        sql = (
+            "SELECT k1, m1, (SELECT CAST(count(*) AS BIGINT) FROM u "
+            "WHERE u.uk = t.k1 AND EXISTS (SELECT 1 FROM v WHERE "
+            "v.vk = u.uk AND v.vn > u.n1)) AS sub "
+            f"FROM t WHERE ({gen_predicate(rng)})"
+        )
+    elif kind == 2:
+        sql = (
+            "SELECT k1, count(*) AS n, CAST(sum(m1) AS BIGINT) AS s "
+            "FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.uk = t.k1 "
+            "AND EXISTS (SELECT 1 FROM v WHERE v.vk = u.uk AND "
+            f"v.vn > {c1})) AND ({gen_predicate(rng)}) GROUP BY k1"
+        )
+    else:
+        sql = (
+            "SELECT k1, count(*) AS n FROM t WHERE NOT EXISTS "
+            "(SELECT 1 FROM u WHERE u.uk = t.k1 AND u.n1 > "
+            f"(SELECT coalesce(max(v.vn), {c2}) FROM v WHERE "
+            f"v.vk = u.uk)) AND ({gen_predicate(rng)}) GROUP BY k1"
+        )
+    return _compare(spark.sql(sql), con, sql)
+
+
+def run_exists_in_case_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """EXISTS / IN subqueries inside CASE expressions (r7): in the
+    SELECT list, multi-branch with a correlated EXISTS and an
+    uncorrelated IN, and under an aggregate (sum of CASE WHEN EXISTS) —
+    identical SQL text through both engines. Exercises Spark's
+    decorrelation of predicate subqueries OUTSIDE filter position."""
+    _materialize_pair(
+        spark,
+        con,
+        tmp,
+        f"fuzz_{case_id}_e",
+        gen_rows(rng, rng.randint(0, 200)),
+        "k1 string, k2 string, m1 long, m2 long, m3 long",
+        gen_join_rows(rng, rng.randint(0, 40)),
+        "uk string, n1 long",
+    )
+    c1, c2 = rng.randint(-50, 50), rng.randint(-50, 50)
+    kind = rng.randint(0, 2)
+    if kind == 0:
+        sql = (
+            "SELECT k1, m1, CASE WHEN EXISTS (SELECT 1 FROM u WHERE "
+            f"u.uk = t.k1 AND u.n1 > {c1}) THEN coalesce(m1, 0) "
+            "ELSE -coalesce(m1, 0) END AS c "
+            f"FROM t WHERE ({gen_predicate(rng)})"
+        )
+    elif kind == 1:
+        sql = (
+            "SELECT k1, CASE WHEN EXISTS (SELECT 1 FROM u WHERE "
+            f"u.uk = t.k1 AND u.n1 > {c1}) THEN 1 "
+            f"WHEN k1 IN (SELECT uk FROM u WHERE n1 <= {c2}) THEN 2 "
+            "ELSE 3 END AS bucket, m1 "
+            f"FROM t WHERE ({gen_predicate(rng)})"
+        )
+    else:
+        sql = (
+            "SELECT k1, CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM u "
+            f"WHERE u.uk = t.k1 AND u.n1 > {c1}) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS s, count(*) AS n "
+            f"FROM t WHERE ({gen_predicate(rng)}) GROUP BY k1"
+        )
+    return _compare(spark.sql(sql), con, sql)
+
+
+def run_month_interval_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Interval month-arithmetic clamping battery (r7): dates BIASED to
+    month ends (days 28-31, Feb-29 leap edges) ± random month counts.
+    Both engines clamp to the target month's last day (Jan 31 + 1 month
+    = Feb 28/29) — probed equal — but the SPELLINGS differ: DuckDB has
+    no `INTERVAL -3 MONTH` literal (parser error) and no add_months, so
+    its side uses to_months(k); Spark's side runs both the interval
+    literal AND add_months (probed identical to each other). last_day
+    composes on top in both."""
+    years = list(range(1996, 2101, 7)) + [2000, 2024, 2100]  # 2100: no leap
+    rows = []
+    for i in range(rng.randint(1, 120)):
+        y = rng.choice(years)
+        mo = rng.randint(1, 12)
+        # bias to month-end; clamp day to the month's real length
+        dmax = [31, 29 if (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)) else 28,
+                31, 30, 31, 30, 31, 31, 30, 31, 30, 31][mo - 1]
+        day = min(rng.choice([28, 29, 30, 31, rng.randint(1, 28)]), dmax)
+        rows.append((i, y, mo, day, rng.randint(-40, 40)))
+    if not rows:
+        return None
+    path = os.path.join(tmp, f"fuzz_{case_id}_d.parquet")
+    spark.createDataFrame(
+        rows, "rid long, y int, mo int, day int, k long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    base = "make_date(y, mo, day)"
+    kind = rng.randint(0, 2)
+    if kind == 0:
+        s = f"CAST(add_months({base}, k) AS DATE) AS d"
+        d = f"CAST({base} + to_months(CAST(k AS INT)) AS DATE) AS d"
+    elif kind == 1:
+        n = rng.randint(-30, 30)
+        s = f"CAST({base} + INTERVAL {n} MONTH AS DATE) AS d"
+        d = f"CAST({base} + to_months({n}) AS DATE) AS d"
+    else:
+        s = f"last_day(add_months({base}, k)) AS d"
+        d = f"last_day({base} + to_months(CAST(k AS INT))) AS d"
+    ssql = f"SELECT rid, {s} FROM t"
+    dsql = f"SELECT rid, {d} FROM t"
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_struct_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Struct field access (r7): named structs (Spark named_struct vs
+    DuckDB struct literals), nested structs, and array-of-struct element
+    access — paired per-engine templates, field values from the
+    NULL-bearing measures."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_s")
+    st_s = (
+        "named_struct('f1', coalesce(m1, 0), 'f2', coalesce(k1, ''), "
+        "'g', named_struct('h', coalesce(m2, 1)))"
+    )
+    st_d = (
+        "{'f1': coalesce(m1, 0), 'f2': coalesce(k1, ''), "
+        "'g': {'h': coalesce(m2, 1)}}"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            s = f"CAST({st_s}.f1 AS BIGINT)"
+            d = f"CAST({st_d}.f1 AS BIGINT)"
+        elif kind == 1:
+            s = f"CAST({st_s}.g.h AS BIGINT)"
+            d = f"CAST({st_d}.g.h AS BIGINT)"
+        elif kind == 2:
+            s = f"{st_s}.f2"
+            d = f"{st_d}.f2"
+        else:
+            mul = rng.randint(-3, 3)
+            s = (
+                f"CAST(element_at(array({st_s}), 1).f1 * {mul} AS BIGINT)"
+            )
+            d = f"CAST([{st_d}][1].f1 * {mul} AS BIGINT)"
+        exprs.append((f"{s} AS p{i}", f"{d} AS p{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
 
     pick = rng.random()
-    if pick < 0.18:
+    if pick < 0.14:
         return run_window_case(spark, con, rng, tmp, case_id)
-    if pick < 0.27:
+    if pick < 0.21:
         return run_scalar_case(spark, con, rng, tmp, case_id)
-    if pick < 0.36:
+    if pick < 0.28:
         return run_subquery_case(spark, con, rng, tmp, case_id)
-    if pick < 0.45:
+    if pick < 0.34:
         return run_setop_case(spark, con, rng, tmp, case_id)
-    if pick < 0.54:
+    if pick < 0.40:
         return run_order_limit_case(spark, con, rng, tmp, case_id)
-    if pick < 0.63:
+    if pick < 0.46:
         return run_grouping_case(spark, con, rng, tmp, case_id)
-    if pick < 0.71:
+    if pick < 0.52:
         return run_date_case(spark, con, rng, tmp, case_id)
-    if pick < 0.78:
+    if pick < 0.57:
         return run_like_case(spark, con, rng, tmp, case_id)
-    if pick < 0.84:
+    if pick < 0.62:
         return run_decimal_case(spark, con, rng, tmp, case_id)
-    if pick < 0.90:
+    if pick < 0.67:
         return run_join_window_case(spark, con, rng, tmp, case_id)
-    if pick < 0.95:
+    if pick < 0.72:
         return run_hof_case(spark, con, rng, tmp, case_id)
+    # --- r7 families ---
+    if pick < 0.78:
+        return run_map_hof_case(spark, con, rng, tmp, case_id)
+    if pick < 0.84:
+        return run_nested_subquery_case(spark, con, rng, tmp, case_id)
+    if pick < 0.89:
+        return run_exists_in_case_case(spark, con, rng, tmp, case_id)
+    if pick < 0.93:
+        return run_month_interval_case(spark, con, rng, tmp, case_id)
+    if pick < 0.96:
+        return run_struct_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
