@@ -250,6 +250,7 @@ def binned_range_join(
     lo_col: str,
     hi_col: str,
     bin_width: float,
+    keys: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Equi-key-less interval join WITHOUT the nested loop: the
     DataFrame-level twin of the Scala ``BinRangeJoin`` optimizer rule
@@ -273,7 +274,17 @@ def binned_range_join(
     Pick W near the typical interval width: explode factor is
     (hi−lo)/W + 1 per interval row, while smaller W tightens the
     re-filter's selectivity. Columns must be numeric (cast dates /
-    timestamps to day numbers / epoch seconds first)."""
+    timestamps to day numbers / epoch seconds first).
+
+    ``keys`` (r7) makes this the DataFrame twin of the Scala
+    ``BinKeyedRangeJoin`` rule: pairs of (point-side, interval-side)
+    column names added as equi conjuncts ALONGSIDE the bin — the
+    as-of-with-tolerance shape. Without the bin, Spark would join on
+    the keys alone and range-filter post-join: per-key-group cartesian,
+    quadratic exactly when keys are low-cardinality and dense (measured
+    2.7-3.5× at 1M×100k/200 keys for the rule form — BASELINE.md r7).
+    Key columns must be distinctly NAMED across the two frames (rename
+    before calling) so the joined output stays unambiguous."""
     w = float(bin_width)
     if not w > 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
@@ -300,12 +311,19 @@ def binned_range_join(
             )
         ),
     )
-    joined = pb.join(
-        iv,
+    cond = (
         (pb[pbin] == iv[ibin])
         & (pb[point_col] >= iv[lo_col])
-        & (pb[point_col] <= iv[hi_col]),
+        & (pb[point_col] <= iv[hi_col])
     )
+    for pk, ik in keys or []:
+        if pk == ik:
+            raise ValueError(
+                f"key pair {pk!r} is same-named on both sides; rename one "
+                "input column so the joined output is unambiguous"
+            )
+        cond = cond & (pb[pk] == iv[ik])
+    joined = pb.join(iv, cond)
     return joined.drop(pbin).drop(ibin)
 
 
@@ -358,4 +376,56 @@ def rewrite_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ship_lines"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
+    )
+
+
+@query(
+    "rewrite_keyed_range_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS p_ms
+        FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT user_id AS e_uid, epoch_ms(CAST(ts AS TIMESTAMP)) AS e_ms
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, p.event_id,
+           CAST(count(*) AS BIGINT) AS n_recent_errors,
+           CAST(max(e.e_ms) AS BIGINT) AS last_err_ms
+    FROM p JOIN e ON e.e_uid = p.user_id
+                 AND e.e_ms BETWEEN p.p_ms - 3600000 AND p.p_ms
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def rewrite_keyed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED bounded-range join — the as-of-with-tolerance candidate
+    shape (r7): for every purchase, the error events of the SAME user in
+    the preceding hour, aggregated to a count and the latest error
+    timestamp (the tolerance-bounded as-of answer). Routed through
+    ``binned_range_join(keys=...)`` — the DataFrame twin of the Scala
+    ``BinKeyedRangeJoin`` rule — so the join key is (user, hour-bin)
+    instead of the user alone: without the bin, Spark range-filters
+    POST-join and each user's purchases × errors is a per-key cartesian,
+    quadratic exactly on the power users a 100 TB event log is skewed
+    toward. Millisecond numbers via the zone-free NTZ epoch helpers on
+    the Spark side and DuckDB's epoch_ms on the oracle side (both
+    BIGINT, exact); the oracle states the declarative BETWEEN join and
+    lets DuckDB plan it natively — two strategies, one result."""
+    from presto_truffle_spark.tztime import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", epoch_ms("ts").alias("p_ms"))
+        .withColumn("lo_ms", F.col("p_ms") - 3_600_000)
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_uid"), epoch_ms("ts").alias("e_ms")
+    )
+    j = binned_range_join(
+        e, p, "e_ms", "lo_ms", "p_ms", 3_600_000.0, keys=[("e_uid", "user_id")]
+    )
+    return j.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent_errors"),
+        F.max("e_ms").cast("long").alias("last_err_ms"),
     )
