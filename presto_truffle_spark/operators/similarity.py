@@ -669,9 +669,7 @@ _IVFPQ_NPROBE = 3
 _IVFPQ_SHORTLIST = 30
 
 
-@query(
-    "ann_ivfpq_retrieval",
-    oracle=f"""
+_IVFPQ_ORACLE = f"""
     WITH subs AS (
         SELECT * FROM (VALUES (0), (1), (2), (3)) AS s(sub_id)
     ), ev AS (
@@ -757,7 +755,12 @@ _IVFPQ_SHORTLIST = 30
                                   ORDER BY l2_exact, cid) AS rnk
         FROM rer)
     WHERE rnk <= {_TOP_K}
-    """,
+    """
+
+
+@query(
+    "ann_ivfpq_retrieval",
+    oracle=_IVFPQ_ORACLE,
 )
 def ann_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF-PQ retrieval — the billion-vector search shape,
@@ -1137,6 +1140,145 @@ def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = (
         cv.join(F.broadcast(short), "cid")
         .join(F.broadcast(qv), "qid")
+        .select("qid", "cid", "adc_micro", l2.alias("l2_exact"))
+    )
+    w_f = W.partitionBy("qid").orderBy("l2_exact", "cid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "qid",
+            "cid",
+            "l2_exact",
+            "adc_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query("ann_ivfpq_index_build", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILD/QUERY split of IVF-PQ — what the retrieval docstrings'
+    scan accounting promises actually materialized: the index-build half
+    (cell assignment + PQ codes, the two corpus-wide passes) is WRITTEN
+    to parquet once, and the query half runs entirely from the
+    materialized index — per-query work is the broadcast probe/LUT, an
+    ADC join against the (cid, cc, sub_id, code) index, and ONE corpus
+    pass to fetch raw vectors for the k'-row shortlist. Same answer as
+    ``ann_ivfpq_retrieval`` by construction (identical oracle): the
+    split changes WHEN work happens, never what is computed. At 100 TB
+    the build runs once per corpus version (index parquet is ~m bytes
+    per vector, here 4 codes + 1 cell id per 256-byte embedding) and the
+    query path amortizes it across every search."""
+    import os as _os
+
+    from presto_truffle_spark.sources.io import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    cent = (
+        ev.filter(F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1))
+        .select(F.col("vec_id").alias("c_id"), F.col("ev").alias("ce"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    sl = lambda: F.slice(  # noqa: E731
+        F.col("ev"), F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+    )
+    cb = (
+        ev.filter(F.col("vec_id").between(_PQ_SEED_LO, _PQ_SEED_LO + _PQ_K - 1))
+        .crossJoin(subs)
+        .select(
+            "sub_id", (F.col("vec_id") - _PQ_SEED_LO).alias("code"), sl().alias("cs")
+        )
+    )
+    sim_c = _dot(F.col("ev"), F.col("ce")) / (F.col("evnorm") * F.col("cnorm"))
+    # ---------------- BUILD: two corpus passes, written once ----------
+    corp = ev.filter(F.col("vec_id") >= _N_QUERIES).withColumn(
+        "evnorm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
+    cells = (
+        corp.join(F.broadcast(cent))
+        .select("vec_id", "ev", F.row_number().over(w_assign).alias("rn"), "c_id")
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cid"), F.col("c_id").alias("cc"))
+    )
+    pt = (
+        ev.filter(F.col("vec_id") >= _N_QUERIES)
+        .crossJoin(subs)
+        .select(F.col("vec_id").alias("cid"), "sub_id", sl().alias("vs"))
+    )
+    d2 = F.round(
+        _dot(F.col("vs"), F.col("vs"))
+        - 2 * _dot(F.col("vs"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    w_code = W.partitionBy("cid", "sub_id").orderBy("sub_err", "code")
+    codes = (
+        pt.join(F.broadcast(cb), "sub_id")
+        .select("cid", "sub_id", "code", d2.alias("sub_err"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("cid", "sub_id", "code")
+    )
+    index_path = _scratch(f"ivfpq_index_{_os.path.basename(sf_dir)}")
+    cells.join(codes, "cid").write.mode("overwrite").parquet(index_path)
+    # ---------------- QUERY: runs from the materialized index ---------
+    index = spark.read.parquet(index_path)
+    qv = ev.filter(F.col("vec_id") < _N_QUERIES).withColumn(
+        "evnorm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
+    )
+    w_q = W.partitionBy("vec_id").orderBy(F.round(sim_c, 6).desc(), "c_id")
+    q_probe = (
+        qv.join(F.broadcast(cent))
+        .select("vec_id", "ev", F.row_number().over(w_q).alias("rn"), "c_id")
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("c_id").alias("qc"))
+    )
+    qsub = (
+        ev.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(subs)
+        .select(F.col("vec_id").alias("qid"), "sub_id", sl().alias("qsv"))
+    )
+    lutd = F.round(
+        _dot(F.col("qsv"), F.col("qsv"))
+        - 2 * _dot(F.col("qsv"), F.col("cs"))
+        + _dot(F.col("cs"), F.col("cs")),
+        6,
+    )
+    lut = qsub.join(F.broadcast(cb), "sub_id").select(
+        "qid",
+        "sub_id",
+        "code",
+        F.floor(lutd * 1_000_000 + F.lit(0.5)).cast("long").alias("lut_micro"),
+    )
+    adc = (
+        index.join(F.broadcast(q_probe), F.col("cc") == F.col("qc"))
+        .join(F.broadcast(lut), ["qid", "sub_id", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("lut_micro").alias("adc_micro"))
+    )
+    w_adc = W.partitionBy("qid").orderBy("adc_micro", "cid")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .select("qid", "cid", "adc_micro")
+    )
+    qvec = ev.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe")
+    )
+    cvec = ev.select(F.col("vec_id").alias("cid"), F.col("ev").alias("cvv"))
+    l2 = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("cvv"))
+        + _dot(F.col("cvv"), F.col("cvv")),
+        6,
+    )
+    rer = (
+        cvec.join(F.broadcast(short), "cid")
+        .join(F.broadcast(qvec), "qid")
         .select("qid", "cid", "adc_micro", l2.alias("l2_exact"))
     )
     w_f = W.partitionBy("qid").orderBy("l2_exact", "cid")

@@ -248,3 +248,45 @@ def test_month_interval_spelling_divergences_pinned(spark):
         ).fetchall()[0][0]
         assert s == s2 == d, (y, mo, day, k, s, s2, d)
         assert isinstance(d, datetime.date)
+
+
+def test_array_setop_null_divergence_pinned(spark):
+    """FIXTURES.md r7: DuckDB's list_distinct / list_intersect DROP NULL
+    elements; Spark's array_distinct / array_intersect keep NULL as a
+    distinct value. Any shared oracle running set ops over a
+    possibly-NULL-bearing array must coalesce elements non-null first
+    (the array-setop fuzz family does exactly that)."""
+    sv = spark.sql(
+        "SELECT array_sort(array_distinct(array(1, 2, 2, CAST(NULL AS INT)))) AS v"
+    ).collect()[0].v
+    assert sv == [1, 2, None]
+    con = duckdb.connect()
+    dv = con.execute(
+        "SELECT list_sort(list_distinct([1, 2, 2, NULL])) AS v"
+    ).fetchall()[0][0]
+    assert dv == [1, 2]  # the divergence: NULL dropped
+    si = spark.sql(
+        "SELECT array_sort(array_intersect(array(1, NULL, 2), array(NULL, 2, 3))) AS v"
+    ).collect()[0].v
+    di = con.execute(
+        "SELECT list_sort(list_intersect([1, NULL, 2], [NULL, 2, 3])) AS v"
+    ).fetchall()[0][0]
+    assert si == [2, None] and di == [2]
+
+
+def test_try_cast_parsing_divergences_pinned(spark):
+    """FIXTURES.md r7: try_cast(string AS BIGINT) parsing classes that
+    DIVERGE — DuckDB ROUNDS decimal strings, parses hex 0x literals and
+    scientific notation; Spark yields NULL for all three. The agreeing
+    classes (sign, surrounding whitespace, garbage, empty, int64
+    overflow) are what the try_cast fuzz family draws from."""
+    con = duckdb.connect()
+    for s, duck_val in [("1.5", 2), ("0x1A", 26), ("1e3", 1000)]:
+        sv = spark.sql(f"SELECT try_cast('{s}' AS BIGINT) AS v").collect()[0].v
+        dv = con.execute(f"SELECT try_cast('{s}' AS BIGINT) AS v").fetchall()[0][0]
+        assert sv is None and dv == duck_val, (s, sv, dv)
+    for s in [" 12 ", "+12", "-7", "", "abc", "12a", "--5",
+              str(2**63)]:  # agreeing classes
+        sv = spark.sql(f"SELECT try_cast('{s}' AS BIGINT) AS v").collect()[0].v
+        dv = con.execute(f"SELECT try_cast('{s}' AS BIGINT) AS v").fetchall()[0][0]
+        assert sv == dv, (s, sv, dv)

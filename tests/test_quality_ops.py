@@ -124,6 +124,18 @@ def test_star_components_fixpoint_equals_min_label(spark, sf_dir):
 
     rng = random.Random(41)
     rand_pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    rng2 = random.Random(97)
+    # sparse: many small components + duplicate edges + self-loops
+    sparse = [(rng2.randrange(200), rng2.randrange(200)) for _ in range(80)]
+    sparse += sparse[:10] + [(5, 5), (42, 42)]
+    rng3 = random.Random(173)
+    # two deep chains cross-linked at one point (long-diameter + merge)
+    two_chains = (
+        [(i, i + 1) for i in range(25)]
+        + [(500 + i, 501 + i) for i in range(25)]
+        + [(12, 513)]
+        + [(rng3.randrange(26), rng3.randrange(26)) for _ in range(5)]
+    )
     graphs = {
         "chain": [(i, i + 1) for i in range(30)],
         "star": [(0, i) for i in range(1, 20)],
@@ -131,6 +143,8 @@ def test_star_components_fixpoint_equals_min_label(spark, sf_dir):
         + [(100, 100 + i) for i in range(1, 10)]
         + [(9, 109)],
         "random": [(a, b) for a, b in rand_pairs if a != b],
+        "sparse_multi_component": sparse,
+        "crosslinked_chains": two_chains,
     }
     for name, pairs in graphs.items():
         edges = _bidir(spark, pairs)

@@ -46,7 +46,14 @@ interval month-end clamping over 1996-2100 with leap/century edges
 (DuckDB lacks negative INTERVAL literals and add_months — PINNED, its
 side spells to_months(k) — see run_month_interval_case), struct field
 access incl. nested and array-of-struct element paths
-(named_struct ↔ struct-literal paired templates — run_struct_case), and
+(named_struct ↔ struct-literal paired templates — run_struct_case),
+array set operations (union/intersect/except/distinct/contains —
+DuckDB's list_distinct/list_intersect DROP NULLs where Spark keeps
+them as distinct values, PINNED; elements coalesced non-null — see
+run_array_setop_case), try_cast string parsing (sign/whitespace/
+garbage/empty/overflow agree; DuckDB's decimal-ROUNDING, hex and
+scientific parses are PINNED divergences excluded from the generator —
+see run_try_cast_case), and
 double aggregates restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -1159,6 +1166,122 @@ def run_struct_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_array_setop_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Array set-operation case (r7): union / intersect / except /
+    distinct / contains over per-row integer arrays, paired per-engine
+    templates. PINNED divergence (FIXTURES.md r7): DuckDB's
+    list_distinct / list_intersect DROP NULL elements while Spark's
+    array_distinct / array_intersect keep NULL as a distinct value — so
+    the family's arrays coalesce every element non-null, and the NULL
+    behavior itself is pinned in tests/test_fuzz_differential.py.
+    DuckDB also has no list_union/list_except — its twins spell
+    concat+distinct and distinct+filter(NOT contains)."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_a")
+    ka, kb = rng.randint(-5, 5), rng.randint(-5, 5)
+    a_s = f"array(coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), {ka})"
+    a_d = f"[coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), {ka}]"
+    b_s = f"array(coalesce(m2,1), coalesce(m3,2), {kb}, {ka})"
+    b_d = f"[coalesce(m2,1), coalesce(m3,2), {kb}, {ka}]"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            s = f"array_join(array_sort(array_union({a_s}, {b_s})), ',')"
+            d = (
+                "coalesce(array_to_string(list_sort(list_distinct("
+                f"list_concat({a_d}, {b_d}))), ','), '')"
+            )
+        elif kind == 1:
+            s = f"array_join(array_sort(array_intersect({a_s}, {b_s})), ',')"
+            d = (
+                "coalesce(array_to_string(list_sort(list_intersect("
+                f"{a_d}, {b_d})), ','), '')"
+            )
+        elif kind == 2:
+            s = f"array_join(array_sort(array_except({a_s}, {b_s})), ',')"
+            d = (
+                "coalesce(array_to_string(list_sort(list_filter("
+                f"list_distinct({a_d}), x -> NOT list_contains({b_d}, x)))"
+                ", ','), '')"
+            )
+        elif kind == 3:
+            s = f"array_join(array_sort(array_distinct({a_s})), ',')"
+            d = (
+                "coalesce(array_to_string(list_sort(list_distinct("
+                f"{a_d})), ','), '')"
+            )
+        else:
+            probe = rng.randint(-5, 5)
+            s = f"CAST(array_contains({a_s}, {probe}) AS INT)"
+            d = f"CAST(list_contains({a_d}, {probe}) AS INT)"
+        exprs.append((f"{s} AS p{i}", f"{d} AS p{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def _gen_castable_string(rng: random.Random) -> str:
+    """A random string for the try_cast family, drawn ONLY from classes
+    whose BIGINT parse semantics AGREE across engines (probed + pinned:
+    DuckDB ROUNDS decimal strings ('1.5'→2), parses hex ('0x1A'→26) and
+    scientific ('1e3'→1000) where Spark yields NULL — those classes are
+    excluded here and pinned in tests/test_fuzz_differential.py)."""
+    kind = rng.randint(0, 6)
+    digits = str(rng.randint(0, 10 ** rng.randint(1, 18)))
+    if kind == 0:
+        return digits
+    if kind == 1:
+        return f"-{digits}"
+    if kind == 2:
+        return f"+{digits}"
+    if kind == 3:
+        return f"  {digits} "  # surrounding whitespace: trimmed by both
+    if kind == 4:
+        return ""  # NULL in both
+    if kind == 5:
+        return rng.choice(["abc", "12a", "a12", "--5", "++5", "1 2"])
+    return str(rng.randint(2**63, 2**64))  # int64 overflow: NULL in both
+
+
+def run_try_cast_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """try_cast parsing case (r7): random strings through
+    try_cast(AS BIGINT/DOUBLE), identical SQL text in both engines —
+    sign/whitespace/garbage/empty/overflow classes agree; the divergent
+    classes (decimal rounding, hex, scientific→BIGINT) are excluded by
+    the generator and pinned as tests."""
+    n = rng.randint(0, 150)
+    rows = [
+        (i, _gen_castable_string(rng), rng.choice(["1.5", "2.25", "x", ""]))
+        for i in range(n)
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_c.parquet")
+    spark.createDataFrame(rows, "rid long, s string, f string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    sql = (
+        "SELECT rid, try_cast(s AS BIGINT) AS b, "
+        "try_cast(f AS DOUBLE) AS dd, "
+        "CAST(try_cast(s AS BIGINT) IS NULL AS INT) AS isn "
+        "FROM t"
+    )
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1193,10 +1316,14 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_nested_subquery_case(spark, con, rng, tmp, case_id)
     if pick < 0.89:
         return run_exists_in_case_case(spark, con, rng, tmp, case_id)
-    if pick < 0.93:
+    if pick < 0.90:
         return run_month_interval_case(spark, con, rng, tmp, case_id)
-    if pick < 0.96:
+    if pick < 0.92:
         return run_struct_case(spark, con, rng, tmp, case_id)
+    if pick < 0.945:
+        return run_array_setop_case(spark, con, rng, tmp, case_id)
+    if pick < 0.97:
+        return run_try_cast_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
