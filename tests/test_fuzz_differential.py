@@ -290,3 +290,34 @@ def test_try_cast_parsing_divergences_pinned(spark):
         sv = spark.sql(f"SELECT try_cast('{s}' AS BIGINT) AS v").collect()[0].v
         dv = con.execute(f"SELECT try_cast('{s}' AS BIGINT) AS v").fetchall()[0][0]
         assert sv == dv, (s, sv, dv)
+
+
+def test_explode_position_base_divergence_pinned(spark):
+    """FIXTURES.md r7: positional array expansion is 0-BASED in Spark's
+    posexplode but 1-BASED in DuckDB's generate_subscripts — shared
+    oracles must offset one side (the explode fuzz family spells
+    `pos + 1` on the Spark side). Inner/outer multiplicity semantics
+    (empty array and NULL array: row dropped / null-extended) agree."""
+    s = spark.sql(
+        "SELECT pos, u FROM VALUES ('a', array(10, 20)) t(k, arr) "
+        "LATERAL VIEW posexplode(arr) x AS pos, u"
+    ).collect()
+    assert [tuple(r) for r in s] == [(0, 10), (1, 20)]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT generate_subscripts(arr, 1) AS pos, unnest(arr) AS u "
+        "FROM (VALUES ('a', [10, 20])) t(k, arr)"
+    ).fetchall()
+    assert d == [(1, 10), (2, 20)]
+    # multiplicity agreement: inner drops empty/NULL, outer null-extends
+    si = spark.sql(
+        "SELECT k, u FROM VALUES ('a', array(1)), ('b', array()), "
+        "('c', NULL) t(k, arr) LATERAL VIEW OUTER explode(arr) x AS u"
+    ).collect()
+    di = con.execute(
+        "SELECT k, u FROM (VALUES ('a', [1]), ('b', []), ('c', NULL)) "
+        "t(k, arr) LEFT JOIN UNNEST(arr) AS x(u) ON true"
+    ).fetchall()
+    assert sorted(map(tuple, si)) == sorted(di) == [
+        ("a", 1), ("b", None), ("c", None)
+    ]

@@ -53,7 +53,10 @@ them as distinct values, PINNED; elements coalesced non-null — see
 run_array_setop_case), try_cast string parsing (sign/whitespace/
 garbage/empty/overflow agree; DuckDB's decimal-ROUNDING, hex and
 scientific parses are PINNED divergences excluded from the generator —
-see run_try_cast_case), and
+see run_try_cast_case), explode/UNNEST lateral expansion (inner/
+outer multiplicity over variable-length arrays, positional expansion —
+posexplode 0-based vs generate_subscripts 1-based, PINNED — and
+GROUP BY ALL over exploded rows — see run_explode_case), and
 double aggregates restricted to exactly-representable
 quarter values (float64 sums stay bit-exact) — no arbitrary doubles in
 aggregates (ULP), no collation-sensitive ordering, no zone-dependent
@@ -1282,6 +1285,66 @@ def run_try_cast_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_explode_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Explode/UNNEST multiplicity case (r7): variable-length per-row
+    arrays (0..4 elements via slice) through inner and OUTER lateral
+    expansion, positional expansion, and GROUP BY ALL over the exploded
+    rows — paired templates (Spark LATERAL VIEW [OUTER] explode /
+    posexplode vs DuckDB comma-UNNEST / LEFT JOIN UNNEST ON true /
+    generate_subscripts). Probed agreements: empty and NULL arrays drop
+    the row under inner expansion and null-extend under outer in BOTH
+    engines. PINNED divergence: positions are 0-based in Spark's
+    posexplode, 1-based in DuckDB's generate_subscripts — the Spark
+    side spells pos + 1."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_x")
+    ln = "((coalesce(m1, 0) % 5) + 5) % 5"
+    arr_s = (
+        f"slice(array(coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), 9), 1, {ln})"
+    )
+    arr_d = (
+        f"list_slice([coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), 9], 1, {ln})"
+    )
+    where = gen_predicate(rng)
+    kind = rng.randint(0, 3)
+    if kind == 0:
+        ssql = (
+            f"SELECT k1, u FROM t LATERAL VIEW explode({arr_s}) x AS u "
+            f"WHERE {where}"
+        )
+        dsql = f"SELECT k1, u FROM t, UNNEST({arr_d}) AS x(u) WHERE {where}"
+    elif kind == 1:
+        ssql = (
+            "SELECT k1, u FROM t "
+            f"LATERAL VIEW OUTER explode({arr_s}) x AS u WHERE {where}"
+        )
+        dsql = (
+            f"SELECT k1, u FROM t LEFT JOIN UNNEST({arr_d}) AS x(u) ON true "
+            f"WHERE {where}"
+        )
+    elif kind == 2:
+        ssql = (
+            "SELECT k1, pos + 1 AS pos, u FROM t "
+            f"LATERAL VIEW posexplode({arr_s}) x AS pos, u WHERE {where}"
+        )
+        dsql = (
+            f"SELECT k1, generate_subscripts({arr_d}, 1) AS pos, "
+            f"unnest({arr_d}) AS u FROM t WHERE {where}"
+        )
+    else:
+        ssql = (
+            "SELECT k1, u % 3 AS g, count(*) AS n, CAST(sum(u) AS BIGINT) AS s "
+            f"FROM t LATERAL VIEW explode({arr_s}) x AS u WHERE {where} "
+            "GROUP BY ALL"
+        )
+        dsql = (
+            "SELECT k1, u % 3 AS g, count(*) AS n, CAST(sum(u) AS BIGINT) AS s "
+            f"FROM t, UNNEST({arr_d}) AS x(u) WHERE {where} GROUP BY ALL"
+        )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1320,10 +1383,12 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_month_interval_case(spark, con, rng, tmp, case_id)
     if pick < 0.92:
         return run_struct_case(spark, con, rng, tmp, case_id)
-    if pick < 0.945:
+    if pick < 0.935:
         return run_array_setop_case(spark, con, rng, tmp, case_id)
-    if pick < 0.97:
+    if pick < 0.955:
         return run_try_cast_case(spark, con, rng, tmp, case_id)
+    if pick < 0.975:
+        return run_explode_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
