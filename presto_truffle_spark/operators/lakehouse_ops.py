@@ -386,3 +386,90 @@ def lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_cents").alias("max_cents"),
         )
     )
+
+
+@query(
+    "lakehouse_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) < 1997
+    ), src AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS cents,
+               (o_orderkey % 11 = 0) AS del
+        FROM orders
+        WHERE (year(o_orderdate) < 1997 AND o_orderkey % 3 = 0)
+           OR (year(o_orderdate) = 1997 AND o_orderkey % 5 = 0)
+    ), merged AS (
+        SELECT t.k, t.st, t.cents
+        FROM tgt t LEFT JOIN src s ON s.k = t.k
+        WHERE s.k IS NULL
+        UNION ALL
+        SELECT s.k, s.st, s.cents FROM src s WHERE NOT s.del
+    )
+    SELECT st, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS keys_sum,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM merged GROUP BY st
+    """,
+)
+def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (SCD1 upsert + delete) — the write-side primitive
+    every lakehouse table format exposes, here as the format-agnostic
+    rewrite Spark executes under the hood when no transaction log exists:
+
+      WHEN MATCHED AND src.del     THEN DELETE
+      WHEN MATCHED                 THEN UPDATE SET * (source wins)
+      WHEN NOT MATCHED AND NOT del THEN INSERT *
+
+    ≡ target-rows-without-match ∪ source-rows-not-flagged-delete — one
+    left-anti join plus a filtered source scan, the minimal-shuffle
+    spelling (both sides hash on the merge key exactly once; with
+    bucketed tables the shuffle disappears). The target snapshot is
+    WRITTEN to parquet first and the merged result written back and
+    re-read, so the query exercises the actual storage round-trip, not
+    just the join algebra. Fixture roles are derived deterministically
+    from orders (target = pre-1997; source = every 3rd pre-1997 key as
+    an UPDATE at doubled cents + every 5th 1997 key as an INSERT; every
+    11th source key flagged DELETE) so the DuckDB oracle rebuilds the
+    same MERGE from the raw table. Integer-cents discipline throughout;
+    unmatched delete-flagged source rows are skipped (standard MERGE).
+    The batch twin of streaming_foreachbatch_upsert's per-batch logic."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    year = F.year("o_orderdate")
+    tgt = o.filter(year < 1997).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    src = (
+        o.filter(
+            ((year < 1997) & (F.col("o_orderkey") % 3 == 0))
+            | ((year == 1997) & (F.col("o_orderkey") % 5 == 0))
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            (cents * 2).alias("cents"),
+            (F.col("o_orderkey") % 11 == 0).alias("del"),
+        )
+    )
+    base_path = _scratch(spark, "merge_target")
+    tgt.write.mode("overwrite").parquet(base_path)
+    target = spark.read.parquet(base_path)
+    merged = target.join(
+        src.select("k"), "k", "left_anti"
+    ).unionByName(
+        src.filter(~F.col("del")).select("k", "st", "cents")
+    )
+    out_path = _scratch(spark, "merge_result")
+    merged.write.mode("overwrite").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    return back.groupBy("st").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("keys_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
