@@ -57,6 +57,13 @@ _CASES = [
     ("lakehouse_incremental_agg", 0),
     ("setop_union_all_counts", 0),
     ("join_inner_fact_fact", 0),
+    # r7 additions
+    ("ann_ivfpq_retrieval", 0),
+    ("ann_ivfpq_residual", 0),
+    ("ann_ivfpq_index_build", 0),
+    ("rewrite_keyed_range_join", 0),
+    ("lakehouse_merge_upsert", 0),
+    ("dedup_connected_components", 0),
 ]
 
 
