@@ -795,3 +795,116 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= 0.05)
     )
+
+
+_INCR_ORACLE = (
+    _ORACLE_BANDS_CTES
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS doc_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND b.doc_id % 4 = 0 AND a.doc_id <> b.doc_id
+         AND (a.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
+    ), ver AS (
+        SELECT c.doc_id,
+               round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                     (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                   AS j
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.src
+        JOIN sh sb ON sb.doc_id = c.doc_id
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), agg AS (
+        SELECT doc_id, count(*) AS n, max(j) AS maxj FROM ver GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_dup_sources,
+           a.maxj AS max_jaccard,
+           CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+    FROM (SELECT doc_id FROM sh WHERE doc_id % 4 = 0) s
+    LEFT JOIN agg a ON a.doc_id = s.doc_id
+"""
+)
+
+
+@query("dedup_incremental_minhash", oracle=_INCR_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the shape every production corpus
+    pipeline actually runs: a small INCOMING batch (here every 4th
+    doc_id, deterministically) checked against the already-deduped
+    HISTORICAL corpus plus earlier docs of its own batch, never
+    existing×existing (those pairs were settled in prior runs). Each
+    incoming doc gets its duplicate-source count, its best verified
+    Jaccard, and the keep/drop decision (``is_new``).
+
+    Scale posture — the reason incremental dedup is cheap: the incoming
+    band side is batch-bounded in production (MBs where the historical
+    band index is TBs), so candidate generation is one scan of the
+    historical index with a map-side hash probe of the broadcast batch —
+    no self-join of the corpus, no shuffle of the big side, cost
+    O(|incoming| × bucket overlap). In THIS fixture the incoming side
+    derives from `documents` and therefore grows with SF, so per the r4
+    broadcast doctrine the plan carries NO hard hint and lets AQE's
+    runtime size check make the call (it broadcasts at every realistic
+    batch size); a production deployment with a genuinely bounded batch
+    marks it broadcast explicitly. The within-batch half
+    (earlier-incoming × later-incoming, a.doc_id < b.doc_id) rides the
+    same probe. Exact-Jaccard verification then touches only candidate
+    pairs' shingle rows. At 100 TB the historical bands/shingles are the
+    persisted index tables `_lsh_tables` models (production keeps them
+    materialized across runs — the ``ann_ivfpq_index_build`` build/query
+    discipline, applied to dedup)."""
+    tables = _lsh_tables(spark, sf_dir)
+    bands, sh = tables["bands"], tables["sh"]
+    incoming = F.col("doc_id") % 4 == 0
+    inc_bands = bands.filter(incoming)
+    a, b = bands.alias("a"), inc_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                (F.col("a.doc_id") % 4 != 0)
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
+    sb = sh.select("doc_id", F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    ver = (
+        cand.join(sa, "src")
+        .join(sb, "doc_id")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_id", F.round(jac, 6).alias("j"))
+    )
+    agg = ver.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_sources"),
+        F.max("j").alias("max_jaccard"),
+    )
+    return (
+        sh.filter(incoming)
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_sources", F.lit(0).cast("long")).alias(
+                "n_dup_sources"
+            ),
+            "max_jaccard",
+            F.when(F.col("n_dup_sources").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_new"),
+        )
+    )

@@ -104,22 +104,22 @@ def load_all_modules() -> None:
 # Names listed here are surfaced ahead of registration order — rotate this
 # list each round so driver coverage cycles through all queries.
 #
-# Round-7 window (tools/rotation_helper.py), exactly 50 = 6 + 2 + 19 + 23:
+# Round-7 window (tools/rotation_helper.py), exactly 50 = 7 + 2 + 19 + 22:
 # (a) 5 never-green rows — multimodal_dhash_dup_groups (registered at the
 #     tail of r6 after the window was last rebuilt; the r6 verdict's #1
 #     item) + the two r7 IVF-PQ registrations + the r7 keyed-range-join
 #     DataFrame twin + the r7 IVF-PQ index build/query split + the r7
-#     MERGE-upsert lakehouse op.
+#     MERGE-upsert lakehouse op + the r7 incremental MinHash dedup.
 # (a') 2 green rows staled by r7 edits — the CC queries now running
 #     large/small-star instead of min-label propagation.
 # (b) 19 oldest-evidence rows — every query whose last driver green is
 #     STILL r1 (the windows/setops/scalar tails displaced by the r6
 #     continuation registrations, plus join_broadcast_dims and
 #     subquery_scalar_agg).
-# (c) 23 of the 36 r2-era rows, registration order (the LLM-pipeline
-#     dedup/ANN/text/multimodal blocks). The remaining 13 r2 rows
-#     (multimodal_frame_sample, multimodal_resize_plan,
-#     multimodal_size_by_type,
+# (c) 22 of the 36 r2-era rows, registration order (the LLM-pipeline
+#     dedup/ANN/text/multimodal blocks). The remaining 14 r2 rows
+#     (multimodal_extract_meta, multimodal_frame_sample,
+#     multimodal_resize_plan, multimodal_size_by_type,
 #     pipeline_corpus_prep, pipeline_embedding_dedup,
 #     events_malformed_json_robust, q4/q17/q20/q22/q12,
 #     scalar_json_tuple, udtf_token_explode) plus any rows staled or
@@ -134,6 +134,7 @@ _VERIFY_FIRST = (
     "rewrite_keyed_range_join",
     "ann_ivfpq_index_build",
     "lakehouse_merge_upsert",
+    "dedup_incremental_minhash",
     # --- (a') green rows staled by the r7 large/small-star CC rewrite ---
     "dedup_connected_components",
     "dedup_survivor_pick",
@@ -180,7 +181,6 @@ _VERIFY_FIRST = (
     "text_fingerprint",
     "text_word_freq",
     "text_lang_profile",
-    "multimodal_extract_meta",
 )
 
 
