@@ -585,3 +585,17 @@ def test_null_aware_anti_join_operator_planned(spark, sf_dir):
         "LeftAnti" in l and ("true" in l or "NullAware" in l)
         for l in join_lines
     ), join_lines
+
+
+def test_incremental_dedup_plan_shape(spark, sf_dir):
+    """dedup_incremental_minhash (r7) must never plan a cartesian/nested
+    loop (the candidate join is a band-bucket equi-join with the incoming
+    side as probe) and must carry no hard broadcast hint — the incoming
+    side derives from documents and grows with SF, so the r4 doctrine
+    leaves the size call to AQE."""
+    from presto_truffle_spark.operators.dedup import dedup_incremental_minhash
+
+    df = dedup_incremental_minhash(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert inspect.broadcast_hint_count(df) == 0
