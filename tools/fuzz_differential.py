@@ -203,6 +203,24 @@ def gen_window_exprs(rng: random.Random) -> list[str]:
             ("lag", "lead")
         ):
             frame = ""  # ranking/offset functions take no frame
+        elif rng.random() < 0.3:
+            # RANGE (value-based, peer-inclusive) frames — a genuinely
+            # different semantics surface from ROWS: duplicates of the
+            # order value form peer groups, so frame aggregates stay
+            # deterministic even with ties (probed equal cross-engine,
+            # r7). RANGE with an offset allows exactly ONE order column;
+            # coalesce keeps NULL order keys out of the peer arithmetic.
+            order = f"ORDER BY coalesce({rng.choice(['m1', 'm2'])}, 0)"
+            frame = rng.choice(
+                [
+                    f" RANGE BETWEEN {rng.randint(1, 20)} PRECEDING"
+                    " AND CURRENT ROW",
+                    " RANGE BETWEEN CURRENT ROW AND"
+                    f" {rng.randint(1, 20)} FOLLOWING",
+                    f" RANGE BETWEEN {rng.randint(1, 10)} PRECEDING"
+                    f" AND {rng.randint(1, 10)} FOLLOWING",
+                ]
+            )
         out.append(
             f"CAST({fn} OVER ({part}{order}{frame}) AS BIGINT) AS w{i}"
         )
