@@ -101,91 +101,78 @@ def load_all_modules() -> None:
 
 
 # The driver hard-verifies the FIRST 50 queries in dict order per round.
-# Names listed here are surfaced ahead of registration order — rotate this
-# list each round so driver coverage cycles through all queries.
+# Round 8 proved a hand-edited window can silently freeze (the round ran 0
+# turns and the scheduled rotation never executed), so since round 9 the
+# window is DERIVED from the checked-in driver evidence itself
+# (CORRECTNESS_r*.json): a stalled round still advances evidence the next
+# time the registry is imported, because the ledger on disk has moved.
 #
-# Round-7 window (tools/rotation_helper.py), exactly 50 = 7 + 2 + 19 + 22:
-# (a) 5 never-green rows — multimodal_dhash_dup_groups (registered at the
-#     tail of r6 after the window was last rebuilt; the r6 verdict's #1
-#     item) + the two r7 IVF-PQ registrations + the r7 keyed-range-join
-#     DataFrame twin + the r7 IVF-PQ index build/query split + the r7
-#     MERGE-upsert lakehouse op + the r7 incremental MinHash dedup.
-# (a') 2 green rows staled by r7 edits — the CC queries now running
-#     large/small-star instead of min-label propagation.
-# (b) 19 oldest-evidence rows — every query whose last driver green is
-#     STILL r1 (the windows/setops/scalar tails displaced by the r6
-#     continuation registrations, plus join_broadcast_dims and
-#     subquery_scalar_agg).
-# (c) 22 of the 36 r2-era rows, registration order (the LLM-pipeline
-#     dedup/ANN/text/multimodal blocks). The remaining 14 r2 rows
-#     (multimodal_extract_meta, multimodal_frame_sample,
-#     multimodal_resize_plan, multimodal_size_by_type,
-#     pipeline_corpus_prep, pipeline_embedding_dedup,
-#     events_malformed_json_robust, q4/q17/q20/q22/q12,
-#     scalar_json_tuple, udtf_token_explode) plus any rows staled or
-#     registered later this round head the r8 rotation.
-# NOTE r7 in-round edits: new registrations MUST be inserted after (a)
-# and the (c) tail trimmed to keep the window at exactly 50.
-_VERIFY_FIRST = (
-    # --- (a) never-green: the r6 leftover + the two r7 IVF-PQ registrations ---
-    "multimodal_dhash_dup_groups",
-    "ann_ivfpq_retrieval",
-    "ann_ivfpq_residual",
-    "rewrite_keyed_range_join",
+# Priority order (matches tools/rotation_helper.py):
+#   1. _FORCE_HEAD — rows whose CODE changed since their last green driver
+#      row ("stale greens": r4 proved selfcheck-green != driver-green).
+#      Code staleness needs git archaeology and stays a hand-maintained
+#      list; keep it SHORT and prune entries once re-greened.
+#   2. never-green rows (no passing row in any CORRECTNESS file), in
+#      registration order — new registrations land here automatically.
+#   3. everything else by OLDEST last-green round, registration order as
+#      the tie-break — evidence re-confirmation cycles oldest-first.
+#
+# tests/test_registry_rotation.py recomputes this independently from the
+# same JSON files and asserts the promoted window matches.
+_FORCE_HEAD: tuple[str, ...] = (
+    # r9 code-staled greens: IVF-PQ index build gets the scoped-scratch
+    # fix; the CC queries get the single-action convergence check.
     "ann_ivfpq_index_build",
-    "lakehouse_merge_upsert",
-    "dedup_incremental_minhash",
-    # --- (a') green rows staled by the r7 large/small-star CC rewrite ---
     "dedup_connected_components",
     "dedup_survivor_pick",
-    # --- (b) oldest evidence: last green r1 ---
-    "join_broadcast_dims",
-    "subquery_scalar_agg",
-    "window_ranking",
-    "window_topk_per_group",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_first_last",
-    "window_share_of_group",
-    "setop_union_distinct",
-    "setop_union_all_counts",
-    "setop_intersect",
-    "setop_except",
-    "setop_distinct_rows",
-    "scalar_string_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "events_from_json",
-    "scalar_null_handling",
-    # --- (c) r2-era re-confirmation (first 30 in registration order) ---
-    "dedup_exact",
-    "dedup_exact_survivors",
-    "dedup_normalized",
-    "dedup_minhash_lsh_capped",
-    "dedup_lsh_bucket_guard",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_cosine_topk_pandas",
-    "ann_lsh_buckets",
-    "ann_lsh_bucket_stats",
-    "knn_label_vote",
-    "embedding_near_dup_pairs",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe3",
-    "embedding_norm_stats",
-    "text_token_stats",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_word_freq",
-    "text_lang_profile",
 )
+
+_WINDOW = 50
+_DERIVED: Optional[tuple[str, ...]] = None
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """Latest round with a fully-passing driver row, per query name."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+            data = json.load(open(f))
+        except Exception:
+            continue  # unreadable ledger file: skip, never crash the registry
+        for k, v in data.items():
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match", True)
+                and not v.get("err")
+            )
+            if ok:
+                out[k] = rnd
+    return out
+
+
+def _verify_first() -> tuple[str, ...]:
+    """The derived verify window (cached; QUERIES must be loaded)."""
+    global _DERIVED
+    if _DERIVED is None:
+        last_green = _last_green_rounds()
+        head = [q for q in _FORCE_HEAD if q in QUERIES]
+        rest = [q for q in QUERIES if q not in head]
+        # sorted() is stable, so registration order breaks ties within a
+        # round; never-green rows (-1) sort before every real round.
+        rest.sort(key=lambda q: last_green.get(q, -1))
+        _DERIVED = tuple((head + rest)[:_WINDOW])
+    return _DERIVED
 
 
 def _promote(d: dict) -> dict:
-    out = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    out = {k: d[k] for k in _verify_first() if k in d}
     out.update((k, v) for k, v in d.items() if k not in out)
     return out
 

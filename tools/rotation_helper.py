@@ -64,19 +64,25 @@ def main() -> int:
     for rnd in sorted(by_round):
         print(f"  r{rnd}: {len(by_round[rnd])}")
 
-    vf = registry._VERIFY_FIRST
+    vf = registry._verify_first()
     problems = []
     if len(vf) != 50:
         problems.append(f"window has {len(vf)} entries, driver verifies 50")
     if len(set(vf)) != len(vf):
-        problems.append("duplicate entries in _VERIFY_FIRST")
+        problems.append("duplicate entries in derived window")
     unknown = [q for q in vf if q not in registry.QUERIES]
     if unknown:
         problems.append(f"unknown names: {unknown}")
     uncovered = [q for q in never if q not in vf]
     if uncovered:
         problems.append(f"never-green NOT in window: {uncovered}")
-    print("\ncurrent _VERIFY_FIRST:", "OK" if not problems else "PROBLEMS")
+    stale_head = [q for q in registry._FORCE_HEAD if q not in registry.QUERIES]
+    if stale_head:
+        problems.append(f"_FORCE_HEAD names not registered: {stale_head}")
+    print("\nderived verify window (first 50):")
+    for q in vf:
+        print(f"  r{last_green.get(q, '--')}  {q}")
+    print("\nderived window:", "OK" if not problems else "PROBLEMS")
     for p in problems:
         print("  !", p)
     return 1 if problems else 0
