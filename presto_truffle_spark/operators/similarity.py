@@ -1172,7 +1172,7 @@ def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     query path amortizes it across every search."""
     import os as _os
 
-    from presto_truffle_spark.sources.io import _scratch
+    from presto_truffle_spark.sources.io import _scoped_scratch
 
     e = load_table(spark, sf_dir, "embeddings")
     ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
@@ -1223,7 +1223,7 @@ def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cid", "sub_id", "code")
     )
-    index_path = _scratch(f"ivfpq_index_{_os.path.basename(sf_dir)}")
+    index_path = _scoped_scratch(spark, f"ivfpq_index_{_os.path.basename(sf_dir)}")
     cells.join(codes, "cid").write.mode("overwrite").parquet(index_path)
     # ---------------- QUERY: runs from the materialized index ---------
     index = spark.read.parquet(index_path)

@@ -121,10 +121,14 @@ def load_all_modules() -> None:
 # same JSON files and asserts the promoted window matches.
 _FORCE_HEAD: tuple[str, ...] = (
     # r9 code-staled greens: IVF-PQ index build gets the scoped-scratch
-    # fix; the CC queries get the single-action convergence check.
+    # fix; the CC queries get the single-action convergence check; the
+    # two r4-green io.py rows also moved to app-scoped scratch paths
+    # (the r3-green io.py rows are already in the derived tail).
     "ann_ivfpq_index_build",
     "dedup_connected_components",
     "dedup_survivor_pick",
+    "source_binary_files",
+    "source_xml_roundtrip",
 )
 
 _WINDOW = 50

@@ -30,6 +30,22 @@ def _scratch(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+def _scoped_scratch(spark, name: str) -> str:
+    """applicationId-suffixed scratch dir (lakehouse_ops._scratch pattern):
+    two concurrent sessions — e.g. the driver's correctness run and a
+    selfcheck — get disjoint paths, so one can't read the other's
+    half-written parquet. Stale sessions' dirs for the same op are swept
+    on entry so .tmp stays bounded."""
+    import shutil
+
+    app_id = spark.sparkContext.applicationId
+    os.makedirs(_SCRATCH, exist_ok=True)
+    for entry in os.listdir(_SCRATCH):
+        if entry.startswith(name + "_app-") and not entry.endswith(app_id):
+            shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+    return os.path.join(_SCRATCH, f"{name}_app-{app_id}")
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""
@@ -42,7 +58,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Proves the CSV source/sink preserves types well enough to
     reproduce the parquet-derived answer. Timestamps ride ISO-8601 strings."""
     o = load_table(spark, sf_dir, "orders")
-    path = _scratch("orders_csv")
+    path = _scoped_scratch(spark, "orders_csv")
     o.write.mode("overwrite").option("header", True).csv(path)
     schema = (
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
@@ -64,7 +80,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → JSON lines → read back (explicit schema) → aggregate."""
     c = load_table(spark, sf_dir, "customer")
-    path = _scratch("customer_json")
+    path = _scoped_scratch(spark, "customer_json")
     c.write.mode("overwrite").json(path)
     schema = (
         "c_custkey bigint, c_name string, c_nationkey int, "
@@ -96,7 +112,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    path = _scratch("lineitem_orc")
+    path = _scoped_scratch(spark, "lineitem_orc")
     li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(
@@ -126,7 +142,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
-    path = _scratch("orders_by_year")
+    path = _scoped_scratch(spark, "orders_by_year")
     o.write.mode("overwrite").partitionBy("o_year").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_year") >= 1997)
     return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
@@ -158,14 +174,14 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .option("path", _scratch("li_bucketed"))
+        .option("path", _scoped_scratch(spark, "li_bucketed"))
         .saveAsTable("li_bucketed")
     )
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .option("path", _scratch("o_bucketed"))
+        .option("path", _scoped_scratch(spark, "o_bucketed"))
         .saveAsTable("o_bucketed")
     )
     lib = spark.table("li_bucketed")
@@ -220,9 +236,9 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix (table formats automate exactly this loop). A pytest asserts the
     file-count drop; here the query asserts zero data change."""
     li = load_table(spark, sf_dir, "lineitem")
-    frag = _scratch("li_fragmented")
+    frag = _scoped_scratch(spark, "li_fragmented")
     li.repartition(64).write.mode("overwrite").parquet(frag)
-    compacted = _scratch("li_compacted")
+    compacted = _scoped_scratch(spark, "li_compacted")
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
     back = spark.read.parquet(compacted)
     return back.groupBy("l_returnflag").agg(
@@ -260,7 +276,7 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.files.maxPartitionBytes`` bounds per-task payload memory
     exactly as in the multimodal ops."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
-    path = _scratch("binary_docs")
+    path = _scoped_scratch(spark, "binary_docs")
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
@@ -367,7 +383,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference is an extra full pass at scale; balances aggregate as
     integer cents for cross-engine exactness."""
     c = load_table(spark, sf_dir, "customer")
-    path = _scratch("customer_xml")
+    path = _scoped_scratch(spark, "customer_xml")
     c.write.mode("overwrite").option("rowTag", "cust").format("xml").save(path)
     schema = (
         "c_custkey bigint, c_name string, c_nationkey int, "

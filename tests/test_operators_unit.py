@@ -201,11 +201,11 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     import glob
     import os
 
-    from presto_truffle_spark.sources.io import _scratch, sink_compaction
+    from presto_truffle_spark.sources.io import _scoped_scratch, sink_compaction
 
     n_rows = sink_compaction(spark, sf_dir).agg({"n": "sum"}).collect()[0][0]
-    frag = len(glob.glob(os.path.join(_scratch("li_fragmented"), "part-*")))
-    comp = len(glob.glob(os.path.join(_scratch("li_compacted"), "part-*")))
+    frag = len(glob.glob(os.path.join(_scoped_scratch(spark, "li_fragmented"), "part-*")))
+    comp = len(glob.glob(os.path.join(_scoped_scratch(spark, "li_compacted"), "part-*")))
     assert frag == 64 and comp <= 4
     from presto_truffle_spark.catalog import load_table
 

@@ -1,0 +1,66 @@
+"""Scratch dirs used by write-then-read queries must be session-scoped.
+
+r8 verdict: ``ann_ivfpq_index_build`` wrote its index to a FIXED path, so
+a driver correctness run and a concurrent selfcheck could read each
+other's half-written parquet. All write→read scratch call sites now go
+through ``_scoped_scratch`` (applicationId-suffixed, stale-session sweep
+on entry — the lakehouse_ops pattern).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+from presto_truffle_spark.sources.io import _SCRATCH, _scoped_scratch
+
+
+def test_scoped_path_carries_application_id(spark):
+    p = _scoped_scratch(spark, "scoped_test_op")
+    assert p.endswith(f"scoped_test_op_app-{spark.sparkContext.applicationId}")
+    assert os.path.dirname(p) == _SCRATCH
+
+
+def test_stale_session_dirs_swept_on_entry(spark):
+    stale = os.path.join(_SCRATCH, "scoped_test_op_app-application_000_dead")
+    os.makedirs(stale, exist_ok=True)
+    live = _scoped_scratch(spark, "scoped_test_op")
+    os.makedirs(live, exist_ok=True)
+    # a second entry sweeps the dead session's dir but keeps ours
+    _scoped_scratch(spark, "scoped_test_op")
+    assert not os.path.exists(stale)
+    assert os.path.exists(live)
+
+
+def test_sweep_is_prefix_exact(spark):
+    """An op whose name extends another's must not sweep the other's dirs."""
+    other = os.path.join(_SCRATCH, "scoped_test_op_extended_app-application_x")
+    os.makedirs(other, exist_ok=True)
+    _scoped_scratch(spark, "scoped_test_op")
+    assert os.path.exists(other)
+    os.rmdir(other)
+
+
+def test_no_query_module_uses_unscoped_scratch():
+    """Every write→read query goes through the app-scoped helper; the bare
+    ``_scratch`` survives only for single-session test fixtures."""
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "presto_truffle_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id == "_scratch"
+                    # lakehouse_ops' own _scratch takes (spark, name) and is
+                    # already app-scoped; flag only the 1-arg io.py form.
+                    and len(node.args) == 1
+                ):
+                    offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, f"unscoped scratch call sites: {offenders}"
