@@ -46,6 +46,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, NumericType, TimestampNTZType, TimestampType}
 
@@ -327,18 +328,20 @@ private[prestotruffle] object BinJoinSupport {
         if (pOnLeft) (newPoint, newIval) else (newIval, newPoint)
       val newCond =
         And(EqualTo(binAlias.toAttribute, genOut), cond)
-      Project(
-        j.output,
-        Join(newLeft, newRight, Inner, Some(newCond), hint))
+      val binned = Join(newLeft, newRight, Inner, Some(newCond), hint)
+      binned.setTagValue(BINNED, ())
+      Project(j.output, binned)
     }
   }
 
-  /** Marker for idempotence of the keyed rule (whose OUTPUT still has an
-   *  equi conjunct, so the absence-of-equi guard can't be reused): the
-   *  rewrite's own helper columns. */
-  def alreadyBinned(left: LogicalPlan, right: LogicalPlan): Boolean =
-    (left.output ++ right.output).exists(a =>
-      a.name == "__pt_bin" || a.name == "__pt_bin_r")
+  /** Idempotence marker for the keyed rule (whose OUTPUT still has an
+   *  equi conjunct, so the absence-of-equi guard can't be reused), set
+   *  on the rewritten Join node itself. A TreeNodeTag survives
+   *  makeCopy/withNewChildren and transform (Catalyst copies tags onto
+   *  replacement nodes), and — unlike the r7 column-NAME sniff — can
+   *  never collide with a user column that happens to be called
+   *  `__pt_bin` (tools/native_ext_check.py exercises that case). */
+  val BINNED: TreeNodeTag[Unit] = TreeNodeTag[Unit]("prestoTruffle.binnedRangeJoin")
 }
 
 object BinRangeJoin extends Rule[LogicalPlan] {
@@ -385,9 +388,11 @@ object BinRangeJoin extends Rule[LogicalPlan] {
  *  Same monotone-map correctness argument and rewrite as BinRangeJoin
  *  (the re-applied original condition carries the equi keys through
  *  the new join). Idempotence needs its own guard — the rewritten join
- *  still HAS equi conjuncts — so the rule bails when either child
- *  already exposes the rewrite's `__pt_bin`/`__pt_bin_r` columns.
- *  Opt-in via its own conf, like the published range-join hints. */
+ *  still HAS equi conjuncts — so `rewriteWithBins` tags the Join it
+ *  emits with `BinJoinSupport.BINNED` and the rule skips tagged nodes;
+ *  a user column that is legitimately NAMED `__pt_bin` no longer
+ *  suppresses the rewrite. Opt-in via its own conf, like the published
+ *  range-join hints. */
 object BinKeyedRangeJoin extends Rule[LogicalPlan] {
 
   private val BIN_SIZE_KEY = "spark.prestotruffle.keyedRangeJoin.binSize"
@@ -401,7 +406,7 @@ object BinKeyedRangeJoin extends Rule[LogicalPlan] {
     plan transform {
       case j @ Join(left, right, Inner, Some(cond), _)
           if cond.deterministic && j.resolved &&
-            !BinJoinSupport.alreadyBinned(left, right) &&
+            j.getTagValue(BinJoinSupport.BINNED).isEmpty &&
             BinJoinSupport.hasCrossSideEqui(
               BinJoinSupport.splitConjuncts(cond),
               BinJoinSupport.sideResolver(left, right)) =>

@@ -333,6 +333,23 @@ def main() -> int:
     )
     klj_plan = klj._jdf.queryExecution().optimizedPlan().toString()
     assert "__pt_bin" not in klj_plan, klj_plan
+
+    # r9: idempotence is a TreeNodeTag on the rewritten Join, not a
+    # column-name sniff — a USER column legitimately named __pt_bin must
+    # no longer suppress the rewrite (and still: exactly one explode).
+    uq = kq.withColumn("__pt_bin", F.col("qid") % 7)
+    uj = uq.join(
+        kr,
+        (uq.k == kr.rk) & (kr.rts > uq.qts - 200) & (kr.rts <= uq.qts),
+    )
+    u_plan = uj._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode(sequence" in u_plan, u_plan
+    assert u_plan.count("explode(sequence") == 1, u_plan
+    u_got = sorted((r.qid, r.rid) for r in uj.collect())
+    assert u_got == k_expected, (
+        f"user __pt_bin column changed keyed rewrite results: "
+        f"{len(u_got)} vs {len(k_expected)}"
+    )
     spark.conf.unset("spark.prestotruffle.keyedRangeJoin.binSize")
 
     print("NATIVE_EXT_OK")
