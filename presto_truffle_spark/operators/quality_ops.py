@@ -325,12 +325,16 @@ def large_small_star_components(
     pin fixpoint equality with min-label on chains/stars/random graphs).
 
     Discipline carried over from min-label: per-round driver actions are
-    scalar-only (two counts for set-stability of the distinct edge set);
-    each round's edge set is ``localCheckpoint``-materialized so the plan
-    stays shallow; non-convergence at ``max_rounds`` raises LOUDLY with
-    the residual edge-set delta instead of returning an under-merged
-    labeling. A post-loop guard verifies the fixpoint really is a star
-    forest (each non-root in exactly one edge) before labels are read off.
+    scalar-only, and exactly ONE per contracting round — the distinct
+    edge-set count, compared against the previous round's. Only when the
+    counts match (a convergence CANDIDATE) does the round pay a second
+    action, the set-difference count that proves true fixpoint (equal
+    distinct counts + empty e2∖E ⇒ set equality). Each round's edge set
+    is ``localCheckpoint``-materialized so the plan stays shallow;
+    non-convergence at ``max_rounds`` raises LOUDLY with the residual
+    edge-set delta instead of returning an under-merged labeling. A
+    post-loop guard verifies the fixpoint really is a star forest (each
+    non-root in exactly one edge) before labels are read off.
     """
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
@@ -349,6 +353,7 @@ def large_small_star_components(
     rounds = 0
     converged = False
     delta = -1
+    prev_cnt = E.count()
     for _ in range(max_rounds):
         rounds += 1
         # --- large-star: emit (v, m(u)) for every neighbor v > u ---------
@@ -375,13 +380,19 @@ def large_small_star_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # Set-stability check (both sides distinct): equal counts + empty
-        # difference. Scalar-only driver actions, like min-label's count.
-        delta = e2.subtract(E).count()
-        if delta == 0 and e2.count() == E.count():
-            E = e2
-            converged = True
-            break
+        # Set-stability check (both sides distinct): compare the cheap
+        # per-round COUNT first; only when counts are equal — i.e. the
+        # contraction may have reached its fixpoint — pay the subtract.
+        # Contracting rounds therefore cost exactly ONE scalar driver
+        # action; the subtract runs only on candidate-converged rounds.
+        cnt = e2.count()
+        if cnt == prev_cnt:
+            delta = e2.subtract(E).count()
+            if delta == 0:
+                E = e2
+                converged = True
+                break
+        prev_cnt = cnt
         E = e2
     if not converged:
         raise RuntimeError(
