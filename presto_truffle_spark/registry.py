@@ -129,6 +129,8 @@ _FORCE_HEAD: tuple[str, ...] = (
     "dedup_survivor_pick",
     "source_binary_files",
     "source_xml_roundtrip",
+    # staled by the r9 _make_profile_processor factory extraction
+    "streaming_transform_with_state",
 )
 
 _WINDOW = 50

@@ -212,16 +212,19 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     return streaming_stateful_profile(spark, sf_dir)
 
 
-def _tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``transformWithStateInPandas`` implementation: a ``StatefulProcessor``
-    holding one ValueState per user, emitting raw running totals in update
-    mode (rounding happens once, in ``_profile_envelope``).
+def _make_profile_processor():
+    """Build the ``StatefulProcessor`` class used by ``_tws_profile``.
 
-    Requires the RocksDB state-store provider (the operator's state schema
-    layer is only implemented there), pinned at call time since the driver
-    owns the session. Processor class is NESTED so cloudpickle ships it by
+    The class is defined INSIDE a function so cloudpickle ships it by
     value to workers (module-level classes pickle by reference and break
-    when the driver's cwd can't import this repo)."""
+    when the driver's cwd can't import this repo). Exposed as a factory —
+    rather than nested inside ``_tws_profile`` — so the processor's
+    accumulation semantics are unit-testable with a fake handle/ValueState
+    (tests/test_streaming_stateful_processor.py) even in this container,
+    where the protobuf state-server protocol keeps the live
+    ``transformWithStateInPandas`` run env-gated: importing
+    ``StatefulProcessor`` needs no protobuf, only RUNNING the operator
+    does."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -249,6 +252,21 @@ def _tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def close(self) -> None:
             pass
+
+    return ProfileProcessor
+
+
+def _tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` implementation: a ``StatefulProcessor``
+    holding one ValueState per user, emitting raw running totals in update
+    mode (rounding happens once, in ``_profile_envelope``).
+
+    Requires the RocksDB state-store provider (the operator's state schema
+    layer is only implemented there), pinned at call time since the driver
+    owns the session. Processor class comes from ``_make_profile_processor``
+    (function-scoped so cloudpickle ships it by value to workers;
+    factory-shaped so its semantics are unit-tested without protobuf)."""
+    ProfileProcessor = _make_profile_processor()
 
     stream = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
     old_provider = spark.conf.get(
