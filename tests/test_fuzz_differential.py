@@ -321,3 +321,51 @@ def test_explode_position_base_divergence_pinned(spark):
     assert sorted(map(tuple, si)) == sorted(di) == [
         ("a", 1), ("b", None), ("c", None)
     ]
+
+
+def test_window_exclude_parse_divergence_pinned(spark):
+    """FIXTURES.md r9: Spark does not parse the SQL-standard window frame
+    EXCLUDE clause at all; DuckDB implements it natively, returning NULL
+    sums (count 0) on a fully-excluded frame. The fuzzer's EXCLUDE
+    family therefore runs a compositional frame-minus-peer-group rewrite
+    on the Spark side — if Spark ever learns EXCLUDE, this pin fails and
+    the family should switch to identical SQL text."""
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
+        spark.sql(
+            "SELECT sum(id) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM range(3)"
+        ).collect()
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT r, sum(v) OVER (ORDER BY r RANGE BETWEEN 0 PRECEDING AND "
+        "0 FOLLOWING EXCLUDE GROUP) s, count(*) OVER (ORDER BY r RANGE "
+        "BETWEEN 0 PRECEDING AND 0 FOLLOWING EXCLUDE GROUP) c "
+        "FROM (SELECT range r, range * 2 v FROM range(2)) ORDER BY r"
+    ).fetchall()
+    assert rows == [(0, None, 0), (1, None, 0)]
+
+
+def test_collation_distinct_divergence_pinned(spark):
+    """FIXTURES.md r9: a COLLATE inside count(DISTINCT ...) participates
+    in distinctness on Spark (UTF8_LCASE folds 'a'/'A') but is silently
+    IGNORED by DuckDB's NOCASE there — the collation fuzz family spells
+    the DuckDB side with lower() instead. Plain ORDER BY ... COLLATE
+    agrees for the ASCII alphabet (probed r9, ordering shape in-family)."""
+    s = spark.sql(
+        "SELECT count(DISTINCT c COLLATE UTF8_LCASE) AS n "
+        "FROM VALUES ('a'), ('A'), ('b'), ('B') t(c)"
+    ).collect()
+    assert s[0][0] == 2
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT count(DISTINCT c COLLATE NOCASE) "
+        "FROM (VALUES ('a'), ('A'), ('b'), ('B')) t(c)"
+    ).fetchall()
+    assert d[0][0] == 4  # collation ignored inside the aggregate
+    d2 = con.execute(
+        "SELECT count(DISTINCT lower(c)) "
+        "FROM (VALUES ('a'), ('A'), ('b'), ('B')) t(c)"
+    ).fetchall()
+    assert d2[0][0] == 2  # the spelling shared oracles must use

@@ -1363,6 +1363,170 @@ def run_explode_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_group_by_all_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """GROUP BY ALL case (r9): both engines infer the grouping keys from
+    the non-aggregate select items. The shapes under test: computed key
+    expressions (not just bare columns), keys mentioned in mixed order,
+    aggregates interleaved between keys, and NULL-producing key
+    expressions — the inference must pick the SAME key set on both
+    engines or counts split/merge visibly."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_gba")
+    where = gen_predicate(rng)
+    key_pool = [
+        "k1",
+        "k2",
+        "coalesce(k2, 'zz') AS k2z",
+        "upper(k1) AS ku",
+        "concat(coalesce(k1, '-'), coalesce(k2, '-')) AS kk",
+        "CAST(m1 % 3 AS BIGINT) AS kb",
+    ]
+    keys = rng.sample(key_pool, rng.randint(1, 3))
+    mcol = rng.choice(MEASURES)
+    aggs = rng.sample(
+        [
+            "CAST(count(*) AS BIGINT) AS cnt",
+            f"CAST(sum({mcol}) AS BIGINT) AS s",
+            f"CAST(min({mcol}) AS BIGINT) AS mn",
+            f"CAST(max({mcol}) AS BIGINT) AS mx",
+            f"CAST(count({mcol}) AS BIGINT) AS cnn",
+        ],
+        rng.randint(1, 3),
+    )
+    # interleave keys and aggregates so inference can't rely on position
+    items = keys + aggs
+    rng.shuffle(items)
+    sql = f"SELECT {', '.join(items)} FROM t WHERE {where} GROUP BY ALL"
+    return _compare(spark.sql(sql), con, sql)
+
+
+def run_window_exclude_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Window frame EXCLUDE case (r9). PINNED divergence: Spark does not
+    PARSE the SQL-standard EXCLUDE clause at all
+    (tests/test_fuzz_differential.py pins the parse error), so the Spark
+    side runs the compositional rewrite over RANGE frames — where the
+    full peer group is always inside the frame, EXCLUDE is frame-window
+    algebra minus peer-window algebra:
+
+      cf/sf = count/sum over the RANGE frame, cp/sp = over the peer
+      group (PARTITION BY part, ord):
+        EXCLUDE CURRENT ROW -> c = cf-1,     s = NULL if c=0 else sf-v
+        EXCLUDE GROUP       -> c = cf-cp,    s = NULL if c=0 else sf-sp
+        EXCLUDE TIES        -> c = cf-cp+1,  s = sf-sp+v   (c >= 1)
+
+    (sum over an emptied frame is NULL, matching DuckDB's native
+    behavior, probed r9). Order keys are filtered non-NULL — NULL peer
+    groups under RANGE frames are out of scope; the measure column m3 is
+    never NULL by construction, so the subtraction algebra is total."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 250)))]
+    schema = "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    path = os.path.join(tmp, f"fuzz_{case_id}_we.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+
+    ord_col = rng.choice(["m1", "m2"])
+    a, b = rng.randint(0, 6), rng.randint(0, 6)
+    mode = rng.choice(["CURRENT ROW", "GROUP", "TIES"])
+    frame = f"RANGE BETWEEN {a} PRECEDING AND {b} FOLLOWING"
+    over_f = f"OVER (PARTITION BY k1 ORDER BY {ord_col} {frame})"
+    over_p = f"OVER (PARTITION BY k1, {ord_col})"
+    if mode == "CURRENT ROW":
+        c_emul = f"count(*) {over_f} - 1"
+        s_emul = (
+            f"CASE WHEN {c_emul} = 0 THEN NULL "
+            f"ELSE sum(m3) {over_f} - m3 END"
+        )
+    elif mode == "GROUP":
+        c_emul = f"count(*) {over_f} - count(*) {over_p}"
+        s_emul = (
+            f"CASE WHEN {c_emul} = 0 THEN NULL "
+            f"ELSE sum(m3) {over_f} - sum(m3) {over_p} END"
+        )
+    else:  # TIES
+        c_emul = f"count(*) {over_f} - count(*) {over_p} + 1"
+        s_emul = f"sum(m3) {over_f} - sum(m3) {over_p} + m3"
+    ssql = (
+        f"SELECT rid, CAST({c_emul} AS BIGINT) AS c, "
+        f"CAST({s_emul} AS BIGINT) AS s "
+        f"FROM t WHERE {ord_col} IS NOT NULL"
+    )
+    dsql = (
+        f"SELECT rid, "
+        f"CAST(count(*) OVER (PARTITION BY k1 ORDER BY {ord_col} {frame} "
+        f"EXCLUDE {mode}) AS BIGINT) AS c, "
+        f"CAST(sum(m3) OVER (PARTITION BY k1 ORDER BY {ord_col} {frame} "
+        f"EXCLUDE {mode}) AS BIGINT) AS s "
+        f"FROM t WHERE {ord_col} IS NOT NULL"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_collation_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Collation-explicit ordering case (r9): mixed-case ASCII strings
+    ordered and compared under an explicit case-insensitive collation —
+    Spark spells it UTF8_LCASE/UNICODE_CI, DuckDB NOCASE; for the ASCII
+    alphabet both equal lower()-comparison, with the binary column as a
+    deterministic tie-break. Equality shapes (count DISTINCT, CI join of
+    dict words) spell the DuckDB side with lower(): PINNED divergence —
+    DuckDB silently IGNORES a COLLATE inside count(DISTINCT ...), while
+    Spark's collation participates in DISTINCT (4 vs 2 on
+    'a','A','b','B'; tests/test_fuzz_differential.py)."""
+    words = ["a", "A", "ab", "aB", "Ab", "AB", "b", "B", "ba", "Ba", "cc", "CC"]
+    rows = [
+        (i, rng.choice(words + [None]), rng.randint(-100, 100))
+        for i in range(rng.randint(0, 200))
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_coll.parquet")
+    spark.createDataFrame(rows, "rid long, c string, m long").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    kind = rng.randint(0, 2)
+    sp_coll = rng.choice(["UTF8_LCASE", "UNICODE_CI"])
+    if kind == 0:
+        # ordering: CI collation major, binary value + rid as tie-breaks;
+        # ordered compare via the rid projection (canon preserves order)
+        n = rng.randint(1, 50)
+        ssql = (
+            f"SELECT rid, c FROM t ORDER BY c COLLATE {sp_coll} ASC NULLS LAST, "
+            f"c ASC, rid LIMIT {n}"
+        )
+        dsql = (
+            f"SELECT rid, c FROM t ORDER BY c COLLATE NOCASE ASC NULLS LAST, "
+            f"c ASC, rid LIMIT {n}"
+        )
+        return _compare(spark.sql(ssql), con, dsql)
+    if kind == 1:
+        # equality under collation: CI distinct + CI filter
+        w = rng.choice(words)
+        ssql = (
+            f"SELECT CAST(count(DISTINCT c COLLATE {sp_coll}) AS BIGINT) AS n, "
+            f"CAST(count_if(c COLLATE {sp_coll} = '{w}') AS BIGINT) AS hits "
+            "FROM t"
+        )
+        dsql = (
+            "SELECT CAST(count(DISTINCT lower(c)) AS BIGINT) AS n, "
+            f"CAST(count(*) FILTER (lower(c) = lower('{w}')) AS BIGINT) AS hits "
+            "FROM t"
+        )
+        return _compare(spark.sql(ssql), con, dsql)
+    # CI grouping with a canonicalized key (lower) so the emitted key is
+    # deterministic on both engines
+    ssql = (
+        "SELECT lower(c) AS k, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(m) AS BIGINT) AS s FROM t WHERE c IS NOT NULL GROUP BY ALL"
+    )
+    dsql = ssql
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1405,8 +1569,15 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_array_setop_case(spark, con, rng, tmp, case_id)
     if pick < 0.955:
         return run_try_cast_case(spark, con, rng, tmp, case_id)
-    if pick < 0.975:
+    if pick < 0.9675:
         return run_explode_case(spark, con, rng, tmp, case_id)
+    # --- r9 families ---
+    if pick < 0.975:
+        return run_group_by_all_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9825:
+        return run_window_exclude_case(spark, con, rng, tmp, case_id)
+    if pick < 0.99:
+        return run_collation_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
