@@ -958,3 +958,133 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: the full embedding-space pipeline in one query
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_ORACLE = """
+    WITH RECURSIVE planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8
+    ), buckets AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.ev, b.ev) /
+              (sqrt(list_dot_product(a.ev, a.ev)) *
+               sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS vec_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ), deg AS (
+        SELECT src AS vec_id, count(*) AS degree FROM edges GROUP BY src
+    ), surv AS (
+        SELECT component, vec_id AS survivor_id FROM (
+            SELECT c.component, c.vec_id,
+                   row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.degree DESC, c.vec_id) AS rn
+            FROM comp c JOIN deg d USING (vec_id))
+        WHERE rn = 1
+    ), stats AS (
+        SELECT c.component,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+        FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id
+        GROUP BY c.component
+    ), ec AS (
+        SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+        FROM pairs p JOIN comp c ON c.vec_id = p.id_a
+        GROUP BY c.component
+    )
+    SELECT s.component, s.cluster_size, ec.n_edges, surv.survivor_id, s.n_labels
+    FROM stats s
+    JOIN ec USING (component)
+    JOIN surv USING (component)
+"""
+
+
+@query("pipeline_semantic_dedup", oracle=_SEMANTIC_ORACLE)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup END-TO-END as one pipeline: hyperplane-LSH buckets →
+    exact-cosine verification of bucket-mates → connected components over
+    the verified pairs → per-cluster survivor election. The composition
+    the individual pieces (similarity.ann_lsh_buckets,
+    embedding_near_dup_pairs, large_small_star_components) exist for —
+    this is the query a 100 TB training-data pipeline runs nightly.
+
+    Differs from ``pipeline_embedding_dedup`` (drop-the-larger-of-each-
+    pair) in the exact way that matters: pair-local dropping keeps every
+    LOCAL minimum — e.g. edges (1,5),(2,5) keep both 1 and 2 — while the
+    transitive closure keeps one survivor per semantic cluster. Survivor
+    rule: highest verified-pair degree (the most-connected = most central
+    copy), vec_id ascending as the deterministic tie-break. Emits one row
+    per duplicate cluster: size, intra-cluster verified-edge count,
+    survivor, and distinct label count (a label-purity diagnostic —
+    n_labels > 1 flags near-dups crossing class boundaries).
+
+    Scale shape, stage by stage: planes broadcast (8 rows) and buckets
+    computed in ONE corpus scan; the candidate join is bucket-keyed (the
+    N² pair space is never materialized — `ann_lsh_bucket_stats` is the
+    standing skew diagnostic, and production adds the bucket cap from
+    `dedup_minhash_lsh_capped`); CC is large/small-star, O(log n) rounds
+    independent of cluster diameter; degree/survivor/stat stages are
+    key-shuffles on component ids — cardinality = #duplicate nodes, tiny
+    vs the corpus. The verified pair list is scope-persisted: it feeds
+    the edge list, degrees, and per-cluster edge counts, and recomputing
+    it means re-running the cosine join."""
+    from presto_truffle_spark.cache import scoped_persist
+    from presto_truffle_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = scoped_persist(
+        spark,
+        "quality_ops.pipeline_semantic_dedup",
+        embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b"),
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    memb = large_small_star_components(edges).withColumnRenamed("doc_id", "vec_id")
+
+    deg = edges.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    w = W.partitionBy("component").orderBy(F.col("degree").desc(), F.col("vec_id"))
+    surv = (
+        memb.join(deg, "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("vec_id").alias("survivor_id"))
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    stats = (
+        memb.join(lab, "vec_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+        )
+    )
+    ec = (
+        pairs.join(memb, pairs.id_a == memb.vec_id)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return stats.join(ec, "component").join(surv, "component").select(
+        "component", "cluster_size", "n_edges", "survivor_id", "n_labels"
+    )

@@ -245,3 +245,45 @@ def test_balance_sources_deterministic_and_capped(spark, sf_dir):
         assert kept[src] <= n_total
         # 4-sigma binomial envelope around rate*n
         assert abs(kept[src] - cap) <= 4 * math.sqrt(max(cap, 1)) + 1
+
+
+def test_semantic_dedup_survivor_beats_pair_local_drop(spark):
+    """The docstring's load-bearing claim: on edges (1,5),(2,5) pair-local
+    dropping (pipeline_embedding_dedup's rule) keeps BOTH local minima 1
+    and 2, while the CC pipeline elects ONE survivor for the cluster
+    {1,2,5} — node 5, the only degree-2 member under the
+    highest-degree-then-min-id rule."""
+    from presto_truffle_spark.operators.quality_ops import (
+        large_small_star_components,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame([(1, 5), (2, 5)], "id_a long, id_b long")
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    memb = large_small_star_components(edges)
+    assert {r.component for r in memb.collect()} == {1}
+    deg = edges.groupBy(F.col("src").alias("vec_id")).count()
+    top = deg.orderBy(F.col("count").desc(), "vec_id").first()
+    assert top.vec_id == 5  # CC survivor
+    # pair-local rule: drop every id_b -> keeps {1, 2}, two "survivors"
+    kept = {1, 2, 5} - {r.id_b for r in pairs.collect()}
+    assert kept == {1, 2}
+
+
+def test_semantic_dedup_cluster_invariants(spark, sf_dir):
+    """Every emitted cluster is a real duplicate cluster: size >= 2,
+    enough verified edges to connect it (>= size-1), survivor inside the
+    cluster id range, labels bounded by size."""
+    from presto_truffle_spark.operators.quality_ops import (
+        pipeline_semantic_dedup,
+    )
+
+    rows = pipeline_semantic_dedup(spark, sf_dir).collect()
+    assert rows, "fixture produces at least one duplicate cluster"
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.n_edges >= r.cluster_size - 1  # spanning connectivity
+        assert 1 <= r.n_labels <= r.cluster_size
+        assert r.survivor_id >= r.component  # component id = min member id
