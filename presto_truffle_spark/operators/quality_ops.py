@@ -1088,3 +1088,111 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(ec, "component").join(surv, "component").select(
         "component", "cluster_size", "n_edges", "survivor_id", "n_labels"
     )
+
+
+_INCR_SEMANTIC_ORACLE = """
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8
+    ), buckets AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding
+    ), ver AS (
+        SELECT b.vec_id,
+               round(list_dot_product(a.ev, b.ev) /
+                     (sqrt(list_dot_product(a.ev, a.ev)) *
+                      sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         AND b.vec_id % 5 = 0
+         AND (a.vec_id % 5 <> 0 OR a.vec_id < b.vec_id)
+        WHERE list_dot_product(a.ev, b.ev) /
+              (sqrt(list_dot_product(a.ev, a.ev)) *
+               sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
+    ), agg AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_sources,
+               max(cos) AS max_cos
+        FROM ver GROUP BY vec_id
+    )
+    SELECT e.vec_id,
+           coalesce(a.n_dup_sources, 0) AS n_dup_sources,
+           a.max_cos,
+           CAST(CASE WHEN a.n_dup_sources IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_new
+    FROM embeddings e LEFT JOIN agg a ON a.vec_id = e.vec_id
+    WHERE e.vec_id % 5 = 0
+"""
+
+
+@query("dedup_incremental_semantic", oracle=_INCR_SEMANTIC_ORACLE)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — ``dedup_incremental_minhash``'s
+    discipline applied to embedding space: an incoming batch (every 5th
+    vec_id, deterministic) is checked against the established corpus
+    plus EARLIER members of its own batch, never corpus×corpus (those
+    pairs were settled when the corpus was built). Per incoming vector:
+    how many near-dup sources it hits (cosine >= 0.4 among LSH
+    bucket-mates), its best cosine, and the keep/drop decision.
+
+    Scale posture mirrors the MinHash twin: the corpus bucket table is
+    the persisted index (built once by the `ann_lsh_buckets` machinery —
+    at 100 TB it lives as a bucketed parquet table keyed on the
+    signature); candidate generation probes it with the batch side,
+    which is batch-bounded in production, so AQE's runtime size check
+    broadcasts it (no hard hint, per the r4 doctrine — THIS fixture's
+    batch grows with SF). Cost is O(|batch| × bucket occupancy), zero
+    shuffle of the corpus, and the exact-cosine verify touches candidate
+    pairs only."""
+    from presto_truffle_spark.operators.similarity import ann_lsh_buckets, _dot
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    be = (
+        ann_lsh_buckets(spark, sf_dir)
+        .join(e, "vec_id")
+        .withColumn("nrm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    )
+    incoming = F.col("vec_id") % 5 == 0
+    a = be.select(
+        F.col("vec_id").alias("src"), "bucket",
+        F.col("ev").alias("ev_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = be.filter(incoming).select(
+        "vec_id", F.col("bucket").alias("bucket_b"),
+        F.col("ev").alias("ev_b"), F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot(F.col("ev_a"), F.col("ev_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    ver = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("src") != F.col("vec_id"))
+            & ((F.col("src") % 5 != 0) | (F.col("src") < F.col("vec_id"))),
+        )
+        .filter(sim >= 0.4)
+        .select("vec_id", F.round(sim, 6).alias("cos"))
+    )
+    agg = ver.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_sources"),
+        F.max("cos").alias("max_cos"),
+    )
+    return (
+        e.filter(incoming)
+        .select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_dup_sources", F.lit(0).cast("long")).alias(
+                "n_dup_sources"
+            ),
+            "max_cos",
+            F.when(F.col("n_dup_sources").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_new"),
+        )
+    )

@@ -287,3 +287,25 @@ def test_semantic_dedup_cluster_invariants(spark, sf_dir):
         assert r.n_edges >= r.cluster_size - 1  # spanning connectivity
         assert 1 <= r.n_labels <= r.cluster_size
         assert r.survivor_id >= r.component  # component id = min member id
+
+
+def test_incremental_semantic_never_scores_corpus_rows(spark, sf_dir):
+    """Output rows are exactly the incoming batch (vec_id % 5 == 0) and
+    every duplicate decision is consistent: is_new == 1 iff no source,
+    max_cos present iff at least one source and >= the 0.4 threshold."""
+    from presto_truffle_spark.operators.quality_ops import (
+        dedup_incremental_semantic,
+    )
+
+    rows = dedup_incremental_semantic(spark, sf_dir).collect()
+    assert rows and all(r.vec_id % 5 == 0 for r in rows)
+    # the sf0.001 batch happens to hit no corpus near-dups; sf0.01 is the
+    # smallest fixture where a duplicate decision actually fires
+    rows01 = dedup_incremental_semantic(spark, "/root/testdata/sf0.01").collect()
+    assert any(r.is_new == 0 for r in rows01)
+    for r in rows + rows01:
+        assert (r.is_new == 1) == (r.n_dup_sources == 0)
+        if r.n_dup_sources:
+            assert r.max_cos is not None and r.max_cos >= 0.4
+        else:
+            assert r.max_cos is None
