@@ -1196,3 +1196,112 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_new"),
         )
     )
+
+
+_LEAKAGE_SPLIT_ORACLE = (
+    _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ), assign AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               d.n_chars,
+               CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+                                         AS VARCHAR)), 1, 2) < 'cd'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+                                         AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS leaked_clusters FROM (
+            SELECT component FROM assign
+            GROUP BY component HAVING count(DISTINCT split) > 1)
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.component) AS BIGINT) AS n_clusters,
+           CAST(sum(a.n_chars) AS BIGINT) AS total_chars,
+           l.leaked_clusters
+    FROM assign a CROSS JOIN leak l
+    GROUP BY a.split, l.leaked_clusters
+"""
+)
+
+
+@query("corpus_dedup_aware_split", oracle=_LEAKAGE_SPLIT_ORACLE)
+def corpus_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak through NEAR-duplicates —
+    the stronger sibling of ``corpus_hash_split`` (whose content-hash
+    assignment co-locates only EXACT duplicates): the split unit is the
+    near-dup CLUSTER, not the document. MinHash-verified pairs →
+    connected components; every document inherits its component id
+    (singletons are their own component), and the ~80/10/10 decision
+    hashes the COMPONENT id — so A~B~C chains land on one side of the
+    boundary even when the eval set was drawn years after A entered the
+    corpus. Emits per-split doc/cluster/char counts plus
+    ``leaked_clusters`` — the audited count of clusters spanning splits,
+    0 by construction and COMPUTED rather than assumed (the column a
+    data-quality dashboard alerts on; Lee et al. "Deduplicating Training
+    Data Makes Language Models Better" measure exactly this
+    train-test-overlap failure).
+
+    Scale: the pair/CC stages are the standing dedup machinery (bucket-
+    scoped candidates, O(log n) star contraction over only the docs that
+    appear in pairs — a tiny fraction of the corpus); singleton
+    assignment is a map-side left join against that small cluster table;
+    the leak audit and the summary are aggregations over component ids.
+    The 1-row leak count rides a broadcast cross join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    comp = large_small_star_components(edges)
+    assign = (
+        d.join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    bucket = F.substring(F.md5(F.col("component").cast("string").cast("binary")), 1, 2)
+    assign = assign.withColumn(
+        "split",
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"),
+    )
+    leak = (
+        assign.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_clusters"))
+    )
+    summary = assign.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return summary.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_clusters", "total_chars", "leaked_clusters"
+    )
