@@ -1293,3 +1293,95 @@ def ann_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_INT8_ORACLE = f"""
+    WITH q8 AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x / (list_max(list_transform(
+                            embedding::DOUBLE[], y -> abs(y))) / 127) + 0.5)
+                        AS BIGINT)) AS qv,
+               list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127
+                   AS scale
+        FROM embeddings
+        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
+    ), scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               list_dot_product(a.qv, b.qv) AS qdot,
+               list_dot_product(a.qv, b.qv) * a.scale * b.scale AS deq
+        FROM q8 a JOIN q8 b
+          ON a.vec_id < {_N_QUERIES} AND b.vec_id >= {_N_QUERIES}
+    )
+    SELECT qid, cid,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(deq, 6) DESC, cid) AS BIGINT) AS rnk,
+           CAST(qdot AS BIGINT) AS qdot,
+           floor(deq * 1000000 + 0.5) / 1000000 AS deq_dot
+    FROM scored
+    QUALIFY rnk <= {_TOP_K}
+"""
+
+
+@query("ann_int8_retrieval", oracle=_INT8_ORACLE)
+def ann_int8_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over INT8-QUANTIZED vectors — the
+    ``embedding_quantize_int8`` storage format actually queried: per-
+    vector symmetric absmax/127 quantization, candidate scoring by the
+    INTEGER dot product of code vectors (exact int64 arithmetic — the
+    int8-SIMD kernel every production vector store runs), dequantized by
+    the two scalar scales only at ranking time. Ranking is
+    round(dequantized, 6) DESC with cid as the deterministic tie-break,
+    emitting the raw integer dot alongside so the exact-integer part of
+    the score is hash-checked separately from the float tail.
+
+    Scale: quantization is a row expression in the corpus scan (4×
+    smaller vectors than float32, 8× than this fixture's doubles —
+    memory bandwidth IS the brute-force scan bottleneck); scoring
+    touches int8 codes only; scales are two scalars per pair. The
+    query side (5 rows) broadcasts; one corpus pass, top-k via
+    row_number over qid. Same plan shape as ``ann_cosine_topk`` — only
+    the element width changes, which is the point."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    absmax = F.array_max(F.transform("ev", lambda x: F.abs(x)))
+    q8 = (
+        e.filter(absmax > 0)
+        .withColumn("scale", absmax / 127)
+        .withColumn(
+            "qv",
+            F.transform(
+                "ev", lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")
+            ),
+        )
+        .select("vec_id", "qv", "scale")
+    )
+    qs = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qa"),
+        F.col("scale").alias("sa"),
+    )
+    cs = q8.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qb"),
+        F.col("scale").alias("sb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = cs.join(F.broadcast(qs)).select(
+        "qid", "cid", qdot.alias("qdot"),
+        (qdot.cast("double") * F.col("sa") * F.col("sb")).alias("deq"),
+    )
+    w = W.partitionBy("qid").orderBy(F.round("deq", 6).desc(), "cid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "qid", "cid", "rnk", "qdot",
+            (F.floor(F.col("deq") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "deq_dot"
+            ),
+        )
+    )
