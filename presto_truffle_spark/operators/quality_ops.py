@@ -964,7 +964,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic dedup: the full embedding-space pipeline in one query
 # ---------------------------------------------------------------------------
 
-_SEMANTIC_ORACLE = """
+_SEM_BUCKET_CAP = 24
+
+
+def _semantic_oracle(cap: int | None) -> str:
+    """The semantic-dedup oracle, optionally with the degenerate-bucket
+    cap engaged in the candidate stage (mirrors the Spark side's guard)."""
+    cap_join = (
+        f""" JOIN (SELECT bucket FROM buckets
+                   GROUP BY bucket HAVING count(*) <= {cap}) ok
+                ON ok.bucket = a.bucket"""
+        if cap is not None
+        else ""
+    )
+    return f"""
     WITH RECURSIVE planes AS (
         SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
         WHERE vec_id BETWEEN 1 AND 8
@@ -977,7 +990,7 @@ _SEMANTIC_ORACLE = """
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id{cap_join}
         WHERE list_dot_product(a.ev, b.ev) /
               (sqrt(list_dot_product(a.ev, a.ev)) *
                sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
@@ -1019,7 +1032,7 @@ _SEMANTIC_ORACLE = """
 """
 
 
-@query("pipeline_semantic_dedup", oracle=_SEMANTIC_ORACLE)
+@query("pipeline_semantic_dedup", oracle=_semantic_oracle(None))
 def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup END-TO-END as one pipeline: hyperplane-LSH buckets →
     exact-cosine verification of bucket-mates → connected components over
@@ -1056,6 +1069,42 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_ops.pipeline_semantic_dedup",
         embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b"),
     )
+    return _semantic_cluster_report(spark, sf_dir, pairs)
+
+
+@query(
+    "pipeline_semantic_dedup_capped",
+    oracle=_semantic_oracle(_SEM_BUCKET_CAP),
+)
+def pipeline_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_semantic_dedup`` with the degenerate-bucket guard
+    engaged (cap = 24 vectors/bucket): LSH buckets above the cap are
+    dropped before the cosine join — the scale path, since one
+    boilerplate-heavy bucket of 1M vectors would otherwise induce
+    5x10^11 candidate pairs on one reducer. At sf0.01 the fixture's max
+    bucket holds 7 vectors, so the report is IDENTICAL to the uncapped
+    run (pinned by test); at sf0.1 (max bucket 31) the cap visibly
+    engages and both engines drop the same buckets. Occupancy is
+    observable via `ann_lsh_bucket_stats` — the pre-flight read before
+    choosing the cap."""
+    from presto_truffle_spark.cache import scoped_persist
+    from presto_truffle_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = scoped_persist(
+        spark,
+        "quality_ops.pipeline_semantic_dedup_capped",
+        embedding_near_dup_pairs(
+            spark, sf_dir, bucket_cap=_SEM_BUCKET_CAP
+        ).select("id_a", "id_b"),
+    )
+    return _semantic_cluster_report(spark, sf_dir, pairs)
+
+
+def _semantic_cluster_report(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Shared tail of the semantic-dedup pipelines: verified pairs →
+    star-CC → degree-elected survivor → per-cluster report."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

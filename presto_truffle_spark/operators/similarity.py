@@ -303,13 +303,26 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
     """,
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate detection, LSH-scoped: exact cosine
     is evaluated only for bucket-mates (same 8-bit hyperplane signature),
     never across the full N² pair space — the all-pairs dedup pattern that
     actually runs at 100 TB. Threshold 0.4 on this fixture's unit-scale
-    vectors."""
+    vectors. ``bucket_cap`` engages the degenerate-bucket guard (the
+    `dedup_minhash_lsh_capped` discipline in embedding space): buckets
+    above the cap are dropped BEFORE the pair join, bounding worst-case
+    per-bucket work; the tiny kept-bucket list broadcasts."""
     buckets = ann_lsh_buckets(spark, sf_dir)
+    if bucket_cap is not None:
+        ok = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") <= bucket_cap)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(ok), "bucket")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ev")
     )

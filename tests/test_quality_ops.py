@@ -309,3 +309,22 @@ def test_incremental_semantic_never_scores_corpus_rows(spark, sf_dir):
             assert r.max_cos is not None and r.max_cos >= 0.4
         else:
             assert r.max_cos is None
+
+
+def test_semantic_capped_identical_below_cap_engages_above(spark, sf_dir):
+    """Cap = 24: the sf-small fixtures' max bucket (7) is under it, so the
+    capped report is row-identical to the uncapped one; at sf0.1 (max
+    bucket 31) the cap engages and must DROP clusters, never add them."""
+    from presto_truffle_spark.operators.quality_ops import (
+        pipeline_semantic_dedup,
+        pipeline_semantic_dedup_capped,
+    )
+
+    base = sorted(map(tuple, pipeline_semantic_dedup(spark, sf_dir).collect()))
+    capped = sorted(map(tuple, pipeline_semantic_dedup_capped(spark, sf_dir).collect()))
+    assert base == capped and base
+
+    big = "/root/testdata/sf0.1"
+    n_base = pipeline_semantic_dedup(spark, big).count()
+    n_capped = pipeline_semantic_dedup_capped(spark, big).count()
+    assert n_capped < n_base  # the guard visibly engaged
