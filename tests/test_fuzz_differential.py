@@ -369,3 +369,81 @@ def test_collation_distinct_divergence_pinned(spark):
         "FROM (VALUES ('a'), ('A'), ('b'), ('B')) t(c)"
     ).fetchall()
     assert d2[0][0] == 2  # the spelling shared oracles must use
+
+
+def test_qualify_and_distinct_on_divergence_pinned(spark):
+    """FIXTURES.md r9: Spark parses neither QUALIFY nor DISTINCT ON;
+    DuckDB runs both. The qualify fuzz family spells the Spark side as
+    the standard windowed-subquery expansion."""
+    from pyspark.errors import ParseException
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises((ParseException, AnalysisException)):
+        spark.sql(
+            "SELECT id, row_number() OVER (ORDER BY id) rn "
+            "FROM range(3) QUALIFY rn = 1"
+        ).collect()
+    with pytest.raises((ParseException, AnalysisException)):
+        spark.sql(
+            "SELECT DISTINCT ON (id % 2) id FROM range(4) ORDER BY id % 2, id"
+        ).collect()
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT id, row_number() OVER (ORDER BY id) rn FROM range(3) t(id) "
+        "QUALIFY rn = 1"
+    ).fetchall() == [(0, 1)]
+    assert con.execute(
+        "SELECT DISTINCT ON (id % 2) id FROM range(4) t(id) ORDER BY id % 2, id"
+    ).fetchall() == [(0,), (1,)]
+
+
+def test_window_aggregate_filter_divergence_pinned(spark):
+    """FIXTURES.md r9: agg(x) FILTER (WHERE p) OVER (...) is an
+    AnalysisException in Spark ('not supported yet'); DuckDB evaluates
+    it natively. The fuzz family uses the CASE-WHEN rewrite on the Spark
+    side — exact for null-skipping aggregates."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT sum(id) FILTER (WHERE id > 0) OVER (ORDER BY id) "
+            "FROM range(3)"
+        ).collect()
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT sum(id) FILTER (WHERE id > 0) OVER (ORDER BY id) "
+        "FROM range(3) t(id) ORDER BY id"
+    ).fetchall()
+    assert got == [(None,), (1,), (3,)]
+    # the rewrite both sides of the family rely on, checked in Spark
+    s = spark.sql(
+        "SELECT sum(CASE WHEN id > 0 THEN id END) OVER (ORDER BY id) AS v "
+        "FROM range(3) ORDER BY id"
+    ).collect()
+    assert [r.v for r in s] == [None, 1, 3]
+
+
+def test_order_by_all_null_placement_divergence_pinned(spark):
+    """FIXTURES.md r9: bare ORDER BY ALL places NULLs differently (Spark
+    ASC defaults NULLS FIRST, DuckDB NULLS LAST); the explicit NULLS
+    FIRST/LAST forms are shared syntax and agree — the fuzz family
+    always spells them."""
+    s = spark.sql(
+        "SELECT c FROM VALUES ('a'), (NULL), ('b') t(c) ORDER BY ALL"
+    ).collect()
+    assert [r.c for r in s] == [None, "a", "b"]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT c FROM (VALUES ('a'), (NULL), ('b')) t(c) ORDER BY ALL"
+    ).fetchall()
+    assert [r[0] for r in d] == ["a", "b", None]
+    # explicit placement: identical
+    s2 = spark.sql(
+        "SELECT c FROM VALUES ('a'), (NULL), ('b') t(c) "
+        "ORDER BY ALL NULLS LAST"
+    ).collect()
+    d2 = con.execute(
+        "SELECT c FROM (VALUES ('a'), (NULL), ('b')) t(c) "
+        "ORDER BY ALL NULLS LAST"
+    ).fetchall()
+    assert [r.c for r in s2] == [r[0] for r in d2] == ["a", "b", None]

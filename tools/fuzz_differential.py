@@ -1527,6 +1527,113 @@ def run_collation_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_qualify_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """QUALIFY case (r9). PINNED divergence: Spark does not parse the
+    QUALIFY clause (nor DISTINCT ON); DuckDB runs both natively. The
+    Spark side spells the standard-SQL expansion — window function in a
+    subquery, predicate in the outer WHERE — which is exactly what
+    QUALIFY desugars to, so values must match row-for-row."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 200)))]
+    schema = "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    path = os.path.join(tmp, f"fuzz_{case_id}_q.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    where = gen_predicate(rng)
+    n = rng.randint(1, 4)
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+    over = "OVER (PARTITION BY k1 ORDER BY m3, rid)"
+    if rng.random() < 0.5:
+        # windowed top-n per group via QUALIFY
+        dsql = (
+            f"SELECT rid, k1, CAST({fn} {over} AS BIGINT) AS rn "
+            f"FROM t WHERE {where} QUALIFY rn <= {n}"
+        )
+        ssql = (
+            f"SELECT rid, k1, rn FROM (SELECT rid, k1, "
+            f"CAST({fn} {over} AS BIGINT) AS rn FROM t WHERE {where}) "
+            f"WHERE rn <= {n}"
+        )
+    else:
+        # DISTINCT ON (first row per key under a total order)
+        dsql = (
+            "SELECT DISTINCT ON (k1) k1, rid, m3 FROM t "
+            f"WHERE {where} ORDER BY k1, m3, rid"
+        )
+        ssql = (
+            "SELECT k1, rid, m3 FROM (SELECT k1, rid, m3, "
+            f"row_number() {over} AS rn FROM t WHERE {where}) WHERE rn = 1"
+        )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_order_by_all_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """ORDER BY ALL case (r9): both engines sort by every select item
+    left-to-right. Shapes: ASC and DESC, NULL-bearing keys, LIMIT on
+    the totally ordered result (rid last makes the order total, so the
+    limited prefix is deterministic), and ORDER BY ALL over a GROUP BY
+    ALL aggregate. PINNED divergence: the BARE form's default NULL
+    placement differs (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS
+    LAST), so shared text always spells NULLS FIRST/LAST explicitly —
+    supported by both (probed r9; tests/test_fuzz_differential.py)."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_oba")
+    where = gen_predicate(rng)
+    n = rng.randint(1, 40)
+    direction = rng.choice([" NULLS FIRST", " NULLS LAST",
+                            " DESC NULLS FIRST", " DESC NULLS LAST"])
+    if rng.random() < 0.5:
+        sql = (
+            f"SELECT k1, k2, m1, m2 % 7 AS m7, rid FROM "
+            f"(SELECT *, row_number() OVER (ORDER BY m3, k1 NULLS FIRST, "
+            f"k2 NULLS FIRST, m1 NULLS FIRST, m2) AS rid FROM t) "
+            f"WHERE {where} ORDER BY ALL{direction} LIMIT {n}"
+        )
+    else:
+        sql = (
+            f"SELECT k1, CAST(count(*) AS BIGINT) AS cnt, "
+            f"CAST(sum(m3) AS BIGINT) AS s FROM t WHERE {where} "
+            f"GROUP BY ALL ORDER BY ALL{direction} LIMIT {n}"
+        )
+    return _compare(spark.sql(sql), con, sql)
+
+
+def run_window_filter_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Window-aggregate FILTER case (r9). PINNED divergence: Spark raises
+    'Window aggregate function with filter predicate is not supported
+    yet' while DuckDB evaluates agg(x) FILTER (WHERE p) OVER (...)
+    natively. The Spark side runs the CASE-WHEN rewrite —
+    agg(CASE WHEN p THEN x END) OVER (...) — which is semantics-exact
+    for null-skipping aggregates (sum/min/max/count(expr))."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 200)))]
+    schema = "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    path = os.path.join(tmp, f"fuzz_{case_id}_wf.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    pred = gen_predicate(rng)
+    agg = rng.choice(["sum", "min", "max", "count"])
+    a, b = rng.randint(0, 5), rng.randint(0, 5)
+    over = (
+        f"OVER (PARTITION BY k1 ORDER BY rid "
+        f"ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING)"
+    )
+    dsql = (
+        f"SELECT rid, CAST({agg}(m3) FILTER (WHERE {pred}) {over} AS BIGINT) "
+        f"AS v FROM t"
+    )
+    ssql = (
+        f"SELECT rid, CAST({agg}(CASE WHEN {pred} THEN m3 END) {over} "
+        f"AS BIGINT) AS v FROM t"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1572,12 +1679,18 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
     if pick < 0.9675:
         return run_explode_case(spark, con, rng, tmp, case_id)
     # --- r9 families ---
-    if pick < 0.975:
+    if pick < 0.972:
         return run_group_by_all_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9825:
+    if pick < 0.9765:
         return run_window_exclude_case(spark, con, rng, tmp, case_id)
-    if pick < 0.99:
+    if pick < 0.981:
         return run_collation_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9855:
+        return run_qualify_case(spark, con, rng, tmp, case_id)
+    if pick < 0.99:
+        return run_order_by_all_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9925:
+        return run_window_filter_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
