@@ -29,25 +29,17 @@ from pyspark.sql import functions as F
 from presto_truffle_spark.catalog import load_table
 from presto_truffle_spark.registry import query
 
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".tmp",
-)
-
 
 def _scratch(spark: SparkSession, name: str) -> str:
     """Per-session scratch dir: suffixing with applicationId keeps two
     concurrent sessions (e.g. the driver and a test run) from clobbering
-    each other's in-flight writes; stale sessions' dirs for the same op
-    are swept on entry so .tmp can't grow across sessions."""
-    import shutil
+    each other's in-flight writes. Delegates to io._scoped_scratch,
+    whose sweep of dead sessions' dirs is AGE-GATED (r9: an app-id
+    mismatch alone doesn't prove the other session is dead — an
+    unconditional sweep deleted a live concurrent session's files)."""
+    from presto_truffle_spark.sources.io import _scoped_scratch
 
-    app_id = spark.sparkContext.applicationId
-    os.makedirs(_SCRATCH, exist_ok=True)
-    for entry in os.listdir(_SCRATCH):
-        if entry.startswith(name + "_app-") and not entry.endswith(app_id):
-            shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
-    return os.path.join(_SCRATCH, f"{name}_app-{app_id}")
+    return _scoped_scratch(spark, name)
 
 
 @query(

@@ -311,3 +311,50 @@ def scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"max_qty": 25, "lo": 0.02, "hi": 0.08},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(floor(avg(l_quantity) * 1000000 + 0.5) AS BIGINT)
+               AS avg_qty_micro
+    FROM lineitem
+    WHERE year(l_shipdate) = 1995 AND l_quantity < 30
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-scripting surface in one query: PIPE syntax (`FROM t
+    |> WHERE ... |> AGGREGATE ... GROUP BY ...`), a session VARIABLE
+    (DECLARE/SET VARIABLE) bound inside the pipe's WHERE, and a SQL UDF
+    (CREATE FUNCTION ... RETURN <expr>) applying the repo's exact-cents
+    convention inside the aggregate. All three resolve at analysis time:
+    the variable folds to a literal (same PushedFilters as inlining),
+    the SQL UDF inlines into the expression tree (no Python round-trip —
+    it stays whole-stage codegen), and the pipe operators desugar to the
+    ordinary logical plan, so the oracle is the plain-SQL spelling.
+    DECLARE/CREATE are session-scoped and OR REPLACE-idempotent — safe
+    under the driver's repeated invocations."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE pt_pipe_max_qty INT DEFAULT 30")
+    spark.sql("SET VARIABLE pt_pipe_max_qty = 30")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pt_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE year(l_shipdate) = 1995 AND l_quantity < pt_pipe_max_qty
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pt_cents(l_extendedprice)) AS BIGINT)
+                         AS price_cents,
+                     CAST(floor(avg(l_quantity) * 1000000 + 0.5) AS BIGINT)
+                         AS avg_qty_micro
+           GROUP BY l_returnflag
+        """
+    )

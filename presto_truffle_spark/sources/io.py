@@ -30,19 +30,35 @@ def _scratch(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+_SWEEP_AGE_S = 2 * 3600
+
+
 def _scoped_scratch(spark, name: str) -> str:
     """applicationId-suffixed scratch dir (lakehouse_ops._scratch pattern):
     two concurrent sessions — e.g. the driver's correctness run and a
     selfcheck — get disjoint paths, so one can't read the other's
-    half-written parquet. Stale sessions' dirs for the same op are swept
-    on entry so .tmp stays bounded."""
+    half-written parquet. Dead sessions' dirs for the same op are swept
+    on entry so .tmp stays bounded — but only once OLDER than
+    _SWEEP_AGE_S: an app-id mismatch alone doesn't mean the other
+    session is dead, and an unconditional sweep deletes a LIVE
+    concurrent session's files mid-query (caught by driver_env_sim r9:
+    a background audit swept the vanilla phase's binary_docs between
+    its write and its read)."""
     import shutil
+    import time
 
     app_id = spark.sparkContext.applicationId
     os.makedirs(_SCRATCH, exist_ok=True)
+    now = time.time()
     for entry in os.listdir(_SCRATCH):
         if entry.startswith(name + "_app-") and not entry.endswith(app_id):
-            shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+            p = os.path.join(_SCRATCH, entry)
+            try:
+                stale = now - os.path.getmtime(p) > _SWEEP_AGE_S
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
     return os.path.join(_SCRATCH, f"{name}_app-{app_id}")
 
 

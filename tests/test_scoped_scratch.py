@@ -22,20 +22,35 @@ def test_scoped_path_carries_application_id(spark):
 
 
 def test_stale_session_dirs_swept_on_entry(spark):
+    """Only dirs OLDER than the age gate are swept: a fresh foreign dir
+    may belong to a live concurrent session (driver_env_sim r9 caught an
+    unconditional sweep deleting a live session's files mid-query)."""
+    from presto_truffle_spark.sources.io import _SWEEP_AGE_S
+
     stale = os.path.join(_SCRATCH, "scoped_test_op_app-application_000_dead")
+    fresh = os.path.join(_SCRATCH, "scoped_test_op_app-application_001_live")
     os.makedirs(stale, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    old = __import__("time").time() - _SWEEP_AGE_S - 60
+    os.utime(stale, (old, old))
     live = _scoped_scratch(spark, "scoped_test_op")
     os.makedirs(live, exist_ok=True)
-    # a second entry sweeps the dead session's dir but keeps ours
     _scoped_scratch(spark, "scoped_test_op")
-    assert not os.path.exists(stale)
+    assert not os.path.exists(stale)  # old foreign dir: swept
+    assert os.path.exists(fresh)  # recent foreign dir: possibly live, kept
     assert os.path.exists(live)
+    os.rmdir(fresh)
 
 
 def test_sweep_is_prefix_exact(spark):
-    """An op whose name extends another's must not sweep the other's dirs."""
+    """An op whose name extends another's must not sweep the other's dirs,
+    even when they are old enough to qualify."""
+    from presto_truffle_spark.sources.io import _SWEEP_AGE_S
+
     other = os.path.join(_SCRATCH, "scoped_test_op_extended_app-application_x")
     os.makedirs(other, exist_ok=True)
+    old = __import__("time").time() - _SWEEP_AGE_S - 60
+    os.utime(other, (old, old))
     _scoped_scratch(spark, "scoped_test_op")
     assert os.path.exists(other)
     os.rmdir(other)
