@@ -524,3 +524,103 @@ def text_regex_extract_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words"
         ),
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, dl, count(*) AS tf
+        FROM toks
+        WHERE token IN ('{_PHRASE[0]}', '{_PHRASE[1]}', '{_PHRASE[2]}')
+        GROUP BY doc_id, token, dl
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ), df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * tf.dl / stats.avgdl))) AS score,
+               count(*) AS n_terms_hit
+        FROM tf JOIN df USING (token) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           floor(score * 1000000 + 0.5) / 1000000 AS bm25
+    FROM (SELECT *, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id)
+                 AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Okapi; the lexical baseline every
+    retrieval pipeline keeps next to its embedding index) for the
+    3-token query `_PHRASE`, top-20 docs. Classic formulation:
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene-style
+    +1-smoothed variant, always positive), tf saturation k1=1.2, length
+    normalization b=0.75 against mean doc length.
+
+    Scale shape — the same postings discipline as `text_phrase_search`:
+    the token explode is FILTERED to the query terms before the tf
+    groupBy, so the pipeline only ever shuffles postings of the 3 query
+    tokens (at 100 TB: a pre-materialized token-bucketed postings table
+    replaces the scan). df (3 rows) and the corpus stats (1 row)
+    broadcast; scoring is one aggregate over the filtered postings; the
+    global top-20 is a TakeOrderedAndProject, never a full sort.
+    Ordering ties are broken by doc_id on a round-9 score (the float
+    tail is engine-identical here, but the tie-break keeps the answer
+    deterministic under reordered float sums at real scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("token"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_PHRASE))
+        .groupBy("doc_id", "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    return (
+        scored.orderBy(F.round("score", 9).desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+            (F.floor(F.col("score") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "bm25"
+            ),
+        )
+    )
