@@ -599,3 +599,65 @@ def test_incremental_dedup_plan_shape(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert inspect.broadcast_hint_count(df) == 0
+
+
+def test_bm25_take_ordered_and_broadcast_stats(spark, sf_dir):
+    """text_bm25_search: the global top-20 must compile to
+    TakeOrderedAndProject (never a full sort of the scored postings) and
+    both tiny sides (df, corpus stats) must broadcast."""
+    from presto_truffle_spark.operators.text import text_bm25_search
+
+    df = text_bm25_search(spark, sf_dir)
+    assert inspect.uses_take_ordered(df)
+    plan = inspect.physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_int8_broadcasts_query_side_only(spark, sf_dir):
+    """ann_int8_retrieval: the 5-row query side broadcasts; the corpus is
+    never on a broadcast side and never in a cartesian product."""
+    from presto_truffle_spark.operators.similarity import ann_int8_retrieval
+
+    df = ann_int8_retrieval(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only broadcast join is the 5-row query side (a
+    # BroadcastNestedLoopJoin over an unconditioned tiny side is the
+    # intended qN x corpus pairing, same shape as ann_cosine_topk)
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_incremental_semantic_no_cartesian_no_hard_hint(spark, sf_dir):
+    """dedup_incremental_semantic mirrors the minhash twin's doctrine: the
+    candidate join is bucket-keyed (no cartesian/nested loop over the
+    corpus) and carries no hard broadcast hint — the batch side grows
+    with SF, so AQE makes the size call."""
+    from presto_truffle_spark.operators.quality_ops import (
+        dedup_incremental_semantic,
+    )
+
+    df = dedup_incremental_semantic(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly the two fixed-cardinality plane broadcasts (8 rows each,
+    # one per side of the bucket self-join via ann_lsh_buckets); the
+    # growing batch side itself carries NO hard hint
+    assert inspect.broadcast_hint_count(df) == 2
+
+
+def test_semantic_pipeline_pairs_join_is_bucket_keyed(spark, sf_dir):
+    """pipeline_semantic_dedup's candidate stage must pair vectors through
+    the bucket equi-join, never a cartesian over the corpus (the plane
+    cross-join against the 8 broadcast hyperplanes is the one intended
+    nested-loop, inherited from ann_lsh_buckets)."""
+    from presto_truffle_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = embedding_near_dup_pairs(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
