@@ -604,3 +604,114 @@ def streaming_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value_cents"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_semantic_dedup",
+    oracle="""
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8
+    ), buckets AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding
+    ), hits AS (
+        SELECT b.vec_id,
+               round(list_dot_product(a.ev, b.ev) /
+                     (sqrt(list_dot_product(a.ev, a.ev)) *
+                      sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket
+         AND b.vec_id % 5 = 0 AND a.vec_id % 5 <> 0
+        WHERE list_dot_product(a.ev, b.ev) /
+              (sqrt(list_dot_product(a.ev, a.ev)) *
+               sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dup_sources,
+           max(cos) AS max_cos
+    FROM hits
+    GROUP BY vec_id
+    """,
+)
+def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE semantic dedup: the incoming-embedding STREAM (every 5th
+    vec_id, a file-source stream over the embeddings fixture) is checked
+    against the STATIC corpus LSH index as it arrives — the streaming
+    face of ``dedup_incremental_semantic`` (which is the same decision
+    batch-shaped; this oracle is its stream-visible half, corpus-vs-
+    batch only, since earlier stream members are not joinable without a
+    stream-stream self-join). Per incoming vector the state is one
+    (count, max-cos) row — O(|stream|), no watermark needed because the
+    static side never late-arrives.
+
+    Scale shape: the corpus bucket index is computed from the static
+    table per micro-batch at fixture scale, and is exactly the
+    PRE-MATERIALIZED index table (`ann_ivfpq_index_build` discipline) a
+    production topology reads instead; the stream side joins it on
+    `bucket` — only bucket-mates are ever cosine-verified. Complete-mode
+    aggregation keyed by vec_id makes the final memory-sink state equal
+    the batch answer, hence the full DuckDB oracle."""
+    from presto_truffle_spark.operators.similarity import _dot, ann_lsh_buckets
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    corpus = (
+        ann_lsh_buckets(spark, sf_dir)
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") % 5 != 0)
+        .withColumn("nrm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+        .select(
+            F.col("vec_id").alias("src"), "bucket",
+            F.col("ev").alias("ev_a"), F.col("nrm").alias("nrm_a"),
+        )
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    incoming = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(f"{sf_dir}/embeddings.parq*")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev_b"))
+        .withColumn("nrm_b", F.sqrt(_dot(F.col("ev_b"), F.col("ev_b"))))
+    )
+    # Stream-side bucket assignment must be STATELESS (a per-row fold
+    # over the 8 planes, not a groupBy): an explode+sum here would be a
+    # second stateful aggregation and Spark's global-watermark
+    # correctness check rightly rejects chained unwatermarked stateful
+    # ops. The planes collapse into ONE static row (order-independent
+    # sum), broadcast-crossed into the stream.
+    planes_row = (
+        e.filter(F.col("vec_id").between(1, 8))
+        .select(F.struct(F.col("vec_id").alias("p_id"), F.col("ev").alias("pe")).alias("p"))
+        .agg(F.collect_list("p").alias("ps"))
+    )
+    bucket = F.aggregate(
+        "ps",
+        F.lit(0.0),
+        lambda acc, p: acc
+        + F.when(
+            _dot(F.col("ev_b"), p["pe"]) > 0,
+            F.pow(F.lit(2.0), p["p_id"] - 1),
+        ).otherwise(0.0),
+    ).cast("long")
+    inc_bucketed = (
+        incoming.crossJoin(F.broadcast(planes_row))
+        .withColumn("bucket", bucket)
+        .select("vec_id", "ev_b", "nrm_b", "bucket")
+    )
+    sim = _dot(F.col("ev_a"), F.col("ev_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    hits = (
+        inc_bucketed.join(corpus, "bucket")
+        .filter(sim >= 0.4)
+        .select("vec_id", F.round(sim, 6).alias("cos"))
+    )
+    agg = hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_sources"),
+        F.max("cos").alias("max_cos"),
+    )
+    return _run_to_memory(agg, "complete")
