@@ -119,19 +119,22 @@ def load_all_modules() -> None:
 #
 # tests/test_registry_rotation.py recomputes this independently from the
 # same JSON files and asserts the promoted window matches.
-_FORCE_HEAD: tuple[str, ...] = (
-    # r9 code-staled greens: IVF-PQ index build gets the scoped-scratch
-    # fix; the CC queries get the single-action convergence check; the
-    # two r4-green io.py rows also moved to app-scoped scratch paths
-    # (the r3-green io.py rows are already in the derived tail).
-    "ann_ivfpq_index_build",
-    "dedup_connected_components",
-    "dedup_survivor_pick",
-    "source_binary_files",
-    "source_xml_roundtrip",
-    # staled by the r9 _make_profile_processor factory extraction
-    "streaming_transform_with_state",
-)
+# name -> the latest ledger round whose green row the code change
+# invalidated. The entry auto-unpins once a LATER round shows the query
+# green (the driver re-verified the staled code); until then it heads
+# the window. A further code change bumps the number by hand.
+_FORCE_HEAD: dict[str, int] = {
+    # r9 code-staled greens: IVF-PQ index build + the io.py roundtrips
+    # moved to (age-gated) app-scoped scratch; the CC queries got the
+    # single-action convergence check; transformWithState got the
+    # processor-factory extraction.
+    "ann_ivfpq_index_build": 8,
+    "dedup_connected_components": 8,
+    "dedup_survivor_pick": 8,
+    "source_binary_files": 8,
+    "source_xml_roundtrip": 8,
+    "streaming_transform_with_state": 8,
+}
 
 _WINDOW = 50
 _DERIVED: Optional[tuple[str, ...]] = None
@@ -168,7 +171,14 @@ def _verify_first() -> tuple[str, ...]:
     global _DERIVED
     if _DERIVED is None:
         last_green = _last_green_rounds()
-        head = [q for q in _FORCE_HEAD if q in QUERIES]
+        # A pin auto-unpins once a round LATER than the one it staled
+        # shows the query green: the driver has re-verified the changed
+        # code. Entries still failing (or not yet re-run) stay pinned.
+        head = [
+            q
+            for q, staled in _FORCE_HEAD.items()
+            if q in QUERIES and last_green.get(q, -1) <= staled
+        ]
         rest = [q for q in QUERIES if q not in head]
         # sorted() is stable, so registration order breaks ties within a
         # round; never-green rows (-1) sort before every real round.

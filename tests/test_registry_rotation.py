@@ -37,12 +37,37 @@ def _independent_last_green() -> dict[str, int]:
 def test_window_matches_freshness_ledger():
     registry.load_all_modules()
     last_green = _independent_last_green()
-    head = [q for q in registry._FORCE_HEAD if q in registry.QUERIES]
+    head = [
+        q
+        for q, staled in registry._FORCE_HEAD.items()
+        if q in registry.QUERIES and last_green.get(q, -1) <= staled
+    ]
     rest = [q for q in registry.QUERIES if q not in head]
     rest.sort(key=lambda q: last_green.get(q, -1))
     expected = (head + rest)[:50]
     promoted = list(registry.get_queries())[:50]
     assert promoted == expected
+
+
+def test_force_head_auto_unpins_after_regreen(monkeypatch):
+    """A pinned entry whose query is green in a round LATER than the one
+    the pin staled must leave the head (the driver re-verified the
+    changed code); one still failing stays pinned."""
+    registry.load_all_modules()
+    name = next(iter(registry._FORCE_HEAD))
+    staled = registry._FORCE_HEAD[name]
+    real = registry._last_green_rounds()
+
+    regreened = dict(real, **{name: staled + 1})
+    monkeypatch.setattr(registry, "_last_green_rounds", lambda: regreened)
+    monkeypatch.setattr(registry, "_DERIVED", None)
+    assert name not in registry._verify_first()[: len(registry._FORCE_HEAD)]
+
+    still_stale = dict(real, **{name: staled})
+    monkeypatch.setattr(registry, "_last_green_rounds", lambda: still_stale)
+    monkeypatch.setattr(registry, "_DERIVED", None)
+    assert name in registry._verify_first()[: len(registry._FORCE_HEAD)]
+    monkeypatch.setattr(registry, "_DERIVED", None)
 
 
 def test_window_is_exactly_50_unique_registered_names():
