@@ -324,3 +324,64 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("st"))
     b = o.filter(F.col("o_custkey") % 2 == 0).select(F.col("o_orderstatus").alias("st"))
     return a.intersectAll(b)
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderpriority", "string"),
+)
+
+_PROFILE_ORACLE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+    for c, _t in _PROFILE_COLS
+)
+
+
+@query("profile_table_stats", oracle=_PROFILE_ORACLE)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling — the first query every data-quality
+    / catalog tool runs on an unfamiliar table: per column, row count,
+    null count, exact distinct count, and min/max (typed comparison,
+    emitted as strings so heterogeneous columns share one schema).
+
+    Plan shape: ONE scan of the table with five per-column aggregate
+    sets computed together in a single groupBy-less aggregate pass —
+    NOT five scans (the naive per-column UNION ALL, which the oracle
+    deliberately spells, proving the single-pass plan equals the
+    five-pass semantics). count(DISTINCT) over multiple columns in one
+    aggregate expands rows ×5 (Spark's Expand operator) — at 100 TB you
+    swap exact distinct for approx_count_distinct per the documented
+    `agg_approx_distinct` envelope discipline, keeping the single-scan
+    shape. min/max on doubles stringify via the engines' shortest-repr
+    float printing, which agrees for these parquet-born values; the
+    driver-side float convention (FIXTURES.md) is unchanged because the
+    hash sees strings."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, _t in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _t in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )
