@@ -1634,6 +1634,71 @@ def run_window_filter_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_asof_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """ASOF JOIN case (r9): DuckDB's NATIVE ASOF [LEFT] JOIN vs the
+    repo's as-of composition (candidate equi+range join → argmax by
+    event time) — the independent-implementation check for the central
+    time-series operator (`events_asof_join` / `rewrite_asof_*`).
+    Right-side (key, ts) pairs are generated UNIQUE because DuckDB
+    breaks exact-ts ties arbitrarily (probed r9); with unique ts both
+    formulations are deterministic and must agree row-for-row. Strict
+    and non-strict bounds, inner and left variants, NULL keys on the
+    probe side (drop under inner, null-extend under left on BOTH
+    engines)."""
+    nq, nr = rng.randint(0, 150), rng.randint(0, 100)
+    qrows = [
+        (
+            i,
+            rng.randint(0, 4) if rng.random() > 0.1 else None,
+            rng.randint(0, 500),
+        )
+        for i in range(nq)
+    ]
+    seen, rrows = set(), []
+    for j in range(nr):
+        k, ts = rng.randint(0, 4), rng.randint(0, 500)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rrows.append((j, k, ts))
+    qp = os.path.join(tmp, f"fuzz_{case_id}_aq.parquet")
+    rp = os.path.join(tmp, f"fuzz_{case_id}_ar.parquet")
+    spark.createDataFrame(qrows, "qid long, k long, qts long").write.mode(
+        "overwrite"
+    ).parquet(qp)
+    spark.createDataFrame(rrows, "rid long, rk long, rts long").write.mode(
+        "overwrite"
+    ).parquet(rp)
+    con.execute(f"CREATE OR REPLACE VIEW aq AS SELECT * FROM '{qp}/*.parquet'")
+    con.execute(f"CREATE OR REPLACE VIEW ar AS SELECT * FROM '{rp}/*.parquet'")
+    op = rng.choice(["<=", "<"])
+    left = rng.random() < 0.5
+    join_kw = "ASOF LEFT JOIN" if left else "ASOF JOIN"
+    dsql = (
+        f"SELECT aq.qid, ar.rid, ar.rts "
+        f"FROM aq {join_kw} ar ON aq.k = ar.rk AND ar.rts {op} aq.qts"
+    )
+    q = spark.read.parquet(qp)
+    r = spark.read.parquet(rp)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cond = (q.k == r.rk) & F.expr(f"rts {op} qts")
+    cand = q.join(r, cond)
+    w = W.partitionBy("qid").orderBy(F.col("rts").desc())
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "rid", "rts")
+    )
+    if left:
+        best = q.select("qid").join(best, "qid", "left").select(
+            "qid", "rid", "rts"
+        )
+    return _compare(best, con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1687,10 +1752,12 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_collation_case(spark, con, rng, tmp, case_id)
     if pick < 0.9855:
         return run_qualify_case(spark, con, rng, tmp, case_id)
-    if pick < 0.99:
+    if pick < 0.988:
         return run_order_by_all_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9925:
+    if pick < 0.9905:
         return run_window_filter_case(spark, con, rng, tmp, case_id)
+    if pick < 0.993:
+        return run_asof_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
