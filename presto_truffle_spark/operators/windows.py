@@ -236,3 +236,80 @@ def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_band"),
         F.sum("cents").over(w).alias("band_cents"),
     )
+
+
+@query(
+    "window_frame_exclude",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id,
+               CAST(floor(value) AS BIGINT) AS vb,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id,
+           CAST(count(*) OVER w_grp AS BIGINT) AS c_grp,
+           CAST(sum(cents) OVER w_grp AS BIGINT) AS s_grp,
+           CAST(count(*) OVER w_ties AS BIGINT) AS c_ties,
+           CAST(sum(cents) OVER w_ties AS BIGINT) AS s_ties,
+           CAST(count(*) OVER w_row AS BIGINT) AS c_row,
+           CAST(sum(cents) OVER w_row AS BIGINT) AS s_row
+    FROM t
+    WINDOW
+      w_grp AS (PARTITION BY user_id ORDER BY vb
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE GROUP),
+      w_ties AS (PARTITION BY user_id ORDER BY vb
+                 RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE TIES),
+      w_row AS (PARTITION BY user_id ORDER BY vb
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING EXCLUDE CURRENT ROW)
+    """,
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard window frame EXCLUDE semantics (GROUP / TIES /
+    CURRENT ROW) — an operator Spark's SQL surface LACKS (the EXCLUDE
+    clause is a ParseException; pinned in tests/test_fuzz_differential),
+    expressed as the frame-minus-peer-group composition over RANGE
+    frames, where the whole peer group is always inside the frame:
+
+        cf/sf = count/sum over the frame, cp/sp = over the peer group:
+        EXCLUDE CURRENT ROW -> c = cf-1,    s = NULL if c=0 else sf-v
+        EXCLUDE GROUP       -> c = cf-cp,   s = NULL if c=0 else sf-sp
+        EXCLUDE TIES        -> c = cf-cp+1, s = sf-sp+v
+
+    (sum over an emptied frame is NULL, matching the standard). The
+    oracle is DuckDB's NATIVE EXCLUDE — a genuinely independent
+    implementation of the same semantics, the strongest oracle shape in
+    the repo. Measures are integer cents (exact in any accumulation
+    order); the order key floor(value) is deliberately tie-prone so peer
+    groups are non-trivial. Scale: one shuffle+sort per partition key,
+    frames and peer groups are pointer ranges over the sorted run —
+    same cost as the plain RANGE frame, the emulation adds only the
+    peer-group window over the identical sort (no extra exchange;
+    Spark reuses the partitioning/sort for both)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("long").alias("vb"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wf = (
+        W.partitionBy("user_id").orderBy("vb").rangeBetween(-5, 5)
+    )
+    wp = W.partitionBy("user_id", "vb")
+    cf = F.count(F.lit(1)).over(wf)
+    sf = F.sum("cents").over(wf)
+    cp = F.count(F.lit(1)).over(wp)
+    sp = F.sum("cents").over(wp)
+    v = F.col("cents")
+    c_row = (cf - 1).cast("long")
+    c_grp = (cf - cp).cast("long")
+    c_ties = (cf - cp + 1).cast("long")
+    return e.select(
+        "event_id",
+        c_grp.alias("c_grp"),
+        F.when(c_grp == 0, F.lit(None)).otherwise(sf - sp).cast("long").alias("s_grp"),
+        c_ties.alias("c_ties"),
+        (sf - sp + v).cast("long").alias("s_ties"),
+        c_row.alias("c_row"),
+        F.when(c_row == 0, F.lit(None)).otherwise(sf - v).cast("long").alias("s_row"),
+    )
