@@ -661,3 +661,25 @@ def test_semantic_pipeline_pairs_join_is_bucket_keyed(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """profile_table_stats computes all five per-column stat sets in ONE
+    aggregate pass over ONE scan — the point of the operator vs its
+    deliberately-naive five-scan UNION ALL oracle."""
+    from presto_truffle_spark.operators.coverage_extras import (
+        profile_table_stats,
+    )
+
+    df = profile_table_stats(spark, sf_dir)
+    assert len(inspect.parquet_scans(df)) == 1
+
+
+def test_window_exclude_single_exchange(spark, sf_dir):
+    """window_frame_exclude's peer-group window must reuse the frame
+    window's hash partitioning (user_id ⊂ (user_id, vb)): one exchange
+    total — the emulation costs no extra shuffle over the plain frame."""
+    from presto_truffle_spark.operators.windows import window_frame_exclude
+
+    df = window_frame_exclude(spark, sf_dir)
+    assert inspect.count_exchanges(df) == 1
