@@ -447,3 +447,54 @@ def test_order_by_all_null_placement_divergence_pinned(spark):
         "ORDER BY ALL NULLS LAST"
     ).fetchall()
     assert [r.c for r in s2] == [r[0] for r in d2] == ["a", "b", None]
+
+
+def test_try_arithmetic_overflow_divergence_pinned(spark):
+    """FIXTURES.md r9: division/modulo by zero yields NULL on both
+    engines (Spark via try_divide/try_mod, DuckDB natively) — but int64
+    OVERFLOW splits them: Spark's try_add/try_multiply return NULL,
+    DuckDB's +/* RAISE unless explicitly promoted to HUGEINT. The
+    try-arith fuzz family therefore keeps operands in range; this pin
+    guards the boundary behavior."""
+    s = spark.sql(
+        "SELECT try_add(9223372036854775807, 1) a, "
+        "try_multiply(9223372036854775807, 2) b, try_divide(1, 0) c"
+    ).collect()[0]
+    assert s.a is None and s.b is None and s.c is None
+    con = duckdb.connect()
+    assert con.execute("SELECT 1 / 0").fetchone()[0] is None
+    assert con.execute("SELECT 1 % 0").fetchone()[0] is None
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute("SELECT 9223372036854775807 + CAST(1 AS BIGINT)").fetchall()
+    # the explicit promotion DuckDB oracles must spell if overflow is real
+    assert con.execute(
+        "SELECT CAST(9223372036854775807 AS HUGEINT) + 1"
+    ).fetchone()[0] == 9223372036854775808
+
+
+def test_ordered_agg_spelling_divergence_pinned(spark):
+    """FIXTURES.md r9: ordered aggregation is mirrored syntax — Spark
+    rejects ORDER BY inside array_agg/string_agg but accepts SQL:2016
+    listagg(...) WITHIN GROUP; DuckDB rejects listagg but accepts the
+    in-aggregate ORDER BY. Same semantics either way (probed, fuzzed)."""
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
+        spark.sql(
+            "SELECT array_agg(x ORDER BY x) FROM VALUES (1), (2) t(x)"
+        ).collect()
+    got = spark.sql(
+        "SELECT listagg(CAST(x AS STRING), ',') WITHIN GROUP (ORDER BY x DESC)"
+        " FROM VALUES (1), (3), (2) t(x)"
+    ).collect()[0][0]
+    assert got == "3,2,1"
+    con = duckdb.connect()
+    with pytest.raises(duckdb.ParserException):
+        con.execute(
+            "SELECT listagg(x::VARCHAR, ',') WITHIN GROUP (ORDER BY x) "
+            "FROM (VALUES (1)) t(x)"
+        ).fetchall()
+    assert con.execute(
+        "SELECT string_agg(x::VARCHAR, ',' ORDER BY x DESC) "
+        "FROM (VALUES (1), (3), (2)) t(x)"
+    ).fetchone()[0] == "3,2,1"

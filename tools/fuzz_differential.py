@@ -1699,6 +1699,104 @@ def run_asof_case(
     return _compare(best, con, dsql)
 
 
+def run_try_arith_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """TRY-arithmetic case (r9). Spark's try_divide/try_mod exist because
+    ANSI mode raises on division by zero; DuckDB has NO try_* scalar
+    functions but its plain `/` and `%` yield NULL on zero divisors
+    natively — so the shared semantics pair Spark's try_* with DuckDB's
+    bare operators. PINNED divergence (tests): int64 OVERFLOW is where
+    they part — Spark try_add/try_multiply return NULL, DuckDB's
+    add/multiply RAISE (HUGEINT promotion must be explicit) — so this
+    family keeps operands in non-overflowing ranges and the divergence
+    is pinned, not fuzzed."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_try")
+    where = gen_predicate(rng)
+    a, b = rng.sample(MEASURES, 2)
+    shape = rng.randint(0, 2)
+    if shape == 0:
+        # per-row floor-round BEFORE the sum: integer accumulation is
+        # order-independent and sidesteps both the float-sum ULP tail
+        # and the CAST convention split (Spark truncates toward zero,
+        # DuckDB rounds — FIXTURES.md)
+        ssql = (
+            f"SELECT k1, CAST(sum(CAST(floor(try_divide({a} * 1000.0, "
+            f"{b} % 5) + 0.5) AS BIGINT)) AS BIGINT) AS v "
+            f"FROM t WHERE {where} GROUP BY k1"
+        )
+        dsql = (
+            f"SELECT k1, CAST(sum(CAST(floor({a} * 1000.0 / ({b} % 5) "
+            f"+ 0.5) AS BIGINT)) AS BIGINT) AS v "
+            f"FROM t WHERE {where} GROUP BY k1"
+        )
+    elif shape == 1:
+        ssql = (
+            f"SELECT k1, CAST(sum(try_mod({a}, {b} % 7)) AS BIGINT) AS v "
+            f"FROM t WHERE {where} GROUP BY k1"
+        )
+        dsql = (
+            f"SELECT k1, CAST(sum({a} % ({b} % 7)) AS BIGINT) AS v "
+            f"FROM t WHERE {where} GROUP BY k1"
+        )
+    else:
+        # non-overflowing add/multiply: try_* must equal plain arithmetic
+        ssql = (
+            f"SELECT k1, CAST(sum(try_add({a}, {b})) AS BIGINT) AS s, "
+            f"CAST(sum(try_multiply({a} % 100, {b} % 100)) AS BIGINT) AS p "
+            f"FROM t WHERE {where} GROUP BY k1"
+        )
+        dsql = (
+            f"SELECT k1, CAST(sum({a} + {b}) AS BIGINT) AS s, "
+            f"CAST(sum(({a} % 100) * ({b} % 100)) AS BIGINT) AS p "
+            f"FROM t WHERE {where} GROUP BY k1"
+        )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_ordered_agg_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Ordered-aggregation case (r9). PINNED spelling divergence: Spark
+    rejects ORDER BY inside array_agg/string_agg but has SQL:2016
+    `listagg(...) WITHIN GROUP (ORDER BY ...)`; DuckDB rejects listagg
+    but has `string_agg(... ORDER BY ...)` / `array_agg(... ORDER BY
+    ...)`. Same semantics, mirrored syntax — the family pairs the
+    spellings under a TOTAL order (tie-broken by the value) so the
+    concatenation/array is deterministic; arrays ride array_join so the
+    compare stays scalar."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_oagg")
+    where = gen_predicate(rng)
+    m = rng.choice(MEASURES)
+    direction = rng.choice(["ASC", "DESC"])
+    if rng.random() < 0.5:
+        ssql = (
+            f"SELECT k1, listagg(CAST({m} AS STRING), ',') "
+            f"WITHIN GROUP (ORDER BY {m} {direction}) AS v "
+            f"FROM t WHERE {where} AND {m} IS NOT NULL GROUP BY k1"
+        )
+        dsql = (
+            f"SELECT k1, string_agg(CAST({m} AS VARCHAR), ',' "
+            f"ORDER BY {m} {direction}) AS v "
+            f"FROM t WHERE {where} AND {m} IS NOT NULL GROUP BY k1"
+        )
+    else:
+        # order by ANOTHER column: Spark spells sort-of-structs
+        o = rng.choice([c for c in MEASURES if c != m])
+        ssql = (
+            f"SELECT k1, array_join(transform(array_sort("
+            f"collect_list(struct({o} AS o, {m} AS m))), s -> s.m), ',') AS v "
+            f"FROM t WHERE {where} AND {m} IS NOT NULL AND {o} IS NOT NULL "
+            f"GROUP BY k1"
+        )
+        dsql = (
+            f"SELECT k1, array_to_string(array_agg({m} ORDER BY {o}, {m}), ',')"
+            f" AS v FROM t WHERE {where} AND {m} IS NOT NULL AND {o} IS NOT NULL"
+            f" GROUP BY k1"
+        )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1758,6 +1856,10 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_window_filter_case(spark, con, rng, tmp, case_id)
     if pick < 0.993:
         return run_asof_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9955:
+        return run_try_arith_case(spark, con, rng, tmp, case_id)
+    if pick < 0.998:
+        return run_ordered_agg_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
