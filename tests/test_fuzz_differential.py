@@ -498,3 +498,39 @@ def test_ordered_agg_spelling_divergence_pinned(spark):
         "SELECT string_agg(x::VARCHAR, ',' ORDER BY x DESC) "
         "FROM (VALUES (1), (3), (2)) t(x)"
     ).fetchone()[0] == "3,2,1"
+
+
+def test_pivot_count_and_union_by_name_divergences_pinned(spark):
+    """FIXTURES.md r9: (a) a COUNT pivot over an absent (key, value)
+    combination is NULL in Spark but 0 in DuckDB (found live by a fuzz
+    seed) — shared PIVOT text must stick to sum/min/max or coalesce;
+    (b) UNION BY NAME is SQL in DuckDB but DataFrame-only in Spark."""
+    from pyspark.errors import ParseException
+
+    s = spark.sql(
+        "SELECT * FROM VALUES ('a', 'x', 1) t(k, c, v) "
+        "PIVOT (count(v) FOR c IN ('x', 'y'))"
+    ).collect()[0]
+    assert s.x == 1 and s.y is None
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT * FROM (SELECT 'a' k, 'x' c, 1 v) "
+        "PIVOT (count(v) FOR c IN ('x', 'y'))"
+    ).fetchall()[0]
+    assert d[1] == 1 and d[2] == 0  # DuckDB: 0, not NULL
+    # sum agrees: absent cell NULL on both
+    s2 = spark.sql(
+        "SELECT * FROM VALUES ('a', 'x', 1) t(k, c, v) "
+        "PIVOT (sum(v) FOR c IN ('x', 'y'))"
+    ).collect()[0]
+    d2 = con.execute(
+        "SELECT * FROM (SELECT 'a' k, 'x' c, 1 v) "
+        "PIVOT (sum(v) FOR c IN ('x', 'y'))"
+    ).fetchall()[0]
+    assert s2.y is None and d2[2] is None
+
+    with pytest.raises(ParseException):
+        spark.sql("SELECT 1 a UNION ALL BY NAME SELECT 2 a").collect()
+    assert con.execute(
+        "SELECT 1 a, 2 b UNION ALL BY NAME SELECT 3 b, 4 a ORDER BY a"
+    ).fetchall() == [(1, 2), (4, 3)]

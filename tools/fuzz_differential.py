@@ -1797,6 +1797,59 @@ def run_ordered_agg_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_pivot_sql_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """SQL PIVOT/UNPIVOT case (r9): the standard relational spellings
+    share text across engines (probed r9 — Spark's quoted IN values and
+    DuckDB's produce identical x/y column names), including NULL cells
+    for absent combinations and NULL group keys. PINNED divergence
+    (found by a fuzz seed): a COUNT pivot over an ABSENT (key, value)
+    combination is NULL in Spark but 0 in DuckDB — shared text must
+    coalesce or stick to the NULL-agreeing aggregates (sum/min/max), as
+    this family does. The third shape is UNION BY NAME — mirrored
+    syntax: DuckDB spells `UNION ALL BY NAME` in SQL, Spark only has
+    DataFrame `unionByName` (SQL is a ParseException; pinned)."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_pv")
+    where = gen_predicate(rng)
+    m = rng.choice(MEASURES)
+    agg = rng.choice(["sum", "min", "max"])
+    shape = rng.randint(0, 2)
+    if shape == 0:
+        sql = (
+            f"SELECT k1, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y "
+            f"FROM (SELECT k1, k2, {m} FROM t WHERE {where}) "
+            f"PIVOT ({agg}({m}) FOR k2 IN ('x', 'y'))"
+        )
+        return _compare(spark.sql(sql), con, sql)
+    if shape == 1:
+        # pivot → unpivot roundtrip drops NULL cells on both engines
+        sql = (
+            f"SELECT k1, c, CAST(v AS BIGINT) AS v FROM ("
+            f"SELECT k1, x, y FROM (SELECT k1, k2, {m} FROM t WHERE {where}) "
+            f"PIVOT ({agg}({m}) FOR k2 IN ('x', 'y'))) "
+            f"UNPIVOT (v FOR c IN (x, y))"
+        )
+        return _compare(spark.sql(sql), con, sql)
+    a, b = rng.sample(MEASURES, 2)
+    dsql = (
+        f"SELECT k1, CAST({a} AS BIGINT) AS u, CAST({b} AS BIGINT) AS w "
+        f"FROM t WHERE {where} "
+        f"UNION ALL BY NAME "
+        f"SELECT CAST({b} AS BIGINT) AS w, k2 AS k1, CAST({a} AS BIGINT) AS u "
+        f"FROM t WHERE {where}"
+    )
+    s1 = spark.sql(
+        f"SELECT k1, CAST({a} AS BIGINT) AS u, CAST({b} AS BIGINT) AS w "
+        f"FROM t WHERE {where}"
+    )
+    s2 = spark.sql(
+        f"SELECT CAST({b} AS BIGINT) AS w, k2 AS k1, CAST({a} AS BIGINT) AS u "
+        f"FROM t WHERE {where}"
+    )
+    return _compare(s1.unionByName(s2), con, dsql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1858,8 +1911,10 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_asof_case(spark, con, rng, tmp, case_id)
     if pick < 0.9955:
         return run_try_arith_case(spark, con, rng, tmp, case_id)
-    if pick < 0.998:
+    if pick < 0.997:
         return run_ordered_agg_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9985:
+        return run_pivot_sql_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
