@@ -1398,3 +1398,88 @@ def ann_int8_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DIST_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + 25
+    )
+    SELECT qid, cid,
+           floor(list_sum(list_transform(generate_series(1, len(qe)),
+                     i -> abs(qe[i] - ce[i]))) * 1000000 + 0.5) / 1000000
+               AS l1,
+           floor(sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+                     i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))))
+                 * 1000000 + 0.5) / 1000000 AS l2,
+           floor(list_max(list_transform(generate_series(1, len(qe)),
+                     i -> abs(qe[i] - ce[i]))) * 1000000 + 0.5) / 1000000
+               AS linf,
+           CAST(list_sum(list_transform(generate_series(1, len(qe)),
+                     i -> CASE WHEN (qe[i] > 0) <> (ce[i] > 0)
+                               THEN 1 ELSE 0 END)) AS BIGINT) AS sign_hamming,
+           floor(list_dot_product(qe, ce) /
+                 (sqrt(list_dot_product(qe, qe)) *
+                  sqrt(list_dot_product(ce, ce))) * 1000000 + 0.5) / 1000000
+               AS cosine
+    FROM q CROSS JOIN c
+"""
+
+
+@query("embedding_distance_battery", oracle=_DIST_ORACLE)
+def embedding_distance_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-distance scalar surface in one query: L1 (Manhattan),
+    L2 (Euclidean), L∞ (Chebyshev), sign-Hamming (the 1-bit-quantized
+    distance LSH bucketing implies), and cosine — every metric a
+    similarity pipeline chooses between, over the pinned query set × a
+    25-vector corpus slice. All five are single-pass folds over the
+    zipped pair (F.zip_with / F.aggregate — JVM-side higher-order
+    functions, no UDF); the L1/L2/L∞ folds deliberately share the
+    |a-b| intermediate shape DuckDB's list_transform spells, keeping
+    the float op sequence engine-identical before the round-6 pin.
+    Scale: metric choice changes only the fold expression — the plan
+    (broadcast query side, one corpus scan) is `ann_cosine_topk`'s
+    regardless of metric."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qe")
+    )
+    c = e.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + 25)
+    ).select(F.col("vec_id").alias("cid"), F.col("ev").alias("ce"))
+    diff = F.zip_with("qe", "ce", lambda a, b: F.abs(a - b))
+    l1 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("qe", "ce", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    linf = F.array_max(diff)
+    ham = F.aggregate(
+        F.zip_with(
+            "qe", "ce",
+            lambda a, b: F.when((a > 0) != (b > 0), F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    cos = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    r6 = lambda col: F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return c.join(F.broadcast(q)).select(
+        "qid", "cid",
+        r6(l1).alias("l1"),
+        r6(l2).alias("l2"),
+        r6(linf).alias("linf"),
+        ham.alias("sign_hamming"),
+        r6(cos).alias("cosine"),
+    )
