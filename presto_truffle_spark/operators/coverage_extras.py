@@ -385,3 +385,61 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+_PROFILE_APPROX_ORACLE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS exact_distinct,
+           true AS within_5pct
+    FROM orders"""
+    for c, _t in _PROFILE_COLS
+)
+
+
+@query("profile_table_stats_approx", oracle=_PROFILE_APPROX_ORACLE)
+def profile_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``profile_table_stats``' at-scale distinct path, registered: exact
+    multi-column countDistinct expands rows ×columns before the shuffle
+    (measured ratio 6.3 at 10× data, SCALING.md r9) while
+    approx_count_distinct (HLL++, rsd=0.02) keeps ONE constant-size
+    mergeable sketch per column in a single Expand-free aggregate pass —
+    the production profiler runs ONLY that half
+    (tests/test_plans.py pins its plan has no Expand). This REGISTERED
+    query additionally joins the exact profile because the envelope
+    oracle needs it: exact distincts hash-checked, plus a boolean
+    pinning each sketch within ±5% of exact (±2σ = 4% for rsd=0.02,
+    deterministic for a fixed fixture) — so the composite plan does
+    carry the exact side's Expand, by design of the CHECK, not of the
+    operator."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, _t in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__approx"),
+        ]
+    wide = o.agg(*aggs)
+    exact = profile_table_stats(spark, sf_dir).select(
+        "col_name", F.col("n_distinct").alias("exact_distinct")
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__approx" for c, _t in _PROFILE_COLS
+    )
+    long = wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, approx_distinct)"
+    )
+    return long.join(F.broadcast(exact), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )

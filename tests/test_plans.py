@@ -683,3 +683,25 @@ def test_window_exclude_single_exchange(spark, sf_dir):
 
     df = window_frame_exclude(spark, sf_dir)
     assert inspect.count_exchanges(df) == 1
+
+
+def test_profile_approx_half_is_expand_free(spark, sf_dir):
+    """The approx-distinct profiling aggregate (the half a production
+    profiler runs) must plan NO Expand — one constant-size HLL sketch
+    per column in a single pass. (The registered composite joins the
+    exact profile only because the envelope oracle needs it.)"""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.coverage_extras import _PROFILE_COLS
+
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, _t in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__approx"),
+        ]
+    plan = inspect.physical_plan(o.agg(*aggs))
+    assert "Expand" not in plan
+    assert len(inspect.parquet_scans(o.agg(*aggs))) == 1
