@@ -456,6 +456,119 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hv.selectExpr("doc_id", f"CAST({fp} AS BIGINT) AS simhash")
 
 
+# Production-width SimHash for the Manku-style hamming-distance lookup:
+# 48 bits (bit 63 of a 64-bit fingerprint would overflow signed int64 in
+# the 2^b sum both engines use, and 48 = 4 bands x 12 bits keeps the
+# pigeonhole guarantee exact for hamming <= 3: 4 bands, at most 3
+# differing bits => at least one band is untouched, so every qualifying
+# pair is a band-bucket collision and the banded join loses nothing).
+_SIMHASH_WIDE_BITS = 48
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_WIDE_BITS // _SIMHASH_BANDS  # 12
+_SIMHASH_MAX_HAMMING = _SIMHASH_BANDS - 1  # 3
+
+# Single-pass Spark fingerprint: md5 once per token, then one aggregate()
+# fold accumulating all 48 per-bit +-1 sums as an array (vs the 16-bit
+# specimen above, which re-traverses the token list per bit — fine at 16
+# bits, 48x the scan cost at production width).
+_WIDE_BITVEC = (
+    f"transform(sequence(0, {_SIMHASH_WIDE_BITS - 1}), b -> CASE WHEN "
+    "CAST(floor((instr('0123456789abcdef', "
+    "substring(h, CAST(b div 4 AS INT) + 1, 1)) - 1) / power(2, b % 4)) "
+    "AS INT) % 2 = 1 THEN 1 ELSE -1 END)"
+)
+_WIDE_SUMS = (
+    "aggregate(transform(split(text, ' '), t -> md5(CAST(t AS BINARY))), "
+    f"transform(sequence(0, {_SIMHASH_WIDE_BITS - 1}), b -> 0), "
+    f"(acc, h) -> zip_with(acc, {_WIDE_BITVEC}, (a, x) -> a + x))"
+)
+_WIDE_FP = (
+    f"aggregate(zip_with({_WIDE_SUMS}, sequence(0, {_SIMHASH_WIDE_BITS - 1}), "
+    "(s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+    "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), hv AS (
+        SELECT doc_id,
+               {", ".join(
+                   "list_sum(list_transform(toks, t -> CASE WHEN "
+                   f"CAST(floor((strpos('0123456789abcdef', substr(md5(t), {b // 4 + 1}, 1)) - 1) / {2 ** (b % 4)}) AS INTEGER) % 2 = 1 "
+                   f"THEN 1 ELSE -1 END)) AS s{b}"
+                   for b in range(_SIMHASH_WIDE_BITS)
+               )}
+        FROM tok
+    ), fp AS (
+        SELECT doc_id,
+               CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(_SIMHASH_WIDE_BITS))} AS BIGINT)
+                   AS simhash
+        FROM hv
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at production width: 48-bit fingerprints,
+    banded hamming-distance lookup (Manku/Jain/Das Sarma, WWW'07). The
+    fingerprint is one aggregate() fold per doc (md5 once per token, all
+    48 bit-sums accumulated as an array in a single token-list pass);
+    pairing splits the fingerprint into 4 non-overlapping 12-bit bands
+    and self-joins on (band_id, band_val) — by pigeonhole, every pair
+    within hamming <= 3 agrees on >= 1 band, so the banded join is
+    lossless for the threshold while never forming the O(n^2) cross
+    product. Candidates then pass an exact bit_count(a XOR b) <= 3
+    verify. The oracle is deliberately the NAIVE all-pairs scan, so the
+    driver differentially proves the banding recall claim, not just the
+    arithmetic. Scale: band buckets shuffle by 12-bit value; on this
+    synthetic low-entropy vocab the candidate set is ~5.5% of all pairs
+    (fingerprints concentrate), on real text it is orders tighter; a
+    production run widens to 64-bit fingerprints (two's-complement bit
+    63) and applies the `dedup_lsh_bucket_guard` cap to degenerate
+    buckets before the pair join."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.selectExpr("doc_id", f"{_WIDE_FP} AS simhash")
+    band_structs = ", ".join(
+        f"struct({i} AS band_id, "
+        f"(shiftright(simhash, {i * _SIMHASH_BAND_BITS}) & "
+        f"{(1 << _SIMHASH_BAND_BITS) - 1}) AS band_val)"
+        for i in range(_SIMHASH_BANDS)
+    )
+    bands = fps.selectExpr("doc_id", "simhash", f"inline(array({band_structs}))")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_id",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
