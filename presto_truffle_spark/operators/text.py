@@ -624,3 +624,166 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping (Cormack et al., SIGIR'09)
+_FUSE_N = 20  # depth of each input ranking
+_HYBRID_OUT = 10
+
+# The lexical candidate list re-ranked on the 6dp floor-rounded bm25 the
+# proven text_bm25_search query emits (identical values both engines, so
+# the fused ranks are engine-identical by construction).
+_BM25_TOP20_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, dl, count(*) AS tf
+        FROM toks
+        WHERE token IN ('{_PHRASE[0]}', '{_PHRASE[1]}', '{_PHRASE[2]}')
+        GROUP BY doc_id, token, dl
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ), dfreq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), bm_scored AS (
+        SELECT tf.doc_id,
+               sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * tf.dl / stats.avgdl))) AS score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ), bm_top AS (
+        SELECT doc_id,
+               floor(score * 1000000 + 0.5) / 1000000 AS bm25
+        FROM (SELECT *, row_number() OVER (ORDER BY round(score, 9) DESC,
+                                           doc_id) AS rn
+              FROM bm_scored)
+        WHERE rn <= {_FUSE_N}
+    )
+"""
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    {_BM25_TOP20_SQL}
+    , lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM bm_top
+    ), qv AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id >= 5
+    ), cos_scored AS (
+        SELECT cid,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(ce, ce))), 6) AS cos_sim
+        FROM cand CROSS JOIN qv
+    ), sem AS (
+        SELECT cid, rn AS sem_rank
+        FROM (SELECT *, row_number() OVER (ORDER BY cos_sim DESC, cid) AS rn
+              FROM cos_scored)
+        WHERE rn <= {_FUSE_N}
+    ), fused AS (
+        SELECT COALESCE(lex.doc_id, sem.cid) AS doc_id,
+               COALESCE(lex.lex_rank, 0) AS lex_rank,
+               COALESCE(sem.sem_rank, 0) AS sem_rank,
+               COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0.0) AS rrf
+        FROM lex FULL JOIN sem ON lex.doc_id = sem.cid
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           floor(rrf * 1000000 + 0.5) / 1000000 AS rrf
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= {_HYBRID_OUT}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher,
+    SIGIR'09) of the lexical BM25 ranking (`text_bm25_search`, query =
+    `_PHRASE`) and the semantic cosine ranking (query vector = embedding
+    vec_id 0, candidates vec_id >= 5 joined to documents on vec_id =
+    doc_id — the fixture's 1:1 alignment). Each list is taken to depth
+    20, fused as sum of 1/(60 + rank) over the lists a doc appears in,
+    top-10 by fused score. A doc missing from a list contributes 0 for
+    it (rank emitted as 0). This is the standard production shape for
+    RAG / training-data search: two cheap independent top-k retrievals
+    (each with its own scale path — postings-bounded BM25, broadcast
+    cosine or its IVF-PQ variants) fused rank-wise so no score
+    calibration between modalities is needed.
+
+    Determinism: both input rankings are computed on 6dp-rounded scores
+    with doc_id tie-breaks (the values the proven base queries emit), so
+    the fused ranks — and the RRF sums, two exactly-rounded IEEE
+    divisions added in the same order both engines — are
+    engine-identical. Scale: the fusion itself is a full-outer join of
+    two k-row lists (k=20) — driver-trivial; the cost lives entirely in
+    the input retrievals, which keep their own 100 TB postures."""
+    lex = text_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, DuckDB order
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        emb.alias("qe")
+    ).withColumn("qnorm", F.sqrt(dot(F.col("qe"), F.col("qe"))))
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), emb.alias("ce")
+    ).withColumn("cnorm", F.sqrt(dot(F.col("ce"), F.col("ce"))))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
+    sem = (
+        c.join(F.broadcast(q))
+        .select("cid", F.round(cos, 6).alias("cos_sim"))
+        .select(
+            "cid",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "cid"))
+            .alias("sem_rank"),
+        )
+        .filter(F.col("sem_rank") <= _FUSE_N)
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+    fused = (
+        lex.join(sem, lex.doc_id == sem.cid, "full_outer")
+        .select(
+            F.coalesce(lex.doc_id, sem.cid).cast("long").alias("doc_id"),
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias(
+                "out_lex_rank"
+            ),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias(
+                "out_sem_rank"
+            ),
+            rrf.alias("rrf_raw"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(_HYBRID_OUT)
+        .select(
+            "doc_id",
+            F.col("out_lex_rank").alias("lex_rank"),
+            F.col("out_sem_rank").alias("sem_rank"),
+            (F.floor(F.col("rrf_raw") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "rrf"
+            ),
+        )
+    )

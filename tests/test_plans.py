@@ -705,3 +705,45 @@ def test_profile_approx_half_is_expand_free(spark, sf_dir):
     plan = inspect.physical_plan(o.agg(*aggs))
     assert "Expand" not in plan
     assert len(inspect.parquet_scans(o.agg(*aggs))) == 1
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """search_hybrid_rrf: fused scores must recompute exactly from the
+    emitted ranks (1/(60+r) per list the doc appears in, 6dp floor), the
+    output must be a subset of lex-top20 ∪ sem-top20, and the top-10 must
+    be ordered by fused score with doc_id tie-break."""
+    import math
+
+    from presto_truffle_spark.operators.text import (
+        _FUSE_N,
+        _HYBRID_OUT,
+        _RRF_K,
+        search_hybrid_rrf,
+    )
+
+    rows = search_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == _HYBRID_OUT
+    prev = None
+    for r in rows:
+        assert 0 <= r.lex_rank <= _FUSE_N and 0 <= r.sem_rank <= _FUSE_N
+        assert r.lex_rank > 0 or r.sem_rank > 0
+        expect = (1.0 / (_RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (_RRF_K + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert r.rrf == math.floor(expect * 1_000_000 + 0.5) / 1_000_000
+        if prev is not None:
+            assert (expect, -r.doc_id) <= prev or math.isclose(
+                expect, prev[0]
+            )
+        prev = (expect, -r.doc_id)
+
+
+def test_hybrid_rrf_plan_no_cartesian_fact_side(spark, sf_dir):
+    """search_hybrid_rrf: the only pair join is the broadcast of the
+    1-row query vector; the fusion join of the two 20-row lists must
+    never put a scan-sized side into a cartesian product."""
+    from presto_truffle_spark.operators.text import search_hybrid_rrf
+
+    df = search_hybrid_rrf(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
