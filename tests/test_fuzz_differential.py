@@ -534,3 +534,56 @@ def test_pivot_count_and_union_by_name_divergences_pinned(spark):
     assert con.execute(
         "SELECT 1 a, 2 b UNION ALL BY NAME SELECT 3 b, 4 a ORDER BY a"
     ).fetchall() == [(1, 2), (4, 3)]
+
+
+def test_groups_frame_mode_unimplemented_both_engines_pinned(spark):
+    """FIXTURES.md r9: the SQL-standard GROUPS frame mode is implemented
+    by NEITHER engine — Spark fails to parse it, DuckDB raises a
+    ParserException ("GROUPS mode ... not implemented yet"). The fuzzer's
+    GROUPS family therefore runs the dense_rank()+RANGE compositional
+    rewrite as IDENTICAL SQL on both engines (the rewrite is an exact
+    identity: peer groups are numbered consecutively by dense_rank). If
+    either engine learns GROUPS, this pin fails and the family should
+    switch that side to native syntax."""
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
+        spark.sql(
+            "SELECT sum(id) OVER (ORDER BY id GROUPS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING) FROM range(3)"
+        ).collect()
+    con = duckdb.connect()
+    with pytest.raises(duckdb.ParserException):
+        con.execute(
+            "SELECT sum(r) OVER (ORDER BY r GROUPS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING) FROM (SELECT range r FROM range(3))"
+        )
+
+
+def test_fuzz_limit_offset_and_groups_frame_sample(spark):
+    """Deterministic CI slice of the two r9-late families: LIMIT/OFFSET
+    paging (both SQL and .offset() DataFrame spellings) and the GROUPS
+    dense_rank+RANGE rewrite differential."""
+    from tools.fuzz_differential import (
+        run_groups_frame_case,
+        run_limit_offset_case,
+    )
+
+    con = duckdb.connect()
+    tmp = tempfile.mkdtemp(prefix="fuzz_ci_lo_")
+    try:
+        failures = []
+        for i in range(4):
+            err = run_limit_offset_case(
+                spark, con, random.Random(7000 + i), tmp, i
+            )
+            if err:
+                failures.append(("limit_offset", i, err))
+            err = run_groups_frame_case(
+                spark, con, random.Random(8000 + i), tmp, 100 + i
+            )
+            if err:
+                failures.append(("groups_frame", i, err))
+        assert failures == []
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

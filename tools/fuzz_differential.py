@@ -1850,6 +1850,107 @@ def run_pivot_sql_case(
     return _compare(s1.unionByName(s2), con, dsql)
 
 
+def run_limit_offset_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """LIMIT ... OFFSET case (r9). The page [n, n+k) of a total order is
+    only well-defined when the ORDER BY is total, so every case carries
+    the unique rid tie-break — the fuzzer probes that both engines cut
+    the SAME page under nullable sort keys, explicit NULLS placement,
+    ties in the primary key, and page boundaries past the end of the
+    input (OFFSET >= rowcount must yield empty, not error). The Spark
+    side runs BOTH spellings — SQL `LIMIT k OFFSET n` and the DataFrame
+    `.offset(n).limit(k)` chain (offset-then-limit is the page shape:
+    Spark applies offset first, so `.limit(k)` after it takes the page)
+    — and both must match DuckDB's `LIMIT k OFFSET n`."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 300)))]
+    path = os.path.join(tmp, f"fuzz_{case_id}_lo.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    where = gen_predicate(rng)
+    col = rng.choice(["m1", "m2"])
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    k = rng.randint(1, 20)
+    # page start: usually in range, sometimes deliberately past the end
+    off = rng.choice([0, rng.randint(1, 30), rng.randint(250, 400)])
+    order = f"ORDER BY {col} {direction} {nulls}, rid"
+    sql = f"SELECT rid, k1, {col} FROM t WHERE {where} {order} LIMIT {k} OFFSET {off}"
+    err = _compare(spark.sql(sql), con, sql)
+    if err:
+        return f"sql-spelling: {err}"
+
+    from pyspark.sql import functions as F
+
+    oc = F.col(col)
+    oc = oc.asc_nulls_first() if direction == "ASC" else oc.desc_nulls_first()
+    if nulls == "NULLS LAST":
+        oc = (
+            F.col(col).asc_nulls_last()
+            if direction == "ASC"
+            else F.col(col).desc_nulls_last()
+        )
+    sdf = (
+        spark.read.parquet(path)
+        .where(where)
+        .orderBy(oc, F.col("rid"))
+        .offset(off)
+        .limit(k)
+        .select("rid", "k1", col)
+    )
+    err = _compare(sdf, con, sql)
+    return f"df-spelling: {err}" if err else None
+
+
+def run_groups_frame_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """GROUPS frame-mode case (r9). PINNED fact: NEITHER engine
+    implements the SQL-standard `GROUPS BETWEEN n PRECEDING AND m
+    FOLLOWING` frame mode — Spark fails to parse it, DuckDB raises
+    "GROUPS mode ... not implemented yet" (both errors pinned in
+    tests/test_fuzz_differential.py), so there is no native side to
+    differentially verify against. What CAN be verified is the
+    compositional rewrite both engines would need — GROUPS frames count
+    PEER GROUPS of the order key, and dense_rank() numbers exactly those
+    peer groups consecutively, so
+
+        agg OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN a PRECEDING
+                  AND b FOLLOWING)
+      = agg OVER (PARTITION BY p ORDER BY dr RANGE BETWEEN a PRECEDING
+                  AND b FOLLOWING)   where dr = dense_rank() over (p, o)
+
+    — an exact identity, not an approximation. This case runs the SAME
+    rewrite SQL on both engines: a differential over nested-window
+    composition + RANGE frames on the synthetic rank key, including NULL
+    order keys (they form one peer group; dense_rank gives them one
+    rank). NULLS placement is explicit since the engines' defaults
+    differ (the r9 ORDER BY ALL find)."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 250)))]
+    schema = "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    path = os.path.join(tmp, f"fuzz_{case_id}_gf.parquet")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+
+    ord_col = rng.choice(["m1", "m2"])
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = "NULLS FIRST" if direction == "ASC" else "NULLS LAST"
+    a, b = rng.randint(0, 5), rng.randint(0, 5)
+    frame = f"BETWEEN {a} PRECEDING AND {b} FOLLOWING"
+    ssql = (
+        f"SELECT rid, CAST(sum(m3) OVER w AS BIGINT) AS s, "
+        f"CAST(count(*) OVER w AS BIGINT) AS c "
+        f"FROM (SELECT *, dense_rank() OVER (PARTITION BY k1 "
+        f"ORDER BY {ord_col} {direction} {nulls}) AS dr FROM t) "
+        f"WINDOW w AS (PARTITION BY k1 ORDER BY dr RANGE {frame})"
+    )
+    return _compare(spark.sql(ssql), con, ssql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -1915,6 +2016,10 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_ordered_agg_case(spark, con, rng, tmp, case_id)
     if pick < 0.9985:
         return run_pivot_sql_case(spark, con, rng, tmp, case_id)
+    if pick < 0.99925:
+        return run_limit_offset_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9996:
+        return run_groups_frame_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
