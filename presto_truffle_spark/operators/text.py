@@ -713,8 +713,12 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher,
     SIGIR'09) of the lexical BM25 ranking (`text_bm25_search`, query =
     `_PHRASE`) and the semantic cosine ranking (query vector = embedding
-    vec_id 0, candidates vec_id >= 5 joined to documents on vec_id =
-    doc_id — the fixture's 1:1 alignment). Each list is taken to depth
+    vec_id 0, candidates vec_id >= 5, identified with doc ids by the
+    vec_id = doc_id convention — NOTE the fixture's embeddings are a
+    separate synthetic modality, not encodings of the document text
+    (tools/bm25_study.py), so the fused lists exercise the operator's
+    semantics, not retrieval quality; RRF itself is rank-based and needs
+    no cross-modal score calibration). Each list is taken to depth
     20, fused as sum of 1/(60 + rank) over the lists a doc appears in,
     top-10 by fused score. A doc missing from a list contributes 0 for
     it (rank emitted as 0). This is the standard production shape for
