@@ -1483,3 +1483,167 @@ def embedding_distance_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.alias("sign_hamming"),
         r6(cos).alias("cosine"),
     )
+
+
+_MMR_LAMBDA = 0.7  # relevance weight
+_MMR_OMEGA = 0.3  # diversity weight — SPELLED, not computed: Python's
+# 1 - 0.7 is 0.30000000000000004, a different double than the SQL
+# literal 0.3 the oracle folds; both engines must multiply by the
+# same bit pattern.
+_MMR_K = 5  # diversified picks
+_MMR_POOL = 20  # retrieval pool the rerank runs over
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        """
+    WITH qv AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ), cand0 AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+               round(list_dot_product(qe, embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))), 6) AS rel
+        FROM embeddings CROSS JOIN qv WHERE vec_id >= 5
+    ), cand AS (
+        SELECT cid, ce, rel FROM (
+            SELECT *, row_number() OVER (ORDER BY rel DESC, cid) AS rn
+            FROM cand0)
+        WHERE rn <= 20
+    ), pairs AS (
+        SELECT a.cid AS pa, b.cid AS pb,
+               round(list_dot_product(a.ce, b.ce) /
+                     (sqrt(list_dot_product(a.ce, a.ce)) *
+                      sqrt(list_dot_product(b.ce, b.ce))), 6) AS sim
+        FROM cand a JOIN cand b ON a.cid <> b.cid
+    ), s1 AS (
+        SELECT 1 AS mmr_rank, cid, rel, 0.7 * rel AS mmr
+        FROM cand ORDER BY rel DESC, cid LIMIT 1
+    ), sel1 AS (SELECT cid FROM s1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f""", s{r} AS (
+        SELECT {r} AS mmr_rank, c.cid, c.rel,
+               0.7 * c.rel - 0.3 * max(p.sim) AS mmr
+        FROM cand c JOIN pairs p ON p.pa = c.cid
+        WHERE p.pb IN (SELECT cid FROM sel{r - 1})
+          AND c.cid NOT IN (SELECT cid FROM sel{r - 1})
+        GROUP BY c.cid, c.rel
+        ORDER BY mmr DESC, c.cid LIMIT 1
+    ), sel{r} AS (SELECT cid FROM sel{r - 1} UNION ALL SELECT cid FROM s{r})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           CAST(cid AS BIGINT) AS doc_id, rel,
+           floor(mmr * 1000000 + 0.5) / 1000000 AS mmr
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@query("search_mmr_diversify", oracle=_mmr_oracle())
+def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking (Carbonell &
+    Goldstein, SIGIR'98): retrieve a cosine top-20 pool for the query
+    vector (vec_id 0, candidates vec_id >= 5), then greedily select k=5
+    picks maximizing 0.7*rel(c) - 0.3*max_{s in S} sim(c, s) — the
+    serving-side answer to redundant near-identical hits in a deduped-
+    but-not-disjoint corpus. The selection is sequential by definition
+    (each step's diversity penalty depends on the picks so far), so the
+    oracle UNROLLS the k steps as chained CTEs and the Spark side runs
+    the same k-1 fixed iterations of join → group-max → argmax over the
+    pool; ties break by doc_id at every argmax, and rel/sim enter the
+    arithmetic 6dp-rounded so both engines fold identical doubles.
+
+    Scale shape — retrieve distributed, rerank small: the pool retrieval
+    is the broadcast-query corpus scan of `ann_cosine_topk` (or its
+    IVF-PQ variants at 100 TB); the rerank touches only the pool
+    (pairwise sims = pool^2 = 400 rows), which is localCheckpointed once
+    so the k iterations never rescan the corpus. The iteration count is
+    the constant k, not data-dependent — no convergence loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("qe"))
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= 5)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("ce"),
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    rel = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
+    cand = (
+        c.join(F.broadcast(q))
+        .select("cid", "ce", "cnorm", F.round(rel, 6).alias("rel"))
+        # global top-20 as orderBy+limit -> TakeOrderedAndProject
+        # (distributed per-partition top-k), NOT a row_number window,
+        # which would funnel the whole corpus through one partition
+        .orderBy(F.col("rel").desc(), "cid")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # 20 rows; k iterations never rescan
+    )
+    sim = _dot(F.col("ce"), F.col("ce2")) / (F.col("cnorm") * F.col("cnorm2"))
+    b = cand.select(
+        F.col("cid").alias("pb"),
+        F.col("ce").alias("ce2"),
+        F.col("cnorm").alias("cnorm2"),
+    )
+    pairs = (
+        cand.select(F.col("cid").alias("pa"), "ce", "cnorm")
+        .join(b, F.col("pa") != F.col("pb"))
+        .select("pa", "pb", F.round(sim, 6).alias("sim"))
+    )
+    lam, om = F.lit(_MMR_LAMBDA), F.lit(_MMR_OMEGA)
+    first = (
+        cand.orderBy(F.col("rel").desc(), "cid")
+        .limit(1)
+        .select(
+            F.lit(1).alias("mmr_rank"),
+            "cid",
+            "rel",
+            (lam * F.col("rel")).alias("mmr"),
+        )
+    )
+    picks = [first]
+    sel_ids = first.select(F.col("cid").alias("scid"))
+    for r in range(2, _MMR_K + 1):
+        pairs_sel = pairs.join(
+            sel_ids, pairs.pb == sel_ids.scid, "left_semi"
+        )
+        pick = (
+            cand.join(sel_ids, cand.cid == sel_ids.scid, "left_anti")
+            .join(pairs_sel, F.col("cid") == F.col("pa"))
+            .groupBy("cid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                F.lit(r).alias("mmr_rank"),
+                "cid",
+                "rel",
+                (lam * F.col("rel") - om * F.col("maxsim")).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "cid")
+            .limit(1)
+        )
+        picks.append(pick)
+        sel_ids = sel_ids.union(pick.select(F.col("cid").alias("scid")))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        F.col("cid").cast("long").alias("doc_id"),
+        "rel",
+        (F.floor(F.col("mmr") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "mmr"
+        ),
+    )

@@ -747,3 +747,37 @@ def test_hybrid_rrf_plan_no_cartesian_fact_side(spark, sf_dir):
     df = search_hybrid_rrf(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_greedy_properties(spark, sf_dir):
+    """search_mmr_diversify: ranks 1..k, distinct picks, pick 1 is the
+    max-relevance candidate, and the mmr score is non-increasing in rank
+    (at step r+1 every remaining candidate's penalty is >= its step-r
+    penalty, so the argmax can only fall)."""
+    from presto_truffle_spark.operators.similarity import (
+        _MMR_K,
+        search_mmr_diversify,
+    )
+
+    rows = sorted(
+        search_mmr_diversify(spark, sf_dir).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.mmr_rank for r in rows] == list(range(1, _MMR_K + 1))
+    assert len({r.doc_id for r in rows}) == _MMR_K
+    assert rows[0].rel == max(r.rel for r in rows)
+    mmrs = [r.mmr for r in rows]
+    assert all(a >= b for a, b in zip(mmrs, mmrs[1:]))
+
+
+def test_mmr_rerank_never_rescans_corpus(spark, sf_dir):
+    """search_mmr_diversify: the pool is localCheckpointed, so the
+    returned plan must contain NO parquet scan — the k-step rerank runs
+    entirely over the 20-row pool (the retrieve-distributed/rerank-small
+    contract), instead of re-deriving the pool's corpus scan once per
+    iteration."""
+    from presto_truffle_spark.operators.similarity import search_mmr_diversify
+
+    df = search_mmr_diversify(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "FileScan" not in plan and "parquet" not in plan.lower()
