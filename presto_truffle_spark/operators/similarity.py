@@ -1764,3 +1764,138 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _HN_K)
         .select("qid", "cid", "cos_sim", F.col("rn").cast("long").alias("neg_rank"))
     )
+
+
+_EVAL_K = 10
+
+
+@query(
+    "retrieval_eval_metrics",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label AS clabel
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ), scored AS (
+        SELECT qid, qlabel, cid, clabel,
+               round(list_dot_product(qe, ce) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(ce, ce))), 6) AS cos_sim
+        FROM q CROSS JOIN c
+    ), ranked AS (
+        SELECT qid, qlabel, cid, clabel, cos_sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rnk
+        FROM scored
+    ), topk AS (
+        SELECT * FROM ranked WHERE rnk <= {_EVAL_K}
+    ), totals AS (
+        SELECT qid, count(*) AS n_relevant
+        FROM scored WHERE clabel = qlabel GROUP BY qid
+    ), per_q AS (
+        SELECT t.qid,
+               sum(CASE WHEN t.clabel = t.qlabel THEN 1 ELSE 0 END) AS hits,
+               max(CASE WHEN t.clabel = t.qlabel THEN 1.0 / t.rnk
+                        ELSE 0.0 END) AS rr,
+               sum(CASE WHEN t.clabel = t.qlabel
+                        THEN 1.0 / (ln(t.rnk + 1) / ln(2)) ELSE 0.0 END)
+                   AS dcg
+        FROM topk t GROUP BY t.qid
+    ), ideal AS (
+        SELECT tt.qid,
+               sum(1.0 / (ln(i.rnk + 1) / ln(2))) AS idcg
+        FROM totals tt
+        JOIN (SELECT CAST(range + 1 AS BIGINT) AS rnk
+              FROM range({_EVAL_K})) i
+          ON i.rnk <= least(tt.n_relevant, {_EVAL_K})
+        GROUP BY tt.qid
+    )
+    SELECT p.qid,
+           CAST(p.hits AS BIGINT) AS hits_at_k,
+           CAST(tt.n_relevant AS BIGINT) AS n_relevant,
+           floor(p.hits * 1.0 / least(tt.n_relevant, {_EVAL_K})
+                 * 1000000 + 0.5) / 1000000 AS recall_at_k,
+           floor(p.rr * 1000000 + 0.5) / 1000000 AS mrr,
+           floor(p.dcg / i.idcg * 1000000 + 0.5) / 1000000 AS ndcg_at_k
+    FROM per_q p JOIN totals tt ON p.qid = tt.qid
+    JOIN ideal i ON p.qid = i.qid
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the exact cosine retriever against
+    label ground truth (relevant = candidate shares the query's `label`):
+    per query, hits@10, recall@10 (capped-ideal denominator min(R, k)),
+    MRR (reciprocal rank of the first relevant hit inside the top-10; 0
+    if none), and nDCG@10 with the standard 1/log2(rank+1) gains and the
+    ideal DCG of min(R, k) relevant docs at ranks 1..min(R, k). This is
+    the measurement harness every retrieval stack runs next to its
+    index — the same join/window shapes as the retrievers themselves, so
+    it scales exactly as they do (broadcast queries, per-qid windows over
+    top-k-bounded lists; the totals side is one grouped count).
+
+    Engine-identity notes: log2 spelled ln(x)/ln(2) on BOTH sides (Spark
+    F.log2 and DuckDB log2 could round differently; the shared ln
+    spelling folds identical doubles), ranks from 6dp-rounded cosines
+    with cid tie-break, outputs floor-rounded at 6dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").cast("array<double>").alias("qe"),
+                F.col("label").alias("qlabel"))
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= _N_QUERIES)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("ce"),
+                F.col("label").alias("clabel"))
+        .withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    )
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = c.join(F.broadcast(q)).select(
+        "qid", "qlabel", "cid", "clabel", F.round(cos, 6).alias("cos_sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "cid")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    topk = ranked.filter(F.col("rnk") <= _EVAL_K)
+    rel = F.col("clabel") == F.col("qlabel")
+    log2rank = F.log(F.col("rnk") + 1) / F.log(F.lit(2.0))
+    per_q = topk.groupBy("qid").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("hits"),
+        F.max(F.when(rel, 1.0 / F.col("rnk")).otherwise(0.0)).alias("rr"),
+        F.sum(F.when(rel, 1.0 / log2rank).otherwise(0.0)).alias("dcg"),
+    )
+    totals = (
+        scored.filter(rel)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_relevant"))
+    )
+    ranks = spark.range(_EVAL_K).select(
+        (F.col("id") + 1).cast("long").alias("rnk")
+    )
+    log2i = F.log(F.col("rnk") + 1) / F.log(F.lit(2.0))
+    ideal = (
+        F.broadcast(totals)
+        .join(ranks, ranks.rnk <= F.least(F.col("n_relevant"), F.lit(_EVAL_K)))
+        .groupBy("qid")
+        .agg(F.sum(1.0 / log2i).alias("idcg"))
+    )
+    r6 = lambda col: F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return (
+        per_q.join(F.broadcast(totals), "qid")
+        .join(F.broadcast(ideal), "qid")
+        .select(
+            "qid",
+            F.col("hits").cast("long").alias("hits_at_k"),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            r6(F.col("hits") * F.lit(1.0)
+               / F.least(F.col("n_relevant"), F.lit(_EVAL_K))).alias(
+                "recall_at_k"
+            ),
+            r6(F.col("rr")).alias("mrr"),
+            r6(F.col("dcg") / F.col("idcg")).alias("ndcg_at_k"),
+        )
+    )

