@@ -504,3 +504,81 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p_new - p_ref) * F.log((p_new + _PSI_EPS) / (p_ref + _PSI_EPS)), 6
         ).alias("psi_term"),
     )
+
+
+_BUDGET_FRAC = 0.25  # token budget as a fraction of corpus tokens
+_TTR_BUCKETS = 1000
+
+
+@query(
+    "corpus_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(floor(len(list_distinct(string_split(text, ' ')))
+                          * {_TTR_BUCKETS}.0
+                          / len(string_split(text, ' '))) AS BIGINT) AS bucket
+        FROM documents
+    ), tot AS (
+        SELECT CAST(floor(sum(n_tok) * {_BUDGET_FRAC}) AS BIGINT) AS budget
+        FROM t
+    ), bsum AS (
+        SELECT bucket, sum(n_tok) AS btok FROM t GROUP BY bucket
+    ), brun AS (
+        SELECT bucket, sum(btok) OVER (ORDER BY bucket DESC) AS cum
+        FROM bsum
+    ), keep AS (
+        SELECT bucket, CAST(cum AS BIGINT) AS cum_tok
+        FROM brun CROSS JOIN tot WHERE cum <= budget
+    )
+    SELECT t.doc_id, t.bucket, CAST(t.n_tok AS BIGINT) AS n_tok,
+           k.cum_tok AS bucket_cum_tok
+    FROM t JOIN keep k USING (bucket)
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection (the "pick the best 25%
+    of tokens" data-selection step): score every document by type-token
+    ratio, then select the highest-scoring documents whose tokens fit the
+    budget. Done the way it must be done at 100 TB — NOT a global
+    running sum over per-document rows (a single-partition window over
+    the corpus): scores are quantized into {_TTR_BUCKETS} buckets, token mass is
+    aggregated per bucket (one small shuffle), the cumulative-from-the-top
+    threshold is computed over the <= {_TTR_BUCKETS}-row bucket table (driver-scale
+    window), and the corpus is then FILTERED by the kept-bucket list via
+    a broadcast semi-join — one scan, one bounded aggregate, one
+    broadcast filter. Whole buckets only: the boundary bucket that would
+    overflow the budget is dropped entirely, so selection is
+    deterministic without any doc-level ordering. All-integer outputs
+    (token counts, bucket ids, cumulative token mass at each kept
+    bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    u = F.size(F.array_distinct(toks))
+    t = d.select(
+        "doc_id",
+        n.alias("n_tok"),
+        F.floor(u * F.lit(float(_TTR_BUCKETS)) / n).cast("long").alias("bucket"),
+    )
+    tot = t.agg(
+        F.floor(F.sum("n_tok") * F.lit(_BUDGET_FRAC)).cast("long").alias("budget")
+    )
+    bsum = t.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    w = W.orderBy(F.col("bucket").desc())
+    brun = bsum.withColumn("cum", F.sum("btok").over(w))
+    keep = (
+        brun.join(F.broadcast(tot))
+        .filter(F.col("cum") <= F.col("budget"))
+        .select("bucket", F.col("cum").cast("long").alias("cum_tok"))
+    )
+    return (
+        t.join(F.broadcast(keep), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("cum_tok").alias("bucket_cum_tok"),
+        )
+    )

@@ -97,3 +97,46 @@ def test_contamination_detects_eval_docs_only(spark, sf_dir):
         assert r.doc_id not in eval_ids
         assert 0 < r.overlap_ratio <= 1
         assert 0 < r.n_overlap <= r.n_shingles
+
+
+def test_token_budget_select_respects_budget(spark, sf_dir):
+    """corpus_token_budget_select: the selected token mass must fit the
+    25% budget, selection must be bucket-downward-closed (every kept
+    bucket's score >= every dropped bucket's score), and adding the next
+    bucket below the cut must overflow the budget (greedy maximality)."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.corpus_ops import (
+        _BUDGET_FRAC,
+        corpus_token_budget_select,
+    )
+
+    sel = corpus_token_budget_select(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    total = d.agg(F.sum("n")).collect()[0][0]
+    budget = int(total * _BUDGET_FRAC)
+    picked = sum(r.n_tok for r in sel)
+    assert picked <= budget
+    kept_buckets = {r.bucket for r in sel}
+    # maximality: the largest dropped bucket would overflow
+    toks = F.split(F.col("text"), " ")
+    t = load_table(spark, sf_dir, "documents").select(
+        F.floor(
+            F.size(F.array_distinct(toks)) * F.lit(1000.0) / F.size(toks)
+        ).cast("long").alias("bucket"),
+        F.size(toks).alias("n_tok"),
+    )
+    by_bucket = {
+        r.bucket: r.s
+        for r in t.groupBy("bucket").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    dropped = sorted((b for b in by_bucket if b not in kept_buckets), reverse=True)
+    if dropped:
+        assert picked + by_bucket[dropped[0]] > budget
+    # downward-closed against the true bucket set
+    for b in by_bucket:
+        if b > min(kept_buckets):
+            assert b in kept_buckets
