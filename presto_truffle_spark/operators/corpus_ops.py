@@ -562,6 +562,16 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tok"),
         F.floor(u * F.lit(float(_TTR_BUCKETS)) / n).cast("long").alias("bucket"),
     )
+    # t feeds three consumers (budget total, bucket sums, final filter);
+    # above the tfidf size gate the tokenize+distinct scan is worth one
+    # cache write of 3 ints/doc instead of three corpus scans (rescan
+    # audit: documents x3). Below it, recompute is cheaper — both plan
+    # shapes are the documented tfidf discipline.
+    from presto_truffle_spark.cache import input_bytes, scoped_persist
+    from presto_truffle_spark.operators.text import _TFIDF_PERSIST_MIN_BYTES
+
+    if input_bytes(sf_dir, "documents") >= _TFIDF_PERSIST_MIN_BYTES:
+        t = scoped_persist(spark, "corpus.token_budget.t", t)
     tot = t.agg(
         F.floor(F.sum("n_tok") * F.lit(_BUDGET_FRAC)).cast("long").alias("budget")
     )

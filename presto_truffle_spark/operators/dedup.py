@@ -534,7 +534,18 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     63) and applies the `dedup_lsh_bucket_guard` cap to degenerate
     buckets before the pair join."""
     d = load_table(spark, sf_dir, "documents")
-    fps = d.selectExpr("doc_id", f"{_WIDE_FP} AS simhash")
+    from presto_truffle_spark.cache import scoped_persist
+
+    # Both sides of the band self-join consume the fingerprint table;
+    # without a persist each side recomputes the md5-per-token 48-bit
+    # fold (rescan audit: documents x2). Unconditional — no size gate —
+    # because the recompute is CPU-bound hashing while the cached frame
+    # is 16 bytes/doc; the cache write wins at every corpus size.
+    fps = scoped_persist(
+        spark,
+        "dedup.simhash_hamming.fps",
+        d.selectExpr("doc_id", f"{_WIDE_FP} AS simhash"),
+    )
     band_structs = ", ".join(
         f"struct({i} AS band_id, "
         f"(shiftright(simhash, {i * _SIMHASH_BAND_BITS}) & "
