@@ -587,3 +587,21 @@ def test_fuzz_limit_offset_and_groups_frame_sample(spark):
         assert failures == []
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fuzz_lateral_sample(spark):
+    """Deterministic CI slice of the correlated-LATERAL family (shared
+    SQL text both engines; 30 seeds passed at authoring time)."""
+    from tools.fuzz_differential import run_lateral_case
+
+    con = duckdb.connect()
+    tmp = tempfile.mkdtemp(prefix="fuzz_ci_lat_")
+    try:
+        failures = []
+        for i in range(4):
+            err = run_lateral_case(spark, con, random.Random(9900 + i), tmp, i)
+            if err:
+                failures.append((i, err))
+        assert failures == []
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

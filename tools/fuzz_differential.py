@@ -1951,6 +1951,52 @@ def run_groups_frame_case(
     return _compare(spark.sql(ssql), con, ssql)
 
 
+def run_lateral_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Correlated LATERAL subquery case (r9). `FROM t, LATERAL (...)` and
+    `LEFT JOIN LATERAL (...) ON true` are shared syntax (probed r9,
+    identical inner + left null-extension semantics), so both engines run
+    the SAME SQL: per-row top-j of the correlated side with an inner
+    predicate, explicit NULLS placement, and (crucially) a projection
+    limited to the ORDER BY column — duplicate (uk, n1) rows make a
+    LIMIT under ties nondeterministic as a ROW choice, but the projected
+    MULTISET is identical whichever duplicate wins, so the comparison
+    stays exact without a unique key on the build side."""
+    rows = [(i, *r) for i, r in enumerate(gen_rows(rng, rng.randint(0, 150)))]
+    path = os.path.join(tmp, f"fuzz_{case_id}_lt.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    upath = os.path.join(tmp, f"fuzz_{case_id}_lu.parquet")
+    urows = gen_join_rows(rng, rng.randint(0, 80))
+    spark.createDataFrame(urows, "uk string, n1 long").write.mode(
+        "overwrite"
+    ).parquet(upath)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    spark.read.parquet(upath).createOrReplaceTempView("u")
+    con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    con.execute(f"CREATE OR REPLACE VIEW u AS SELECT * FROM '{upath}/*.parquet'")
+
+    j = rng.randint(1, 4)
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    inner_pred = rng.choice(
+        ["", f" AND n1 > {rng.randint(-50, 50)}", " AND n1 % 2 = 0"]
+    )
+    lat = (
+        f"(SELECT n1 FROM u WHERE u.uk = t.k1{inner_pred} "
+        f"ORDER BY n1 {direction} {nulls} LIMIT {j})"
+    )
+    if rng.random() < 0.5:
+        sql = f"SELECT t.rid, l.n1 FROM t, LATERAL {lat} l"
+    else:
+        sql = (
+            f"SELECT t.rid, l.n1 FROM t LEFT JOIN LATERAL {lat} l ON true"
+        )
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -2020,6 +2066,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_limit_offset_case(spark, con, rng, tmp, case_id)
     if pick < 0.9996:
         return run_groups_frame_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9998:
+        return run_lateral_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
