@@ -1032,3 +1032,92 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_new"),
         )
     )
+
+
+_SAMPLE_NIBBLE = "0123"  # md5(text) first hex char in this set => 4/16 sample
+
+
+@query(
+    "dedup_rate_estimate",
+    oracle=f"""
+    WITH full_groups AS (
+        SELECT text, count(*) AS cnt FROM documents GROUP BY text
+    ), full_stats AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(sum(cnt) - count(*) AS BIGINT) AS dup_docs
+        FROM full_groups
+    ), samp AS (
+        SELECT text FROM documents
+        WHERE substr(md5(text), 1, 1) IN
+              ({", ".join(f"'{c}'" for c in _SAMPLE_NIBBLE)})
+    ), samp_groups AS (
+        SELECT text, count(*) AS cnt FROM samp GROUP BY text
+    ), samp_stats AS (
+        SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_sampled,
+               CAST(coalesce(sum(cnt) - count(*), 0) AS BIGINT)
+                   AS dup_docs_sampled
+        FROM samp_groups
+    )
+    SELECT s.n_sampled, s.dup_docs_sampled,
+           f.n_docs, f.dup_docs,
+           floor(s.dup_docs_sampled * 1.0 / s.n_sampled
+                 * 1000000 + 0.5) / 1000000 AS dup_rate_est,
+           floor(f.dup_docs * 1.0 / f.n_docs
+                 * 1000000 + 0.5) / 1000000 AS dup_rate_actual
+    FROM samp_stats s CROSS JOIN full_stats f
+    """,
+)
+def dedup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled duplicate-rate audit — the cheap health check a 100 TB
+    corpus runs continuously instead of a full dedup pass. The sample is
+    drawn by CONTENT hash (md5(text) first nibble in a 4/16 set), not by
+    row: content-hash sampling keeps every duplicate GROUP intact or
+    excludes it whole, so the in-sample duplicate fraction is an
+    unbiased estimator of the corpus duplicate fraction — a row-random
+    sample would break groups and underestimate quadratically (two dups
+    both land in a p-sample with probability p^2). The fixture query
+    also computes the true full-corpus rate next to the estimate so the
+    estimator's error is measured, not assumed; at scale only the
+    sample half runs (one 25%-selectivity scan + a grouped count on 1/4
+    of the text space). Duplicate docs per group = cnt - 1 (the
+    canonical survivor is not a duplicate). Fixture engagement, probed:
+    sf0.01 has zero exact duplicates (est == actual == 0, arithmetic
+    proven but inert); sf0.1 has 8 duplicate docs (rate 0.0016), where
+    the 4/16 content sample may legitimately estimate 0 if no dup group
+    hashes into it — exactly the variance a 25% sample has at n=8, which
+    is why production runs widen the nibble set as the corpus rate
+    drops."""
+    d = load_table(spark, sf_dir, "documents")
+    full_groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("cnt"))
+    full_stats = full_groups.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("dup_docs"),
+    )
+    samp_groups = (
+        d.filter(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 1).isin(
+                *list(_SAMPLE_NIBBLE)
+            )
+        )
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    samp_stats = samp_groups.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce(F.sum("cnt") - F.count(F.lit(1)), F.lit(0))
+        .cast("long")
+        .alias("dup_docs_sampled"),
+    )
+    r6 = lambda col: F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return samp_stats.crossJoin(F.broadcast(full_stats)).select(
+        "n_sampled",
+        "dup_docs_sampled",
+        "n_docs",
+        "dup_docs",
+        r6(F.col("dup_docs_sampled") * F.lit(1.0) / F.col("n_sampled")).alias(
+            "dup_rate_est"
+        ),
+        r6(F.col("dup_docs") * F.lit(1.0) / F.col("n_docs")).alias(
+            "dup_rate_actual"
+        ),
+    )

@@ -109,3 +109,30 @@ def test_simhash_hamming_plan_banded_not_cartesian(spark, sf_dir):
     plan = dedup_simhash_hamming(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_rate_estimate_group_complete_sampling(spark, sf_dir):
+    """dedup_rate_estimate: the content-hash sample keeps duplicate
+    groups intact by construction; the estimator must agree exactly with
+    a direct recomputation of both rates, and at sf0.1 (the only fixture
+    with real duplicates) the actual rate must be positive."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.dedup import (
+        _SAMPLE_NIBBLE,
+        dedup_rate_estimate,
+    )
+
+    r = dedup_rate_estimate(spark, sf_dir).collect()[0]
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    groups = d.groupBy("text").count()
+    dup = groups.agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    assert r.n_docs == n and r.dup_docs == dup
+    in_sample = d.filter(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 1).isin(
+            *list(_SAMPLE_NIBBLE)
+        )
+    ).count()
+    assert r.n_sampled == in_sample
+    sf01 = dedup_rate_estimate(spark, "/root/testdata/sf0.1").collect()[0]
+    assert sf01.dup_docs > 0 and sf01.dup_rate_actual > 0
