@@ -592,3 +592,67 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tok").alias("bucket_cum_tok"),
         )
     )
+
+
+@query(
+    "corpus_quality_calibrated",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS ttr
+        FROM documents
+    ), thr AS (
+        SELECT source, quantile_cont(ttr, 0.50) AS src_median
+        FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.ttr,
+           floor(thr.src_median * 1000000 + 0.5) / 1000000 AS src_median,
+           CASE WHEN t.ttr >= thr.src_median THEN 1 ELSE 0 END AS kept
+    FROM t JOIN thr USING (source)
+    """,
+)
+def corpus_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (the FineWeb-class discipline): a
+    raw quality signal (here TTR) is not comparable across sources —
+    boilerplate-heavy sources score systematically lower — so the gate
+    is "top half WITHIN your source", not a global threshold. Computed
+    the scale-correct way: per-source exact interpolated median via ONE
+    grouped aggregate (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the proven agg_percentiles pairing), thresholds broadcast back onto
+    the corpus, per-doc kept flag emitted. NO per-source window: source
+    cardinality is tiny, so a percent_rank window would funnel each
+    source's entire corpus through one task — the grouped-aggregate +
+    broadcast-join shape keeps every stage partition-parallel. At 100 TB
+    swap the exact percentile for percentile_approx (same plan shape,
+    documented in agg_percentile_approx); the gate stays a broadcast.
+
+    TTR enters the median 6dp-rounded (both engines interpolate the same
+    values); the median itself is floor-rounded for output but compared
+    UNROUNDED against ttr — interpolation midpoints of 6dp values are
+    exactly representable halves, identical both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6
+        ).alias("ttr"),
+    )
+    thr = t.groupBy("source").agg(
+        F.percentile("ttr", F.lit(0.5)).alias("src_median")
+    )
+    return (
+        t.join(F.broadcast(thr), "source")
+        .select(
+            "doc_id",
+            "source",
+            "ttr",
+            (F.floor(F.col("src_median") * 1_000_000 + F.lit(0.5)) / 1_000_000)
+            .alias("src_median"),
+            F.when(F.col("ttr") >= F.col("src_median"), 1)
+            .otherwise(0)
+            .alias("kept"),
+        )
+    )

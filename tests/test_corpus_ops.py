@@ -140,3 +140,32 @@ def test_token_budget_select_respects_budget(spark, sf_dir):
     for b in by_bucket:
         if b > min(kept_buckets):
             assert b in kept_buckets
+
+
+def test_quality_calibrated_per_source_gate(spark, sf_dir):
+    """corpus_quality_calibrated: within every source, roughly half the
+    docs are kept (>= interpolated median guarantees at least half), the
+    kept flag recomputes from ttr vs the source median, and calibration
+    differs from a global gate (at least one source's median differs
+    from another's — the reason per-source calibration exists)."""
+    from presto_truffle_spark.operators.corpus_ops import (
+        corpus_quality_calibrated,
+    )
+
+    rows = corpus_quality_calibrated(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    medians = {}
+    for src, rs in by_src.items():
+        kept = sum(r.kept for r in rs)
+        assert kept >= len(rs) / 2 - 1  # >= median keeps at least half
+        assert kept < len(rs)  # and strictly gates something
+        medians[src] = rs[0].src_median
+        for r in rs:
+            assert r.kept == (1 if r.ttr >= r.src_median else 0) or (
+                # kept compares against the UNROUNDED median; the emitted
+                # one is floor-rounded — allow the boundary ulp
+                abs(r.ttr - r.src_median) < 1e-6
+            )
+    assert len(set(medians.values())) > 1
