@@ -313,3 +313,59 @@ def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_row.alias("c_row"),
         F.when(c_row == 0, F.lit(None)).otherwise(sf - v).cast("long").alias("s_row"),
     )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_groups,
+           CAST(sum(cents) OVER w AS BIGINT) AS groups_cents
+    FROM (
+        SELECT *,
+               dense_rank() OVER (PARTITION BY o_custkey ORDER BY cents) AS dr
+        FROM (SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS cents
+              FROM orders)
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY dr
+                 RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard GROUPS frame mode — `GROUPS BETWEEN 2 PRECEDING AND 1
+    FOLLOWING` over price peer groups per customer — which NEITHER Spark
+    nor DuckDB implements natively (both parse errors pinned,
+    tests/test_fuzz_differential.py): Spark fails to parse the clause,
+    DuckDB raises "GROUPS mode ... not implemented yet". The operator
+    exists anyway, through an exact compositional identity: GROUPS
+    frames count PEER GROUPS of the order key, and dense_rank() numbers
+    exactly those groups consecutively, so a RANGE frame over the
+    dense_rank is the GROUPS frame —
+
+        agg OVER (... ORDER BY o GROUPS a PRECEDING .. b FOLLOWING)
+      ≡ agg OVER (... ORDER BY dr RANGE a PRECEDING .. b FOLLOWING),
+        dr = dense_rank() OVER (... ORDER BY o)
+
+    (fuzz-verified across 25 random shapes incl. NULL keys, which form
+    one peer group in both semantics). The oracle runs the same rewrite,
+    so the differential proves cross-engine agreement on the
+    composition; the native-absence pins prove the rewrite is the ONLY
+    spelling. Scale: ONE exchange on o_custkey feeds both window
+    operators (plan-pinned); Spark inserts a second Sort for the dr key
+    it cannot prove monotone in cents, but that sort runs over an
+    already-ordered partition run — the cost over a native GROUPS frame
+    is a rank column and a no-op-ish re-sort, never a second shuffle.
+    Integer cents keep every sum exact in any accumulation order."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    wd = W.partitionBy("o_custkey").orderBy("cents")
+    ranked = o.withColumn("dr", F.dense_rank().over(wd))
+    wf = W.partitionBy("o_custkey").orderBy("dr").rangeBetween(-2, 1)
+    return ranked.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(wf).cast("long").alias("n_in_groups"),
+        F.sum("cents").over(wf).cast("long").alias("groups_cents"),
+    )

@@ -849,3 +849,16 @@ def test_retrieval_eval_metrics_bounds(spark, sf_dir):
             assert 0.0 <= m <= 1.0
         # hits == 0 <=> mrr == 0 <=> ndcg == 0
         assert (r.hits_at_k == 0) == (r.mrr == 0.0) == (r.ndcg_at_k == 0.0)
+
+
+def test_groups_frame_rewrite_single_exchange(spark, sf_dir):
+    """window_groups_frame: the dense_rank+RANGE composition must reuse
+    ONE hash exchange on o_custkey for both window operators — the
+    rewrite's cost over a (nonexistent) native GROUPS frame is a rank
+    column and an in-partition re-sort, never a second shuffle."""
+    from presto_truffle_spark.operators.windows import window_groups_frame
+
+    df = window_groups_frame(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
