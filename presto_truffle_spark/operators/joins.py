@@ -367,3 +367,81 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE c_acctbal < 1000)
         """
     )
+
+
+_IVL_MAX_DAYS = 49  # max fulfillment-window length: (o_orderkey % 45) + 5
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS lo,
+               CAST(o_orderdate AS DATE)
+                 + to_days(CAST(o_orderkey % 45 + 5 AS INTEGER)) AS hi
+        FROM orders
+    ), months AS (
+        SELECT CAST(m AS DATE) AS month_start,
+               CAST(m AS DATE) + INTERVAL 1 MONTH - INTERVAL 1 DAY
+                   AS month_end_ts
+        FROM generate_series(DATE '1995-01-01', DATE '2001-12-01',
+                             INTERVAL 1 MONTH) t(m)
+    )
+    SELECT month_start AS month,
+           CAST(count(*) AS BIGINT) AS n_overlapping,
+           CAST(sum(date_diff('day',
+                              greatest(lo, month_start),
+                              least(hi, CAST(month_end_ts AS DATE))) + 1)
+                AS BIGINT) AS total_overlap_days
+    FROM months JOIN iv
+      ON lo <= CAST(month_end_ts AS DATE) AND month_start <= hi
+    GROUP BY month_start
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — order fulfillment windows
+    [orderdate, orderdate + (orderkey%45 + 5) days] against calendar
+    months — the temporal/genomic join shape whose naive spelling is a
+    theta join (lo <= b_end AND b_start <= hi), i.e. a nested-loop
+    O(n·m) at scale. The Spark side runs the grid-aligned rewrite: each
+    interval EXPLODES to the months it spans (sequence(trunc(lo, 'MM'),
+    hi, 1 month) — explode factor = interval length in months, here
+    <= 3) and the overlap aggregation is a plain groupBy on the month
+    key — shuffle on month, no pair enumeration, no cartesian
+    (plan-pinned). The DuckDB oracle IS the naive theta join, so the
+    differential proves the rewrite computes exactly the overlap-join
+    semantics including per-pair clamped overlap lengths
+    (least/greatest + datediff + 1, closed intervals both sides). This
+    is the same bin-to-grid discipline as `rewrite_binned_range_join`
+    with the grid chosen equal to the B-side intervals, which makes the
+    rewrite EXACT (no post-filter needed: spanning a month == overlapping
+    it). Dates only (CAST from the fixture's naive timestamps) — no
+    session-timezone sensitivity."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = F.to_date("o_orderdate")
+    hi = F.date_add(lo, (F.col("o_orderkey") % 45 + 5).cast("int"))
+    iv = o.select("o_orderkey", lo.alias("lo"), hi.alias("hi"))
+    month = F.explode(
+        F.sequence(
+            F.trunc(F.col("lo"), "MM"),
+            F.col("hi"),
+            F.expr("INTERVAL 1 MONTH"),
+        )
+    ).alias("month")
+    spanned = iv.select("o_orderkey", "lo", "hi", month)
+    month_end = F.date_sub(F.add_months(F.col("month"), 1), 1)
+    overlap_days = (
+        F.datediff(
+            F.least(F.col("hi"), month_end),
+            F.greatest(F.col("lo"), F.col("month")),
+        )
+        + 1
+    )
+    return (
+        spanned.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlapping"),
+            F.sum(overlap_days).cast("long").alias("total_overlap_days"),
+        )
+    )

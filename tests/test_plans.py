@@ -862,3 +862,18 @@ def test_groups_frame_rewrite_single_exchange(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
+
+
+def test_interval_overlap_no_theta_join(spark, sf_dir):
+    """join_interval_overlap: the grid-aligned rewrite must contain NO
+    join at all — the overlap aggregation is explode + groupBy on the
+    month key (the theta-join spelling lives only in the oracle); no
+    cartesian or nested-loop node anywhere."""
+    from presto_truffle_spark.operators.joins import join_interval_overlap
+
+    df = join_interval_overlap(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "Join" not in plan  # no join operator of any kind
+    assert "Generate" in plan  # the month explode
