@@ -877,3 +877,38 @@ def test_interval_overlap_no_theta_join(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "Join" not in plan  # no join operator of any kind
     assert "Generate" in plan  # the month explode
+
+
+def test_incremental_join_deltas_engage(spark, sf_dir):
+    """lakehouse_incremental_join: the split must make BOTH the base MV
+    and the delta terms non-trivial (a delta of zero rows would verify
+    the algebra vacuously), and the merged view must equal the
+    from-scratch join aggregate exactly."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.lakehouse_ops import (
+        _IVM_SPLIT,
+        lakehouse_incremental_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_new_o = o.filter(F.to_date("o_orderdate") >= F.lit(_IVM_SPLIT)).count()
+    n_new_l = li.filter(F.to_date("l_shipdate") >= F.lit(_IVM_SPLIT)).count()
+    assert n_new_o > 0 and n_new_l > 0
+    assert n_new_o < o.count() and n_new_l < li.count()
+    got = {
+        r.o_orderpriority: (r.n_pairs, r.qty_cents)
+        for r in lakehouse_incremental_join(spark, sf_dir).collect()
+    }
+    qcents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    want = {
+        r.o_orderpriority: (r.n, r.q)
+        for r in o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(qcents).cast("long").alias("q"))
+        .collect()
+    }
+    assert got == want
