@@ -1060,9 +1060,11 @@ _SAMPLE_NIBBLE = "0123"  # md5(text) first hex char in this set => 4/16 sample
     )
     SELECT s.n_sampled, s.dup_docs_sampled,
            f.n_docs, f.dup_docs,
-           floor(s.dup_docs_sampled * 1.0 / s.n_sampled
+           -- nullif: an EMPTY corpus (or empty sample) has no defined
+           -- rate — NULL, not a divide-by-zero (Spark ANSI raises)
+           floor(s.dup_docs_sampled * 1.0 / nullif(s.n_sampled, 0)
                  * 1000000 + 0.5) / 1000000 AS dup_rate_est,
-           floor(f.dup_docs * 1.0 / f.n_docs
+           floor(f.dup_docs * 1.0 / nullif(f.n_docs, 0)
                  * 1000000 + 0.5) / 1000000 AS dup_rate_actual
     FROM samp_stats s CROSS JOIN full_stats f
     """,
@@ -1114,10 +1116,11 @@ def dedup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_docs_sampled",
         "n_docs",
         "dup_docs",
-        r6(F.col("dup_docs_sampled") * F.lit(1.0) / F.col("n_sampled")).alias(
-            "dup_rate_est"
-        ),
-        r6(F.col("dup_docs") * F.lit(1.0) / F.col("n_docs")).alias(
-            "dup_rate_actual"
-        ),
+        r6(
+            F.col("dup_docs_sampled") * F.lit(1.0)
+            / F.nullif(F.col("n_sampled"), F.lit(0))
+        ).alias("dup_rate_est"),
+        r6(
+            F.col("dup_docs") * F.lit(1.0) / F.nullif(F.col("n_docs"), F.lit(0))
+        ).alias("dup_rate_actual"),
     )

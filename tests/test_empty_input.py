@@ -64,6 +64,18 @@ _CASES = [
     ("rewrite_keyed_range_join", 0),
     ("lakehouse_merge_upsert", 0),
     ("dedup_connected_components", 0),
+    # late-r9 additions
+    ("dedup_simhash_hamming", 0),
+    ("search_hybrid_rrf", 0),
+    ("search_mmr_diversify", 0),
+    ("mining_hard_negatives", 0),
+    ("retrieval_eval_metrics", 0),
+    ("corpus_token_budget_select", 0),
+    ("dedup_rate_estimate", 1),  # ungrouped stats row (0-counts, NULL rates)
+    ("corpus_quality_calibrated", 0),
+    ("window_groups_frame", 0),
+    ("join_interval_overlap", 0),
+    ("lakehouse_incremental_join", 0),
 ]
 
 
