@@ -791,3 +791,75 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LANGID_PRED_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), lscores AS (
+        SELECT doc_id, lang,
+               {", ".join(
+                   f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS c_{lg}"
+                   for lg, ms in _LANG_MARKERS.items()
+               )}
+        FROM t
+    ), preds AS (
+        SELECT doc_id, lang AS label_lang,
+               CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                    WHEN c_es >= c_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM lscores
+    )
+"""
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    {_LANGID_PRED_SQL}
+    SELECT p.label_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(any_value(tot.n_label) AS BIGINT) AS label_total,
+           floor(count(*) * 1.0 / any_value(tot.n_label) * 1000000 + 0.5)
+               / 1000000 AS cell_rate
+    FROM preds p
+    JOIN (SELECT label_lang, count(*) AS n_label FROM preds
+          GROUP BY label_lang) tot
+      ON p.label_lang = tot.label_lang
+    GROUP BY p.label_lang, p.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the langid heuristic against the fixture's
+    `lang` ground-truth column — the evaluation every classifier-based
+    corpus gate needs next to the classifier itself: per (true,
+    predicted) cell, the count and the row-normalized rate (diagonal
+    cells are per-language recall; off-diagonal rows show WHERE the
+    marker table fails, which is what you fix). Composes the registered
+    `text_langid_heuristic` predictions with one grouped count and a
+    broadcast of the 4-row per-label totals — the eval costs one extra
+    tiny aggregate over the prediction scan, so it can run on every
+    corpus snapshot, not just offline."""
+    preds = text_langid_heuristic(spark, sf_dir)
+    tot = preds.groupBy("label_lang").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    return (
+        preds.groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(tot), "label_lang")
+        .select(
+            "label_lang",
+            "pred_lang",
+            "n",
+            F.col("n_label").cast("long").alias("label_total"),
+            (
+                F.floor(
+                    F.col("n") * F.lit(1.0) / F.col("n_label") * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("cell_rate"),
+        )
+    )

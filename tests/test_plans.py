@@ -912,3 +912,21 @@ def test_incremental_join_deltas_engage(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_langid_confusion_conserves_rows(spark, sf_dir):
+    """text_langid_confusion: per true-lang row the cell counts must sum
+    to label_total and the cell rates to ~1; totals must cover the whole
+    corpus (every doc lands in exactly one cell)."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.text import text_langid_confusion
+
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label_lang, []).append(r)
+    for label, rs in by_label.items():
+        assert sum(r.n for r in rs) == rs[0].label_total
+        assert abs(sum(r.cell_rate for r in rs) - 1.0) < 1e-4
