@@ -1354,3 +1354,114 @@ def corpus_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(F.broadcast(leak)).select(
         "split", "n_docs", "n_clusters", "total_chars", "leaked_clusters"
     )
+
+
+_LPA_ITERS = 3
+
+_LPA_STEP = """, nbr{k} AS (
+        SELECT e.dst AS id, l.lbl FROM edges e JOIN l{p} l ON l.id = e.src
+        UNION ALL
+        SELECT id, lbl FROM l{p}
+    ), cnt{k} AS (
+        SELECT id, lbl, count(*) AS c FROM nbr{k} GROUP BY id, lbl
+    ), l{k} AS (
+        SELECT id, lbl FROM (
+            SELECT *, row_number() OVER (PARTITION BY id
+                                         ORDER BY c DESC, lbl) AS rn
+            FROM cnt{k})
+        WHERE rn = 1
+    )"""
+
+_LPA_ORACLE = (
+    _ORACLE_BANDS_CTES
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), l0 AS (
+        SELECT DISTINCT src AS id, src AS lbl FROM edges
+    )"""
+    + "".join(_LPA_STEP.format(k=k, p=k - 1) for k in range(1, _LPA_ITERS + 1))
+    + f"""
+    SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label
+    FROM l{_LPA_ITERS}
+"""
+)
+
+
+@query("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the near-duplicate graph — the fourth graph algorithm
+    next to CC / PageRank / triangles, and the cheap community signal
+    when components are too coarse (CC merges through every bridge;
+    LPA's majority vote resists single spurious edges). Three SYNCHRONOUS
+    rounds from label = doc_id: each node adopts the most frequent label
+    among its neighbors' previous-round labels PLUS ITS OWN (the
+    self-inclusion damping — plain synchronous LPA oscillates on
+    bipartite structure: a 2-clique swaps labels every round forever,
+    found live by this op's first test run; with self-inclusion the
+    2-clique votes tie 1-1 and the min-label tie-break converges both
+    nodes to the pair minimum in one round). Ties to the smallest
+    label — every rule deterministic, so a fixed iteration count is
+    differential-testable: the oracle unrolls the identical three steps
+    as DuckDB CTEs. (Classic async LPA visits nodes in random order;
+    the synchronous variant is the one that maps to a shuffle per round
+    AND to a reproducible oracle.)
+
+    Scale: per round one edges⋈labels shuffle + one (id, lbl) grouped
+    count + one per-id argmax — all key-partitioned; label state is one
+    long per node; each round localCheckpoint-materialized so the plan
+    stays one join deep (the min_label_propagation plan-growth lesson).
+    Output restricted to nodes WITH neighbors (isolated docs trivially
+    keep their own label)."""
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(_LPA_ITERS):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("id").alias("src"), "lbl"), "src"
+                )
+                .select(F.col("dst").alias("id"), "lbl")
+                .unionAll(labels)
+            )
+            cnt = nbr.groupBy("id", "lbl").agg(F.count(F.lit(1)).alias("c"))
+            w = W.partitionBy("id").orderBy(F.col("c").desc(), "lbl")
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", "lbl")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").cast("long").alias("label")
+    )

@@ -328,3 +328,34 @@ def test_semantic_capped_identical_below_cap_engages_above(spark, sf_dir):
     n_base = pipeline_semantic_dedup(spark, big).count()
     n_capped = pipeline_semantic_dedup_capped(spark, big).count()
     assert n_capped < n_base  # the guard visibly engaged
+
+
+def test_label_propagation_labels_within_components(spark, sf_dir):
+    """graph_label_propagation: every LPA label must itself be a node id
+    from the same connected component (labels propagate along edges, so
+    they can never escape a component), and within a 2-clique both nodes
+    must converge to the pair's min id."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.operators.dedup import _verified_pairs
+    from presto_truffle_spark.operators.quality_ops import (
+        graph_label_propagation,
+        large_small_star_components,
+    )
+
+    lpa = {r.doc_id: r.label for r in graph_label_propagation(spark, sf_dir).collect()}
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = {r.doc_id: r.component for r in large_small_star_components(edges).collect()}
+    assert set(lpa) == set(comp)
+    for node, label in lpa.items():
+        assert comp[label] == comp[node], (node, label)
+    # 2-cliques (components of exactly two nodes) converge to min id
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    for node, label in lpa.items():
+        if sizes[comp[node]] == 2:
+            assert label == comp[node]  # star-CC labels by min id too
