@@ -605,3 +605,26 @@ def test_fuzz_lateral_sample(spark):
         assert failures == []
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_array_index_conventions_pinned(spark):
+    """FIXTURES.md r9: array indexing parity — OOB yields NULL on both
+    (Spark try_element_at(a, 5) == DuckDB a[5]), negative indexes count
+    from the end on both, slice clamps past-the-end on both. The ONE
+    asymmetry: index ZERO — Spark's try_element_at STILL raises
+    INVALID_INDEX_OF_ZERO (the try_ guards out-of-range, not
+    zero), while DuckDB a[0] is NULL. Shared oracles must never
+    generate index 0."""
+    from pyspark.errors import PySparkValueError, PySparkRuntimeError
+
+    assert spark.sql("SELECT try_element_at(array(1,2), 5) v").collect()[0].v is None
+    assert spark.sql("SELECT element_at(array(1,2), -1) v").collect()[0].v == 2
+    assert spark.sql("SELECT slice(array(1,2,3), 2, 99) v").collect()[0].v == [2, 3]
+    with pytest.raises(Exception) as ei:
+        spark.sql("SELECT try_element_at(array(1,2), 0) v").collect()
+    assert "INVALID_INDEX_OF_ZERO" in str(ei.value)
+    con = duckdb.connect()
+    assert con.execute("SELECT ([1,2])[5]").fetchone()[0] is None
+    assert con.execute("SELECT ([1,2])[0]").fetchone()[0] is None  # NULL, no error
+    assert con.execute("SELECT ([1,2])[-1]").fetchone()[0] == 2
+    assert con.execute("SELECT list_slice([1,2,3], 2, 99)").fetchone()[0] == [2, 3]
