@@ -175,3 +175,114 @@ def events_malformed_json_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("j.k").alias("n_k_extracted"),
     )
 
+
+
+@query(
+    "pipeline_budgeted_release",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tok,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS ttr
+        FROM documents
+    ), thr AS (
+        SELECT source, quantile_cont(ttr, 0.50) AS src_median
+        FROM scored GROUP BY source
+    ), gated AS (
+        SELECT s.* FROM scored s JOIN thr USING (source)
+        WHERE s.ttr >= thr.src_median
+    ), survivors AS (
+        SELECT * FROM gated
+        WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)
+    ), bucketed AS (
+        SELECT *, CAST(floor(ttr * 1000) AS BIGINT) AS bucket FROM survivors
+    ), tot AS (
+        SELECT CAST(floor(sum(n_tok) * 0.25) AS BIGINT) AS budget
+        FROM bucketed
+    ), brun AS (
+        SELECT bucket, sum(btok) OVER (ORDER BY bucket DESC) AS cum
+        FROM (SELECT bucket, sum(n_tok) AS btok FROM bucketed GROUP BY bucket)
+    ), keep AS (
+        SELECT bucket FROM brun CROSS JOIN tot WHERE cum <= budget
+    ), selected AS (
+        SELECT b.* FROM bucketed b JOIN keep USING (bucket)
+    )
+    SELECT CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM selected
+    GROUP BY 1
+    """,
+)
+def pipeline_budgeted_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budgeted-release pipeline — four registered disciplines chained
+    the way a data-selection job actually runs them, the composition
+    itself differentially tested: (1) per-source calibrated quality gate
+    (`corpus_quality_calibrated`: keep >= in-source median TTR — one
+    grouped percentile + broadcast thresholds); (2) exact dedup
+    survivors (`dedup_exact_survivors`: min doc_id per text — one digest
+    shuffle); (3) token-budget selection over the SURVIVING corpus
+    (`corpus_token_budget_select`: 25% of post-dedup tokens via
+    1000-bucket quantization — bounded aggregate + broadcast kept-bucket
+    filter, no global running-sum window); (4) content-hash train/val/
+    test accounting (`corpus_hash_split` thresholds — map-side). Stage
+    order matters and is the production order: gating before dedup
+    shrinks the shuffle; dedup before budgeting stops duplicates from
+    double-claiming token budget; the split happens last so all three
+    splits draw from one curated pool. Four shuffles end to end, zero
+    collects, every intermediate bounded by the corpus it filters."""
+    from presto_truffle_spark.operators.corpus_ops import _TRAIN_HI, _VAL_HI
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6
+        ).alias("ttr"),
+    )
+    thr = scored.groupBy("source").agg(
+        F.percentile("ttr", F.lit(0.5)).alias("src_median")
+    )
+    gated = (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("ttr") >= F.col("src_median"))
+        .drop("src_median")
+    )
+    keep_ids = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keep_ids, "doc_id", "left_semi")
+    bucketed = survivors.withColumn(
+        "bucket", F.floor(F.col("ttr") * 1000).cast("long")
+    )
+    tot = bucketed.agg(
+        F.floor(F.sum("n_tok") * F.lit(0.25)).cast("long").alias("budget")
+    )
+    from pyspark.sql import Window as W
+
+    brun = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("btok"))
+        .withColumn("cum", F.sum("btok").over(W.orderBy(F.col("bucket").desc())))
+    )
+    keep = (
+        brun.join(F.broadcast(tot))
+        .filter(F.col("cum") <= F.col("budget"))
+        .select("bucket")
+    )
+    selected = bucketed.join(F.broadcast(keep), "bucket")
+    bucket2 = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    split = (
+        F.when(bucket2 < _TRAIN_HI, "train")
+        .when(bucket2 < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return selected.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )

@@ -930,3 +930,38 @@ def test_langid_confusion_conserves_rows(spark, sf_dir):
     for label, rs in by_label.items():
         assert sum(r.n for r in rs) == rs[0].label_total
         assert abs(sum(r.cell_rate for r in rs) - 1.0) < 1e-4
+
+
+def test_budgeted_release_stage_conservation(spark, sf_dir):
+    """pipeline_budgeted_release: the released token mass must fit 25% of
+    the POST-dedup gated corpus (not the raw corpus — dedup-before-
+    budget is the stage-order contract), every split is one of
+    train/val/test, and the pipeline keeps strictly fewer docs than the
+    gate alone (dedup + budget both bite on the fixture)."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.pipelines import (
+        pipeline_budgeted_release,
+    )
+
+    rows = pipeline_budgeted_release(spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    released_tokens = sum(r.total_tokens for r in rows)
+    released_docs = sum(r.n_docs for r in rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "source", "text",
+        F.size(toks).alias("n_tok"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+    )
+    thr = scored.groupBy("source").agg(F.percentile("ttr", F.lit(0.5)).alias("m"))
+    gated = scored.join(thr, "source").filter(F.col("ttr") >= F.col("m"))
+    gated_survivor_tokens = (
+        gated.groupBy("text").agg(F.min("n_tok").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert released_tokens <= int(gated_survivor_tokens * 0.25)
+    assert 0 < released_docs < gated.count()
