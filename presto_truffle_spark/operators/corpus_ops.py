@@ -640,6 +640,14 @@ def corpus_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6
         ).alias("ttr"),
     )
+    # t feeds the threshold aggregate AND the gate join — above the
+    # tfidf size gate one cache write of 3 small cols beats two
+    # tokenize scans (rescan audit: documents x2)
+    from presto_truffle_spark.cache import input_bytes, scoped_persist
+    from presto_truffle_spark.operators.text import _TFIDF_PERSIST_MIN_BYTES
+
+    if input_bytes(sf_dir, "documents") >= _TFIDF_PERSIST_MIN_BYTES:
+        t = scoped_persist(spark, "corpus.quality_calibrated.t", t)
     thr = t.groupBy("source").agg(
         F.percentile("ttr", F.lit(0.5)).alias("src_median")
     )

@@ -255,11 +255,22 @@ def pipeline_budgeted_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ttr") >= F.col("src_median"))
         .drop("src_median")
     )
+    # the pipeline re-reads its intermediates heavily (rescan audit:
+    # documents x12 uncached — scored x2, gated x2, bucketed x3
+    # multiply); above the tfidf gate, persist the two hubs
+    from presto_truffle_spark.cache import input_bytes, scoped_persist
+    from presto_truffle_spark.operators.text import _TFIDF_PERSIST_MIN_BYTES
+
+    big = input_bytes(sf_dir, "documents") >= _TFIDF_PERSIST_MIN_BYTES
+    if big:
+        gated = scoped_persist(spark, "pipeline.budgeted.gated", gated)
     keep_ids = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     survivors = gated.join(keep_ids, "doc_id", "left_semi")
     bucketed = survivors.withColumn(
         "bucket", F.floor(F.col("ttr") * 1000).cast("long")
     )
+    if big:
+        bucketed = scoped_persist(spark, "pipeline.budgeted.bucketed", bucketed)
     tot = bucketed.agg(
         F.floor(F.sum("n_tok") * F.lit(0.25)).cast("long").alias("budget")
     )

@@ -837,18 +837,21 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted) cell, the count and the row-normalized rate (diagonal
     cells are per-language recall; off-diagonal rows show WHERE the
     marker table fails, which is what you fix). Composes the registered
-    `text_langid_heuristic` predictions with one grouped count and a
-    broadcast of the 4-row per-label totals — the eval costs one extra
-    tiny aggregate over the prediction scan, so it can run on every
-    corpus snapshot, not just offline."""
+    `text_langid_heuristic` predictions with ONE grouped count; the
+    per-label totals derive from the tiny cell table itself (sum of
+    cells per true label), so the eval costs exactly one corpus scan —
+    it can run on every corpus snapshot, not just offline."""
     preds = text_langid_heuristic(spark, sf_dir)
-    tot = preds.groupBy("label_lang").agg(
-        F.count(F.lit(1)).alias("n_label")
+    cells = preds.groupBy("label_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
+    # label totals as a WINDOW over the <=16-row cell table — a separate
+    # groupBy-then-join would fork the lineage and re-scan the corpus
+    # (rescan audit caught exactly that); the window keeps ONE scan
     return (
-        preds.groupBy("label_lang", "pred_lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .join(F.broadcast(tot), "label_lang")
+        cells.withColumn(
+            "n_label", F.sum("n").over(W.partitionBy("label_lang"))
+        )
         .select(
             "label_lang",
             "pred_lang",
