@@ -544,3 +544,77 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH sums AS (
+        SELECT l_linestatus,
+               count(*) AS n,
+               sum(l_quantity) AS s1,
+               sum(l_quantity * l_quantity) AS s2,
+               sum(l_quantity * l_quantity * l_quantity) AS s3,
+               sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        FROM lineitem
+        GROUP BY l_linestatus
+    ), moments AS (
+        SELECT l_linestatus, n,
+               s1 / n AS m1,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                 + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                 + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM sums
+    )
+    SELECT l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           floor(m3 / power(m2, 1.5) * 1000000 + 0.5) / 1000000
+               AS skew_pop,
+           floor((m4 / (m2 * m2) - 3) * 1000000 + 0.5) / 1000000
+               AS kurt_pop
+    FROM moments
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g1 and excess kurtosis g2 per group, derived
+    from RAW POWER SUMS (n, Σx, Σx², Σx³, Σx⁴) with the central-moment
+    identities — NOT from the engines' built-ins, whose bias conventions
+    diverge (probed r9: Spark skewness/kurtosis are POPULATION moments,
+    equal to DuckDB's kurtosis_pop; DuckDB's default skewness/kurtosis
+    apply the sample bias correction — pinned in
+    tests/test_fuzz_differential.py). The power-sum spelling sidesteps
+    the convention entirely AND is exactly engine-identical here:
+    l_quantity is integer-valued (1..50), so every power sum is an exact
+    integer below 2^53 — bit-equal in ANY accumulation order, no ulp
+    drift before the final divisions. Scale: one scan, one partial
+    aggregate per group (power sums are the textbook mergeable moment
+    state — the same shape stddev uses internally)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
+    m4 = (
+        s4 / n
+        - 4 * m1 * (s3 / n)
+        + 6 * m1 * m1 * (s2 / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    r6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return sums.select(
+        "l_linestatus",
+        n.cast("long").alias("n"),
+        r6(m3 / F.pow(m2, 1.5)).alias("skew_pop"),
+        r6(m4 / (m2 * m2) - 3).alias("kurt_pop"),
+    )

@@ -628,3 +628,32 @@ def test_array_index_conventions_pinned(spark):
     assert con.execute("SELECT ([1,2])[0]").fetchone()[0] is None  # NULL, no error
     assert con.execute("SELECT ([1,2])[-1]").fetchone()[0] == 2
     assert con.execute("SELECT list_slice([1,2,3], 2, 99)").fetchone()[0] == [2, 3]
+
+
+def test_moment_bias_convention_divergence_pinned(spark):
+    """FIXTURES.md r9: Spark's skewness/kurtosis built-ins compute
+    POPULATION moments — Spark kurtosis equals DuckDB's kurtosis_pop —
+    while DuckDB's default skewness/kurtosis apply the sample bias
+    correction. Shared oracles must derive moments from raw power sums
+    (agg_higher_moments) or match _pop variants explicitly."""
+    import math
+
+    vals = [1.0, 2.0, 2.5, 7.0, 9.5]
+    r = spark.sql(
+        "SELECT skewness(v) s, kurtosis(v) k FROM VALUES (1.0),(2.0),(2.5),(7.0),(9.5) t(v)"
+    ).collect()[0]
+    con = duckdb.connect()
+    d_kpop = con.execute(
+        "SELECT kurtosis_pop(v) FROM (VALUES (1.0),(2.0),(2.5),(7.0),(9.5)) t(v)"
+    ).fetchone()[0]
+    d_k = con.execute(
+        "SELECT kurtosis(v) FROM (VALUES (1.0),(2.0),(2.5),(7.0),(9.5)) t(v)"
+    ).fetchone()[0]
+    assert math.isclose(r.k, d_kpop, rel_tol=1e-9)  # population == _pop
+    assert not math.isclose(r.k, d_k, rel_tol=1e-3)  # default diverges
+    # and the population values recompute from raw moments
+    n = len(vals)
+    m1 = sum(vals) / n
+    m2 = sum((x - m1) ** 2 for x in vals) / n
+    m3 = sum((x - m1) ** 3 for x in vals) / n
+    assert math.isclose(r.s, m3 / m2 ** 1.5, rel_tol=1e-9)
