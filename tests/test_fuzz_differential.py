@@ -657,3 +657,37 @@ def test_moment_bias_convention_divergence_pinned(spark):
     m2 = sum((x - m1) ** 2 for x in vals) / n
     m3 = sum((x - m1) ** 3 for x in vals) / n
     assert math.isclose(r.s, m3 / m2 ** 1.5, rel_tol=1e-9)
+
+
+def test_implicit_coercion_divergences_pinned(spark):
+    """FIXTURES.md r9: implicit-coercion lattice differences probed.
+    (a) string-vs-int comparison: BOTH engines agree on integer-shaped
+    strings ('5' = 5, '05' = 5 are TRUE), but Spark coerces the string
+    to the INTEGER side and RAISES CAST_INVALID_INPUT on '5.0' = 5,
+    where DuckDB widens both to double (TRUE). (b) 1 = true: Spark
+    rejects the int/boolean comparison at analysis; DuckDB accepts.
+    (c) greatest(1, 2.5, '3'): Spark requires one common type and
+    rejects; DuckDB coerces to double. Shared oracle SQL must cast
+    explicitly at every cross-type comparison."""
+    assert spark.sql("SELECT '5' = 5 v").collect()[0].v is True
+    assert spark.sql("SELECT '05' = 5 v").collect()[0].v is True
+    with pytest.raises(Exception) as e1:
+        spark.sql("SELECT '5.0' = 5 v").collect()
+    assert "CAST_INVALID_INPUT" in str(e1.value)
+    with pytest.raises(Exception) as e2:
+        spark.sql("SELECT 1 = true v").collect()
+    assert "DATATYPE_MISMATCH" in str(e2.value)
+    with pytest.raises(Exception) as e3:
+        spark.sql("SELECT greatest(1, 2.5, '3') v").collect()
+    assert "DATATYPE_MISMATCH" in str(e3.value)
+    con = duckdb.connect()
+    assert con.execute("SELECT '5.0' = 5").fetchone()[0] is True
+    assert con.execute("SELECT 1 = true").fetchone()[0] is True
+    assert con.execute("SELECT greatest(1, 2.5, '3')").fetchone()[0] == 3.0
+    # shared ground the families rely on: || stringifies, / is true
+    # division, % keeps the dividend sign — all agree
+    assert spark.sql("SELECT '1' || 2 v").collect()[0].v == "12"
+    assert con.execute("SELECT '1' || 2").fetchone()[0] == "12"
+    assert spark.sql("SELECT 5 / 2 v").collect()[0].v == 2.5
+    assert spark.sql("SELECT -7 % 2 v").collect()[0].v == -1
+    assert con.execute("SELECT -7 % 2").fetchone()[0] == -1
