@@ -1328,3 +1328,64 @@ def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+_DECAY_HALF_LIFE_S = 604800.0  # one-week half-life
+
+
+@query(
+    "events_decayed_counts",
+    oracle=f"""
+    WITH mx AS (
+        SELECT date_trunc('second', max(ts)) AS max_ts FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(power(0.5,
+                           date_diff('second', date_trunc('second', ts),
+                                     max_ts) / {_DECAY_HALF_LIFE_S}))
+                 * 1000000 + 0.5) / 1000000 AS decayed_weight,
+           floor(sum(value * power(0.5,
+                           date_diff('second', date_trunc('second', ts),
+                                     max_ts) / {_DECAY_HALF_LIFE_S}))
+                 * 1000000 + 0.5) / 1000000 AS decayed_value
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-key activity (half-life one week, anchored
+    at the corpus max timestamp — the 30-day fixture then spans weights
+    0.05..1, keeping the per-user sums O(n): an earlier 1-hour draft
+    made every sum ~1e-4, the same scale as the 6dp round, and
+    sum-order ulp drift flipped the last digit cross-engine): the streaming-analytics primitive behind
+    "recent activity" scores — unlike a sliding window, every event
+    contributes forever with weight 0.5^(age/half-life), and the state
+    is a single mergeable weighted sum per key (rescale-and-add under a
+    new anchor: multiply the old sum by the decay of the anchor shift —
+    what a production job does per checkpoint instead of rescanning).
+    Age is an INTEGER second count from zone-free timestamp arithmetic
+    (`timestampdiff` ≡ `date_diff` — no epoch extraction, so no session-
+    timezone sensitivity on the NTZ fixture), making every pow() operand
+    bit-identical across engines; only the final sums carry float
+    accumulation, absorbed by the 6dp floor-round. Scale: one scan, the
+    1-row max broadcast, one grouped sum — the same shape as any
+    distributive aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.date_trunc("second", F.max("ts")).alias("max_ts"))
+    # whole-second truncation on BOTH operands before the diff: with
+    # fractional timestamps the engines count partial seconds
+    # differently (caught by the oracle at 1e-6 relative); on truncated
+    # operands the boundary count IS the exact integer difference
+    age_s = F.expr("timestampdiff(SECOND, date_trunc('second', ts), max_ts)")
+    decay = F.pow(F.lit(0.5), age_s / F.lit(_DECAY_HALF_LIFE_S))
+    r6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return (
+        e.join(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            r6(F.sum(decay)).alias("decayed_weight"),
+            r6(F.sum(F.col("value") * decay)).alias("decayed_value"),
+        )
+    )
