@@ -414,3 +414,86 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_cents"
         ),
     )
+
+
+@query(
+    "source_csv_quoting_edge",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, doc_id % 5 AS grp,
+               'v,' || substr(text, 1, 8) || '"x""y"' || chr(10) || 'tail'
+                   AS s,
+               CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'nz' END AS e,
+               CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'val' END AS m
+        FROM documents
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(s)) AS BIGINT) AS s_len,
+           CAST(sum(CASE WHEN e = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           min(s) AS min_s
+    FROM v GROUP BY grp
+    """,
+)
+def source_csv_quoting_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting round-trip under ADVERSARIAL values — embedded field
+    delimiters, embedded double quotes, embedded NEWLINES, and the
+    empty-string-vs-NULL distinction (the four things that actually
+    break CSV pipelines; the plain roundtrip above never exercises
+    them). Values are derived deterministically from documents, written
+    through Spark's CSV sink and read back with an explicit schema +
+    ``multiLine`` (required: a quoted embedded newline spans physical
+    lines) + an explicit ``nullValue`` ('\\N') plus
+    ``emptyValue`` = '""' ON WRITE — serializing '' as a QUOTED empty
+    field is the only spelling Spark reads back as '' rather than NULL
+    (probed: an unquoted empty field is NULL on read regardless of read
+    options — the classic silent corruption).
+    The oracle recomputes the aggregate straight from parquet, so any
+    mangling in quote escaping, newline handling, or empty/NULL
+    round-tripping breaks counts, lengths, or the min string."""
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("grp"),
+        F.concat(
+            F.lit("v,"),
+            F.substring("text", 1, 8),
+            F.lit('"x""y"'),
+            F.lit("\n"),
+            F.lit("tail"),
+        ).alias("s"),
+        F.when(F.col("doc_id") % 7 == 0, "").otherwise("nz").alias("e"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise("val")
+        .alias("m"),
+    )
+    path = _scoped_scratch(spark, "csv_quoting_edge")
+    (
+        v.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id bigint, grp bigint, s string, e string, m string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+    return back.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("s")).cast("long").alias("s_len"),
+        F.sum(F.when(F.col("e") == "", 1).otherwise(0)).cast("long").alias(
+            "n_empty"
+        ),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_null"
+        ),
+        F.min("s").alias("min_s"),
+    )
