@@ -1389,3 +1389,100 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum(F.col("value") * decay)).alias("decayed_value"),
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT date_trunc('second', ts) AS s,
+               date_trunc('second', ts)
+                 + to_seconds(CAST(event_id % 300 + 60 AS INTEGER)) AS e
+        FROM events
+    ), deltas AS (
+        SELECT s AS t, 1 AS pos, 0 AS neg FROM iv
+        UNION ALL
+        SELECT e AS t, 0 AS pos, 1 AS neg FROM iv
+    ), per_t AS (
+        SELECT t, sum(pos) AS pos, sum(neg) AS neg
+        FROM deltas GROUP BY t
+    ), c AS (
+        SELECT t, pos, neg,
+               sum(pos - neg) OVER (ORDER BY t) AS cum
+        FROM per_t
+    )
+    SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS bucket,
+           CAST(max(cum - (pos - neg) + pos) AS BIGINT) AS max_concurrent
+    FROM c
+    GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour over synthetic event intervals
+    ([ts, ts + (event_id%300 + 60)s]) — the interval-stacking sweep
+    (+1 at start, -1 at end, running sum) behind "max concurrent
+    sessions/connections/jobs". The naive spelling is ONE global
+    ordered running sum — a single-partition window over every boundary
+    in the corpus, the canonical prefix-sum scaling trap — and that
+    naive sweep IS the DuckDB oracle. The Spark side runs the
+    DISTRIBUTED two-pass prefix sum instead: (1) net boundary deltas
+    aggregate per (hour-bucket, second); (2) per-bucket TOTALS (one row
+    per hour) get a tiny running-sum window — the carry into each
+    bucket; (3) the within-bucket running sum is a window PARTITIONED
+    by bucket (parallel across hours), shifted by the broadcast carry.
+    The differential proves the decomposition exactly equals the global
+    sweep. Tie semantics pinned: at equal timestamps starts count
+    before ends (peak at t = carry + cum_before + starts_at_t), so
+    back-to-back touching intervals count as overlapping — integer
+    arithmetic only, no float anywhere."""
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    e = load_table(spark, sf_dir, "events")
+    # trunc_ntz, NOT date_trunc: Spark's date_trunc coerces NTZ input to
+    # session-zone LTZ — harmless inside a difference (decayed_counts)
+    # but these buckets are OUTPUT columns, and the LA-TZ gate caught
+    # the shifted rendering
+    s_ntz = trunc_ntz("second", F.col("ts"))
+    iv = e.select(
+        s_ntz.alias("s"),
+        F.timestamp_add(
+            "SECOND", (F.col("event_id") % 300 + 60).cast("int"), s_ntz
+        ).alias("e"),
+    )
+    deltas = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("pos"), F.lit(0).alias("neg")
+    ).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(0).alias("pos"), F.lit(1).alias("neg"))
+    )
+    per_t = (
+        deltas.groupBy("t")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+        .withColumn("bucket", trunc_ntz("hour", F.col("t")))
+    )
+    # pass 1: per-bucket net totals (one row per hour)
+    btot = per_t.groupBy("bucket").agg(
+        F.sum(F.col("pos") - F.col("neg")).alias("net")
+    )
+    # pass 2: carry into each bucket — a window over ~hours rows only
+    wcarry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = btot.select(
+        "bucket", F.coalesce(F.sum("net").over(wcarry), F.lit(0)).alias("carry")
+    )
+    # pass 3: within-bucket running sum, parallel across buckets
+    win = W.partitionBy("bucket").orderBy("t")
+    within = per_t.withColumn(
+        "cum_in", F.sum(F.col("pos") - F.col("neg")).over(win)
+    )
+    peak = (
+        within.join(F.broadcast(carry), "bucket")
+        .withColumn(
+            "peak_at_t",
+            F.col("carry")
+            + F.col("cum_in")
+            - (F.col("pos") - F.col("neg"))
+            + F.col("pos"),
+        )
+    )
+    return peak.groupBy("bucket").agg(
+        F.max("peak_at_t").cast("long").alias("max_concurrent")
+    )

@@ -965,3 +965,51 @@ def test_budgeted_release_stage_conservation(spark, sf_dir):
     )
     assert released_tokens <= int(gated_survivor_tokens * 0.25)
     assert 0 < released_docs < gated.count()
+
+
+def test_peak_concurrency_matches_naive_sweep(spark, sf_dir):
+    """events_peak_concurrency: the distributed two-pass prefix sum must
+    equal a naive single-window global sweep computed in-Spark (the
+    oracle proves it cross-engine; this pins it in-engine so a refactor
+    of the carry logic can't silently shift bucket boundaries), and
+    concurrency must be positive wherever reported."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_peak_concurrency,
+    )
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    got = {
+        (r.bucket, r.max_concurrent)
+        for r in events_peak_concurrency(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    s = trunc_ntz("second", F.col("ts"))
+    iv = e.select(
+        s.alias("s"),
+        F.timestamp_add(
+            "SECOND", (F.col("event_id") % 300 + 60).cast("int"), s
+        ).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("pos"), F.lit(0).alias("neg")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(0).alias("pos"), F.lit(1).alias("neg"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    cum = per_t.withColumn(
+        "cum", F.sum(F.col("pos") - F.col("neg")).over(W.orderBy("t"))
+    )
+    naive = {
+        (r.bucket, r.m)
+        for r in cum.withColumn("bucket", trunc_ntz("hour", F.col("t")))
+        .withColumn(
+            "peak", F.col("cum") - (F.col("pos") - F.col("neg")) + F.col("pos")
+        )
+        .groupBy("bucket")
+        .agg(F.max("peak").cast("long").alias("m"))
+        .collect()
+    }
+    assert got == naive
+    assert all(m > 0 for _, m in got)
