@@ -771,3 +771,49 @@ def multimodal_dhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+@query(
+    "multimodal_dhash_collision_stats",
+    oracle=f"""
+    WITH groups AS (
+        SELECT dhash, count(*) AS sz
+        FROM ({_dhash_oracle_sql()})
+        GROUP BY dhash
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_images,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS intra_group_pairs
+    FROM groups
+    GROUP BY sz
+    """,
+)
+def multimodal_dhash_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision-size DISTRIBUTION of the perceptual-hash space — the
+    query you run BEFORE building any pairwise near-dup stage, because
+    its last column IS the pairing bill: intra_group_pairs sums
+    sz·(sz−1)/2 over groups of each size, the exact candidate-pair
+    count a bucket join would enumerate. Measured on this fixture it
+    shows the gradient-synth images concentrate massively (a banded
+    hamming<=3 pairing here would enumerate ~35% of ALL image pairs —
+    probed r9, and the reason that query was NOT built); a healthy
+    real-world corpus shows a long tail of size-1 groups and a small
+    duplicated head. Same per-bucket-cap decision input as
+    `ann_lsh_bucket_stats`/`dedup_lsh_bucket_guard`, instantiated for
+    the image modality. One hash groupBy + one size groupBy — both
+    key-partitioned, payload-free."""
+    dh = multimodal_image_dhash(spark, sf_dir).select("media_id", "dhash")
+    groups = dh.groupBy("dhash").agg(F.count(F.lit(1)).alias("sz"))
+    return groups.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_images"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias(
+            "intra_group_pairs"
+        ),
+    ).select(
+        F.col("sz").cast("long").alias("group_size"),
+        "n_groups",
+        "n_images",
+        "intra_group_pairs",
+    )
