@@ -369,3 +369,39 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wf).cast("long").alias("n_in_groups"),
         F.sum("cents").over(wf).cast("long").alias("groups_cents"),
     )
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, cents
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                          AS BIGINT) DESC) AS rnk
+        FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer WITH TIES (ANSI `FETCH FIRST n ROWS
+    WITH TIES` semantics): rank(), not row_number(), so every order
+    tied with the 3rd-best price is returned — the output is a
+    DETERMINISTIC SET with no tie-break column needed, where the
+    row_number spelling (`window_topk_per_group`) must invent an
+    arbitrary tie order and can silently drop a tied peer. Ranking on
+    integer cents makes tie detection exact (float ties are
+    representation-dependent). Same plan shape as any ranked window:
+    one shuffle on the partition key, per-partition sort, rank filter
+    pushed into the window operator."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.col("cents").desc())
+    return (
+        o.select("o_custkey", "o_orderkey", "cents", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .drop("rnk")
+    )
