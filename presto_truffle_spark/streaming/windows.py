@@ -826,3 +826,53 @@ def streaming_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFr
         F.max("cos").alias("max_cos"),
     )
     return _run_to_memory(agg, "complete")
+
+
+_SDECAY_ANCHOR = "2024-01-31 00:00:00"  # fixed anchor just past the fixture
+_SDECAY_HALF_LIFE_S = 604800.0  # one week (the events_decayed_counts lesson)
+
+
+@query(
+    "streaming_decayed_counts",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(power(0.5,
+                   date_diff('second', date_trunc('second', ts),
+                             TIMESTAMP '{_SDECAY_ANCHOR}')
+                   / {_SDECAY_HALF_LIFE_S})) * 1000000 + 0.5) / 1000000
+               AS decayed_weight
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_decayed_counts`: per-user half-life-
+    weighted activity as a GENUINE readStream aggregation. The decay
+    anchor is a FIXED literal timestamp (just past the fixture) instead
+    of max(ts) — an aggregate-dependent anchor is not expressible inside
+    a single streaming aggregation, and a fixed anchor is also the
+    production shape (the serving layer rescales by
+    0.5^(shift/half-life) when it moves the anchor — the same mergeable
+    rescale-and-add identity, applied at read time). The per-event decay
+    is a map-side expression, so the streaming plan is an ordinary
+    stateful groupBy aggregation in complete mode → result ≡ batch →
+    full DuckDB oracle. Whole-second truncation on the event side only
+    (the anchor is already whole-second) — the fractional-second
+    timestamp-diff divergence pinned in FIXTURES.md."""
+    e = _events_stream(spark, sf_dir)
+    age_s = F.expr(
+        f"timestampdiff(SECOND, date_trunc('second', ts), "
+        f"to_timestamp('{_SDECAY_ANCHOR}'))"
+    )
+    decay = F.pow(F.lit(0.5), age_s / F.lit(_SDECAY_HALF_LIFE_S))
+    agg = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.floor(F.sum(decay) * 1_000_000 + F.lit(0.5)) / 1_000_000
+            ).alias("decayed_weight"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
