@@ -1486,3 +1486,58 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.groupBy("bucket").agg(
         F.max("peak_at_t").cast("long").alias("max_concurrent")
     )
+
+
+@query(
+    "events_velocity_windows",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w5m AS BIGINT) AS n_5m,
+           CAST(count(*) OVER w1h AS BIGINT) AS n_1h,
+           CAST(count(*) OVER w24h AS BIGINT) AS n_24h
+    FROM (
+        SELECT event_id, user_id,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                         date_trunc('second', ts)) AS sec
+        FROM events)
+    WINDOW
+        w5m AS (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 299 PRECEDING AND CURRENT ROW),
+        w1h AS (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+        w24h AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_velocity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon velocity counts — for every event, how many events
+    the same user produced in the trailing 5 minutes / 1 hour / 24 hours
+    (inclusive) — the standard fraud/abuse/rate-limit feature vector,
+    computed as three RANGE frames over whole-second epoch offsets
+    SHARING one (user_id, sec) shuffle+sort: Spark compiles same-
+    partition same-order frames into one Window operator pass, so the
+    three horizons cost one sort plus per-frame pointer ranges, not
+    three shuffles. Whole-second truncation per the pinned fractional-
+    second divergence; epoch seconds as integers make RANGE bounds
+    exact. Peer rows (same user, same second) are always in-frame
+    together, so the per-event counts are deterministic without an
+    intra-second tie-break."""
+    from presto_truffle_spark.tztime import epoch_s, trunc_ntz
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        epoch_s(trunc_ntz("second", F.col("ts"))).cast("long").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec")
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w.rangeBetween(-299, 0)).cast("long").alias("n_5m"),
+        F.count(F.lit(1)).over(w.rangeBetween(-3599, 0)).cast("long").alias("n_1h"),
+        F.count(F.lit(1))
+        .over(w.rangeBetween(-86399, 0))
+        .cast("long")
+        .alias("n_24h"),
+    )

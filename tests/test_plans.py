@@ -1013,3 +1013,18 @@ def test_peak_concurrency_matches_naive_sweep(spark, sf_dir):
     }
     assert got == naive
     assert all(m > 0 for _, m in got)
+
+
+def test_velocity_windows_single_exchange_and_monotone(spark, sf_dir):
+    """events_velocity_windows: the three horizon frames must share ONE
+    hash exchange (same partition key + order), and per row the counts
+    must be monotone: 1 <= n_5m <= n_1h <= n_24h."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_velocity_windows,
+    )
+
+    df = events_velocity_windows(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for r in df.collect():
+        assert 1 <= r.n_5m <= r.n_1h <= r.n_24h
