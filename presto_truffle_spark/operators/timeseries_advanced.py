@@ -1541,3 +1541,69 @@ def events_velocity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_24h"),
     )
+
+
+@query(
+    "events_error_streaks",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id,
+                                  CASE WHEN event_type = 'error'
+                                       THEN 1 ELSE 0 END
+                                  ORDER BY ts, event_id) AS rn_cond
+        FROM events
+    ), streaks AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS streak_len,
+               CAST(min(event_id) AS BIGINT) AS first_event
+        FROM seq
+        WHERE event_type = 'error'
+        GROUP BY user_id, rn - rn_cond
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS max_error_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(min(first_event) AS BIGINT) AS earliest_streak_start
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def events_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-error run per user — the boolean gaps-and-
+    islands classic via the two-row_number difference trick: rn over
+    the full sequence minus rn over the condition-partitioned sequence
+    is CONSTANT within each maximal run of equal condition, so grouping
+    errors by that difference yields one row per streak, then a per-user
+    max/count. Complements `events_sessionize_islands` (time-gap
+    islands) with VALUE-streak islands — the alerting primitive behind
+    "N consecutive failures". Both row_numbers share the (user_id, ts,
+    event_id) sort (one shuffle; the condition partition is a
+    subpartition of the user partition, and Spark evaluates both in one
+    Window pass over the same order). Deterministic: the (ts, event_id)
+    tie-break is total."""
+    e = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cond = W.partitionBy("user_id", is_err).orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_cond)).alias("grp"),
+    )
+    streaks = (
+        seq.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_len"),
+            F.min("event_id").cast("long").alias("first_event"),
+        )
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("max_error_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.min("first_event").cast("long").alias("earliest_streak_start"),
+    )
