@@ -34,7 +34,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from presto_truffle_spark.catalog import load_table
@@ -817,3 +817,67 @@ def multimodal_dhash_collision_stats(spark: SparkSession, sf_dir: str) -> DataFr
         "n_images",
         "intra_group_pairs",
     )
+
+
+_VAD_ENERGY_THRESHOLD = 56_000_000  # ~mean window energy of the synth PCM
+
+
+@query(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH t AS (
+        SELECT d.doc_id,
+               r.range AS t
+        FROM documents d CROSS JOIN range(0, 499) r
+        WHERE r.range < d.doc_id % 400 + 100
+    ), s AS (
+        SELECT doc_id,
+               CAST(t // 160 AS INTEGER) AS win_idx,
+               ((doc_id * 31 + 7 * t * t) % 2048) - 1024 AS v
+        FROM t
+    ), wins AS (
+        SELECT doc_id, win_idx, sum(v * v) AS energy
+        FROM s GROUP BY doc_id, win_idx
+    ), active AS (
+        SELECT doc_id, win_idx,
+               win_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY win_idx) AS grp
+        FROM wins WHERE energy >= {_VAD_ENERGY_THRESHOLD}
+    )
+    SELECT doc_id AS media_id,
+           CAST(min(win_idx) AS INTEGER) AS seg_start_win,
+           CAST(max(win_idx) AS INTEGER) AS seg_end_win,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM active
+    GROUP BY doc_id, grp
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the decoded PCM: threshold the
+    per-window energies of `multimodal_audio_energy` (real byte decode,
+    windowed int16^2 sums) at ~the mean synth energy, then collapse
+    consecutive active windows into segments with the win_idx-minus-
+    row_number islands trick — the silence-trim / speech-span primitive
+    an audio corpus pipeline runs before transcription, composed from
+    the modality decode plus the gaps-and-islands machinery
+    (`events_error_streaks`). Window indices are consecutive integers
+    per clip, so the difference is constant exactly within each maximal
+    active run. The oracle recomputes everything from the generative
+    formula — threshold, islands and all — in exact integer arithmetic.
+    Scale: inherits the decode stages' map-only posture; the islands
+    window partitions by clip (thousands of parallel partitions), never
+    globally."""
+    wins = multimodal_audio_energy(spark, sf_dir).filter(
+        F.col("energy") >= _VAD_ENERGY_THRESHOLD
+    )
+    w = W.partitionBy("media_id").orderBy("win_idx")
+    active = wins.select(
+        "media_id",
+        "win_idx",
+        (F.col("win_idx") - F.row_number().over(w)).alias("grp"),
+    )
+    return active.groupBy("media_id", "grp").agg(
+        F.min("win_idx").cast("int").alias("seg_start_win"),
+        F.max("win_idx").cast("int").alias("seg_end_win"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).drop("grp")
