@@ -1607,3 +1607,60 @@ def events_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.min("first_event").cast("long").alias("earliest_streak_start"),
     )
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('second',
+                   lag(date_trunc('second', ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   date_trunc('second', ts)) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           floor(avg(gap_s) * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+           floor(quantile_cont(gap_s, 0.50) * 1000000 + 0.5) / 1000000
+               AS p50_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile — the burstiness fingerprint behind
+    rate-limit tuning and bot detection: lag-difference gaps (whole-
+    second, per the pinned fractional-second divergence; (ts, event_id)
+    total order) aggregated to count/min/max/mean/exact-median per
+    user. Median via the proven percentile ≡ quantile_cont pairing
+    (agg_percentiles); integer gaps make min/max/count exact and the
+    mean's float tail identical-in-distribution across engines under
+    the 6dp floor. One (user_id, ts) shuffle shared by the lag window
+    and the aggregate — Spark keeps the aggregation on the window's
+    partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    # date_trunc's NTZ->LTZ coercion cancels inside the DIFFERENCE
+    # (the events_decayed_counts precedent) — safe here because the
+    # truncated values are never output
+    gap = F.expr(
+        "timestampdiff(SECOND, "
+        "lag(date_trunc('second', ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+        "date_trunc('second', ts))"
+    )
+    gaps = e.select("user_id", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    r6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        r6(F.avg("gap_s")).alias("mean_gap_s"),
+        r6(F.percentile("gap_s", F.lit(0.5))).alias("p50_gap_s"),
+    )
