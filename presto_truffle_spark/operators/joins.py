@@ -445,3 +445,63 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(overlap_days).cast("long").alias("total_overlap_days"),
         )
     )
+
+
+@query(
+    "join_null_safe_keys",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                    ELSE s_nationkey END AS nk
+        FROM supplier
+    )
+    SELECT c.nk AS nation_key,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    """,
+)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on a NULL-SAFE key: Spark's `<=>` ≡ DuckDB's `IS NOT
+    DISTINCT FROM` — NULL keys MATCH each other instead of silently
+    dropping (the semantics record-linkage pipelines want when a blocking
+    key is missing on both sides: unknown-joins-unknown into one
+    residual block). Nullable keys are injected deterministically
+    (custkey%7 / suppkey%5). The crucial plan property: Spark compiles
+    `<=>` to an ordinary HASH join (null-safe equality is still a
+    deterministic key function — NULL hashes to a bucket like any
+    value), NOT a nested-loop — pinned in tests; a naive
+    `(a = b OR (a IS NULL AND b IS NULL))` spelling would fall off the
+    equi-join path into BroadcastNestedLoopJoin at scale. The NULL
+    block's size is the product of the two NULL populations — the same
+    degenerate-block hazard as LSH buckets; production caps or
+    special-cases it (dedup_lsh_bucket_guard discipline)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk_c"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk_s"),
+    )
+    return (
+        c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s")))
+        .groupBy(F.col("nk_c").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
+        )
+    )

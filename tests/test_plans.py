@@ -1028,3 +1028,17 @@ def test_velocity_windows_single_exchange_and_monotone(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     for r in df.collect():
         assert 1 <= r.n_5m <= r.n_1h <= r.n_24h
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """join_null_safe_keys: the <=> key must compile to a HASH join
+    (null-safe equality is a deterministic key function) — never a
+    cartesian/nested-loop, which is where the naive OR-spelling of
+    null-safety lands."""
+    from presto_truffle_spark.operators.joins import join_null_safe_keys
+
+    df = join_null_safe_keys(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
