@@ -192,3 +192,50 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@query(
+    "filter_like_any",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CASE WHEN p_name LIKE '%al%' OR p_name LIKE '%re%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+           CAST(sum(CASE WHEN p_name LIKE '%al%' AND p_name LIKE '%re%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+           CAST(sum(CASE WHEN p_name NOT LIKE '%al%'
+                          AND p_name NOT LIKE '%re%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_none
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def filter_like_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE quantifiers — Spark's `LIKE ANY (...)` / `LIKE ALL (...)` /
+    `NOT LIKE ALL (...)` sugar, which DuckDB lacks (the oracle spells
+    the same predicates as OR / AND chains — a one-sided-syntax pairing
+    like the TRY-arithmetic family). Per brand, n_any and n_none are
+    complements over the row universe (NONE ≡ NOT ANY by De Morgan) and
+    n_all <= n_any — the differential checks the quantifier sugar
+    desugars to exactly the chained spelling. Single scan, predicate entirely in the row path — LIKE chains fold
+    into one codegen stage; at scale the same shape rides a substring
+    index or a bloom prefilter when the pattern list grows."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.withColumn(
+            "m_any", F.expr("p_name LIKE ANY ('%al%', '%re%')")
+        )
+        .withColumn("m_all", F.expr("p_name LIKE ALL ('%al%', '%re%')"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("m_any"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_any"),
+            F.sum(F.when(F.col("m_all"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_all"),
+            F.sum(F.when(~F.col("m_any"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_none"),
+        )
+        .select("p_brand", "n_any", "n_all", "n_none")
+    )
