@@ -169,3 +169,38 @@ def test_quality_calibrated_per_source_gate(spark, sf_dir):
                 abs(r.ttr - r.src_median) < 1e-6
             )
     assert len(set(medians.values())) > 1
+
+
+def test_pack_bins_sorted_conserves_and_tightens(spark, sf_dir):
+    """corpus_pack_bins_sorted: token totals conserve per language (same
+    invariant as arrival-order packing) and the size-descending order
+    must not produce MORE bins than arrival order for any language — the
+    monotone-improvement property of packing big-first with the same
+    running-sum rule."""
+    import pyspark.sql.functions as F
+
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.corpus_ops import (
+        corpus_pack_bins,
+        corpus_pack_bins_sorted,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        r.lang: r.total
+        for r in d.groupBy("lang")
+        .agg(F.sum(F.expr("n_chars div 4")).alias("total"))
+        .collect()
+    }
+    srt = corpus_pack_bins_sorted(spark, sf_dir).collect()
+    got: dict[str, int] = {}
+    bins_sorted: dict[str, int] = {}
+    for r in srt:
+        got[r.lang] = got.get(r.lang, 0) + r.bin_tokens
+        bins_sorted[r.lang] = max(bins_sorted.get(r.lang, -1), r.bin_id)
+    assert got == want
+    bins_arrival: dict[str, int] = {}
+    for r in corpus_pack_bins(spark, sf_dir).collect():
+        bins_arrival[r.lang] = max(bins_arrival.get(r.lang, -1), r.bin_id)
+    for lang in bins_arrival:
+        assert bins_sorted[lang] <= bins_arrival[lang]
