@@ -505,3 +505,67 @@ def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "join_relational_division",
+    oracle="""
+    WITH cov AS (
+        SELECT o.o_custkey AS c_custkey,
+               n.n_regionkey AS regionkey,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT count(DISTINCT n_regionkey) AS n_regions FROM nation
+    )
+    SELECT c_custkey,
+           CAST(count(*) AS BIGINT) AS n_regions_covered,
+           CAST(sum(n_items) AS BIGINT) AS n_items
+    FROM cov CROSS JOIN tot
+    GROUP BY c_custkey, tot.n_regions
+    HAVING count(*) = tot.n_regions
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — 'customers who have bought from suppliers of
+    EVERY region' — the classic universally-quantified join (Codd's ÷)
+    that SQL lacks as a primitive and every engine spells as
+    count-distinct-equals-total: coverage pairs (customer, region)
+    reduce per customer and compare against the divisor cardinality.
+    The division itself costs one grouped count over the coverage pairs
+    plus a broadcast of the 1-row divisor count; the expensive part is
+    the coverage join (lineitem⋈orders⋈supplier⋈nation), which reuses
+    the star-join discipline: fixed-cardinality nation broadcast,
+    supplier routed by AQE, facts shuffle once. NOT EXISTS(divisor
+    EXCEPT covered) is the textbook alternative spelling — same answer,
+    but the anti-join per candidate is strictly more work than the
+    count comparison when the divisor is a constant set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cov = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_dim(su, "supplier"), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    tot = n.agg(F.countDistinct("n_regionkey").alias("n_regions"))
+    return (
+        cov.join(F.broadcast(tot))
+        .groupBy("c_custkey", "n_regions")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_regions_covered"),
+            F.sum("n_items").cast("long").alias("n_items"),
+        )
+        .filter(F.col("n_regions_covered") == F.col("n_regions"))
+        .drop("n_regions")
+    )
