@@ -569,3 +569,56 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regions_covered") == F.col("n_regions"))
         .drop("n_regions")
     )
+
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "join_market_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    """,
+)
+def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — part pairs appearing in the same
+    order, with support >= {_BASKET_MIN_SUPPORT} (the level-1 step of
+    association mining / co-view recommendation). The pair join is
+    SELF-JOIN ON THE BASKET KEY, so the pair space is Σ(basket_size²)
+    — bounded by the largest basket (TPC-H orders cap at 7 lines),
+    never the corpus square; the DISTINCT first collapses repeated
+    (order, part) lines so a part re-ordered twice in one basket
+    doesn't inflate support. This is the same bounded-block discipline
+    as LSH buckets, with the basket as the natural block — and the same
+    hazard: one pathological mega-basket blows the block square, so
+    production applies the dedup_lsh_bucket_guard cap to basket size
+    first. One shuffle on the basket key for the join, one on the pair
+    for the count."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
