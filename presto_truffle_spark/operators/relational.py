@@ -239,3 +239,69 @@ def filter_like_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_brand", "n_any", "n_all", "n_none")
     )
+
+
+@query(
+    "filter_skyline_2d",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_size
+        FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    """,
+)
+def filter_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (preference query): the parts no other part
+    beats on BOTH dimensions — cheaper-or-equal price AND
+    bigger-or-equal size, strict in at least one. The classic
+    "best price/quality trade-off" operator neither engine ships as a
+    keyword.
+
+    The naive formulation is the O(n²) dominance anti-join — that IS
+    the oracle. The Spark plan is the linear 2-D identity instead:
+    after sorting by price, a point survives iff its size strictly
+    exceeds every strictly-cheaper point's size and it is a max within
+    its own price group. Distributed shape (the same bucket discipline
+    as corpus_token_budget_select): one groupBy collapses the corpus to
+    per-price maxima — bounded by the PRICE GRID cardinality (1000
+    distinct cents values here; bounded at any corpus scale), NOT the
+    row count — the running max over strictly-preceding prices runs on
+    that reduced table (the only single-partition window, deliberately
+    over grid-bounded rows), and a broadcast join back tags every raw
+    row. Ties are exact: equal (price, size) points never dominate each
+    other, so duplicated frontier points all survive on both engines.
+    One scan + one grid-sized shuffle; no self-join at any scale."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    per_price = p.groupBy("price_cents").agg(F.max("p_size").alias("best_size"))
+    cheaper = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grid = per_price.withColumn(
+        "best_cheaper", F.max("best_size").over(cheaper)
+    )
+    return (
+        p.join(F.broadcast(grid), "price_cents")
+        .filter(
+            (F.col("p_size") == F.col("best_size"))
+            & (
+                F.col("best_cheaper").isNull()
+                | (F.col("p_size") > F.col("best_cheaper"))
+            )
+        )
+        .select("p_partkey", "price_cents", "p_size")
+    )
