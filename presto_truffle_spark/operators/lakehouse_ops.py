@@ -551,3 +551,113 @@ def lakehouse_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "lakehouse_cdc_apply",
+    oracle="""
+    WITH snap AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), log AS (
+        SELECT l_orderkey AS k,
+               CAST(l_linenumber AS BIGINT) * 10000000000
+                 + CAST(round(l_extendedprice * 100) AS BIGINT) * 10
+                 + CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS enc
+        FROM lineitem WHERE l_quantity <= 30
+    ), last AS (
+        SELECT k, max(enc) AS enc FROM log GROUP BY k
+    ), dec AS (
+        SELECT k,
+               CASE WHEN enc % 10 = 1 THEN 'D' ELSE 'U' END AS op,
+               (enc % 10000000000) // 10 AS new_price
+        FROM last
+    ), merged AS (
+        SELECT coalesce(s.k, l.k) AS k,
+               CASE WHEN l.k IS NULL THEN 'kept' ELSE 'upserted' END AS action,
+               CASE WHEN l.k IS NULL THEN s.price_cents
+                    ELSE l.new_price END AS price_cents
+        FROM snap s FULL OUTER JOIN dec l ON s.k = l.k
+        WHERE l.op IS NULL OR l.op <> 'D'
+    )
+    SELECT k % 16 AS bucket, action,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+    FROM merged
+    GROUP BY bucket, action
+    """,
+)
+def lakehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log application — the lakehouse ingest
+    primitive one level up from single-op MERGE (lakehouse_merge_upsert):
+    a log of SEQUENCED ops per key (U upsert / D delete) collapses to
+    its latest op per key, then applies against the snapshot in one
+    pass: last-op-D keys vanish (a delete of a key absent from the
+    snapshot is a no-op, not an error), last-op-U keys take the log's
+    newest value whether or not the snapshot had them (update vs insert
+    is the SAME branch — what makes MERGE-free CDC apply possible),
+    untouched keys keep their snapshot row. This is how Debezium/Delta
+    CDF feeds compact into a table.
+
+    The per-key collapse uses max() over an INTEGER-ENCODED total order
+    ``seq*1e10 + price_cents*10 + is_delete`` rather than arg-max on the
+    bare sequence: the fixture's lineitem (like any at-least-once CDC
+    feed) carries duplicate sequence numbers per key (4944 collisions at
+    sf0.01), and bare arg-max tie-breaks are engine-dependent — the
+    encoding makes the winner a pure-integer max, bit-identical
+    everywhere, with content as the documented tie-break. Decode is two
+    modulo ops.
+
+    Scale shape: the log collapses FIRST (one map-side-combinable
+    groupBy-max, log-sized, never snapshot-sized), then ONE full-outer
+    key join applies it; no per-op iteration. At 100 TB the snapshot
+    arrives hash-partitioned on the key from the previous apply, so only
+    the collapsed delta shuffles. Output folds the merged state to 16
+    key-bucket checksums (count + exact cent sum per action) —
+    value-verifying without shipping the corpus. The l_quantity <= 30
+    gate leaves some orders logless so the 'kept' branch engages."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    snap = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("sk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    enc = (
+        F.col("l_linenumber").cast("long") * F.lit(10000000000).cast("long")
+        + F.round(F.col("l_extendedprice") * 100).cast("long") * 10
+        + F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    )
+    log = li.filter(F.col("l_quantity") <= 30).select(
+        F.col("l_orderkey").alias("k"), enc.alias("enc")
+    )
+    dec = (
+        log.groupBy("k")
+        .agg(F.max("enc").alias("enc"))
+        .select(
+            "k",
+            F.when(F.col("enc") % 10 == 1, "D").otherwise("U").alias("op"),
+            F.expr("(enc % 10000000000L) div 10")
+            .cast("long")
+            .alias("new_price"),
+        )
+    )
+    merged = (
+        snap.join(dec, snap.sk == dec.k, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("sk"), F.col("k")).alias("k"),
+            F.when(F.col("op").isNull(), "kept")
+            .otherwise("upserted")
+            .alias("action"),
+            F.when(F.col("op").isNull(), F.col("price_cents"))
+            .otherwise(F.col("new_price"))
+            .alias("price_cents"),
+        )
+    )
+    return merged.groupBy(
+        (F.col("k") % 16).alias("bucket"), "action"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"),
+    )
