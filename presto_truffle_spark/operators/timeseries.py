@@ -504,3 +504,77 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                 AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, hour_of_day, n_events,
+               sum(n_events) OVER (PARTITION BY event_type) AS sx,
+               sum(n_events * n_events) OVER (PARTITION BY event_type)
+                 AS sxx,
+               count(*) OVER (PARTITION BY event_type) AS h
+        FROM cells
+    )
+    SELECT event_type, hour_of_day, n_events,
+           round((n_events - sx * 1.0 / h)
+                 / sqrt(sxx * 1.0 / h - (sx * 1.0 / h) * (sx * 1.0 / h)),
+                 4) AS hour_zscore
+    FROM stats
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: each (type, hour)
+    cell's volume plus its z-score against that type's own 24-cell
+    hourly distribution — the detect-the-traffic-anomaly /
+    learn-the-daily-shape primitive behind alerting baselines and
+    crawl scheduling.
+
+    Zone-proof by construction: ``hour()`` on the NTZ timestamp is a
+    pure field extraction (tztime.py — no LTZ round-trip, verified
+    under non-UTC sessions). Determinism: the z-score's inputs are
+    EXACT integers (cell count, per-type sum and sum-of-squares folded
+    by a window over the 24-cell table), combined in a textually
+    identical double expression on both engines — one sqrt, one divide,
+    rounded to 4dp (the ln()-convention from TF-IDF, driver-green since
+    r1, applied to sqrt).
+
+    Scale shape: one scan folds the corpus to type×24 cells (map-side
+    combinable groupBy — the only corpus-sized stage), then the window
+    runs on the CELL table, bounded by types×24 regardless of corpus
+    size; partitioned by type, so no single-partition window. At 100 TB
+    this is the textbook two-level aggregate: shuffle carries one row
+    per (type, hour) per task."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", F.hour("ts").alias("hour_of_day"))
+        .groupBy("event_type", "hour_of_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = W.partitionBy("event_type")
+    stats = cells.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.sum("n_events").over(w).alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("sxx"),
+        F.count(F.lit(1)).over(w).alias("h"),
+    )
+    mean = F.col("sx") * 1.0 / F.col("h")
+    var = F.col("sxx") * 1.0 / F.col("h") - mean * mean
+    return stats.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round((F.col("n_events") - mean) / F.sqrt(var), 4).alias(
+            "hour_zscore"
+        ),
+    )
