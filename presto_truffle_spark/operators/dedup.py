@@ -1124,3 +1124,70 @@ def dedup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_docs") * F.lit(1.0) / F.nullif(F.col("n_docs"), F.lit(0))
         ).alias("dup_rate_actual"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH keyed AS (
+        SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS k,
+               source,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_keys,
+           CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+    FROM keyed a JOIN keyed b
+      ON a.k = b.k AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication provenance matrix — which pairs of
+    ingest sources share content, and how much. The governance view a
+    training-data owner reads before weighting sources: heavy off-
+    diagonal mass means two feeds mirror each other and their combined
+    weight double-counts. Keyed on the leading 8-token shingle (the
+    mirror-detection shortcut — syndicated copies keep their opening
+    line), the same fingerprint family as dedup_chunk_fingerprint;
+    swapping in the full-content hash (dedup_exact's key) is a
+    one-line parameter change — the fixture only collides cross-source
+    at the shingle level at sf0.01 (22 shared keys; 227 at sf0.1),
+    which is exactly the sensitivity ordering real feeds show.
+
+    Scale shape: the corpus folds FIRST to (key, source) counts — one
+    map-combinable groupBy, output bounded by keys x sources — and the
+    pair join runs per key over the per-key SOURCE lists (<= 20 sources
+    here; bounded by the source catalog, never corpus-sized), the same
+    bounded-block discipline as join_market_basket_pairs with the
+    fingerprint as the block. A pathological boilerplate key (every
+    source shares it) costs sources² per key, not corpus² — and the
+    dedup_lsh_bucket_guard cap applies verbatim if the source catalog
+    grows. n_doc_pairs multiplies per-source counts, so the matrix
+    weighs mirrored VOLUME, not just incidence."""
+    keyed = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("k"),
+            "source",
+        )
+        .groupBy("k", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = keyed.select(
+        "k", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = keyed.select(
+        "k", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_doc_pairs"),
+        )
+    )
