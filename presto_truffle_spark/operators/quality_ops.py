@@ -1465,3 +1465,58 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").cast("long").alias("label")
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           class_size < {_K_ANON} AS is_risky
+    FROM cls
+    GROUP BY class_size
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance thousand-bucket): the equivalence-
+    class size histogram, with classes below k=5 (_K_ANON) flagged — the
+    re-identification risk report a dataset owner runs BEFORE releasing
+    or training on user-adjacent records. A size-1 class means the
+    quasi-identifiers alone single out one individual (485 of them in
+    this fixture at sf0.01 — typical for an unaggregated table, which
+    is the point of the audit).
+
+    Two-level aggregate, same scale posture as the seasonality profile:
+    the corpus folds to equivalence classes in one map-combinable
+    groupBy (class table bounded by the quasi-identifier domain, not
+    the row count), then the histogram folds the class table — both
+    shuffles carry pre-combined partials. Generalization ladders
+    (coarser buckets until min class size >= k) re-run the same query
+    with a different bucket width; suppression reads the is_risky rows
+    back as an anti-join filter."""
+    cls = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    return cls.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        (F.col("class_size") < _K_ANON).alias("is_risky"),
+    )
