@@ -76,6 +76,12 @@ _CASES = [
     ("window_groups_frame", 0),
     ("join_interval_overlap", 0),
     ("lakehouse_incremental_join", 0),
+    # this-session additions
+    ("filter_skyline_2d", 0),
+    ("lakehouse_cdc_apply", 0),
+    ("events_seasonality_profile", 0),
+    ("dedup_cross_source_matrix", 0),
+    ("quality_k_anonymity", 0),
 ]
 
 
