@@ -578,3 +578,88 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_zscore"
         ),
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS event_date,
+               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                 AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3
+    ), base AS (
+        SELECT event_type, hour_of_day,
+               sum(n_events) AS sx,
+               sum(n_events * n_events) AS sxx,
+               count(*) AS nd
+        FROM daily
+        GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.event_date, d.hour_of_day, d.n_events,
+           round((d.n_events - b.sx * 1.0 / b.nd)
+                 / sqrt(b.sxx * 1.0 / b.nd
+                        - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd)),
+                 4) AS zscore
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.hour_of_day = b.hour_of_day
+    WHERE abs((d.n_events - b.sx * 1.0 / b.nd)
+              / sqrt(b.sxx * 1.0 / b.nd
+                     - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd))) > 2.5
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the alerting query the
+    seasonality profile exists to feed: each (type, date, hour) cell's
+    volume z-scored against that type's SAME-HOUR baseline across all
+    days, anomalous cells (|z| > 2.5) returned. "Tuesday 3am is quiet"
+    is not an anomaly; "THIS Tuesday 3am is 4x its usual 3am" is — the
+    per-hour baseline is what separates the two.
+
+    Determinism: the baseline is exact integer power sums over daily
+    cells (sum, sum-of-squares, day count — never the built-in stddev,
+    whose Welford merges are accumulation-order-dependent), combined in
+    a textually identical double expression on both engines; the
+    UNROUNDED z drives the threshold (identical IEEE op tree on
+    identical exact integers ⇒ identical doubles ⇒ identical cut), the
+    displayed z rounds to 4dp. CAST-to-DATE and hour() on NTZ are pure
+    field extractions — zone-proof (tztime.py).
+
+    Scale shape: the corpus folds ONCE to (type, date, hour) daily
+    cells; the baseline folds the CELL table (types x 24 rows) and
+    broadcast-joins back onto cells. Cell cardinality grows with the
+    calendar and type catalog, never the event volume — at 100 TB the
+    only corpus-sized stage is the first map-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("event_date"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .groupBy("event_type", "event_date", "hour_of_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    base = daily.groupBy("event_type", "hour_of_day").agg(
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    mean = F.col("sx") * 1.0 / F.col("nd")
+    z = (F.col("n_events") - mean) / F.sqrt(
+        F.col("sxx") * 1.0 / F.col("nd") - mean * mean
+    )
+    return (
+        daily.join(F.broadcast(base), ["event_type", "hour_of_day"])
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_type",
+            "event_date",
+            "hour_of_day",
+            "n_events",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
