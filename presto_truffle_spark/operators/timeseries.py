@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from presto_truffle_spark.catalog import load_table
 from presto_truffle_spark.registry import query
-from presto_truffle_spark.tztime import epoch_ms, epoch_us
+from presto_truffle_spark.tztime import epoch_ms, epoch_s, epoch_us
 
 
 @query(
@@ -662,4 +662,82 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round(z, 4).alias("zscore"),
         )
+    )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id,
+               epoch(CAST(ts AS TIMESTAMP)) AS cs
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_type AS touch_type,
+               epoch(CAST(ts AS TIMESTAMP)) AS ts_s
+        FROM events WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+        SELECT c.conv_id, t.touch_type,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        FROM conv c JOIN touch t ON c.user_id = t.user_id
+        WHERE t.ts_s < c.cs AND t.ts_s >= c.cs - 604800
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_credited,
+           CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_ppm
+    FROM pairs
+    GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each conversion ('purchase')
+    splits one unit of credit equally across the user's touchpoints
+    ('click'/'view') in the preceding 7 days; per touch type, the count
+    of credited touches and the total credit earned. The
+    marketing-analytics primitive behind channel ROI; the same join
+    shape scores retrieval-augmented provenance ("which sources fed
+    this output").
+
+    Determinism: credit is INTEGER parts-per-million (1e6 div n) — the
+    bigram-surprisal convention — so the sum is exact in any
+    accumulation order; no FP 1/n anywhere. Time window in epoch
+    seconds of the naive timestamp (tztime.epoch_s ≡ DuckDB
+    epoch(naive) — zone-proof).
+
+    Scale shape: the conversion-touch pairing is a per-USER block join
+    (one shuffle on user_id; block size = that user's activity, never
+    the corpus — the market-basket discipline with the user as basket),
+    the per-conversion fan-out count is a window over conv_id within
+    the same blocks, and the final fold is a tiny groupBy on touch
+    type. A pathological power-user blows only their own block — the
+    production guard is the same activity cap as dedup_lsh_bucket_guard
+    applied to the touch stream."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        epoch_s("ts").alias("cs"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        epoch_s("ts").alias("ts_s"),
+    )
+    pairs = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("ts_s") < F.col("cs"))
+            & (F.col("ts_s") >= F.col("cs") - 604800)
+        )
+        .select(
+            "conv_id",
+            "touch_type",
+            F.count(F.lit(1))
+            .over(W.partitionBy("conv_id"))
+            .alias("n_touches"),
+        )
+    )
+    return pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited"),
+        F.sum(F.expr("1000000 div n_touches")).cast("long").alias("credit_ppm"),
     )
