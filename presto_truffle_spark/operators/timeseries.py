@@ -741,3 +741,83 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_credited"),
         F.sum(F.expr("1000000 div n_touches")).cast("long").alias("credit_ppm"),
     )
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id,
+               min(CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT)) AS first_view_s
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id,
+               min(CAST(epoch(date_trunc('second', CAST(e.ts AS TIMESTAMP)))
+                        AS BIGINT)) - any_value(fv.first_view_s) AS latency_s
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(epoch(date_trunc('second', CAST(e.ts AS TIMESTAMP)))
+                   AS BIGINT) > fv.first_view_s
+        GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(latency_s, 0.25), 4) AS p25_s,
+           round(quantile_cont(latency_s, 0.50), 4) AS p50_s,
+           round(quantile_cont(latency_s, 0.75), 4) AS p75_s
+    FROM conv
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency — the time-to-convert distribution that turns
+    funnel COUNTS (events_funnel_conversion) into an actionable number:
+    per user, seconds from the first 'view' to the first 'purchase'
+    strictly after it, folded to exact interpolated quartiles. "80% of
+    converters do so within X hours" is this query's p-row.
+
+    Latencies are exact integer second differences of the naive
+    timestamp — the oracle date_truncs to whole seconds before epoch()
+    because DuckDB's epoch() keeps fractional seconds while Spark's
+    timestamp_diff SECOND floors (the pinned fractional-second
+    divergence, FIXTURES.md r9) — zone-proof;
+    quartiles follow the agg_percentiles convention (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, one array-form call
+    carrying a single value-counts map through the shuffle, round 4).
+
+    Scale shape: two map-combinable per-user folds (first view; first
+    qualifying purchase via a min over the user's purchases joined to
+    the broadcast-sized first-view table — at 100 TB that join is
+    user-keyed and co-partitioned with the second fold's shuffle), then
+    one exact-percentile aggregate over the per-user latency table,
+    which is USER-cardinality, not event-cardinality. For corpora where
+    even users are too many to buffer, swap the exact percentile for
+    percentile_approx — the documented agg_percentile_approx path."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(epoch_s("ts")).alias("first_view_s"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_s("ts").alias("p_s"))
+        .join(fv, "user_id")
+        .filter(F.col("p_s") > F.col("first_view_s"))
+        .groupBy("user_id")
+        .agg(
+            (F.min("p_s") - F.any_value("first_view_s")).alias("latency_s")
+        )
+    )
+    pcts = F.percentile(
+        "latency_s", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        pcts.alias("pcts"),
+    ).select(
+        "n_converted",
+        F.round(F.col("pcts")[0], 4).alias("p25_s"),
+        F.round(F.col("pcts")[1], 4).alias("p50_s"),
+        F.round(F.col("pcts")[2], 4).alias("p75_s"),
+    )
