@@ -866,3 +866,90 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell_rate"),
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH v AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ), ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, t ASC) AS r
+        FROM v
+    ), pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked
+    ), s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank). Natural text sits near slope -1;
+    a flat slope means synthetic/uniform token soup (this fixture:
+    31 tokens, slope ≈ -0.6), a cliff means boilerplate domination —
+    the corpus-level health check that complements the per-doc entropy
+    and repetition gates.
+
+    Rank is a row_number over (freq DESC, token ASC) — the tie-break
+    spelled identically on both engines so equal-frequency tokens rank
+    identically. ln() on exact integer counts is IEEE-identical (the
+    TF-IDF convention); the power sums are FP over VOCABULARY-sized
+    input with the final slope/intercept rounded to 4dp (the
+    token-entropy convention — rounding absorbs last-ulp sum-order
+    drift). The slope formula is spelled once per engine in identical
+    shape.
+
+    Scale shape: corpus folds to the vocabulary in one map-combinable
+    groupBy (the only corpus-sized stage); the rank window and the
+    5-sum fold run on the vocab table — millions of rows at web scale,
+    bounded by the token domain, not the corpus. The rank window is
+    single-partition by construction but over the REDUCED table (the
+    skyline/budget-select discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = v.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("t").asc()))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+    )

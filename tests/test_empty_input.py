@@ -82,6 +82,10 @@ _CASES = [
     ("events_seasonality_profile", 0),
     ("dedup_cross_source_matrix", 0),
     ("quality_k_anonymity", 0),
+    ("events_seasonal_anomaly", 0),
+    ("events_attribution_linear", 0),
+    ("events_funnel_latency", 1),  # ungrouped agg row (0 count, NULL pcts)
+    ("text_zipf_fit", 1),  # ungrouped agg row (0 vocab, NULL slope)
 ]
 
 
