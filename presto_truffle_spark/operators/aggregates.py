@@ -618,3 +618,92 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(m3 / F.pow(m2, 1.5)).alias("skew_pop"),
         r6(m4 / (m2 * m2) - 3).alias("kurt_pop"),
     )
+
+
+@query(
+    "agg_hll_intersection",
+    oracle="""
+    SELECT
+        (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         FROM lineitem WHERE l_returnflag = 'R') AS exact_a,
+        (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         FROM lineitem WHERE l_returnflag = 'A') AS exact_b,
+        (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         FROM lineitem WHERE l_returnflag IN ('R', 'A')) AS exact_union,
+        (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+         FROM lineitem WHERE l_returnflag = 'R')
+        + (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+           FROM lineitem WHERE l_returnflag = 'A')
+        - (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+           FROM lineitem WHERE l_returnflag IN ('R', 'A'))
+          AS exact_intersection,
+        true AS union_within_5pct,
+        true AS intersection_within_10pct
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from mergeable HLL sketches via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A ⊎ B), where
+    the union estimate comes from hll_union of the two sketches — no
+    re-scan of the raw data. THE sketch idiom for audience overlap /
+    cross-segment reach at 100 TB: per-segment sketches are built once
+    (KB each, map-side mergeable), every pairwise overlap is then
+    sketch arithmetic on the driver-sized sketch table; exact distinct
+    intersection would re-shuffle the corpus per pair.
+
+    Like agg_approx_distinct, the checkable surface is an ENVELOPE:
+    exact |A|, |B|, |A∪B|, |A∩B| (hash-matched) plus booleans pinning
+    the sketch union within 5% and the inclusion-exclusion intersection
+    within 10% — I-E error compounds three ±1.6% estimates scaled by
+    |union|/|intersection| (≈1.7× here: 8152 of 13918 overlap), so 10%
+    holds deterministically for the fixed fixture. The sketches and the
+    union run on the Spark side; the oracle verifies the accuracy
+    claim, not the sketch bits.
+
+    One scan builds both sketches (groupBy on the flag); the union and
+    all estimates are arithmetic over two KB-sized sketch buffers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    )
+    folded = sk.agg(
+        F.hll_sketch_estimate(
+            F.max_by("sk", F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.max_by("sk", F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("exact"))).alias(
+            "exact_a"
+        ),
+        F.max(F.when(F.col("l_returnflag") == "A", F.col("exact"))).alias(
+            "exact_b"
+        ),
+    )
+    exact_u = (
+        li.agg(F.countDistinct("l_orderkey").alias("exact_union"))
+    )
+    return folded.crossJoin(F.broadcast(exact_u)).select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("long")
+        .alias("exact_intersection"),
+        (
+            F.abs(F.col("est_u") - F.col("exact_union"))
+            <= 0.05 * F.col("exact_union")
+        ).alias("union_within_5pct"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            )
+            <= 0.10
+            * (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        ).alias("intersection_within_10pct"),
+    )
