@@ -84,8 +84,21 @@ def test_never_green_rows_always_lead_the_derived_tail():
     last_green = _independent_last_green()
     window = registry._verify_first()
     never_green = [q for q in registry.QUERIES if q not in last_green]
-    for q in never_green:
-        assert q in window, f"never-green {q} missing from verify window"
+    spilled = [q for q in never_green if q not in window]
+    if spilled:
+        # A registration burst can create more priority rows (pins +
+        # never-green) than the 50 window slots; the spill queues for the
+        # next round. The invariant that must NEVER break: no green,
+        # unpinned row holds a slot while a never-green row waits.
+        greens_in_window = [
+            q
+            for q in window
+            if q in last_green and q not in registry._FORCE_HEAD
+        ]
+        assert not greens_in_window, (
+            f"never-green {spilled} missing from verify window while "
+            f"green rows hold slots: {greens_in_window}"
+        )
 
 
 def test_force_head_names_are_registered():

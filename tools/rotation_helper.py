@@ -75,7 +75,26 @@ def main() -> int:
         problems.append(f"unknown names: {unknown}")
     uncovered = [q for q in never if q not in vf]
     if uncovered:
-        problems.append(f"never-green NOT in window: {uncovered}")
+        # More priority rows (pins + never-green) than window slots is a
+        # legitimate state right after a registration burst: the spill
+        # waits one round. It is only a PROBLEM if a GREEN row took a
+        # slot a never-green row should have had.
+        greens_in_window = [
+            q
+            for q in vf
+            if q in last_green and q not in registry._FORCE_HEAD
+        ]
+        if greens_in_window:
+            problems.append(
+                f"never-green NOT in window while green rows hold slots: "
+                f"{uncovered} vs {greens_in_window}"
+            )
+        else:
+            print(
+                f"\n  note: {len(uncovered)} never-green rows spill past "
+                f"the 50-slot window (registration burst); they queue for "
+                f"the next round: {uncovered}"
+            )
     stale_head = [q for q in registry._FORCE_HEAD if q not in registry.QUERIES]
     if stale_head:
         problems.append(f"_FORCE_HEAD names not registered: {stale_head}")
