@@ -953,3 +953,93 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+_PMI_MIN_DOCS = 5
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), n AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents
+    ), uni AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY t
+    ), pairs AS (
+        SELECT a.t AS tok_a, b.t AS tok_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        GROUP BY 1, 2
+        HAVING count(*) >= {_PMI_MIN_DOCS}
+    )
+    SELECT tok_a, tok_b, c_ab,
+           round(ln(n.n_docs * 1.0 * c_ab / (ua.c * 1.0 * ub.c)), 4)
+             AS pmi
+    FROM pairs
+    JOIN uni ua ON pairs.tok_a = ua.t
+    JOIN uni ub ON pairs.tok_b = ub.t
+    CROSS JOIN n
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence — the collocation-mining / phrase-discovery
+    primitive: PMI = ln(N·c_ab / (c_a·c_b)) over docs, positive when
+    two tokens co-occur beyond chance (candidate phrases, topical
+    pairs), ≈0 for independent tokens. Document-level (not adjacency —
+    that's text_bigram_surprisal's axis), so it finds long-range
+    topical affinity.
+
+    Determinism: all counts are exact integers; one ln() over their
+    exact ratio rounded 4dp (the TF-IDF ln convention). Scale shape:
+    the pair space is a per-DOC self-join over each doc's DISTINCT
+    token set — bounded by Σ(per-doc distinct)², the market-basket
+    bounded-block discipline with the document as basket (vocabulary
+    dedup per doc first, so a token repeated 100× in one doc counts
+    once) — never the corpus × corpus or vocab × vocab square. The
+    unigram doc-frequency table is vocabulary-bounded and broadcast
+    back onto the (already min-support-filtered) pair table; the
+    support filter prunes BEFORE the PMI join, which is what keeps the
+    pair table shippable at web scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).distinct()
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    uni = dt.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = dt.select(F.col("doc_id").alias("d"), F.col("t").alias("tok_a"))
+    b = dt.select(F.col("doc_id").alias("d"), F.col("t").alias("tok_b"))
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_DOCS)
+    )
+    ua = uni.select(F.col("t").alias("tok_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("tok_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("n_docs")
+                    * 1.0
+                    * F.col("c_ab")
+                    / (F.col("ca") * 1.0 * F.col("cb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
