@@ -1166,8 +1166,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     source shares it) costs sources² per key, not corpus² — and the
     dedup_lsh_bucket_guard cap applies verbatim if the source catalog
     grows. n_doc_pairs multiplies per-source counts, so the matrix
-    weighs mirrored VOLUME, not just incidence."""
-    keyed = (
+    weighs mirrored VOLUME, not just incidence. The (key, source)
+    count table is scoped_persisted — a REDUCED intermediate probed by
+    both join sides; without the cache each side re-ran the corpus
+    scan+fold (rescan-audit rule, SCALING.md r5)."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    keyed = scoped_persist(spark, "dedup.cross_source_matrix.keyed", (
         load_table(spark, sf_dir, "documents")
         .select(
             F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("k"),
@@ -1175,7 +1180,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("k", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    ))
     a = keyed.select(
         "k", F.col("source").alias("source_a"), F.col("c").alias("ca")
     )

@@ -1004,11 +1004,22 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram doc-frequency table is vocabulary-bounded and broadcast
     back onto the (already min-support-filtered) pair table; the
     support filter prunes BEFORE the PMI join, which is what keeps the
-    pair table shippable at web scale."""
+    pair table shippable at web scale. The distinct (doc, token) table
+    is scoped_persisted: THREE consumers (unigram fold + both self-join
+    sides) and its recompute is explode + a DISTINCT SHUFFLE — unlike
+    the bigram probe side (a cheap map-only explode, deliberately
+    uncached), re-running it tripled the shuffle count (rescan-audit
+    rule, SCALING.md r5)."""
+    from presto_truffle_spark.cache import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("t")
-    ).distinct()
+    dt = scoped_persist(
+        spark,
+        "text.pmi_collocations.dt",
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        ).distinct(),
+    )
     n_docs = docs.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )

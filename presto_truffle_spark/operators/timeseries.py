@@ -632,9 +632,15 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells; the baseline folds the CELL table (types x 24 rows) and
     broadcast-joins back onto cells. Cell cardinality grows with the
     calendar and type catalog, never the event volume — at 100 TB the
-    only corpus-sized stage is the first map-combinable groupBy."""
+    only corpus-sized stage is the first map-combinable groupBy. The
+    cell table is scoped_persisted (a REDUCED intermediate consumed by
+    both the baseline fold and the join probe — without the cache each
+    consumer re-ran the corpus scan+fold; rescan-audit rule,
+    SCALING.md r5)."""
+    from presto_truffle_spark.cache import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    daily = scoped_persist(spark, "timeseries.seasonal_anomaly.daily", (
         ev.select(
             "event_type",
             F.col("ts").cast("date").alias("event_date"),
@@ -642,7 +648,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "event_date", "hour_of_day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    )
+    ))
     base = daily.groupBy("event_type", "hour_of_day").agg(
         F.sum("n_events").alias("sx"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
