@@ -691,3 +691,32 @@ def test_implicit_coercion_divergences_pinned(spark):
     assert spark.sql("SELECT 5 / 2 v").collect()[0].v == 2.5
     assert spark.sql("SELECT -7 % 2 v").collect()[0].v == -1
     assert con.execute("SELECT -7 % 2").fetchone()[0] == -1
+
+
+def test_regex_backslash_escape_divergence_pinned(spark):
+    """FIXTURES.md r9 continuation: the SAME SQL text containing a
+    regex backslash parses differently — Spark's string literal
+    consumes one escape level before the regex compiler sees the
+    pattern, DuckDB's standard-SQL string does not. For the text
+    '([a-z])\\\\.' over 'a-b.c d', Spark compiles ([a-z])\\. (letter
+    before a literal dot -> 'b'... group semantics differ) while DuckDB
+    compiles the two-character escape -> a different match. The fuzz
+    family (run_regex_case) therefore EXCLUDES backslashes; the
+    no-backslash subset (classes, quantifiers, bounded repetition,
+    non-capturing alternation) agrees — spot-checked here."""
+    sql = "SELECT regexp_extract('a-b.c d', '([a-z])\\\\.', 1) v"
+    sp = spark.sql(sql).collect()[0].v
+    du = duckdb.connect().execute(sql).fetchone()[0]
+    assert sp != du, "backslash escape-level fork disappeared — re-enable in fuzzer"
+    # the safe subset agrees:
+    for pat, s in [
+        ("([0-9]+)", "abc123def"),
+        ("[a-z]+([0-9]+)", "abc123def"),
+        ("([A-Za-z]{2,4})", "abAB12"),
+        ("(?:ab|ba)(x|yy)", "abyyz"),
+    ]:
+        q = f"SELECT regexp_extract('{s}', '{pat}', 1) v"
+        assert (
+            spark.sql(q).collect()[0].v
+            == duckdb.connect().execute(q).fetchone()[0]
+        ), (pat, s)

@@ -1997,6 +1997,67 @@ def run_lateral_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+_REGEX_SAFE_ATOMS = [
+    "[0-9]+",
+    "[a-z]+",
+    "[A-Za-z]{2,4}",
+    "[0-9a-f]+",
+    ".",
+    "..",
+    "x",
+    "b",
+    "(?:ab|ba)",
+    "(?:x|yy)",
+]
+
+
+def _gen_safe_regex(rng: random.Random) -> str:
+    """Regex from the cross-engine-safe subset: NO backslashes (the SAME
+    SQL text parses differently — Spark's string literal consumes one
+    escape level, DuckDB's standard string does not; pinned in
+    FIXTURES.md), no quotes, Perl-common atoms only. One capture group
+    around a random atom, optional prefix/suffix atoms."""
+    pre = rng.choice(_REGEX_SAFE_ATOMS + [""])
+    grp = rng.choice(_REGEX_SAFE_ATOMS)
+    suf = rng.choice(_REGEX_SAFE_ATOMS + [""])
+    return f"{pre}({grp}){suf}"
+
+
+def run_regex_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Regex dialect family (r9 continuation): regexp_extract over a
+    constrained common-subset grammar, identical SQL text in both
+    engines. Spark compiles java.util.regex; DuckDB compiles RE2 —
+    within the subset (character classes, quantifiers incl. bounded
+    repetition, dot, non-capturing alternation, one capture group) the
+    leftmost-first semantics agree; the known text-level fork is the
+    backslash escape (Spark's SQL literal consumes one level, DuckDB's
+    does not — '([a-z])\\.' extracts different groups), excluded here
+    and pinned in tests/FIXTURES.md."""
+    alpha = "ab xy019-f."
+    n = rng.randint(0, 120)
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))))
+        for i in range(n)
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_re.parquet")
+    spark.createDataFrame(rows, "rid long, s string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    pat = _gen_safe_regex(rng)
+    sql = (
+        f"SELECT rid, regexp_extract(s, '{pat}', 1) AS ex, "
+        f"length(regexp_extract(s, '{pat}', 1)) AS exlen "
+        "FROM t"
+    )
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     from pyspark.sql import functions as F
@@ -2068,6 +2129,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_groups_frame_case(spark, con, rng, tmp, case_id)
     if pick < 0.9998:
         return run_lateral_case(spark, con, rng, tmp, case_id)
+    if pick < 0.9999:
+        return run_regex_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
