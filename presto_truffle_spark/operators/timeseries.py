@@ -835,3 +835,77 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pcts")[1], 4).alias("p50_s"),
         F.round(F.col("pcts")[2], 4).alias("p75_s"),
     )
+
+
+@query(
+    "events_rank_migration",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('week', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS ws,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT user_id, ws,
+               ntile(4) OVER (PARTITION BY ws ORDER BY n DESC, user_id)
+                 AS quartile
+        FROM wk
+    )
+    SELECT a.quartile AS q_from, b.quartile AS q_to,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ranked a JOIN ranked b
+      ON a.user_id = b.user_id AND b.ws = a.ws + 604800
+    GROUP BY 1, 2
+    """,
+)
+def events_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-rank migration matrix — users quartiled by weekly
+    activity, transitions counted week-over-week: the churn-risk /
+    cohort-movement primitive ("how many top-quartile users fell to the
+    bottom next week"). A 4x4 matrix with heavy diagonal = stable
+    engagement; heavy below-diagonal = decay.
+
+    Determinism: ntile over a TOTAL order (count DESC, user_id ASC) so
+    equal-activity users bucket identically on both engines; weeks join
+    on exact epoch-seconds of the Monday-aligned week start
+    (tztime.trunc_ntz carries the epoch-Thursday shift and is
+    property-tested against DuckDB date_trunc — zone-proof, no
+    NTZ->LTZ cast).
+
+    Scale shape: corpus folds to (user, week) counts in one
+    map-combinable groupBy; the ntile window partitions BY WEEK (never
+    global — each partition is one week's user set); the
+    adjacent-week self-join is keyed (user, week+1) — co-partitioned
+    with the fold's shuffle on user-heavy layouts; the final fold is a
+    16-cell matrix. All post-fold stages are user-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    wk = (
+        ev.select("user_id", epoch_s(trunc_ntz("week", "ts")).alias("ws"))
+        .groupBy("user_id", "ws")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = wk.select(
+        "user_id",
+        "ws",
+        F.ntile(4)
+        .over(
+            W.partitionBy("ws").orderBy(F.col("n").desc(), F.col("user_id"))
+        )
+        .alias("quartile"),
+    )
+    a = ranked.select(
+        "user_id", F.col("ws").alias("wa"), F.col("quartile").alias("q_from")
+    )
+    b = ranked.select(
+        "user_id", F.col("ws").alias("wb"), F.col("quartile").alias("q_to")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("wb") == F.col("wa") + 604800)
+        .groupBy("q_from", "q_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

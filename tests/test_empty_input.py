@@ -86,6 +86,9 @@ _CASES = [
     ("events_attribution_linear", 0),
     ("events_funnel_latency", 1),  # ungrouped agg row (0 count, NULL pcts)
     ("text_zipf_fit", 1),  # ungrouped agg row (0 vocab, NULL slope)
+    ("events_rank_migration", 0),
+    ("text_pmi_collocations", 0),
+    ("agg_hll_intersection", 1),  # ungrouped envelope row
 ]
 
 
