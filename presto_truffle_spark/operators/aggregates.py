@@ -707,3 +707,69 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
         ).alias("intersection_within_10pct"),
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    WITH top3 AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rn
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey ASC) AS top_keys,
+           CAST(count(*) AS BIGINT) AS n
+    FROM top3
+    WHERE rn <= 3
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered string aggregation — Spark 4's ``listagg(x, ',')
+    WITHIN GROUP (ORDER BY x)`` (the SQL:2016 spelling; DuckDB's
+    equivalent is ``string_agg(x, ',' ORDER BY x)`` — same semantics,
+    different syntax, the one-sided-syntax pairing like LIKE ANY). The
+    aggregated set is first bounded to the top-3 orders per priority by
+    a deterministic window (price DESC, key ASC tie-break) — LISTAGG
+    over unbounded groups is the classic OOM/row-width footgun, so the
+    production discipline is ALWAYS top-k-then-agg, never
+    listagg-the-corpus.
+
+    Determinism: the WITHIN GROUP order key is the unique NUMERIC
+    orderkey on both engines (ordering by the stringified key is the
+    classic listagg bug — '13011' < '7671' lexicographically — and the
+    first draft hit exactly that fork). One window
+    shuffle on the priority + one 5-group fold."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    top3 = (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    top3.createOrReplaceTempView("pt_listagg_top3")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey ASC)
+                 AS top_keys,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pt_listagg_top3
+        GROUP BY o_orderpriority
+        """
+    )
