@@ -1899,3 +1899,115 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("dcg") / F.col("idcg")).alias("ndcg_at_k"),
         )
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle=f"""
+    WITH p AS (
+        SELECT embedding::DOUBLE[] AS ev FROM embeddings
+    ), v0 AS (
+        SELECT list_transform(generate_series(1, {_PCA_DIM}),
+                              x -> 0.125) AS v
+    ), w1 AS (
+        SELECT list(s ORDER BY j) AS w FROM (
+            SELECT j, sum(list_dot_product(p.ev, v0.v) * p.ev[j]) AS s
+            FROM p, v0, generate_series(1, {_PCA_DIM}) AS g(j)
+            GROUP BY j)
+    ), v1 AS (
+        SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w)))
+          AS v FROM w1
+    ), w2 AS (
+        SELECT list(s ORDER BY j) AS w FROM (
+            SELECT j, sum(list_dot_product(p.ev, v1.v) * p.ev[j]) AS s
+            FROM p, v1, generate_series(1, {_PCA_DIM}) AS g(j)
+            GROUP BY j)
+    ), v2 AS (
+        SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w)))
+          AS v FROM w2
+    ), w3 AS (
+        SELECT list(s ORDER BY j) AS w FROM (
+            SELECT j, sum(list_dot_product(p.ev, v2.v) * p.ev[j]) AS s
+            FROM p, v2, generate_series(1, {_PCA_DIM}) AS g(j)
+            GROUP BY j)
+    ), fin AS (
+        SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w)))
+                 AS v,
+               sqrt(list_dot_product(w, w)) AS lam
+        FROM w3
+    )
+    SELECT CAST(j AS INTEGER) AS component,
+           round(v[j], 4) + 0.0 AS loading,
+           round(lam, 2) AS eigenvalue_est
+    FROM fin, generate_series(1, {_PCA_DIM}) AS g(j)
+    """,
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by THREE
+    matrix-free power-iteration steps — w ← Σᵢ (xᵢ·v)·xᵢ, v ← w/‖w‖ —
+    entirely in DataFrames: the iterate is a ONE-ROW broadcast frame,
+    the corpus is never collected and never leaves the executors (the
+    kmeans-iteration posture, with the model being a 64-vector instead
+    of 8 centroids). The leading component is the spine of embedding
+    hygiene: mean-direction drift, anisotropy scoring, and the
+    all-but-the-top-k-components whitening trick all start from this
+    query's output.
+
+    Determinism: v₀ = 1/8 exactly (d=64 ⇒ 1/√d is a power of two —
+    chosen so the starting vector is bit-identical on both engines with
+    no sqrt in sight); per-row dots are sequential folds (``_dot`` ≡
+    DuckDB list_dot_product order); the per-component corpus sums are
+    FP with engine-specific accumulation order, but the iteration is
+    CONTINUOUS (no argmin/branch for a ULP to flip — unlike kmeans, no
+    round-before-compare needed) so the ~1e-13 relative drift just
+    rides through the normalizations and the final 4dp/2dp rounding
+    absorbs it. `+ 0.0` canonicalizes -0.0 loadings.
+
+    Scale shape per iteration: broadcast the 1-row iterate, one
+    map-side dot per row, posexplode ×64, ONE map-combinable
+    groupBy(component) fold to 64 rows, re-assemble via sort_array of
+    (j, s) structs (collect_list alone is order-nondeterministic).
+    Three iterations = three corpus scans (at 100 TB: cache the corpus
+    or fuse iterations into mapPartitions batches); everything else is
+    64-row arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(F.col("embedding").cast("array<double>").alias("ev"))
+
+    v = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PCA_DIM)), lambda _: F.lit(0.125)
+        ).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        dots = pts.crossJoin(F.broadcast(v)).select(
+            _dot(F.col("ev"), F.col("v")).alias("dv"), "ev"
+        )
+        comp = (
+            dots.select(F.posexplode("ev").alias("j", "x"), "dv")
+            .groupBy("j")
+            .agg(F.sum(F.col("dv") * F.col("x")).alias("s"))
+        )
+        w = comp.agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "s"))),
+                lambda t: t.s,
+            ).alias("w")
+        )
+        v = w.select(
+            F.transform(
+                F.col("w"),
+                lambda x: x / F.sqrt(_dot(F.col("w"), F.col("w"))),
+            ).alias("v"),
+            F.sqrt(_dot(F.col("w"), F.col("w"))).alias("lam"),
+        )
+    return v.select(
+        F.posexplode("v").alias("j0", "loading_raw"), F.col("lam")
+    ).select(
+        (F.col("j0") + 1).cast("int").alias("component"),
+        (F.round(F.col("loading_raw"), 4) + 0.0).alias("loading"),
+        F.round(F.col("lam"), 2).alias("eigenvalue_est"),
+    )

@@ -89,6 +89,8 @@ _CASES = [
     ("events_rank_migration", 0),
     ("text_pmi_collocations", 0),
     ("agg_hll_intersection", 1),  # ungrouped envelope row
+    ("agg_listagg_ordered", 0),
+    ("embedding_pca_power_iteration", None),  # NULL-normalized iterate on empty corpus
 ]
 
 
