@@ -909,3 +909,72 @@ def events_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_from", "q_to")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "events_survival_curve",
+    oracle="""
+    WITH death AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS dday
+        FROM events GROUP BY user_id
+    ), byday AS (
+        SELECT dday, CAST(count(*) AS BIGINT) AS d
+        FROM death GROUP BY dday
+    ), risk AS (
+        SELECT dday, d,
+               sum(d) OVER (ORDER BY dday DESC) AS r
+        FROM byday
+    )
+    SELECT dday AS day, d AS n_churned, CAST(r AS BIGINT) AS n_at_risk,
+           round((r - d) * 1.0 / max(r) OVER (), 6) AS survival
+    FROM risk
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes — churn day =
+    each user's LAST active date, S(t) = Π_{s<=t} (1 − d_s/r_s) with
+    d_s = churns on day s and r_s = users still at risk — the
+    retention curve product analytics teams fit cohorts against.
+
+    With a complete observation window (zero censoring) the KM product
+    TELESCOPES: Π (r_s−d_s)/r_s = (r_t − d_t)/N, so survival is the
+    exact integer ratio — no ln/exp product machinery and no ln(0) on
+    the final day, where everyone remaining churns and the naive
+    product spelling RAISES in DuckDB (probed live: 'cannot take
+    logarithm of zero') while Spark's ln(0) yields NULL — a real
+    engine fork the closed form sidesteps entirely. Censored data
+    breaks the telescope; that variant needs the guarded
+    exp(Σ ln(nullif(...))) spelling plus an explicit zero-hazard
+    branch. The at-risk count is a DESCENDING cumulative sum over the
+    day table (suffix sum ≡ reversed prefix sum), N = max(r) over the
+    same 30 rows — no second corpus pass.
+
+    Scale shape: ONE corpus fold to per-user last-activity (the only
+    event-volume stage, map-combinable max), one fold to the DAY table
+    (calendar-bounded), and both windows run on those ~30 rows —
+    deliberately single-partition over the reduced table (the
+    skyline/zipf discipline). CAST-to-DATE on NTZ is zone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    death = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("dday")
+    )
+    byday = death.groupBy("dday").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    risk = byday.withColumn(
+        "r",
+        F.sum("d").over(
+            W.orderBy(F.col("dday").desc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    n_total = F.max("r").over(W.partitionBy())
+    return risk.select(
+        F.col("dday").alias("day"),
+        F.col("d").alias("n_churned"),
+        F.col("r").cast("long").alias("n_at_risk"),
+        F.round((F.col("r") - F.col("d")) * 1.0 / n_total, 6).alias(
+            "survival"
+        ),
+    )

@@ -91,6 +91,7 @@ _CASES = [
     ("agg_hll_intersection", 1),  # ungrouped envelope row
     ("agg_listagg_ordered", 0),
     ("embedding_pca_power_iteration", None),  # NULL-normalized iterate on empty corpus
+    ("events_survival_curve", 0),
 ]
 
 
