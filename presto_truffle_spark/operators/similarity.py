@@ -2011,3 +2011,100 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round(F.col("loading_raw"), 4) + 0.0).alias("loading"),
         F.round(F.col("lam"), 2).alias("eigenvalue_est"),
     )
+
+
+@query(
+    "embedding_threshold_sweep",
+    oracle=f"""
+    WITH planes AS (
+        SELECT vec_id AS p_id, embedding::DOUBLE[] AS pe FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {_N_PLANES}
+    ), buckets AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                   p.pe) > 0
+                             THEN power(2, p.p_id - 1) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding
+    ), cand AS (
+        SELECT round(list_dot_product(a.ev, b.ev) /
+                     (sqrt(list_dot_product(a.ev, a.ev)) *
+                      sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos_sim
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT t.threshold_pct,
+           CAST(count(*) FILTER (WHERE cos_sim >= t.threshold_pct / 100.0)
+                AS BIGINT) AS n_pairs
+    FROM cand CROSS JOIN
+         (SELECT unnest([40, 60, 80, 90]) AS threshold_pct) t
+    GROUP BY t.threshold_pct
+    """,
+)
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate operating-point calibration: how many
+    bucket-verified pair candidates survive at cosine >= 0.40 / 0.60 /
+    0.80 / 0.90 — the table an operator reads BEFORE committing a
+    semantic-dedup threshold (too low deletes paraphrases, too high
+    keeps mirrors; the elbow in this sweep is the decision). ONE pass
+    over the LSH candidate pairs computes the cosine once and folds all
+    four thresholds as conditional counts — never one candidate-join
+    per operating point, which is how threshold tuning accidentally
+    goes quadratic-times-K at 100 TB.
+
+    Candidates are hyperplane-bucket-scoped (embedding_near_dup_pairs'
+    discipline — the sweep measures the same candidate stream the
+    production dedup would verify, so its counts are the true operating
+    characteristics of THAT pipeline, not of an all-pairs fantasy).
+    Cosines are rounded 6dp BEFORE thresholding on both engines so a
+    boundary ULP cannot move a pair between buckets; thresholds are
+    integer percent keys."""
+    buckets = ann_lsh_buckets(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    be = buckets.join(e, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("ev"), F.col("ev")))
+    )
+    a = be.select(
+        F.col("vec_id").alias("id_a"),
+        "bucket",
+        F.col("ev").alias("ev_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = be.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("ev").alias("ev_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cand = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.round(
+                _dot(F.col("ev_a"), F.col("ev_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ).alias("cos_sim")
+        )
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(F.lit(40), F.lit(60), F.lit(80), F.lit(90))).alias(
+            "threshold_pct"
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(th))
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("cos_sim") >= F.col("threshold_pct") / 100.0, 1
+                )
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
