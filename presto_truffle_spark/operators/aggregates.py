@@ -773,3 +773,68 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (
+        SELECT sum(n) AS nt FROM obs
+    )
+    SELECT digit, n,
+           CAST(n * 1000000 // nt AS BIGINT) AS obs_ppm,
+           CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000)
+                AS BIGINT) AS benford_ppm,
+           round((n * 1.0 / nt - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 * (n * 1.0 / nt - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)), 8) AS chi2_term
+    FROM obs, tot
+    """,
+)
+def agg_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/synthetic-data screen: naturally-occurring multiplicative
+    amounts put digit d first with probability log10(1+1/d) (~30% for
+    1, ~4.6% for 9); fabricated or uniformly-generated values flatten
+    the curve, and this fixture's uniform prices do EXACTLY that —
+    the audit's point is to surface it (obs_ppm ≈ uniform vs the
+    benford_ppm reference; the chi2_term column is each digit's
+    contribution to the goodness-of-fit statistic an alert would
+    threshold).
+
+    The first digit comes from the INTEGER CENTS string (exact — never
+    from floating-point log/power arithmetic, where 999.999... vs 1000
+    flips the leading digit across engines); observed shares are
+    integer ppm (floor div); the Benford reference and chi2 terms use
+    ln with identical expression text rounded 8dp. Single scan, one
+    9-row fold, constants-only arithmetic after it."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    share = F.col("n") * 1.0 / F.col("nt")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 div nt").cast("long").alias("obs_ppm"),
+        F.floor(benford * 1000000).cast("long").alias("benford_ppm"),
+        F.round((share - benford) * (share - benford) / benford, 8).alias(
+            "chi2_term"
+        ),
+    )
