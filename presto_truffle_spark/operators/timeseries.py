@@ -978,3 +978,89 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) // 86400 AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.y AS x, b.y AS y
+        FROM daily a JOIN lags l ON true
+        JOIN daily b ON b.d = a.d + l.lag
+    ), s AS (
+        SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 4) AS autocorr
+    FROM s
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    weekly-cycle detector that tells you WHETHER the seasonality
+    profile has a period worth modeling (a lag-7 spike = weekly
+    rhythm; all-lags-flat = white noise; slow decay = trend). Pearson r
+    per lag from INTEGER power sums over the lagged pairs — daily
+    counts are exact, the sums are exact (30 days of counts are far
+    below 2^53), and the one double expression per lag is textually
+    identical on both engines, rounded 4dp.
+
+    Scale shape: one corpus fold to the DAY table (epoch-day integer
+    key — zone-proof via date_trunc on the naive timestamp ≡
+    trunc_ntz), then all seven lags come from ONE self-join of that
+    calendar-bounded table against the 7-row lag list — never seven
+    corpus passes, and never a window per lag. Everything after the
+    first fold is ~30x7 rows."""
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (epoch_s(trunc_ntz("day", "ts")) / 86400)
+            .cast("long")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lags = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, 8)])
+        ).alias("lag")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / den, 4).alias("autocorr"),
+    )

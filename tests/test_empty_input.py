@@ -92,6 +92,9 @@ _CASES = [
     ("agg_listagg_ordered", 0),
     ("embedding_pca_power_iteration", None),  # NULL-normalized iterate on empty corpus
     ("events_survival_curve", 0),
+    ("embedding_threshold_sweep", 0),
+    ("agg_benford_digit_audit", 0),
+    ("events_autocorrelation", 0),
 ]
 
 
