@@ -1196,3 +1196,89 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n_doc_pairs"),
         )
     )
+
+
+@query(
+    "dedup_minhash_estimator_error",
+    oracle=_ORACLE_BANDS_CTES
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(generate_series(1, {_N_HASHES}),
+                                i -> sa.sig[i] = sb.sig[i]))
+                * 1000000 // {_N_HASHES} AS BIGINT) AS est_ppm,
+           CAST(len(list_intersect(ha.shingles, hb.shingles)) * 1000000
+                // (len(ha.shingles) + len(hb.shingles)
+                    - len(list_intersect(ha.shingles, hb.shingles)))
+                AS BIGINT) AS true_ppm
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    JOIN sh ha ON c.doc_a = ha.doc_id
+    JOIN sh hb ON c.doc_b = hb.doc_id
+    """,
+)
+def dedup_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration — for every LSH candidate pair,
+    the SIGNATURE-estimated Jaccard (matching components / 8) next to
+    the EXACT shingle Jaccard, both in integer ppm. This measures the
+    estimator the whole banding scheme's P(candidate) = 1-(1-j^r)^b
+    math assumes: with only 8 hashes the estimate is quantized to
+    eighths (stddev ~ sqrt(j(1-j)/8) ≈ 0.17 at j=0.5), which is WHY
+    the pipeline verifies candidates with exact Jaccard instead of
+    trusting the signature — this query is the evidence for that
+    design choice, measured on the pipeline's own candidate stream.
+
+    Everything is integer arithmetic on bit-identical md5-derived
+    values (the property that makes the LSH chain oracle-checkable):
+    component matches are string equality over fixed-width hex,
+    true Jaccard is inter*1e6 div union — no FP anywhere. Plan: the
+    memoized signature/shingle tables probe the candidate pairs
+    (semi-join-pruned, candidate-cardinality), nothing corpus²."""
+    sh = _lsh_tables(spark, sf_dir)["sh"]
+    sig = sh.select(
+        "doc_id", _minhash_sig_col(F.col("shingles")).alias("sig")
+    )
+    cand = minhash_candidates(spark, sf_dir, bucket_cap=None)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_match * 1000000)
+            .cast("long")
+            .alias("_nm")
+            ,
+            inter.alias("_i"),
+            union.alias("_u"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"_nm div {_N_HASHES}").cast("long").alias("est_ppm"),
+            F.expr("CAST(_i AS BIGINT) * 1000000 div _u")
+            .cast("long")
+            .alias("true_ppm"),
+        )
+    )
