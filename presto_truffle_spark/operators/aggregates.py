@@ -838,3 +838,82 @@ def agg_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS r
+        FROM per_cust
+    ), s AS (
+        SELECT count(*) AS n, sum(cents) AS sx,
+               sum(r * cents) AS srx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           round(2.0 * srx / (n * 1.0 * sx) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration metric
+    behind "top 1% of users generate X% of revenue" dashboards (0 =
+    perfectly equal, →1 = one whale): G = 2·Σ(rank·x) / (n·Σx) −
+    (n+1)/n over ascending-sorted per-customer totals. The same query
+    over per-SOURCE token counts scores corpus concentration before
+    mixture weighting.
+
+    Determinism: totals are exact integer cents; ranks come from
+    row_number over the TOTAL order (cents, custkey) — the distinct-
+    rank convention (tie-averaged Gini differs in the 7th decimal on
+    tied totals; either is standard, ours is the deterministic one);
+    Σ(r·x) and Σx are exact integer sums, one double expression
+    rounded 6dp at the end.
+
+    Scale shape: the corpus folds to per-customer totals (one
+    map-combinable groupBy — the only order-volume stage); the rank
+    window runs on that reduced table. Customer cardinality at 100 TB
+    still means a single-partition sort — the documented scale path is
+    the corpus_token_budget_select discipline: quantize cents to ~1e4
+    buckets, rank buckets (grid-bounded), and compute Gini from the
+    bucket histogram — exact to bucket resolution; this query keeps
+    the exact form with the trade-off stated."""
+    from pyspark.sql.window import Window
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("r"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("r") * F.col("cents")).alias("srx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.round(
+            2.0 * F.col("srx") / (F.col("n") * 1.0 * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

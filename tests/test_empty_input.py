@@ -95,6 +95,8 @@ _CASES = [
     ("embedding_threshold_sweep", 0),
     ("agg_benford_digit_audit", 0),
     ("events_autocorrelation", 0),
+    ("dedup_minhash_estimator_error", 0),
+    ("agg_gini_coefficient", 1),  # ungrouped stats row (0, NULL, NULL)
 ]
 
 
