@@ -876,3 +876,97 @@ def streaming_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS event_date,
+               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                 AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3
+    ), base AS (
+        SELECT event_type, hour_of_day,
+               sum(n_events) AS sx,
+               sum(n_events * n_events) AS sxx,
+               count(*) AS nd
+        FROM daily
+        GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.event_date, d.hour_of_day, d.n_events,
+           round((d.n_events - b.sx * 1.0 / b.nd)
+                 / sqrt(nullif(b.sxx * 1.0 / b.nd
+                               - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd),
+                               0.0)),
+                 4) AS zscore
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.hour_of_day = b.hour_of_day
+    WHERE abs((d.n_events - b.sx * 1.0 / b.nd)
+              / sqrt(nullif(b.sxx * 1.0 / b.nd
+                            - (b.sx * 1.0 / b.nd) * (b.sx * 1.0 / b.nd),
+                            0.0))) > 2.5
+    """,
+)
+def streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_seasonal_anomaly — live alerting
+    against a PRECOMPUTED baseline: the per-(type, hour) power-sum
+    baseline is built in batch (exactly what a production job
+    materializes nightly), broadcast onto the event stream as a
+    stateless enrich BEFORE the streaming aggregation — the ordering
+    that keeps the query to ONE stateful operator (join-after-
+    streaming-aggregation is the restricted shape; enrich-then-
+    aggregate is the supported one, and the baseline columns ride
+    through the groupBy as any_value). Complete mode over the replay
+    makes the result identical to the batch query, hence the full
+    oracle — including the nullif zero-variance guard and the
+    unrounded-z threshold (same IEEE op tree).
+
+    In production the stream side is append-mode per closed hourly
+    window; the state is O(open cells). Extraction uses hour()/date on
+    the UTC-pinned stream timestamp (value-preserving — the
+    _events_stream convention)."""
+    ev = _events_stream(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events")
+    daily_b = (
+        batch.select(
+            "event_type",
+            F.col("ts").cast("date").alias("event_date"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .groupBy("event_type", "event_date", "hour_of_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    base = daily_b.groupBy("event_type", "hour_of_day").agg(
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    enriched = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("event_date"),
+        F.hour("ts").alias("hour_of_day"),
+    ).join(F.broadcast(base), ["event_type", "hour_of_day"])
+    agg = enriched.groupBy(
+        "event_type", "event_date", "hour_of_day"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.any_value("sx").alias("sx"),
+        F.any_value("sxx").alias("sxx"),
+        F.any_value("nd").alias("nd"),
+    )
+    mean = F.col("sx") * 1.0 / F.col("nd")
+    z = (F.col("n_events") - mean) / F.sqrt(
+        F.nullif(F.col("sxx") * 1.0 / F.col("nd") - mean * mean, F.lit(0.0))
+    )
+    out = agg.filter(F.abs(z) > 2.5).select(
+        "event_type",
+        "event_date",
+        "hour_of_day",
+        "n_events",
+        F.round(z, 4).alias("zscore"),
+    )
+    return _run_to_memory(out, "complete")
