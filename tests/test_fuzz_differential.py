@@ -720,3 +720,25 @@ def test_regex_backslash_escape_divergence_pinned(spark):
             spark.sql(q).collect()[0].v
             == duckdb.connect().execute(q).fetchone()[0]
         ), (pat, s)
+
+
+def test_regexp_replace_first_vs_all_divergence_pinned(spark):
+    """FIXTURES.md r9 continuation: regexp_replace over the SAME SQL
+    text replaces ALL matches in Spark but only the FIRST in DuckDB
+    ('aaa','a','b' -> 'bbb' vs 'baa'), and the two engines' 4th
+    argument is DIFFERENT TYPES: DuckDB takes an options string ('g'
+    -> replace all) where Spark takes the integer start position — so
+    the 4-arg call cannot even be spelled shared (Spark raises
+    CAST_INVALID_INPUT on 'g'). Shared oracles must avoid
+    regexp_replace entirely or guarantee at most one match per input
+    (text_pii_redact's discipline)."""
+    sql = "SELECT regexp_replace('aaa', 'a', 'b') v"
+    assert spark.sql(sql).collect()[0].v == "bbb"
+    con = duckdb.connect()
+    assert con.execute(sql).fetchone()[0] == "baa"
+    assert con.execute(
+        "SELECT regexp_replace('aaa', 'a', 'b', 'g')"
+    ).fetchone()[0] == "bbb"
+    with pytest.raises(Exception) as e:
+        spark.sql("SELECT regexp_replace('aaa', 'a', 'b', 'g') v").collect()
+    assert "CAST_INVALID_INPUT" in str(e.value)
