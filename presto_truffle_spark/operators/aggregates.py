@@ -917,3 +917,58 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.25) WITHIN GROUP
+                (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS p25_cents,
+           CAST(percentile_disc(0.50) WITHIN GROUP
+                (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS p50_cents,
+           CAST(percentile_disc(0.75) WITHIN GROUP
+                (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS p75_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles — the ANSI ``percentile_disc(f) WITHIN
+    GROUP`` spelling, which BOTH engines parse identically (rare for
+    the ordered-set aggregates; contrast LISTAGG's one-sided syntax).
+    Unlike the interpolated agg_percentiles, disc returns an ACTUAL
+    data value (the first value at-or-past the cumulative fraction) —
+    the variant you need when the percentile must be a real
+    observation (a real order total, a real latency — medians of money
+    should be money someone paid). On exact integer cents the result
+    is integer-exact with no FP boundary at all; the only cross-engine
+    hazard is the RETURN TYPE (Spark widens to double, DuckDB keeps
+    the input type — pinned here by casting both to BIGINT).
+
+    Same scale posture as agg_percentiles: per-group value buffering,
+    fine for bounded group counts; percentile_approx is the 100 TB
+    default."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).createOrReplaceTempView("pt_pdisc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p25_cents,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p50_cents,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p75_cents
+        FROM pt_pdisc
+        GROUP BY l_returnflag
+        """
+    )
