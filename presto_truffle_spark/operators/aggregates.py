@@ -972,3 +972,87 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), th AS (
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS lo,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS hi
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c.cents) AS BIGINT) AS sum_cents_raw,
+           CAST(sum(greatest(th.lo, least(th.hi, c.cents))) AS BIGINT)
+             AS sum_cents_winsorized,
+           CAST(sum(CASE WHEN c.cents < th.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN c.cents > th.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high
+    FROM c JOIN th ON c.l_returnflag = th.l_returnflag
+    GROUP BY c.l_returnflag
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation — clamp each group's values to its own
+    [p05, p95] before summing: the outlier-robust preprocessing step
+    for metrics a single whale/glitch would otherwise own (robust
+    revenue-per-group, robust training-signal means). Emits raw and
+    winsorized sums side by side plus how many values each clamp
+    touched — the audit columns that tell you whether the robust
+    number diverges from the raw one because of 2 rows or 2000.
+
+    Thresholds are DISCRETE percentiles (actual data values — clamping
+    to an interpolated phantom value changes sums by fractional cents
+    and is the classic winsorize-implementation bug), so every quantity
+    here is an exact integer: sums in any accumulation order, no FP
+    anywhere. Plan: one corpus fold to the per-group thresholds (the
+    value-buffering percentile — bounded group count), broadcast back,
+    clamp row-side with greatest/least, one grouped sum. Two scans of
+    the fact (threshold pass + clamp pass) — the unavoidable shape for
+    self-referential thresholds; at 100 TB the first pass uses
+    percentile_approx and the same plan holds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("pt_winsor")
+    th = spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS lo,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS hi
+        FROM pt_winsor GROUP BY l_returnflag
+        """
+    )
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    return (
+        c.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents_raw"),
+            F.sum(clamped).cast("long").alias("sum_cents_winsorized"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+    )

@@ -97,6 +97,9 @@ _CASES = [
     ("events_autocorrelation", 0),
     ("dedup_minhash_estimator_error", 0),
     ("agg_gini_coefficient", 1),  # ungrouped stats row (0, NULL, NULL)
+    ("agg_percentile_disc", 0),
+    ("agg_winsorized_stats", 0),
+    ("streaming_seasonal_anomaly", 0),
 ]
 
 
