@@ -1054,3 +1054,78 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH maxd AS (
+        SELECT max(doc_id) AS md, count(*) AS nd FROM documents
+    ), firsts AS (
+        SELECT t, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY t
+    ), toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ), deciles AS (
+        SELECT g.decile,
+               (SELECT md * g.decile // 10 FROM maxd) AS cutoff
+        FROM generate_series(1, 10) AS g(decile)
+    )
+    SELECT d.decile,
+           CAST((SELECT sum(n) FROM toks WHERE doc_id <= d.cutoff)
+                AS BIGINT) AS n_tokens,
+           CAST((SELECT count(*) FROM firsts WHERE first_doc <= d.cutoff)
+                AS BIGINT) AS vocab_size
+    FROM deciles d
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve — vocabulary size as a function of corpus size,
+    sampled at ten doc_id-ordered prefixes: the companion diagnostic to
+    text_zipf_fit (natural corpora grow vocab ~ tokensᵝ, β≈0.4-0.6; a
+    FLAT curve means a closed vocabulary — this fixture — and a linear
+    one means noise/IDs, both of which change tokenizer and dedup
+    decisions). Emitted as the 10-point (n_tokens, vocab_size) curve;
+    the β fit is one downstream regression over 10 rows.
+
+    The distributed trick: a naive prefix sweep would run K distinct-
+    counts with an Expand blow-up (the agg_approx_distinct lesson);
+    instead each token's FIRST-OCCURRENCE doc (one groupBy-min over
+    the explode) makes vocab-at-cutoff a simple count of firsts below
+    the cutoff — K cutoffs become conditional counts over the
+    vocabulary-bounded firsts table, one corpus pass total. Same
+    first-occurrence discipline as dedup_exact's survivor pick, reused
+    for measurement. Deterministic: prefix order is doc_id (the stable
+    ingest key), cutoffs are integer floor-division deciles of
+    max(doc_id), every output an exact integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    maxd = docs.agg(F.max("doc_id").alias("md"))
+    firsts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    deciles = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(maxd))
+        .select("decile", F.expr("md * decile div 10").alias("cutoff"))
+    )
+    tok_counts = (
+        toks.crossJoin(F.broadcast(deciles))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    vocab_counts = (
+        firsts.crossJoin(F.broadcast(deciles))
+        .filter(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return tok_counts.join(vocab_counts, "decile").select(
+        "decile", "n_tokens", "vocab_size"
+    )
