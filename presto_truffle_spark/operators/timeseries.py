@@ -1064,3 +1064,95 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / den, 4).alias("autocorr"),
     )
+
+
+@query(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('week', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS ws,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE 0 END AS cents
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(ws) AS cw FROM wk GROUP BY user_id
+    ), sizes AS (
+        SELECT cw, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM cohort GROUP BY cw
+    ), cells AS (
+        SELECT c.cw, (w.ws - c.cw) // 604800 AS age_weeks,
+               CAST(sum(w.cents) AS BIGINT) AS cents
+        FROM wk w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    )
+    SELECT cells.cw AS cohort_week_start, age_weeks,
+           CAST(sum(cents) OVER (PARTITION BY cells.cw ORDER BY age_weeks)
+                AS BIGINT) AS cum_revenue_cents,
+           s.cohort_users,
+           CAST(sum(cents) OVER (PARTITION BY cells.cw ORDER BY age_weeks)
+                // s.cohort_users AS BIGINT) AS ltv_cents_per_user
+    FROM cells JOIN sizes s ON cells.cw = s.cw
+    """,
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — cumulative purchase revenue per cohort-age
+    week, absolute and per cohort user: the value-axis complement to
+    events_retention_cohorts' activity triangle ("week-1 signups are
+    worth X cents/user by age 3"), and the payback-period table
+    marketing spend is judged against.
+
+    All integer: revenue in cents (the streaming convention's
+    floor(x*100+0.5)), cohort assignment by Monday-aligned epoch-week
+    (trunc_ntz — zone-proof), per-user LTV by integer div. Scale
+    shape: one corpus pass tags each event with cents (non-purchases
+    0 — keeps cohort assignment and revenue in ONE fold), the
+    (cohort, age) cell table is calendar²-bounded, and the cumulative
+    window partitions BY COHORT over that cell table. Cohort sizes
+    broadcast back."""
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        epoch_s(trunc_ntz("week", "ts")).alias("ws"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("ws").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    cells = (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            F.expr("(ws - cw) div 604800").alias("age_weeks"),
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    cum = F.sum("cents").over(
+        W.partitionBy("cw")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week_start"),
+            "age_weeks",
+            cum.cast("long").alias("cum_revenue_cents"),
+            "cohort_users",
+            F.expr(
+                "CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age_weeks "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "div cohort_users AS BIGINT)"
+            ).alias("ltv_cents_per_user"),
+        )
+    )

@@ -100,6 +100,8 @@ _CASES = [
     ("agg_percentile_disc", 0),
     ("agg_winsorized_stats", 0),
     ("streaming_seasonal_anomaly", 0),
+    ("text_heaps_law_fit", 0),
+    ("events_cohort_ltv_curve", 0),
 ]
 
 
