@@ -1156,3 +1156,73 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cents_per_user"),
         )
     )
+
+
+@query(
+    "events_sequence_violations",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id,
+               min(CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                        AS BIGINT)) AS s0
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ), acts AS (
+        SELECT e.user_id, e.event_type,
+               CAST(epoch(date_trunc('second', CAST(e.ts AS TIMESTAMP)))
+                    AS BIGINT) AS t,
+               f.s0
+        FROM events e LEFT JOIN first_signup f ON e.user_id = f.user_id
+        WHERE e.event_type IN ('purchase', 'click', 'view')
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN s0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan,
+           CAST(sum(CASE WHEN s0 IS NOT NULL AND t < s0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_before_signup
+    FROM acts
+    GROUP BY event_type
+    """,
+)
+def events_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causality audit over the event log — per activity type, how many
+    events belong to users who NEVER signed up (orphans: broken
+    identity stitching or bot traffic) and how many happened BEFORE
+    the user's first signup (clock skew, backfilled imports, or replay
+    bugs). The data-quality gate run before any funnel/attribution
+    query is trusted — this fixture fails it loudly (every type has
+    pre-signup activity), which is exactly the finding: synthetic
+    event generators rarely model causality, and neither do broken
+    pipelines.
+
+    One fold to per-user first-signup (map-combinable min), one LEFT
+    join from the activity stream (broadcast-able at fixture scale,
+    key-shuffled at 100 TB — same key as every other per-user op, so
+    co-partitioning amortizes it), one grouped count. Whole-second
+    epoch on both sides (the pinned fractional-second discipline);
+    zone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_s("ts")).alias("s0"))
+    )
+    acts = (
+        ev.filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select("user_id", "event_type", epoch_s("ts").alias("t"))
+        .join(first_signup, "user_id", "left")
+    )
+    return acts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("s0").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan"),
+        F.sum(
+            F.when(
+                F.col("s0").isNotNull() & (F.col("t") < F.col("s0")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_before_signup"),
+    )
