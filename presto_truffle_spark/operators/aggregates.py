@@ -1056,3 +1056,83 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clamped_high"),
         )
     )
+
+
+@query(
+    "agg_conversion_wilson_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS bought
+        FROM events
+        GROUP BY user_id
+    ), s AS (
+        SELECT CAST(sum(saw) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM per_user
+    )
+    SELECT n AS n_exposed, k AS n_converted,
+           round(k * 1.0 / n, 6) AS rate,
+           round((k * 1.0 / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+           round((k * 1.0 / n + 1.96 * 1.96 / (2 * n)
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+    FROM s
+    """,
+)
+def agg_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate with the Wilson 95% score interval — the
+    A/B-dashboard number done right: the Wilson interval stays inside
+    [0,1] and behaves at small n and extreme rates where the naive
+    normal (Wald) interval is famously wrong (the reason every
+    experimentation platform uses score or Jeffreys intervals).
+    Deterministic by the repo's analytic-CI convention: bootstrap CIs
+    are resampling-nondeterministic and can never be oracled; the
+    Wilson formula is closed-form over two exact integers (exposed
+    users n, converted k), spelled textually identically on both
+    engines with z=1.96 literal, rounded 6dp.
+
+    Denominator discipline: conversion is per-USER (max-flag fold, one
+    map-combinable pass), not per-event — event-weighted 'rates' are
+    the classic dashboard inflation bug. One corpus fold, then
+    constants-only arithmetic on a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "saw"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    )
+    s = per_user.agg(
+        F.sum("saw").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("saw") == 1) & (F.col("bought") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z2 = 1.96 * 1.96
+    half = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / F.col("n") + F.lit(z2) / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + F.lit(z2) / F.col("n")
+    center = p + F.lit(z2) / (2 * F.col("n"))
+    return s.select(
+        F.col("n").alias("n_exposed"),
+        F.col("k").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

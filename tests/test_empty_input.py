@@ -102,6 +102,8 @@ _CASES = [
     ("streaming_seasonal_anomaly", 0),
     ("text_heaps_law_fit", 0),
     ("events_cohort_ltv_curve", 0),
+    ("events_sequence_violations", 0),
+    ("agg_conversion_wilson_ci", 1),  # ungrouped row (0, 0, NULL CIs)
 ]
 
 
