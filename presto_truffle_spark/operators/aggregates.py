@@ -1093,11 +1093,13 @@ def agg_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0,1] and behaves at small n and extreme rates where the naive
     normal (Wald) interval is famously wrong (the reason every
     experimentation platform uses score or Jeffreys intervals).
-    Deterministic by the repo's analytic-CI convention: bootstrap CIs
-    are resampling-nondeterministic and can never be oracled; the
-    Wilson formula is closed-form over two exact integers (exposed
-    users n, converted k), spelled textually identically on both
-    engines with z=1.96 literal, rounded 6dp.
+    Deterministic by the repo's analytic-CI convention: RNG-driven
+    bootstrap CIs are resampling-nondeterministic (the oracle-able
+    exception is the hash-seeded Poisson bootstrap, see
+    agg_poisson_bootstrap_ci); the Wilson formula is closed-form over
+    two exact integers (exposed users n, converted k), spelled
+    textually identically on both engines with z=1.96 literal,
+    rounded 6dp.
 
     Denominator discipline: conversion is per-USER (max-flag fold, one
     map-combinable pass), not per-event — event-weighted 'rates' are
@@ -1135,4 +1137,141 @@ def agg_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("rate"),
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@query(
+    "agg_poisson_bootstrap_ci",
+    oracle="""
+    WITH od AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM od
+    ), reps AS (
+        SELECT b,
+               CAST(sum(w * cents) AS BIGINT) AS wc,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM (
+            SELECT cents, b,
+                   CASE WHEN h < 385749 THEN 0
+                        WHEN h < 771499 THEN 1
+                        WHEN h < 964373 THEN 2
+                        WHEN h < 1028665 THEN 3
+                        WHEN h < 1044738 THEN 4
+                        ELSE 5 END AS w
+            FROM (
+                SELECT cents, b,
+                       (o_orderkey * 2654435761 + b * 40503) % 1048576 AS h
+                FROM od
+                CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+            )
+        )
+        GROUP BY b
+    ), means AS (
+        SELECT b, wc / (100.0 * nullif(sw, 0)) AS mean_price FROM reps
+    ), ranked AS (
+        SELECT mean_price,
+               row_number() OVER (ORDER BY mean_price, b) AS rn
+        FROM means
+    ), picks AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+               min(CASE WHEN rn = 2 THEN mean_price END) AS lo,
+               min(CASE WHEN rn = 31 THEN mean_price END) AS hi
+        FROM ranked
+    )
+    SELECT n_rows, n_replicates,
+           round(sum_cents / (100.0 * nullif(n_rows, 0)), 6) AS mean_price,
+           round(lo, 6) AS boot_lo,
+           round(hi, 6) AS boot_hi
+    FROM stats CROSS JOIN picks
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean order value via the POISSON bootstrap —
+    the resampling scheme that actually works distributed (Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    Classical bootstrap resamples n rows WITH replacement per replicate —
+    inexpressible in one pass over a sharded table. The Poisson trick:
+    each row independently contributes a Poisson(1)-distributed weight
+    per replicate (sum of weights ~ n for large n), so all B replicates
+    are computed in ONE scan with map-side partial aggregation; the
+    shuffle carries B rows per task, not B resampled corpora.
+
+    Determinism discipline (what makes this oracle-able at all, cf. the
+    analytic-CI note on agg_conversion_wilson_ci): the per-(row,
+    replicate) weight is NOT drawn from an RNG — it is the inverse-CDF
+    bucket of a hash u = (o_orderkey*2654435761 + b*40503) mod 2^20,
+    compared against INTEGER thresholds (floor(CDF_Poisson(1)(k) * 2^20)
+    = 385749, 771499, 964373, 1028665, 1044738), so the weight column is
+    integer arithmetic end-to-end and both engines agree bit-exactly.
+    Replicate means divide two exact BIGINT sums (cents discipline); the
+    CI picks the 2nd / 31st order statistics of the 32 replicate means
+    (the discrete central 93.75% ≈ 95% band), tie-broken by replicate id.
+
+    Scale shape: the 32x row expansion is an explode inside one
+    whole-stage-codegen pipeline feeding a partial HashAggregate keyed on
+    b — it is never materialized or shuffled at row grain. The rank
+    window runs over exactly B=32 rows. At 100 TB the same plan holds;
+    B scales to hundreds before the B-row-per-task shuffle matters."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    stats = od.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    h = (
+        F.col("o_orderkey") * F.lit(2654435761) + F.col("b") * F.lit(40503)
+    ) % F.lit(1048576)
+    w = (
+        F.when(F.col("h") < 385749, 0)
+        .when(F.col("h") < 771499, 1)
+        .when(F.col("h") < 964373, 2)
+        .when(F.col("h") < 1028665, 3)
+        .when(F.col("h") < 1044738, 4)
+        .otherwise(5)
+    )
+    reps = (
+        od.select(
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+            "o_orderkey",
+        )
+        .withColumn("h", h)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("wc"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+    )
+    means = reps.select(
+        "b",
+        (
+            F.col("wc") / (F.lit(100.0) * F.nullif(F.col("sw"), F.lit(0)))
+        ).alias("mean_price"),
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_price", "b"))
+    )
+    picks = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.min(F.when(F.col("rn") == 2, F.col("mean_price"))).alias("lo"),
+        F.min(F.when(F.col("rn") == 31, F.col("mean_price"))).alias("hi"),
+    )
+    return stats.crossJoin(F.broadcast(picks)).select(
+        "n_rows",
+        "n_replicates",
+        F.round(
+            F.col("sum_cents")
+            / (F.lit(100.0) * F.nullif(F.col("n_rows"), F.lit(0))),
+            6,
+        ).alias("mean_price"),
+        F.round(F.col("lo"), 6).alias("boot_lo"),
+        F.round(F.col("hi"), 6).alias("boot_hi"),
     )

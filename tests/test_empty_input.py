@@ -104,6 +104,7 @@ _CASES = [
     ("events_cohort_ltv_curve", 0),
     ("events_sequence_violations", 0),
     ("agg_conversion_wilson_ci", 1),  # ungrouped row (0, 0, NULL CIs)
+    ("agg_poisson_bootstrap_ci", 1),  # ungrouped row (0, 0, NULL mean/CI)
 ]
 
 
