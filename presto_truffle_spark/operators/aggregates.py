@@ -1275,3 +1275,101 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo"), 6).alias("boot_lo"),
         F.round(F.col("hi"), 6).alias("boot_hi"),
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ), m AS (
+        SELECT seg, prio, obs,
+               CAST(sum(obs) OVER (PARTITION BY seg) AS BIGINT) AS row_tot,
+               CAST(sum(obs) OVER (PARTITION BY prio) AS BIGINT) AS col_tot,
+               CAST(sum(obs) OVER () AS BIGINT) AS n
+        FROM cells
+    ), dims AS (
+        SELECT CAST(count(DISTINCT seg) AS BIGINT) AS r,
+               CAST(count(DISTINCT prio) AS BIGINT) AS c
+        FROM cells
+    ), s AS (
+        SELECT max(n) AS n,
+               sum((obs - (row_tot * col_tot) * 1.0 / n)
+                   * (obs - (row_tot * col_tot) * 1.0 / n)
+                   / ((row_tot * col_tot) * 1.0 / n)) AS chi2
+        FROM m
+    )
+    SELECT n, (r - 1) * (c - 1) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM s CROSS JOIN dims
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the market-segment x
+    order-priority contingency table, plus Cramer's V effect size — the
+    screening question ("does segment drive priority mix?") every
+    analytics stack answers before modeling a categorical interaction.
+
+    Observed-cell counting is the ONLY full-data work: one key-shuffle
+    join (orders->customer on custkey) and one grouped count; everything
+    downstream (margins via windows, the chi2 fold, the distinct-level
+    dims) runs over the r*c <= 25-row cell table, so the test statistic
+    costs one join + one aggregate regardless of fact size. Expected
+    counts row_tot*col_tot/n stay a BIGINT product (exact, ~1.4e10 max)
+    divided once in DOUBLE with the identical textual formula on both
+    engines; chi2 is a 25-term double fold in cell order — but summed by
+    BOTH engines over the same 25 exact-integer-derived terms after a
+    deterministic grouped aggregate, with the final value rounded 6dp.
+    dof and the min(r,c)-1 normalizer come from measured distinct levels,
+    not assumed constants, so collapsed levels in a filtered corpus keep
+    the statistic honest.
+
+    NOTE on float-fold order: chi2 sums 25 doubles whose addition order
+    Spark does not define. The 6dp round is NOT the guard — the guard is
+    magnitude: terms are O(1e0..1e3) with a sum O(1e3), so reassociation
+    error is ~1e-13 relative, 1e-10 absolute — five orders under the
+    rounding grain. The empty-input battery pins the n=0 edge (nullif
+    guards both engines)."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cells = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    m = cells.select(
+        "seg",
+        "prio",
+        "obs",
+        F.sum("obs").over(W.partitionBy("seg")).cast("long").alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("prio")).cast("long").alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")) * F.lit(1.0) / F.col("n")
+    s = m.agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
+    )
+    dims = cells.agg(
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("prio").cast("long").alias("c"),
+    )
+    return s.crossJoin(F.broadcast(dims)).select(
+        "n",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
