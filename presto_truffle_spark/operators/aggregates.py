@@ -1373,3 +1373,149 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "agg_ols_multifeature",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+               CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+               CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+               CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+               CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+               CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+               CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+               CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS s2y,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM t
+    ), d AS (
+        SELECT *,
+               n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS det,
+               sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y) AS det0,
+               n * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) AS det1,
+               n * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM g
+    ), b AS (
+        SELECT n_rows, syy, sy, s1y, s2y, n,
+               det0 / nullif(det, 0) AS b0,
+               det1 / nullif(det, 0) AS b1,
+               det2 / nullif(det, 0) AS b2
+        FROM d
+    )
+    SELECT n_rows,
+           round(b0, 6) AS beta_intercept_cents,
+           round(b1, 6) AS beta_qty_cents,
+           round(b2, 6) AS beta_disc_cents,
+           round(1 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                     / nullif(syy - sy * sy / n, 0), 6) AS r2
+    FROM b
+    """,
+)
+def agg_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS (extendedprice ~ quantity + discount) fitted the
+    distributed way: accumulate the 3x3 Gram matrix X'X and X'y as NINE
+    scalar sums in ONE map-combinable pass, then solve the normal
+    equations by Cramer's rule in closed form — no per-iteration scans,
+    no driver-side matrix library, no collect of anything bigger than one
+    row. This is the classic pattern for linear models over cluster-scale
+    data (and the 2-feature case keeps the determinant expansion honest
+    where a 1-feature slope/intercept pair, cf. events_trend_regression,
+    cannot exercise cross-feature terms).
+
+    Exactness layering: every Gram entry is a BIGINT sum of integer
+    products (quantity integer-valued; discount and price in exact
+    cents; max term ~5e8 * 6e5 rows stays under 2^63), EXCEPT y'y which
+    at ~1e14/term must sum in DECIMAL(38,0) on the Spark side (ANSI
+    BIGINT sum would overflow at sf>=1) and rides DuckDB's automatic
+    HUGEINT widening on the oracle side. Determinants then evaluate in
+    DOUBLE from identically-spelled expressions over those exact sums —
+    conversion of the same exact integer to double is the same double on
+    both engines, and from there the arithmetic is expression-tree
+    identical. Betas and R^2 round 6dp; zero determinant (collinear or
+    empty input) and zero variance degrade to NULL via nullif on both
+    sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dbl = lambda c: c.cast("long").cast("double")  # noqa: E731
+    g = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dbl(F.sum("x1")).alias("s1"),
+        dbl(F.sum("x2")).alias("s2"),
+        dbl(F.sum("y")).alias("sy"),
+        dbl(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        dbl(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        dbl(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        dbl(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        dbl(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    c = F.col
+    minor = c("s11") * c("s22") - c("s12") * c("s12")
+    d = g.select(
+        "*",
+        (
+            c("n") * minor
+            - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+            + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2"))
+        ).alias("det"),
+        (
+            c("sy") * minor
+            - c("s1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+            + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+        ).alias("det0"),
+        (
+            c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+            - c("sy") * (c("s1") * c("s22") - c("s12") * c("s2"))
+            + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        ).alias("det1"),
+        (
+            c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+            - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+            + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+        ).alias("det2"),
+    )
+    b = d.select(
+        "n_rows",
+        "syy",
+        "sy",
+        "s1y",
+        "s2y",
+        "n",
+        (c("det0") / F.nullif(c("det"), F.lit(0))).alias("b0"),
+        (c("det1") / F.nullif(c("det"), F.lit(0))).alias("b1"),
+        (c("det2") / F.nullif(c("det"), F.lit(0))).alias("b2"),
+    )
+    sse = c("syy") - (
+        c("b0") * c("sy") + c("b1") * c("s1y") + c("b2") * c("s2y")
+    )
+    sst = c("syy") - c("sy") * c("sy") / c("n")
+    return b.select(
+        "n_rows",
+        F.round(c("b0"), 6).alias("beta_intercept_cents"),
+        F.round(c("b1"), 6).alias("beta_qty_cents"),
+        F.round(c("b2"), 6).alias("beta_disc_cents"),
+        F.round(1 - sse / F.nullif(sst, F.lit(0)), 6).alias("r2"),
+    )
