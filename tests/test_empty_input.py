@@ -107,6 +107,7 @@ _CASES = [
     ("agg_poisson_bootstrap_ci", 1),  # ungrouped row (0, 0, NULL mean/CI)
     ("agg_chi_square_independence", 1),  # ungrouped row (NULL stats, dof 0)
     ("agg_ols_multifeature", 1),  # ungrouped row (0, NULL betas/r2)
+    ("dedup_prefix_filter_join", 0),
 ]
 
 
