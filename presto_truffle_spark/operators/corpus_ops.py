@@ -721,3 +721,89 @@ def corpus_pack_bins_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
     )
+
+
+@query(
+    "corpus_quantile_normalize",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               [CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(1.0) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)]
+                   AS vals
+        FROM documents GROUP BY source
+    ), g AS (
+        SELECT [CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
+                CAST(percentile_disc(1.0) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)]
+                   AS gvals
+        FROM documents
+    )
+    SELECT source, d AS decile,
+           vals[d] AS src_val, gvals[d] AS global_val,
+           round(CAST(vals[d] AS DOUBLE) / nullif(gvals[d], 0), 6) AS lift
+    FROM src
+    CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d)
+    CROSS JOIN g
+    """,
+)
+def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vs global decile mapping of document length — the
+    calibration table behind quantile normalization: to put sources with
+    different length distributions on one scale, map each source's d-th
+    decile to the corpus-wide d-th decile (the batch-effect correction
+    lifted from genomics into corpus prep; corpus_quality_calibrated is
+    the median-only special case of the same discipline). Emitting the
+    MAPPING rather than the remapped rows keeps the result auditable and
+    reusable (sources x 10 rows, joinable onto any downstream gate).
+
+    Both engines parse the ANSI percentile_disc(f) WITHIN GROUP ordered-
+    set aggregate identically; values are exact BIGINTs (a length
+    percentile should be a length some document has), the `lift` ratio
+    (source decile / global decile) is the one derived double, rounded
+    6dp with nullif guarding degenerate zero-length deciles.
+
+    Scale shape: ONE grouped ordered-set aggregate over the corpus (per-
+    group value buffering — percentile_approx is the swap-in at 100 TB,
+    same plan otherwise) plus one global aggregate broadcast back; the
+    decile explode runs over sources x 10 rows, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    d.select("source", "n_chars").createOrReplaceTempView("pt_qnorm")
+    pd_arr = ", ".join(
+        f"CAST(percentile_disc({f/10:.1f}) WITHIN GROUP (ORDER BY n_chars)"
+        " AS BIGINT)"
+        for f in range(1, 11)
+    )
+    return spark.sql(
+        f"""
+        WITH src AS (
+            SELECT source, array({pd_arr}) AS vals
+            FROM pt_qnorm GROUP BY source
+        ), g AS (
+            SELECT array({pd_arr}) AS gvals FROM pt_qnorm
+        )
+        SELECT source, d AS decile,
+               element_at(vals, d) AS src_val,
+               element_at(gvals, d) AS global_val,
+               round(CAST(element_at(vals, d) AS DOUBLE)
+                     / nullif(element_at(gvals, d), 0), 6) AS lift
+        FROM src
+        CROSS JOIN g
+        LATERAL VIEW explode(sequence(1, 10)) t AS d
+        """
+    )

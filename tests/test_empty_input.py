@@ -108,6 +108,7 @@ _CASES = [
     ("agg_chi_square_independence", 1),  # ungrouped row (NULL stats, dof 0)
     ("agg_ols_multifeature", 1),  # ungrouped row (0, NULL betas/r2)
     ("dedup_prefix_filter_join", 0),
+    ("corpus_quantile_normalize", 0),  # no sources -> no mapping rows
 ]
 
 
