@@ -1129,3 +1129,137 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok_counts.join(vocab_counts, "decile").select(
         "decile", "n_tokens", "vocab_size"
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ')[i] AS tok, i
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1,
+                          len(string_split(text, ' ')))) AS i
+            FROM documents)
+    ), ns AS (
+        SELECT doc_id, tok, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS island
+        FROM toks WHERE tok NOT IN ('a', 'the')
+    ), phrases AS (
+        SELECT doc_id, island,
+               string_agg(tok, ' ' ORDER BY i) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM ns GROUP BY doc_id, island
+    ), words AS (
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS degree
+        FROM ns JOIN phrases USING (doc_id, island)
+        GROUP BY tok
+    ), wscore AS (
+        SELECT tok, degree * 1000000 // freq AS wscore_ppm FROM words
+    ), ptexts AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(plen) AS plen
+        FROM phrases GROUP BY phrase
+    ), pscore AS (
+        SELECT p.phrase, p.n_occurrences, p.plen,
+               CAST(sum(w.wscore_ppm) AS BIGINT) AS score_ppm
+        FROM (SELECT phrase, n_occurrences, plen,
+                     unnest(string_split(phrase, ' ')) AS tok
+              FROM ptexts) p
+        JOIN wscore w USING (tok)
+        GROUP BY p.phrase, p.n_occurrences, p.plen
+    )
+    SELECT phrase, plen AS n_words, n_occurrences, score_ppm
+    FROM pscore
+    ORDER BY score_ppm DESC, n_occurrences DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al., 2010): candidate phrases are
+    the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = total length of phrases it appears in —
+    words that ride in long collocations outrank words that appear
+    alone); a phrase scores the sum of its word scores; top 15 phrases
+    returned. The phrase-level complement to the word-level TF-IDF and
+    PMI extractors: RAKE needs NO corpus statistics beyond one pass, is
+    trivially distributable, and is the standard cheap first-pass
+    keyphrase tagger in corpus triage. Stopword set is the fixture's
+    actual function words ('a', 'the' — the only closed-class tokens in
+    its 31-token vocabulary).
+
+    Phrase segmentation is the gaps-and-islands trick on token position
+    (island = idx - row_number over non-stop tokens), the same machinery
+    as events_sessionize_islands — reused here on TEXT rather than
+    re-spelling a per-engine split-on-stopword regex (whose consecutive-
+    stopword boundary behavior forks between engines).
+
+    Determinism: scores are integer micro-units end-to-end —
+    word score = degree*1e6 div freq (integer division, exact), phrase
+    score = BIGINT sum of word ppms — so the ranking has no FP anywhere;
+    ties (identical score) break by occurrence count then phrase text.
+    Scale shape: token explode -> one islands window partitioned by
+    doc -> two grouped aggregates (words, phrase texts) -> a join of
+    phrase words against the ~vocab-sized score table (broadcast at any
+    realistic vocabulary) -> TakeOrderedAndProject for the top 15."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i0", "tok"),
+    ).select("doc_id", "tok", (F.col("i0") + 1).alias("i"))
+    ns = toks.filter(~F.col("tok").isin("a", "the")).withColumn(
+        "island",
+        F.col("i")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("i")),
+    )
+    phrases = ns.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x.tok,
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    words = (
+        ns.join(phrases, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    wscore = words.select(
+        "tok", F.expr("degree * 1000000 div freq").alias("wscore_ppm")
+    )
+    ptexts = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("plen").alias("plen"),
+    )
+    pscore = (
+        ptexts.select(
+            "phrase",
+            "n_occurrences",
+            "plen",
+            F.explode(F.split(F.col("phrase"), " ")).alias("tok"),
+        )
+        .join(F.broadcast(wscore), "tok")
+        .groupBy("phrase", "n_occurrences", "plen")
+        .agg(F.sum("wscore_ppm").cast("long").alias("score_ppm"))
+    )
+    return (
+        pscore.select(
+            "phrase",
+            F.col("plen").alias("n_words"),
+            "n_occurrences",
+            "score_ppm",
+        )
+        .orderBy(
+            F.col("score_ppm").desc(), F.col("n_occurrences").desc(), "phrase"
+        )
+        .limit(15)
+    )

@@ -109,6 +109,7 @@ _CASES = [
     ("agg_ols_multifeature", 1),  # ungrouped row (0, NULL betas/r2)
     ("dedup_prefix_filter_join", 0),
     ("corpus_quantile_normalize", 0),  # no sources -> no mapping rows
+    ("text_rake_keywords", 0),
 ]
 
 
