@@ -742,3 +742,74 @@ def test_regexp_replace_first_vs_all_divergence_pinned(spark):
     with pytest.raises(Exception) as e:
         spark.sql("SELECT regexp_replace('aaa', 'a', 'b', 'g') v").collect()
     assert "CAST_INVALID_INPUT" in str(e.value)
+
+
+def test_daytime_interval_diff_semantics_pinned(spark):
+    """Pin the whole-unit timestamp-difference fork: Spark timestampdiff
+    counts COMPLETE units; DuckDB date_sub matches it, DuckDB date_diff
+    counts boundary crossings and does NOT (FIXTURES.md r9)."""
+    import duckdb
+
+    s = spark.sql(
+        "SELECT timestampdiff(HOUR, TIMESTAMP_NTZ '2020-01-01 10:59:00', "
+        "TIMESTAMP_NTZ '2020-01-01 11:58:59') AS d"
+    ).collect()[0].d
+    con = duckdb.connect()
+    d_sub, d_diff = con.execute(
+        "SELECT date_sub('hour', TIMESTAMP '2020-01-01 10:59:00', "
+        "TIMESTAMP '2020-01-01 11:58:59'), "
+        "date_diff('hour', TIMESTAMP '2020-01-01 10:59:00', "
+        "TIMESTAMP '2020-01-01 11:58:59')"
+    ).fetchone()
+    assert s == 0 and d_sub == 0, (s, d_sub)
+    assert d_diff == 1, d_diff  # boundary crossing — the divergent twin
+
+
+def test_string_edge_divergences_pinned(spark):
+    """Pin the six string-edge forks the r9 string family probed (plus
+    the NULL-propagation fork its first live run caught) — FIXTURES.md:
+      * substring start 0: Spark clamps to position 1 keeping the full
+        requested length; DuckDB spends part of the length reaching 1.
+      * left/right negative n: DuckDB drops |n| from the other end;
+        Spark returns ''.
+      * split_part: index 0 raises on Spark / '' on DuckDB; empty
+        delimiter splits per-char on DuckDB / '' on Spark; and DuckDB
+        is NOT null-propagating (NULL string -> '', NULL delim -> the
+        whole input) where Spark yields NULL.
+      * lpad with empty pad raises on DuckDB; Spark truncates or
+        returns the input unchanged.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+
+    def sp(e):
+        return spark.sql(f"SELECT {e} AS v").collect()[0].v
+
+    def dk(e):
+        return con.execute(f"SELECT {e}").fetchone()[0]
+
+    assert sp("substring('hello', 0, 3)") == "hel"
+    assert dk("substring('hello', 0, 3)") == "he"
+    assert sp("left('hello', -2)") == "" and sp("right('hello', -2)") == ""
+    assert dk("left('hello', -2)") == "hel"
+    assert dk("right('hello', -2)") == "llo"
+    try:
+        sp("split_part('a,b', ',', 0)")
+        raise AssertionError("Spark split_part index 0 must raise")
+    except Exception as ex:
+        assert "INVALID_INDEX_OF_ZERO" in str(ex)
+    assert dk("split_part('a,b', ',', 0)") == ""
+    assert sp("split_part('a,b', '', 2)") == ""
+    assert dk("split_part('a,b', '', 2)") == ","
+    assert sp("split_part(CAST(NULL AS STRING), ',', 1)") is None
+    assert dk("split_part(NULL, ',', 1)") == ""
+    assert dk("split_part('a,b', NULL, 1)") == "a,b"
+    assert sp("lpad('ab', 5, '')") == "ab"
+    try:
+        dk("lpad('ab', 5, '')")
+        raise AssertionError("DuckDB lpad empty pad must raise")
+    except AssertionError:
+        raise
+    except Exception:
+        pass

@@ -1698,6 +1698,142 @@ def run_asof_case(
         )
     return _compare(best, con, dsql)
 
+def run_daytime_interval_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Day-time interval battery (r9 continuation of the month family):
+    whole-second TIMESTAMP_NTZ values +/- random SECOND/MINUTE/HOUR/DAY
+    counts, and unit differences between two timestamps. Probed parity:
+    Spark timestampadd(U, k, ts) == DuckDB ts + to_<u>s(k), and Spark
+    timestampdiff (COMPLETE units, ChronoUnit.between) == DuckDB
+    date_sub — NOT DuckDB date_diff, which counts boundary CROSSINGS
+    (date_diff('hour', 10:59, 11:01) = 1 vs timestampdiff = 0; pinned in
+    tests/test_fuzz_differential.py). NTZ end-to-end so no zone ever
+    enters; operands stay whole-second per the fractional-second
+    counting fork pinned by events_decayed_counts."""
+    import datetime
+
+    base = datetime.datetime(1995, 1, 3, 0, 0, 0)
+    rows = []
+    for i in range(rng.randint(1, 150)):
+        t1 = base + datetime.timedelta(seconds=rng.randint(0, 1_300_000_000))
+        t2 = (
+            t1
+            + datetime.timedelta(seconds=rng.randint(-400_000, 400_000))
+            if rng.random() < 0.7
+            else base + datetime.timedelta(seconds=rng.randint(0, 1_300_000_000))
+        )
+        rows.append(
+            (
+                i,
+                None if rng.random() < 0.08 else t1,
+                None if rng.random() < 0.08 else t2,
+                rng.randint(-2000, 2000),
+            )
+        )
+    path = os.path.join(tmp, f"fuzz_{case_id}_dt.parquet")
+    spark.createDataFrame(
+        rows, "rid long, t1 timestamp_ntz, t2 timestamp_ntz, k long"
+    ).write.mode("overwrite").parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    unit_s, unit_d = rng.choice(
+        [
+            ("SECOND", "to_seconds"),
+            ("MINUTE", "to_minutes"),
+            ("HOUR", "to_hours"),
+            ("DAY", "to_days"),
+        ]
+    )
+    kind = rng.randint(0, 2)
+    if kind == 0:
+        s = f"timestampadd({unit_s}, CAST(k AS INT), t1) AS e"
+        d = f"t1 + {unit_d}(CAST(k AS INT)) AS e"
+    elif kind == 1:
+        s = f"CAST(timestampdiff({unit_s}, t1, t2) AS BIGINT) AS e"
+        d = f"CAST(date_sub('{unit_s.lower()}', t1, t2) AS BIGINT) AS e"
+    else:
+        # composition: shift then full-unit difference back to the start
+        s = (
+            f"CAST(timestampdiff({unit_s}, t1, "
+            f"timestampadd({unit_s}, CAST(k AS INT), t1)) AS BIGINT) AS e"
+        )
+        d = (
+            f"CAST(date_sub('{unit_s.lower()}', t1, "
+            f"t1 + {unit_d}(CAST(k AS INT))) AS BIGINT) AS e"
+        )
+    dsql = f"SELECT rid, {d} FROM t"
+    return _compare(spark.read.parquet(path).selectExpr("rid", s), con, dsql)
+
+def run_string_edge_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """String-function edge battery (r9): substring/left/right/pad/
+    split_part/instr/repeat/replace over adversarial strings (empty,
+    NULL, repeated chars, delimiter-heavy). Probing found SIX forks, all
+    pinned in tests/test_fuzz_differential.py and excluded here by
+    construction: substring start 0 (Spark clamps to 1 and keeps the
+    full length; DuckDB treats position 0 as consuming length),
+    left/right with NEGATIVE n (DuckDB drops n chars from the other
+    end; Spark returns ''), split_part index 0 (Spark raises
+    INVALID_INDEX_OF_ZERO; DuckDB returns ''), split_part with EMPTY
+    delimiter (DuckDB splits per-char; Spark returns ''), and lpad/rpad
+    with EMPTY pad (DuckDB raises; Spark truncate-or-identity). The
+    family fuzzes the agreeing region: substring with start in
+    [-len..-1] or [1..len+2], non-negative left/right/pad lengths,
+    non-empty delimiters and pads, split_part index in +/-[1..4]."""
+    alpha = "abcxy,;| "
+    def rs():
+        if rng.random() < 0.1:
+            return ""
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+
+    rows = [
+        (i, None if rng.random() < 0.08 else rs())
+        for i in range(rng.randint(1, 150))
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_s.parquet")
+    spark.createDataFrame(rows, "rid long, s string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 6)
+        if kind == 0:
+            p0 = rng.choice([-3, -2, -1, 1, 2, 3, 5, 9])
+            n = rng.randint(0, 6)
+            exprs.append(f"substring(s, {p0}, {n}) AS e{i}")
+        elif kind == 1:
+            fn = rng.choice(["left", "right"])
+            exprs.append(f"{fn}(s, {rng.randint(0, 8)}) AS e{i}")
+        elif kind == 2:
+            fn = rng.choice(["lpad", "rpad"])
+            pad = rng.choice(["x", "xy", "#9"])
+            exprs.append(f"{fn}(s, {rng.randint(0, 12)}, '{pad}') AS e{i}")
+        elif kind == 3:
+            d = rng.choice([",", ";", "|", "x"])
+            ix = rng.choice([1, 2, 3, 4, -1, -2, -3])
+            # coalesce: DuckDB split_part is NOT null-propagating
+            # (NULL string -> '', NULL delim -> input; pinned) — found
+            # LIVE by this family's first run, seeds 910027/910035/910036
+            exprs.append(f"split_part(coalesce(s, ''), '{d}', {ix}) AS e{i}")
+        elif kind == 4:
+            sub = rng.choice(["a", "b", "c", ",", "zz", ""])
+            exprs.append(f"CAST(instr(s, '{sub}') AS BIGINT) AS e{i}")
+        elif kind == 5:
+            exprs.append(f"repeat(s, {rng.randint(0, 3)}) AS e{i}")
+        else:
+            a = rng.choice(["a", "b", ",", "x"])
+            b = rng.choice(["", "Z", "QQ"])
+            exprs.append(f"replace(s, '{a}', '{b}') AS e{i}")
+    sel = ", ".join(["rid", *exprs])
+    dsql = f"SELECT {sel} FROM t"
+    return _compare(spark.read.parquet(path).selectExpr("rid", *exprs), con, dsql)
+
 
 def run_try_arith_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
@@ -2131,6 +2267,10 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_lateral_case(spark, con, rng, tmp, case_id)
     if pick < 0.9999:
         return run_regex_case(spark, con, rng, tmp, case_id)
+    if pick < 0.99995:
+        return run_daytime_interval_case(spark, con, rng, tmp, case_id)
+    if pick < 0.99998:
+        return run_string_edge_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
