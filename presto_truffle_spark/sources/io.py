@@ -497,3 +497,91 @@ def source_csv_quoting_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("s").alias("min_s"),
     )
+
+
+@query(
+    "source_parquet_footer_audit",
+    oracle="""
+    SELECT 'l_linenumber' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) - count(l_linenumber) AS BIGINT) AS null_count,
+           CAST(min(l_linenumber) AS BIGINT) AS stat_min,
+           CAST(max(l_linenumber) AS BIGINT) AS stat_max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_orderkey) AS BIGINT),
+           CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_partkey) AS BIGINT),
+           CAST(min(l_partkey) AS BIGINT), CAST(max(l_partkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_suppkey) AS BIGINT),
+           CAST(min(l_suppkey) AS BIGINT), CAST(max(l_suppkey) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def source_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER statistics audit: write the fact table with Spark,
+    read back ONLY the file footers (pyarrow metadata — column chunk
+    num_values / null_count / min / max aggregated across files and row
+    groups), and let the oracle recompute the same numbers from the DATA.
+    Equality is precisely the property every min/max-pruning scan
+    (Spark's PushedFilters row-group skip, Z-order clustering,
+    compaction planners) silently relies on: if footers lie, pruning
+    drops live rows — this query is the trust-but-verify for O1/O7-style
+    statistics-driven scans (reference: columnar scan + typed readers,
+    ``TpchQuery6.java:19-33``).
+
+    Footer reads are DRIVER-side pyarrow by design, not a Spark job:
+    metadata is O(KB) per file regardless of data scale, and reading
+    footers without touching row data is the entire point (a compaction
+    planner at 100 TB lists footers for thousands of files; the
+    per-file loop distributes trivially via a binaryFiles->mapPartitions
+    pass when the file count outgrows the driver, with this exact
+    aggregation as the reduce).
+
+    Restricted to the four integer columns so stat min/max compare as
+    exact BIGINTs (double/timestamp footer stats add representation
+    forks without adding coverage)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _scoped_scratch(spark, "li_footer_audit")
+    li.repartition(4).write.mode("overwrite").parquet(path)
+    cols = ["l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"]
+    acc = {c: [0, 0, None, None] for c in cols}  # n, nulls, min, max
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(f).metadata
+        name_to_idx = {
+            md.schema.column(i).path: i for i in range(md.num_columns)
+        }
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for c in cols:
+                col = group.column(name_to_idx[c])
+                a = acc[c]
+                # Thrift ColumnMetaData.num_values INCLUDES nulls
+                # (probed: 5 rows with 2 nulls -> num_values 5)
+                a[0] += col.num_values
+                if col.statistics is None:
+                    continue
+                st = col.statistics
+                a[1] += st.null_count
+                if st.has_min_max:
+                    a[2] = st.min if a[2] is None else min(a[2], st.min)
+                    a[3] = st.max if a[3] is None else max(a[3], st.max)
+    rows = [
+        (c, acc[c][0], acc[c][1], acc[c][2], acc[c][3]) for c in sorted(cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_values long, null_count long, "
+        "stat_min long, stat_max long",
+    )

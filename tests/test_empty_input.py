@@ -110,6 +110,7 @@ _CASES = [
     ("dedup_prefix_filter_join", 0),
     ("corpus_quantile_normalize", 0),  # no sources -> no mapping rows
     ("text_rake_keywords", 0),
+    ("source_parquet_footer_audit", 4),  # one audit row per int column
 ]
 
 
