@@ -778,3 +778,104 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+def _fs_field_sql(field: str, expr: str, m: str) -> str:
+    """One Fellegi-Sunter calibration row (DuckDB spelling): u estimated
+    from the value-frequency histogram as the probability two DISTINCT
+    random records agree, add-one smoothed so all-unique fields stay
+    finite."""
+    return f"""
+    SELECT '{field}' AS field,
+           CAST(count(*) AS BIGINT) AS n_distinct_values,
+           CAST({m} AS DOUBLE) AS m_prob,
+           round((sum(c * (c - 1)) + 1.0) / (n * (n - 1) + 1.0), 9)
+               AS u_prob,
+           round(ln({m} / ((sum(c * (c - 1)) + 1.0) / (n * (n - 1) + 1.0)))
+                 / ln(2.0), 6) AS agreement_weight,
+           round(ln((1 - {m})
+                    / (1 - (sum(c * (c - 1)) + 1.0) / (n * (n - 1) + 1.0)))
+                 / ln(2.0), 6) AS disagreement_weight
+    FROM (
+        SELECT {expr} AS v, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        FROM customer GROUP BY {expr}
+    )
+    GROUP BY n"""
+
+
+@query(
+    "matching_fellegi_sunter",
+    oracle=" UNION ALL ".join(
+        [
+            _fs_field_sql("acctbal_band", "CAST(floor(c_acctbal / 100) AS BIGINT)", "0.7"),
+            _fs_field_sql("mktsegment", "c_mktsegment", "0.95"),
+            _fs_field_sql("name", "c_name", "0.9"),
+            _fs_field_sql("nationkey", "c_nationkey", "0.95"),
+        ]
+    ),
+)
+def matching_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage calibration (Fellegi & Sunter 1969;
+    the model behind Splink and every census-style probabilistic
+    matcher): for each comparison field, the match weight evidence an
+    AGREEMENT contributes is log2(m/u) and a DISAGREEMENT contributes
+    log2((1-m)/(1-u)). This op computes the u-probabilities — the chance
+    two random NON-matching records agree on the field — exactly from
+    the field's value-frequency histogram: u = sum_v c_v*(c_v-1) /
+    (N*(N-1)), add-one smoothed on both terms so an all-unique field
+    (c_name) yields a large finite weight instead of log(inf). That
+    frequency-based u estimation is precisely how production linkers
+    bootstrap (random pairing agrees by chance at the collision rate of
+    the value distribution); m-probabilities need labeled pairs or EM,
+    so they are declared priors here (literal per field, documented) —
+    the output is the weight TABLE a scorer joins against, like
+    corpus_quantile_normalize emits the mapping rather than the mapped
+    corpus.
+
+    Per field: one grouped count (map-combinable) + a one-row window
+    fold over the distinct-value histogram — the corpus is scanned once
+    per field and nothing pairwise is ever enumerated (the entire point:
+    u comes from the histogram, not from sampling pairs). Exact integer
+    collision sums; the two log-weights are the only doubles, spelled
+    identically both engines, rounded 6dp (u itself at 9dp — it ranges
+    down to ~1/N^2)."""
+    cu = load_table(spark, sf_dir, "customer")
+    fields = [
+        ("acctbal_band", F.floor(F.col("c_acctbal") / 100).cast("long"), 0.7),
+        ("mktsegment", F.col("c_mktsegment"), 0.95),
+        ("name", F.col("c_name"), 0.9),
+        ("nationkey", F.col("c_nationkey"), 0.95),
+    ]
+    from pyspark.sql import Window as W
+
+    outs = []
+    for fname, expr, m in fields:
+        hist = (
+            cu.groupBy(expr.alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn(
+                "n", F.sum("c").over(W.partitionBy()).cast("long")
+            )
+        )
+        u = (F.sum(F.col("c") * (F.col("c") - 1)) + F.lit(1.0)) / (
+            F.col("n") * (F.col("n") - 1) + F.lit(1.0)
+        )
+        outs.append(
+            hist.groupBy("n").agg(
+                F.lit(fname).alias("field"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
+                F.lit(m).cast("double").alias("m_prob"),
+                F.round(u, 9).alias("u_prob"),
+                F.round(F.log(F.lit(m) / u) / F.log(F.lit(2.0)), 6).alias(
+                    "agreement_weight"
+                ),
+                F.round(
+                    F.log((1 - F.lit(m)) / (1 - u)) / F.log(F.lit(2.0)), 6
+                ).alias("disagreement_weight"),
+            ).drop("n")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

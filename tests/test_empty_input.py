@@ -111,6 +111,7 @@ _CASES = [
     ("corpus_quantile_normalize", 0),  # no sources -> no mapping rows
     ("text_rake_keywords", 0),
     ("source_parquet_footer_audit", 4),  # one audit row per int column
+    ("matching_fellegi_sunter", 0),  # no histogram -> no calibration rows
 ]
 
 
