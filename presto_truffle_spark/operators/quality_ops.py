@@ -1520,3 +1520,81 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_size").cast("long").alias("n_rows"),
         (F.col("class_size") < _K_ANON).alias("is_risky"),
     )
+
+
+@query(
+    "quality_dp_noisy_release",
+    oracle="""
+    WITH cells AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS true_count,
+               instr('ABFHM', left(c_mktsegment, 1)) AS seg_code
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    ), noised AS (
+        SELECT nationkey, segment, true_count,
+               CASE WHEN u < 0.5 THEN 2.0 * ln(2 * u)
+                    ELSE -2.0 * ln(2 - 2 * u) END AS noise
+        FROM (
+            SELECT *,
+                   ((nationkey * 2654435761 + seg_code * 40503) % 1048576
+                    + 1) / 1048577.0 AS u
+            FROM cells
+        )
+    )
+    SELECT nationkey, segment, true_count,
+           CAST(round(true_count + noise) AS BIGINT) AS released_count,
+           round(noise, 6) AS noise_applied
+    FROM noised
+    WHERE true_count + noise >= 10
+    """,
+)
+def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-STYLE noisy count release: per
+    (nation, segment) cell, add Laplace(b=2) noise (the epsilon=0.5
+    mechanism for a sensitivity-1 count) via the inverse CDF, then
+    SUPPRESS cells whose noisy count falls below 10 — the
+    noise-then-threshold release shape every DP aggregate API
+    (differential privacy in BigQuery/Snowflake, census tabulations)
+    applies, and the stronger cousin of quality_k_anonymity's
+    suppress-only rule.
+
+    Mechanism-demo honesty: real DP draws noise from an RNG and NEVER
+    emits the true count; this query seeds the Laplace inverse CDF from
+    a deterministic per-cell hash (the agg_poisson_bootstrap_ci
+    discipline: u = ((key-mix mod 2^20)+1)/(2^20+1), strictly inside
+    (0,1) so ln never sees 0) and emits true_count beside
+    released_count, trading privacy for measurability — the point is
+    the distributed mechanism (noise is a row expression over the
+    grouped cells; suppression is a filter; nothing leaves one grouped
+    aggregate), and the emitted pair lets the error distribution be
+    audited exactly like dedup_rate_estimate measures its estimator.
+    Segment strings enter the hash via their first letter's position in
+    'ABFHM' (the five segments' initials — integer arithmetic on both
+    engines rather than engine-specific string hashes)."""
+    cu = load_table(spark, sf_dir, "customer")
+    cells = cu.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    seg_code = F.expr("instr('ABFHM', left(segment, 1))")
+    u = (
+        (F.col("nationkey") * F.lit(2654435761) + seg_code * F.lit(40503))
+        % F.lit(1048576)
+        + 1
+    ) / F.lit(1048577.0)
+    noise = F.when(u < 0.5, F.lit(2.0) * F.log(2 * u)).otherwise(
+        F.lit(-2.0) * F.log(2 - 2 * u)
+    )
+    noised = cells.withColumn("noise", noise)
+    return noised.filter(
+        F.col("true_count") + F.col("noise") >= 10
+    ).select(
+        "nationkey",
+        "segment",
+        "true_count",
+        F.round(F.col("true_count") + F.col("noise"))
+        .cast("long")
+        .alias("released_count"),
+        F.round("noise", 6).alias("noise_applied"),
+    )

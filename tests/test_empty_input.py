@@ -112,6 +112,7 @@ _CASES = [
     ("text_rake_keywords", 0),
     ("source_parquet_footer_audit", 4),  # one audit row per int column
     ("matching_fellegi_sunter", 0),  # no histogram -> no calibration rows
+    ("quality_dp_noisy_release", 0),
 ]
 
 
