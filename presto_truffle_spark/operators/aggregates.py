@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from presto_truffle_spark.cache import scoped_persist
 from presto_truffle_spark.catalog import load_table
 from presto_truffle_spark.registry import query
 
@@ -1147,17 +1148,14 @@ def agg_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(sum(cents) AS BIGINT) AS sum_cents
-        FROM od
     ), reps AS (
         SELECT b,
                CAST(sum(w * cents) AS BIGINT) AS wc,
                CAST(sum(w) AS BIGINT) AS sw
         FROM (
             SELECT cents, b,
-                   CASE WHEN h < 385749 THEN 0
+                   CASE WHEN b = -1 THEN 1
+                        WHEN h < 385749 THEN 0
                         WHEN h < 771499 THEN 1
                         WHEN h < 964373 THEN 2
                         WHEN h < 1028665 THEN 3
@@ -1167,12 +1165,15 @@ def agg_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT cents, b,
                        (o_orderkey * 2654435761 + b * 40503) % 1048576 AS h
                 FROM od
-                CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+                CROSS JOIN (SELECT unnest(generate_series(-1, 31)) AS b)
             )
         )
         GROUP BY b
+    ), stats AS (
+        SELECT sw AS n_rows, wc AS sum_cents FROM reps WHERE b = -1
     ), means AS (
-        SELECT b, wc / (100.0 * nullif(sw, 0)) AS mean_price FROM reps
+        SELECT b, wc / (100.0 * nullif(sw, 0)) AS mean_price
+        FROM reps WHERE b >= 0
     ), ranked AS (
         SELECT mean_price,
                row_number() OVER (ORDER BY mean_price, b) AS rn
@@ -1221,15 +1222,16 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    stats = od.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("cents").cast("long").alias("sum_cents"),
-    )
     h = (
         F.col("o_orderkey") * F.lit(2654435761) + F.col("b") * F.lit(40503)
     ) % F.lit(1048576)
+    # b = -1 is the IDENTITY replicate (w forced to 1): its group row IS
+    # the plain (count, sum) over the corpus, so the point estimate rides
+    # the same single scan as the 32 bootstrap replicates (rescan audit:
+    # the original separate stats aggregate re-scanned orders).
     w = (
-        F.when(F.col("h") < 385749, 0)
+        F.when(F.col("b") == -1, 1)
+        .when(F.col("h") < 385749, 0)
         .when(F.col("h") < 771499, 1)
         .when(F.col("h") < 964373, 2)
         .when(F.col("h") < 1028665, 3)
@@ -1239,7 +1241,7 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = (
         od.select(
             "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+            F.explode(F.sequence(F.lit(-1), F.lit(31))).alias("b"),
             "o_orderkey",
         )
         .withColumn("h", h)
@@ -1250,7 +1252,13 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("long").alias("sw"),
         )
     )
-    means = reps.select(
+    # 33 tiny rows, two consumers (stats + means): persist so the
+    # explode+aggregate corpus pass runs once, not per consumer.
+    reps = scoped_persist(spark, "agg.poisson_bootstrap.reps", reps)
+    stats = reps.filter(F.col("b") == -1).select(
+        F.col("sw").alias("n_rows"), F.col("wc").alias("sum_cents")
+    )
+    means = reps.filter(F.col("b") >= 0).select(
         "b",
         (
             F.col("wc") / (F.lit(100.0) * F.nullif(F.col("sw"), F.lit(0)))
@@ -1291,12 +1299,10 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(obs) OVER (PARTITION BY prio) AS BIGINT) AS col_tot,
                CAST(sum(obs) OVER () AS BIGINT) AS n
         FROM cells
-    ), dims AS (
-        SELECT CAST(count(DISTINCT seg) AS BIGINT) AS r,
-               CAST(count(DISTINCT prio) AS BIGINT) AS c
-        FROM cells
     ), s AS (
         SELECT max(n) AS n,
+               CAST(count(DISTINCT seg) AS BIGINT) AS r,
+               CAST(count(DISTINCT prio) AS BIGINT) AS c,
                sum((obs - (row_tot * col_tot) * 1.0 / n)
                    * (obs - (row_tot * col_tot) * 1.0 / n)
                    / ((row_tot * col_tot) * 1.0 / n)) AS chi2
@@ -1305,7 +1311,7 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n, (r - 1) * (c - 1) AS dof,
            round(chi2, 6) AS chi2,
            round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
-    FROM s CROSS JOIN dims
+    FROM s
     """,
 )
 def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,15 +1359,16 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(W.partitionBy()).cast("long").alias("n"),
     )
     e = (F.col("row_tot") * F.col("col_tot")) * F.lit(1.0) / F.col("n")
+    # distinct level counts fold into the SAME aggregate over the
+    # 25-row m table (rescan audit: a separate dims aggregate over
+    # cells re-ran the join+group corpus pass).
     s = m.agg(
         F.max("n").alias("n"),
-        F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
-    )
-    dims = cells.agg(
         F.countDistinct("seg").cast("long").alias("r"),
         F.countDistinct("prio").cast("long").alias("c"),
+        F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
     )
-    return s.crossJoin(F.broadcast(dims)).select(
+    return s.select(
         "n",
         ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
         F.round(F.col("chi2"), 6).alias("chi2"),

@@ -726,8 +726,8 @@ def corpus_pack_bins_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_quantile_normalize",
     oracle="""
-    WITH src AS (
-        SELECT source,
+    WITH rolled AS (
+        SELECT source, grouping(source) AS g,
                [CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
                 CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
                 CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
@@ -737,29 +737,15 @@ def corpus_pack_bins_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
                 CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
                 CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(1.0) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)]
-                   AS vals
-        FROM documents GROUP BY source
-    ), g AS (
-        SELECT [CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT),
-                CAST(percentile_disc(1.0) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)]
-                   AS gvals
-        FROM documents
+                CAST(percentile_disc(1.0) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)] AS vals
+        FROM documents GROUP BY ROLLUP(source)
     )
-    SELECT source, d AS decile,
-           vals[d] AS src_val, gvals[d] AS global_val,
-           round(CAST(vals[d] AS DOUBLE) / nullif(gvals[d], 0), 6) AS lift
-    FROM src
+    SELECT s.source, d AS decile,
+           s.vals[d] AS src_val, t.vals[d] AS global_val,
+           round(CAST(s.vals[d] AS DOUBLE) / nullif(t.vals[d], 0), 6) AS lift
+    FROM (SELECT * FROM rolled WHERE g = 0) s
     CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d)
-    CROSS JOIN g
+    CROSS JOIN (SELECT vals FROM rolled WHERE g = 1) t
     """,
 )
 def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,10 +764,16 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source decile / global decile) is the one derived double, rounded
     6dp with nullif guarding degenerate zero-length deciles.
 
-    Scale shape: ONE grouped ordered-set aggregate over the corpus (per-
-    group value buffering — percentile_approx is the swap-in at 100 TB,
-    same plan otherwise) plus one global aggregate broadcast back; the
-    decile explode runs over sources x 10 rows, not the corpus."""
+    Scale shape: ONE ROLLUP(source) ordered-set aggregate computes the
+    per-source rows AND the grand-total row in a single corpus pass
+    (Expand doubles rows into one shuffle — the r9 rescan audit caught
+    the original two-aggregate spelling scanning documents twice);
+    per-group value buffering is the posture, percentile_approx the
+    100 TB swap-in. The tiny rolled table (sources+1 rows) is persisted
+    because both the source rows and the broadcast global row read it;
+    the decile explode runs over sources x 10 rows, not the corpus."""
+    from presto_truffle_spark.cache import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
     d.select("source", "n_chars").createOrReplaceTempView("pt_qnorm")
     pd_arr = ", ".join(
@@ -789,21 +781,36 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT)"
         for f in range(1, 11)
     )
-    return spark.sql(
+    rolled = spark.sql(
         f"""
-        WITH src AS (
-            SELECT source, array({pd_arr}) AS vals
-            FROM pt_qnorm GROUP BY source
-        ), g AS (
-            SELECT array({pd_arr}) AS gvals FROM pt_qnorm
-        )
-        SELECT source, d AS decile,
-               element_at(vals, d) AS src_val,
-               element_at(gvals, d) AS global_val,
-               round(CAST(element_at(vals, d) AS DOUBLE)
-                     / nullif(element_at(gvals, d), 0), 6) AS lift
-        FROM src
-        CROSS JOIN g
-        LATERAL VIEW explode(sequence(1, 10)) t AS d
+        SELECT source, grouping(source) AS g, array({pd_arr}) AS vals
+        FROM pt_qnorm GROUP BY ROLLUP(source)
         """
+    )
+    rolled = scoped_persist(spark, "corpus.quantile_normalize.rolled", rolled)
+    src = rolled.filter(F.col("g") == 0).select("source", "vals")
+    glob = rolled.filter(F.col("g") == 1).select(
+        F.col("vals").alias("gvals")
+    )
+    return (
+        src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+            "vals",
+            "gvals",
+        )
+        .select(
+            "source",
+            "decile",
+            F.element_at("vals", F.col("decile")).alias("src_val"),
+            F.element_at("gvals", F.col("decile")).alias("global_val"),
+            F.round(
+                F.element_at("vals", F.col("decile")).cast("double")
+                / F.nullif(
+                    F.element_at("gvals", F.col("decile")), F.lit(0)
+                ),
+                6,
+            ).alias("lift"),
+        )
     )

@@ -1360,6 +1360,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
     ).select("doc_id", "tok", "sz")
+    # ~half the token table, 3 narrow columns, consumed by BOTH sides of
+    # the candidate self-join — unpersisted, the df-count join and two
+    # rank windows would execute twice (rescan audit).
+    from presto_truffle_spark.cache import scoped_persist
+
+    prefix = scoped_persist(spark, "dedup.prefix_filter.prefix", prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(

@@ -780,40 +780,53 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_TOPK_SQL)
 
 
-def _fs_field_sql(field: str, expr: str, m: str) -> str:
-    """One Fellegi-Sunter calibration row (DuckDB spelling): u estimated
-    from the value-frequency histogram as the probability two DISTINCT
-    random records agree, add-one smoothed so all-unique fields stay
-    finite."""
-    return f"""
-    SELECT '{field}' AS field,
-           CAST(count(*) AS BIGINT) AS n_distinct_values,
-           CAST({m} AS DOUBLE) AS m_prob,
-           round((sum(c * (c - 1)) + 1.0) / (n * (n - 1) + 1.0), 9)
-               AS u_prob,
-           round(ln({m} / ((sum(c * (c - 1)) + 1.0) / (n * (n - 1) + 1.0)))
-                 / ln(2.0), 6) AS agreement_weight,
-           round(ln((1 - {m})
-                    / (1 - (sum(c * (c - 1)) + 1.0) / (n * (n - 1) + 1.0)))
-                 / ln(2.0), 6) AS disagreement_weight
-    FROM (
-        SELECT {expr} AS v, CAST(count(*) AS BIGINT) AS c,
-               CAST(sum(count(*)) OVER () AS BIGINT) AS n
-        FROM customer GROUP BY {expr}
+_FS_SQL = """
+    WITH base AS (
+        SELECT CAST(floor(c_acctbal / 100) AS BIGINT) AS f_band,
+               c_mktsegment AS f_seg, c_name AS f_name,
+               c_nationkey AS f_nat
+        FROM {table}
+    ), hist AS (
+        SELECT grouping(f_band) AS g_band, grouping(f_seg) AS g_seg,
+               grouping(f_name) AS g_name,
+               CAST(count(*) AS BIGINT) AS c
+        FROM base
+        GROUP BY GROUPING SETS ((f_band), (f_seg), (f_name), (f_nat))
+    ), fields AS (
+        SELECT CASE WHEN g_band = 0 THEN 'acctbal_band'
+                    WHEN g_seg = 0 THEN 'mktsegment'
+                    WHEN g_name = 0 THEN 'name'
+                    ELSE 'nationkey' END AS field,
+               c
+        FROM hist
+    ), folded AS (
+        SELECT field,
+               CAST(count(*) AS BIGINT) AS n_distinct_values,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS coll,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM fields GROUP BY field
+    ), probs AS (
+        SELECT field, n_distinct_values,
+               CAST(CASE field WHEN 'acctbal_band' THEN 0.7
+                    WHEN 'mktsegment' THEN 0.95
+                    WHEN 'name' THEN 0.9
+                    ELSE 0.95 END AS DOUBLE) AS m_prob,
+               CAST(coll + 1.0 AS DOUBLE)
+                   / CAST(n * (n - 1) + 1.0 AS DOUBLE) AS u_raw
+        FROM folded
     )
-    GROUP BY n"""
+    SELECT field, n_distinct_values, m_prob,
+           round(u_raw, 9) AS u_prob,
+           round(ln(m_prob / u_raw) / ln(2.0), 6) AS agreement_weight,
+           round(ln((1 - m_prob) / (1 - u_raw)) / ln(2.0), 6)
+               AS disagreement_weight
+    FROM probs
+"""
 
 
 @query(
     "matching_fellegi_sunter",
-    oracle=" UNION ALL ".join(
-        [
-            _fs_field_sql("acctbal_band", "CAST(floor(c_acctbal / 100) AS BIGINT)", "0.7"),
-            _fs_field_sql("mktsegment", "c_mktsegment", "0.95"),
-            _fs_field_sql("name", "c_name", "0.9"),
-            _fs_field_sql("nationkey", "c_nationkey", "0.95"),
-        ]
-    ),
+    oracle=_FS_SQL.format(table="customer"),
 )
 def matching_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record-linkage calibration (Fellegi & Sunter 1969;
@@ -833,49 +846,16 @@ def matching_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_quantile_normalize emits the mapping rather than the mapped
     corpus.
 
-    Per field: one grouped count (map-combinable) + a one-row window
-    fold over the distinct-value histogram — the corpus is scanned once
-    per field and nothing pairwise is ever enumerated (the entire point:
-    u comes from the histogram, not from sampling pairs). Exact integer
-    collision sums; the two log-weights are the only doubles, spelled
-    identically both engines, rounded 6dp (u itself at 9dp — it ranges
-    down to ~1/N^2)."""
-    cu = load_table(spark, sf_dir, "customer")
-    fields = [
-        ("acctbal_band", F.floor(F.col("c_acctbal") / 100).cast("long"), 0.7),
-        ("mktsegment", F.col("c_mktsegment"), 0.95),
-        ("name", F.col("c_name"), 0.9),
-        ("nationkey", F.col("c_nationkey"), 0.95),
-    ]
-    from pyspark.sql import Window as W
-
-    outs = []
-    for fname, expr, m in fields:
-        hist = (
-            cu.groupBy(expr.alias("v"))
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .withColumn(
-                "n", F.sum("c").over(W.partitionBy()).cast("long")
-            )
-        )
-        u = (F.sum(F.col("c") * (F.col("c") - 1)) + F.lit(1.0)) / (
-            F.col("n") * (F.col("n") - 1) + F.lit(1.0)
-        )
-        outs.append(
-            hist.groupBy("n").agg(
-                F.lit(fname).alias("field"),
-                F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
-                F.lit(m).cast("double").alias("m_prob"),
-                F.round(u, 9).alias("u_prob"),
-                F.round(F.log(F.lit(m) / u) / F.log(F.lit(2.0)), 6).alias(
-                    "agreement_weight"
-                ),
-                F.round(
-                    F.log((1 - F.lit(m)) / (1 - u)) / F.log(F.lit(2.0)), 6
-                ).alias("disagreement_weight"),
-            ).drop("n")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    ONE corpus scan for all four fields: GROUP BY GROUPING SETS
+    ((band),(segment),(name),(nationkey)) plans a single Expand (4x
+    rows) into a single shuffle — the r9 rescan audit caught the
+    original per-field spelling scanning customer four times. grouping()
+    flags label which set each histogram row belongs to; the collision
+    folds then run over the tiny distinct-value table. The SQL text is
+    byte-identical on both engines (grouping sets, grouping(), ln are
+    shared spellings); exact integer collision sums, weights the only
+    doubles, 6dp."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "pt_fs_customer"
+    )
+    return spark.sql(_FS_SQL.format(table="pt_fs_customer"))

@@ -1225,8 +1225,17 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).cast("long").alias("plen"),
     )
+    # One phrase row per stopword-free run — the reduced hub every later
+    # stage (word stats, phrase-text dedup) derives from; persisted so
+    # the corpus tokenize+islands pass runs once (rescan audit caught
+    # the original ns-join spelling scanning documents three times).
+    from presto_truffle_spark.cache import scoped_persist
+
+    phrases = scoped_persist(spark, "text.rake.phrases", phrases)
     words = (
-        ns.join(phrases, ["doc_id", "island"])
+        phrases.select(
+            F.explode(F.split(F.col("phrase"), " ")).alias("tok"), "plen"
+        )
         .groupBy("tok")
         .agg(
             F.count(F.lit(1)).cast("long").alias("freq"),

@@ -104,7 +104,7 @@ _CASES = [
     ("events_cohort_ltv_curve", 0),
     ("events_sequence_violations", 0),
     ("agg_conversion_wilson_ci", 1),  # ungrouped row (0, 0, NULL CIs)
-    ("agg_poisson_bootstrap_ci", 1),  # ungrouped row (0, 0, NULL mean/CI)
+    ("agg_poisson_bootstrap_ci", 0),  # no identity-replicate group on empty
     ("agg_chi_square_independence", 1),  # ungrouped row (NULL stats, dof 0)
     ("agg_ols_multifeature", 1),  # ungrouped row (0, NULL betas/r2)
     ("dedup_prefix_filter_join", 0),
