@@ -814,3 +814,75 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - {_SHINGLE - 1}),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])),
+                   x -> substr(md5(x), 1, 16)) AS shingles
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SHINGLE}
+    ), toks AS (
+        SELECT doc_id, unnest(shingles) AS tok FROM sh
+    ), first AS (
+        SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+    ), novel AS (
+        SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM first GROUP BY first_doc
+    )
+    SELECT s.doc_id,
+           CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(n.n_novel, 0) * 1000000 // len(s.shingles)
+                AS BIGINT) AS novelty_ppm
+    FROM sh s LEFT JOIN novel n USING (doc_id)
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's shingles
+    first seen in THAT document when the corpus is read in doc_id
+    (ingestion) order — the freshness curve a continuously-growing
+    training corpus tracks (novelty collapsing toward zero means new
+    data is recombination, not new content; a doc with novelty ~0 is
+    boilerplate or a near-dup of history, the same signal
+    dedup_incremental_minhash acts on, here as a MEASURE not a filter).
+
+    The trick that makes "shingles unseen in any earlier document"
+    one-pass: a shingle is novel in exactly the doc where it FIRST
+    occurs, so min(doc_id) per shingle type followed by a count per
+    first-doc IS the novelty numerator — no running distinct state, no
+    ordered scan, just two map-combinable grouped aggregates over the
+    exploded shingle table (the same first-occurrence fold the
+    estimator behind Heaps-law fitting uses, cf. text_heaps_law_fit).
+    Integer ppm output; reads the memoized cached shingle table shared
+    with the LSH family."""
+    sh = _lsh_tables(spark, sf_dir)["sh"]
+    toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        sh.select(
+            "doc_id", F.size("shingles").cast("long").alias("n_shingles")
+        )
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.expr("coalesce(n_novel, 0) * 1000000 div n_shingles")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

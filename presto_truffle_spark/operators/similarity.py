@@ -2108,3 +2108,128 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs")
         )
     )
+
+
+@query(
+    "embedding_matryoshka_truncation",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id >= {_N_QUERIES}
+    ), top_full AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(list_dot_product(qe, ce) /
+                             (sqrt(list_dot_product(qe, qe))
+                              * sqrt(list_dot_product(ce, ce))), 6) DESC,
+                           cid) AS rn
+            FROM q CROSS JOIN c)
+        WHERE rn <= {_TOP_K}
+    ), top_tr AS (
+        SELECT d, qid, cid FROM (
+            SELECT d, qid, cid,
+                   row_number() OVER (
+                       PARTITION BY d, qid
+                       ORDER BY round(
+                             list_dot_product(qe[1:d], ce[1:d]) /
+                             (sqrt(list_dot_product(qe[1:d], qe[1:d]))
+                              * sqrt(list_dot_product(ce[1:d], ce[1:d]))),
+                             6) DESC,
+                           cid) AS rn
+            FROM q
+            CROSS JOIN c
+            CROSS JOIN (SELECT unnest([8, 16, 32]) AS d))
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT t.d AS dim, t.qid,
+           CAST(count(f.cid) AS BIGINT) AS overlap_at_10
+    FROM top_tr t
+    LEFT JOIN top_full f ON t.qid = f.qid AND t.cid = f.cid
+    GROUP BY t.d, t.qid
+    """,
+)
+def embedding_matryoshka_truncation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation quality: how much of the exact
+    full-dimension cosine top-10 survives when vectors are cut to their
+    first 8 / 16 / 32 of 64 components — the measurement behind
+    Matryoshka Representation Learning deployments (truncate stored
+    vectors D/8x to cut index memory, IF the prefix preserves ranking;
+    this emits the per-query overlap@10 evidence instead of assuming).
+    The dimension ladder complements the precision ladder
+    (tools/int8_recall_study: int4/8/16 QUANTIZATION at full dim; here
+    full precision at reduced dim — the two axes a vector-store
+    capacity plan trades between).
+
+    Determinism discipline is ann_cosine_topk's: double arithmetic,
+    sequential-fold dot products matching DuckDB's list_dot_product
+    evaluation order, 6dp round BEFORE ranking, ties by candidate id.
+    Scale shape: the query side (Q x 3 dims) broadcasts; the corpus
+    never shuffles — same single-scan plan as exact cosine, 3x the
+    row work in one codegen pipeline. On the fixture the prefix is NOT
+    trained to be information-dense (synthetic embeddings), so measured
+    overlap quantifies truncation of an UNTRAINED layout — the honest
+    baseline a Matryoshka-trained encoder must beat."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _emb(e.filter(F.col("vec_id") < _N_QUERIES), "qid", "qe").drop(
+        "label"
+    )
+    c = _emb(e.filter(F.col("vec_id") >= _N_QUERIES), "cid", "ce").drop(
+        "label"
+    )
+    cos_full = F.round(
+        _dot(F.col("qe"), F.col("ce"))
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+        ),
+        6,
+    )
+    top_full = (
+        q.crossJoin(c)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(cos_full.desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _TOP_K)
+        .select("qid", "cid")
+    )
+    qs = F.slice(F.col("qe"), 1, F.col("d"))
+    cs = F.slice(F.col("ce"), 1, F.col("d"))
+    cos_tr = F.round(
+        _dot(qs, cs) / (F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(cs, cs))), 6
+    )
+    top_tr = (
+        q.crossJoin(c)
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("d")
+            )
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("d", "qid").orderBy(cos_tr.desc(), "cid")
+            ),
+        )
+        .filter(F.col("rn") <= _TOP_K)
+        .select("d", "qid", "cid")
+    )
+    f = top_full.withColumnRenamed("cid", "fcid")
+    return (
+        top_tr.join(
+            f,
+            (top_tr.qid == f.qid) & (top_tr.cid == F.col("fcid")),
+            "left",
+        )
+        .groupBy(F.col("d").alias("dim"), top_tr.qid)
+        .agg(F.count("fcid").cast("long").alias("overlap_at_10"))
+    )

@@ -113,6 +113,8 @@ _CASES = [
     ("source_parquet_footer_audit", 4),  # one audit row per int column
     ("matching_fellegi_sunter", 0),  # no histogram -> no calibration rows
     ("quality_dp_noisy_release", 0),
+    ("corpus_ngram_novelty", 0),
+    ("embedding_matryoshka_truncation", 0),
 ]
 
 
