@@ -1526,3 +1526,191 @@ def agg_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c("b2"), 6).alias("beta_disc_cents"),
         F.round(1 - sse / F.nullif(sst, F.lit(0)), 6).alias("r2"),
     )
+
+
+@query(
+    "profile_equi_depth_histogram",
+    oracle="""
+    WITH od AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), b AS (
+        SELECT [CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY cents) AS BIGINT),
+                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)]
+                   AS bnds
+        FROM od
+    ), assigned AS (
+        SELECT cents,
+               CAST(1 + len(list_filter(bnds, x -> x < cents)) AS BIGINT)
+                   AS bucket,
+               bnds
+        FROM od CROSS JOIN b
+    )
+    SELECT bucket,
+           CASE WHEN bucket <= 9 THEN bnds[CAST(bucket AS INT)] END
+               AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct
+    FROM assigned
+    GROUP BY bucket, CASE WHEN bucket <= 9 THEN bnds[CAST(bucket AS INT)] END
+    """,
+)
+def profile_equi_depth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order value — the statistic
+    object ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS builds and
+    every cost-based optimizer consumes for selectivity estimates
+    (Spark's CBO stores exactly this: bucket bounds + count + distinct
+    per bucket). Ten buckets bounded by the decile percentile_disc
+    values; a row lands in the FIRST bucket whose upper bound is >= its
+    value (boundary ties go low — both engines spell the rule as
+    1 + count of bounds strictly below). Emitting counts AND per-bucket
+    exact NDV makes the skew visible: heavy value ties fatten one
+    bucket's count while its NDV collapses — the case equi-WIDTH
+    histograms silently misestimate.
+
+    Two corpus passes by nature (bounds need the distribution before
+    assignment can bucket it — the same two-pass shape as
+    agg_winsorized_stats' self-referential thresholds): one ordered-set
+    aggregate for the 9-element bounds array (broadcast back as a
+    1-row cross join), one bucket-assign + grouped count/NDV pass.
+    All-integer output; percentile_approx is the 100 TB swap-in for
+    pass one."""
+    od = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    od.createOrReplaceTempView("pt_histo")
+    bnds_sql = ", ".join(
+        f"CAST(percentile_disc({f/10:.1f}) WITHIN GROUP (ORDER BY cents)"
+        " AS BIGINT)"
+        for f in range(1, 10)
+    )
+    b = spark.sql(f"SELECT array({bnds_sql}) AS bnds FROM pt_histo")
+    assigned = od.crossJoin(F.broadcast(b)).select(
+        "cents",
+        "bnds",
+        (
+            1
+            + F.size(
+                F.filter(F.col("bnds"), lambda x: x < F.col("cents"))
+            )
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    hi = F.when(
+        F.col("bucket") <= 9,
+        F.element_at(F.col("bnds"), F.col("bucket").cast("int")),
+    )
+    return assigned.groupBy("bucket", hi.alias("hi_cents")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("cents").cast("long").alias("n_distinct"),
+    )
+
+
+@query(
+    "agg_jackknife_ratio_se",
+    oracle="""
+    WITH buckets AS (
+        SELECT o_custkey % 20 AS g,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_custkey % 20
+    ), loo AS (
+        SELECT g,
+               (CAST(sum(s) OVER () AS BIGINT) - s)
+                 / (100.0 * nullif(CAST(sum(n) OVER () AS BIGINT) - n, 0))
+                 AS r_g,
+               CAST(sum(s) OVER () AS BIGINT) AS tot_s,
+               CAST(sum(n) OVER () AS BIGINT) AS tot_n
+        FROM buckets
+    ), dev AS (
+        SELECT tot_s, tot_n, r_g,
+               r_g - avg(r_g) OVER () AS d
+        FROM loo
+    )
+    SELECT CAST(max(tot_n) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(max(tot_s) / (100.0 * nullif(max(tot_n), 0)), 6)
+               AS ratio,
+           round(sqrt((count(*) - 1.0) / nullif(count(*), 0)
+                      * sum(d * d)), 6) AS jk_se
+    FROM dev
+    """,
+)
+def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric
+    (average order value = sum(price)/count(orders)) with the customer
+    as the randomization unit — the estimator experimentation platforms
+    use because a ratio of sums has no closed-form variance when the
+    unit (customer) contributes to both numerator and denominator
+    (delta-method's rival; Hesterberg's classic warning against
+    treating per-order observations as i.i.d.). Customers hash into 20
+    buckets (o_custkey % 20 — deterministic, engine-shared); each
+    leave-one-out replicate recomputes the ratio from the TOTALS minus
+    that bucket's sums, so the whole estimator is one grouped aggregate
+    (20 rows) + window folds: the corpus is scanned once and nothing
+    rescales with data size except the per-bucket partial sums.
+
+    Complements agg_poisson_bootstrap_ci (resampling CI for a MEAN,
+    per-row weights) — jackknife-over-buckets is the cheaper shape when
+    the unit count is huge but a few hundred buckets suffice, and it
+    handles ratio metrics the Poisson-weight mean path does not.
+    Exact integer bucket sums; the replicate ratios and the deviation
+    fold are the only doubles (identical spellings, 20 bounded-magnitude
+    terms — far under the 6dp rounding grain)."""
+    od = load_table(spark, sf_dir, "orders")
+    buckets = od.groupBy((F.col("o_custkey") % 20).alias("g")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = W.partitionBy()
+    loo = buckets.select(
+        "g",
+        (
+            (F.sum("s").over(w).cast("long") - F.col("s"))
+            / (
+                F.lit(100.0)
+                * F.nullif(
+                    F.sum("n").over(w).cast("long") - F.col("n"), F.lit(0)
+                )
+            )
+        ).alias("r_g"),
+        F.sum("s").over(w).cast("long").alias("tot_s"),
+        F.sum("n").over(w).cast("long").alias("tot_n"),
+    )
+    r_bar = F.avg("r_g").over(W.partitionBy())
+    dev = loo.select(
+        "tot_s",
+        "tot_n",
+        "r_g",
+        (F.col("r_g") - r_bar).alias("d"),
+    )
+    return dev.agg(
+        F.max("tot_n").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(
+            F.max("tot_s") / (F.lit(100.0) * F.nullif(F.max("tot_n"), F.lit(0))),
+            6,
+        ).alias("ratio"),
+        F.round(
+            F.sqrt(
+                (F.count(F.lit(1)) - F.lit(1.0))
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+                * F.sum(F.col("d") * F.col("d"))
+            ),
+            6,
+        ).alias("jk_se"),
+    )
