@@ -117,6 +117,7 @@ _CASES = [
     ("embedding_matryoshka_truncation", 0),
     ("profile_equi_depth_histogram", 0),
     ("agg_jackknife_ratio_se", 1),  # ungrouped fold row (0 orders, NULLs)
+    ("text_bpe_merge_induction", 0),  # no vocab -> no merges
 ]
 
 
