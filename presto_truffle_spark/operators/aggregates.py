@@ -1714,3 +1714,128 @@ def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jk_se"),
     )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               sum(cents * cents) AS sq
+        FROM (
+            SELECT c.c_mktsegment,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        )
+        GROUP BY c_mktsegment
+    ), w AS (
+        SELECT seg, n,
+               s / (100.0 * n) AS mean_d,
+               CAST(n * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / (n * (n - 1.0)) / 10000.0 AS var_d
+        FROM g
+    ), ab AS (
+        SELECT max(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS n1,
+               max(CASE WHEN seg = 'AUTOMOBILE' THEN mean_d END) AS m1,
+               max(CASE WHEN seg = 'AUTOMOBILE' THEN var_d END) AS v1,
+               max(CASE WHEN seg = 'BUILDING' THEN n END) AS n2,
+               max(CASE WHEN seg = 'BUILDING' THEN mean_d END) AS m2,
+               max(CASE WHEN seg = 'BUILDING' THEN var_d END) AS v2
+        FROM w
+    )
+    SELECT n1, n2,
+           round(m1, 6) AS mean_automobile,
+           round(m2, 6) AS mean_building,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 6)
+               AS welch_df
+    FROM ab
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) comparing mean order
+    value between two customer segments — the numeric-outcome partner of
+    agg_chi_square_independence's categorical test, and the variant
+    every A/B analysis should default to (Student's pooled-variance t
+    silently assumes equal variances; Welch-Satterthwaite does not and
+    costs nothing). The t statistic and the effective degrees of
+    freedom are closed-form over per-group (n, sum, sum-of-squares) —
+    one join + one grouped aggregate, then constants-only arithmetic on
+    a two-row table pivoted to one row via conditional max (no second
+    scan, no window).
+
+    Numerics: counts, cent-sums AND the sum-of-squares are exact
+    (DECIMAL(38,0) on Spark, HUGEINT widening on DuckDB — the OLS op's
+    syy discipline; a double sq fold here would be CATASTROPHIC, not
+    benign: var = (n*sq - s^2) subtracts two ~1e24 quantities, so a
+    1e-16 relative fold drift lands exactly at the 6dp grain — the
+    first draft had this bug and the magnitude analysis caught it).
+    The variance numerator n*sq - s^2 is computed in exact integer
+    arithmetic and only THEN converted to double. Means and variances
+    convert cents -> dollars (/100, /10000) so output is in natural
+    units."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    base = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    w = g.select(
+        "seg",
+        "n",
+        (F.col("s") / (F.lit(100.0) * F.col("n"))).alias("mean_d"),
+        (
+            (
+                F.col("n") * F.col("sq")
+                - F.col("s").cast("decimal(38,0)") * F.col("s")
+            ).cast("double")
+            / (F.col("n") * (F.col("n") - F.lit(1.0)))
+            / F.lit(10000.0)
+        ).alias("var_d"),
+    )
+    pick = lambda seg, col: F.max(F.when(F.col("seg") == seg, F.col(col)))  # noqa: E731
+    ab = w.agg(
+        pick("AUTOMOBILE", "n").alias("n1"),
+        pick("AUTOMOBILE", "mean_d").alias("m1"),
+        pick("AUTOMOBILE", "var_d").alias("v1"),
+        pick("BUILDING", "n").alias("n2"),
+        pick("BUILDING", "mean_d").alias("m2"),
+        pick("BUILDING", "var_d").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return ab.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1"), 6).alias("mean_automobile"),
+        F.round(F.col("m2"), 6).alias("mean_building"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            se2
+            * se2
+            / (
+                (F.col("v1") / F.col("n1"))
+                * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - F.lit(1.0))
+                + (F.col("v2") / F.col("n2"))
+                * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - F.lit(1.0))
+            ),
+            6,
+        ).alias("welch_df"),
+    )

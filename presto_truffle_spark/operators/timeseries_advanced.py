@@ -1664,3 +1664,96 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg("gap_s")).alias("mean_gap_s"),
         r6(F.percentile("gap_s", F.lit(0.5))).alias("p50_gap_s"),
     )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM events
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT max(CASE WHEN treat = 1 AND post = 1 THEN s END)
+                 / (100.0 * max(CASE WHEN treat = 1 AND post = 1 THEN n END))
+                 AS m_t_post,
+               max(CASE WHEN treat = 1 AND post = 0 THEN s END)
+                 / (100.0 * max(CASE WHEN treat = 1 AND post = 0 THEN n END))
+                 AS m_t_pre,
+               max(CASE WHEN treat = 0 AND post = 1 THEN s END)
+                 / (100.0 * max(CASE WHEN treat = 0 AND post = 1 THEN n END))
+                 AS m_c_post,
+               max(CASE WHEN treat = 0 AND post = 0 THEN s END)
+                 / (100.0 * max(CASE WHEN treat = 0 AND post = 0 THEN n END))
+                 AS m_c_pre,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT n_events,
+           round(m_t_pre, 6) AS mean_treat_pre,
+           round(m_t_post, 6) AS mean_treat_post,
+           round(m_c_pre, 6) AS mean_control_pre,
+           round(m_c_post, 6) AS mean_control_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+    FROM p
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the event stream: treat =
+    odd user_id (the deterministic assignment stand-in), pre/post split
+    at Jan 16 (the fixture month's midpoint), outcome = mean event value
+    per cell. DiD = (treat-post - treat-pre) - (control-post -
+    control-pre) — the workhorse quasi-experimental estimate when
+    treatment wasn't randomized but trends are parallel, and the
+    natural companion to agg_welch_ttest (pure two-group) and
+    agg_conversion_wilson_ci (one-group rate): together the three cover
+    the experiment-analysis read-out a metrics platform serves.
+
+    One grouped aggregate builds the 2x2 cell table (map-combinable;
+    the CASE-on-timestamp predicate evaluates NTZ-vs-literal, zone-free
+    per the repo's event-time discipline); the estimate is conditional-
+    max pivoting on 4 rows. Cell sums are exact cents; the four means
+    and their double-difference are the only doubles, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    cell = lambda t, po, c: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == po), F.col(c))
+    )
+    p = cells.agg(
+        (cell(1, 1, "s") / (F.lit(100.0) * cell(1, 1, "n"))).alias("m_t_post"),
+        (cell(1, 0, "s") / (F.lit(100.0) * cell(1, 0, "n"))).alias("m_t_pre"),
+        (cell(0, 1, "s") / (F.lit(100.0) * cell(0, 1, "n"))).alias("m_c_post"),
+        (cell(0, 0, "s") / (F.lit(100.0) * cell(0, 0, "n"))).alias("m_c_pre"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return p.select(
+        "n_events",
+        F.round("m_t_pre", 6).alias("mean_treat_pre"),
+        F.round("m_t_post", 6).alias("mean_treat_post"),
+        F.round("m_c_pre", 6).alias("mean_control_pre"),
+        F.round("m_c_post", 6).alias("mean_control_post"),
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            6,
+        ).alias("did"),
+    )

@@ -118,6 +118,8 @@ _CASES = [
     ("profile_equi_depth_histogram", 0),
     ("agg_jackknife_ratio_se", 1),  # ungrouped fold row (0 orders, NULLs)
     ("text_bpe_merge_induction", 0),  # no vocab -> no merges
+    ("agg_welch_ttest", 1),  # ungrouped pivot row, all NULLs
+    ("events_diff_in_diff", 1),  # ungrouped pivot row (0 events, NULLs)
 ]
 
 
