@@ -1757,3 +1757,100 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@query(
+    "events_uplift_by_decile",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS treat,
+               CAST(count(CASE WHEN CAST(ts AS TIMESTAMP)
+                                    < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN 1 END) AS BIGINT) AS pre_n,
+               max(CASE WHEN CAST(ts AS TIMESTAMP)
+                             >= TIMESTAMP '2024-01-16 00:00:00'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS post_buy
+        FROM events
+        GROUP BY user_id
+    ), scored AS (
+        SELECT treat, post_buy,
+               CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id)
+                    AS BIGINT) AS decile
+        FROM per_user
+    )
+    SELECT decile,
+           CAST(count(CASE WHEN treat = 1 THEN 1 END) AS BIGINT) AS n_treat,
+           CAST(count(CASE WHEN treat = 0 THEN 1 END) AS BIGINT)
+               AS n_control,
+           CAST(sum(CASE WHEN treat = 1 THEN post_buy ELSE 0 END)
+                AS BIGINT) AS conv_treat,
+           CAST(sum(CASE WHEN treat = 0 THEN post_buy ELSE 0 END)
+                AS BIGINT) AS conv_control,
+           round(sum(CASE WHEN treat = 1 THEN post_buy ELSE 0 END) * 1.0
+                 / nullif(count(CASE WHEN treat = 1 THEN 1 END), 0)
+                 - sum(CASE WHEN treat = 0 THEN post_buy ELSE 0 END) * 1.0
+                 / nullif(count(CASE WHEN treat = 0 THEN 1 END), 0), 6)
+               AS uplift
+    FROM scored
+    GROUP BY decile
+    """,
+)
+def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile (the table behind a Qini/uplift curve): users
+    ranked by a targeting score — here pre-period activity, the
+    model-free propensity stand-in — are cut into score deciles, and
+    each decile reports treatment-vs-control conversion in the POST
+    period. This is how targeting models are actually evaluated
+    (uplift modeling: Radcliffe's Qini): a useful score concentrates
+    incremental conversions in the top deciles; a useless one shows
+    flat uplift. Treat/control and the pre/post split reuse
+    events_diff_in_diff's deterministic assignment and cutoff, making
+    the two ops one coherent experiment read-out.
+
+    The score -> decile step is ntile(10) over (pre_n DESC, user_id) —
+    the user_id tie-break matters: pre_n has heavy ties and bare ntile
+    would be partition-order nondeterministic on BOTH engines. One
+    user-grain fold (map-combinable conditional aggregates), one global
+    ntile (the user table is the SMALL side by then — at 100 TB of
+    events the per-user fold is the reduction; a truly huge user count
+    swaps ntile for the bucketed-quantile trick corpus_token_budget
+    uses), one grouped read-out. Exact integers everywhere; the uplift
+    difference of two rates is the one double, 6dp, nullif-guarded."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+        F.count(F.when(F.col("ts") < cutoff, 1)).cast("long").alias("pre_n"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cutoff)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("post_buy"),
+    )
+    scored = per_user.select(
+        "treat",
+        "post_buy",
+        F.ntile(10)
+        .over(W.orderBy(F.col("pre_n").desc(), "user_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    n_t = F.count(F.when(F.col("treat") == 1, 1)).cast("long")
+    n_c = F.count(F.when(F.col("treat") == 0, 1)).cast("long")
+    c_t = F.sum(F.when(F.col("treat") == 1, F.col("post_buy")).otherwise(0)).cast("long")
+    c_c = F.sum(F.when(F.col("treat") == 0, F.col("post_buy")).otherwise(0)).cast("long")
+    return scored.groupBy("decile").agg(
+        n_t.alias("n_treat"),
+        n_c.alias("n_control"),
+        c_t.alias("conv_treat"),
+        c_c.alias("conv_control"),
+        F.round(
+            c_t * F.lit(1.0) / F.nullif(n_t, F.lit(0))
+            - c_c * F.lit(1.0) / F.nullif(n_c, F.lit(0)),
+            6,
+        ).alias("uplift"),
+    )

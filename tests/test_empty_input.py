@@ -120,6 +120,7 @@ _CASES = [
     ("text_bpe_merge_induction", 0),  # no vocab -> no merges
     ("agg_welch_ttest", 1),  # ungrouped pivot row, all NULLs
     ("events_diff_in_diff", 1),  # ungrouped pivot row (0 events, NULLs)
+    ("events_uplift_by_decile", 0),
 ]
 
 
