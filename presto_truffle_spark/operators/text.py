@@ -1296,28 +1296,6 @@ def _bpe_pair_cte_duck(k: int) -> str:
     )"""
 
 
-def _bpe_pair_cte_spark(k: int) -> str:
-    return f"""p{k} AS (
-        SELECT concat(element_at(syms, i), ' ', element_at(syms, i + 1))
-                   AS pair,
-               CAST(sum(freq) AS BIGINT) AS cnt
-        FROM (SELECT freq, split(trim(s), ' ') AS syms FROM sym{k-1})
-        LATERAL VIEW explode(sequence(1, 40)) t AS i
-        WHERE i < size(syms)
-        GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
-    ), m{k} AS (
-        SELECT pair, cnt, concat(' ', pair, ' ') AS pat,
-               concat(' ', replace(pair, ' ', ''), ' ') AS rep FROM p{k}
-    ), sym{k} AS (
-        SELECT w, freq,
-               replace(replace(s, m.pat, m.rep), m.pat, m.rep) AS s
-        FROM sym{k-1} CROSS JOIN m{k} m
-    ), v{k} AS (
-        SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab
-        FROM (SELECT explode(split(trim(s), ' ')) AS sym FROM sym{k})
-    )"""
-
-
 _BPE_TAIL = """
     SELECT 1 AS merge_round, m1.pair AS merged_pair,
            replace(m1.pair, ' ', '') AS new_symbol,
@@ -1374,19 +1352,84 @@ def text_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy pairs them all). Ties in pair frequency break by pair text
     on both engines; all counts exact BIGINTs — no floats anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    d.select("text").createOrReplaceTempView("pt_bpe_docs")
-    sql = (
-        """
-    WITH words AS (
-        SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
-        FROM (SELECT explode(split(text, ' ')) AS tok FROM pt_bpe_docs)
-        GROUP BY tok
-    ), sym0 AS (
-        SELECT w, freq,
-               concat(' ', concat_ws(' ', split(w, '')), ' ') AS s
-        FROM words
-    ), """
-        + ", ".join(_bpe_pair_cte_spark(k) for k in (1, 2, 3))
-        + _BPE_TAIL
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    return spark.sql(sql)
+    # Vocabulary-sized state, localCheckpoint-materialized per round
+    # (the CC/PageRank iteration convention): a first draft expressed
+    # the three rounds as one nested spark.sql CTE chain and Catalyst
+    # INLINED every reference — 21 corpus scans in the physical plan.
+    # The loop keeps exactly ONE corpus scan (the word count) and makes
+    # each round's work provably vocab-bound.
+    sym = words.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" ")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for k in (1, 2, 3):
+        syms = sym.select(
+            "freq", F.split(F.trim(F.col("s")), " ").alias("syms")
+        )
+        pairs = (
+            syms.select(
+                "freq",
+                "syms",
+                F.explode(F.sequence(F.lit(1), F.lit(40))).alias("i"),
+            )
+            .filter(F.col("i") < F.size("syms"))
+            .select(
+                F.concat(
+                    F.element_at("syms", F.col("i")),
+                    F.lit(" "),
+                    F.element_at("syms", F.col("i") + 1),
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        m = (
+            pairs.orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select(
+                "pair",
+                "cnt",
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("pat"),
+                F.concat(
+                    F.lit(" "),
+                    F.regexp_replace(F.col("pair"), " ", ""),
+                    F.lit(" "),
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sym = (
+            sym.crossJoin(F.broadcast(m))
+            .select(
+                "w",
+                "freq",
+                F.replace(
+                    F.replace(F.col("s"), F.col("pat"), F.col("rep")),
+                    F.col("pat"),
+                    F.col("rep"),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        v = sym.select(
+            F.explode(F.split(F.trim(F.col("s")), " ")).alias("sym")
+        ).agg(F.countDistinct("sym").cast("long").alias("vocab_size_after"))
+        row_k = m.crossJoin(F.broadcast(v)).select(
+            F.lit(k).cast("int").alias("merge_round"),
+            F.col("pair").alias("merged_pair"),
+            F.regexp_replace(F.col("pair"), " ", "").alias("new_symbol"),
+            F.col("cnt").alias("pair_count"),
+            "vocab_size_after",
+        )
+        out = row_k if out is None else out.unionAll(row_k)
+    return out

@@ -1132,3 +1132,18 @@ def test_seasonal_anomaly_baseline_broadcasts(spark, sf_dir):
     rows = df.collect()
     assert rows
     assert all(abs(r.zscore) > 2.5 for r in rows)
+
+
+def test_bpe_rounds_are_vocab_bound(spark, sf_dir):
+    """The returned BPE plan must contain NO corpus FileScan: the single
+    corpus pass happens inside the eager localCheckpoint of the word
+    table, and every merge round reads vocabulary-sized checkpointed
+    state. Regression pin for the CTE-inlining bug (first draft planned
+    21 documents scans)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["text_bpe_merge_induction"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"FileScan parquet .*documents", plan), plan[:500]
