@@ -881,3 +881,103 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("win_idx").cast("int").alias("seg_end_win"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),
     ).drop("grp")
+
+
+@query(
+    "multimodal_audio_downsample",
+    oracle="""
+    WITH t AS (
+        SELECT d.doc_id,
+               r.range AS t
+        FROM documents d CROSS JOIN range(0, 499) r
+        WHERE r.range < d.doc_id % 400 + 100
+    ), s AS (
+        SELECT doc_id,
+               CAST(t // 4 AS BIGINT) AS blk,
+               ((doc_id * 31 + 7 * t * t) % 2048) - 1024 AS v
+        FROM t
+    ), blocks AS (
+        SELECT doc_id, blk,
+               CAST(sum(v) AS BIGINT) AS bsum,
+               CAST(count(*) AS BIGINT) AS bn
+        FROM s GROUP BY doc_id, blk
+    )
+    SELECT doc_id AS media_id,
+           CAST(sum(bn) AS BIGINT) AS n_samples_in,
+           CAST(count(*) AS BIGINT) AS n_samples_out,
+           CAST(sum(bsum) AS BIGINT) AS out_sum,
+           CAST(sum(bsum * bsum) AS BIGINT) AS out_energy
+    FROM blocks
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM downsampling (4:1 decimation with a box anti-alias filter)
+    over REAL bytes — the resample step every 44.1k->16k speech-prep
+    pipeline runs before feature extraction, here with the unnormalized
+    4-sample box sum as the output sample so everything stays
+    integer-exact (a /4 mean would leave the int domain; the gain
+    constant folds into any downstream normalizer). Same two-stage
+    mapInPandas shape as multimodal_audio_energy (synthesize 16-bit LE
+    PCM -> carry BINARY through Arrow -> np.frombuffer + reduceat), and
+    the oracle recomputes every block from the generative formula, so
+    n_in/n_out/sum/energy all hash exactly.
+
+    The decimation itself is np.add.reduceat over each payload inside
+    one Arrow batch — no shuffle anywhere: the output per doc is a
+    single stats row, and at 100 TB the resample stage is a map-only
+    pass whose cost is bounded by bytes read (the reason resampling
+    belongs IN the ingest scan, not as a separate job)."""
+    schema_enc = "media_id long, payload binary"
+    schema_dec = (
+        "media_id long, n_samples_in long, n_samples_out long, "
+        "out_sum long, out_energy long"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def synth(i: int) -> bytes:
+            n = i % 400 + 100
+            t = np.arange(n, dtype=np.int64)
+            v = ((i * 31 + 7 * t * t) % 2048) - 1024
+            return v.astype("<i2").tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["media_id"].map(lambda i: synth(int(i))),
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "n_samples_in": [],
+                "n_samples_out": [],
+                "out_sum": [],
+                "out_energy": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                v = np.frombuffer(bytes(p), dtype="<i2").astype(np.int64)
+                bsums = np.add.reduceat(v, np.arange(0, len(v), 4))
+                rows["media_id"].append(mid)
+                rows["n_samples_in"].append(len(v))
+                rows["n_samples_out"].append(len(bsums))
+                rows["out_sum"].append(int(bsums.sum()))
+                rows["out_energy"].append(int((bsums * bsums).sum()))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(rows[k], dtype="int64")
+                    for k in rows
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)

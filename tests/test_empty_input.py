@@ -121,6 +121,7 @@ _CASES = [
     ("agg_welch_ttest", 1),  # ungrouped pivot row, all NULLs
     ("events_diff_in_diff", 1),  # ungrouped pivot row (0 events, NULLs)
     ("events_uplift_by_decile", 0),
+    ("multimodal_audio_downsample", 0),
 ]
 
 
