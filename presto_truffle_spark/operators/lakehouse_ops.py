@@ -661,3 +661,103 @@ def lakehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("price_cents").cast("long").alias("sum_price_cents"),
     )
+
+
+@query(
+    "lakehouse_deletion_vectors",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               (o_orderstatus = 'F' AND o_orderkey % 10 = 3) AS deleted
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_base,
+           CAST(count(CASE WHEN deleted THEN 1 END) AS BIGINT) AS n_deleted,
+           CAST(count(CASE WHEN NOT deleted THEN 1 END) AS BIGINT)
+               AS n_live,
+           CAST(sum(CASE WHEN NOT deleted THEN cents ELSE 0 END)
+                AS BIGINT) AS live_sum_cents,
+           true AS mor_equals_cow
+    FROM base
+    """,
+)
+def lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors — the Delta/Iceberg-v2 soft-delete mechanism:
+    instead of rewriting data files to delete rows, a sidecar table of
+    deleted row ids is applied at READ time (merge-on-read), and a
+    background rewrite (copy-on-write compaction) later folds the
+    deletes into fresh files. This op runs BOTH paths against real
+    storage and proves them equivalent:
+
+      1. write the base table to scratch parquet (the data files);
+      2. write the deletion vector (orderkeys of 'F'-status rows with
+         key%10=3 — ~5% of rows) as its own small parquet sidecar;
+      3. merge-on-read: scan base, LEFT ANTI join the DV (the DV side
+         broadcasts at any realistic deletion rate);
+      4. copy-on-write: materialize base-minus-DV to NEW files, scan
+         those;
+      5. emit counts + exact live-cent sums from BOTH paths and the
+         equality verdict.
+
+    The oracle recomputes the expected counts and live sum straight
+    from the logical predicate (storage-free) and pins the equality
+    flag TRUE — the envelope convention (cf. agg_approx_distinct): the
+    STORED artifacts are Spark-side reality, the oracle checks the
+    numbers they must reproduce. Anti-join-on-broadcast is exactly how
+    engines apply DVs at scale: the scan stays a full-speed columnar
+    scan and the delete filter costs one hash probe per row, versus
+    copy-on-write's full rewrite amortized over later reads."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 3)
+        ).alias("deleted"),
+    )
+    base_path = _scratch(spark, "dv_base")
+    dv_path = _scratch(spark, "dv_sidecar")
+    cow_path = _scratch(spark, "dv_rewritten")
+    od.select("o_orderkey", "cents").write.mode("overwrite").parquet(
+        base_path
+    )
+    od.filter("deleted").select("o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(dv_path)
+    base = spark.read.parquet(base_path)
+    dv = spark.read.parquet(dv_path)
+    mor = base.join(F.broadcast(dv), "o_orderkey", "left_anti")
+    mor.write.mode("overwrite").parquet(cow_path)
+    cow = spark.read.parquet(cow_path)
+    m = mor.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mor"),
+        F.sum("cents").cast("long").alias("s_mor"),
+    )
+    c = cow.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cow"),
+        F.sum("cents").cast("long").alias("s_cow"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    ).crossJoin(
+        F.broadcast(
+            dv.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_base",
+            "n_deleted",
+            F.col("n_mor").alias("n_live"),
+            F.col("s_mor").alias("live_sum_cents"),
+            (
+                (F.col("n_mor") == F.col("n_cow"))
+                & (
+                    F.coalesce(F.col("s_mor"), F.lit(0))
+                    == F.coalesce(F.col("s_cow"), F.lit(0))
+                )
+            ).alias("mor_equals_cow"),
+        )
+    )

@@ -122,6 +122,7 @@ _CASES = [
     ("events_diff_in_diff", 1),  # ungrouped pivot row (0 events, NULLs)
     ("events_uplift_by_decile", 0),
     ("multimodal_audio_downsample", 0),
+    ("lakehouse_deletion_vectors", 1),  # ungrouped verdict row (0s, TRUE)
 ]
 
 
