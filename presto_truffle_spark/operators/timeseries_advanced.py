@@ -1854,3 +1854,106 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uplift"),
     )
+
+
+_MARKOV_STEP = """
+    , v{k} AS (
+        SELECT p.next_type AS event_type,
+               sum(v.prob * p.p) AS prob
+        FROM v{j} v JOIN probs p ON v.event_type = p.prev_type
+        GROUP BY p.next_type
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), probs AS (
+        SELECT prev_type, next_type,
+               n * 1.0 / CAST(sum(n) OVER (PARTITION BY prev_type)
+                              AS BIGINT) AS p
+        FROM trans
+    ), v0 AS (
+        SELECT prev_type AS event_type,
+               1.0 / (SELECT count(DISTINCT prev_type) FROM trans) AS prob
+        FROM trans GROUP BY prev_type
+    )"""
+    + "".join(
+        _MARKOV_STEP.format(k=k, j=k - 1) for k in (1, 2, 3)
+    )
+    + """
+    SELECT event_type, round(prob, 6) AS stationary_prob
+    FROM v3
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the user-journey Markov
+    chain: the row-normalized transition matrix from
+    events_path_transitions, power-iterated 3 steps from a uniform
+    start — the 'long-run behavioral mix' journey analytics reports
+    (where path_transitions gives the EDGES, this gives the equilibrium
+    the chain drifts toward; same fixed-iteration differential
+    discipline as graph_pagerank, whose oracle also unrolls the steps
+    as CTEs so every float op sequence matches).
+
+    One user-partitioned lag window builds the transition counts (the
+    only corpus-sized work); the matrix is |event_types|^2 (~36 cells)
+    so each iteration is a toy join — but spelled as joins, not
+    driver-side linear algebra, so the same code handles a 100k-state
+    chain (page-to-page web transitions) where the matrix no longer
+    fits anywhere. Probabilities divide exact BIGINT counts; iteration
+    sums are <=6-term double folds over a deterministic grouped
+    aggregate, rounded 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    # |types|^2 rows feeding three join iterations + the start vector —
+    # persist so the corpus lag-window pass runs once.
+    trans = scoped_persist(spark, "events.markov.trans", trans)
+    probs = trans.select(
+        "prev_type",
+        "next_type",
+        (
+            F.col("n")
+            * F.lit(1.0)
+            / F.sum("n").over(W.partitionBy("prev_type")).cast("long")
+        ).alias("p"),
+    )
+    k = trans.agg(F.countDistinct("prev_type").alias("k"))
+    v = (
+        trans.select("prev_type")
+        .distinct()
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("prev_type").alias("event_type"),
+            (F.lit(1.0) / F.col("k")).alias("prob"),
+        )
+    )
+    for _ in range(3):
+        v = (
+            v.join(probs, v.event_type == probs.prev_type)
+            .groupBy(F.col("next_type").alias("et"))
+            .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
+            .withColumnRenamed("et", "event_type")
+        )
+    return v.select("event_type", F.round("prob", 6).alias("stationary_prob"))

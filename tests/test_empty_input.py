@@ -123,6 +123,7 @@ _CASES = [
     ("events_uplift_by_decile", 0),
     ("multimodal_audio_downsample", 0),
     ("lakehouse_deletion_vectors", 1),  # ungrouped verdict row (0s, TRUE)
+    ("events_markov_stationary", 0),
 ]
 
 
