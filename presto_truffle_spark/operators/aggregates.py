@@ -1839,3 +1839,77 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders
+        GROUP BY o_custkey
+    ), scored AS (
+        SELECT CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                    AS BIGINT) AS m_score,
+               monetary_cents
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per customer,
+    Recency (last order date), Frequency (order count), Monetary (spend),
+    each cut into quintiles scored 1 (best) to 5, then the population
+    and spend of every (R,F,M) cell. The segment grid (<=125 rows) is
+    what lifecycle-marketing targeting reads ('111' = recent frequent
+    big spenders; '555' = churned low-value), and the op is the
+    paradigm case of fold-then-rank: the corpus collapses to one row
+    per customer FIRST, so the three global ntiles run over the small
+    side (at 100 TB of orders the customer table is the reduction; a
+    billion-customer cut swaps ntile for the bucketed-quantile
+    assignment, cf. corpus_token_budget_select).
+
+    All three ntiles tie-break by custkey (bare ntile over heavily-tied
+    frequency would be partition-order nondeterministic on both
+    engines — the events_uplift_by_decile lesson). Integer cents
+    throughout; no doubles anywhere."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = per_cust.select(
+        F.ntile(5)
+        .over(W.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+    )

@@ -124,6 +124,7 @@ _CASES = [
     ("multimodal_audio_downsample", 0),
     ("lakehouse_deletion_vectors", 1),  # ungrouped verdict row (0s, TRUE)
     ("events_markov_stationary", 0),
+    ("agg_rfm_segmentation", 0),
 ]
 
 
