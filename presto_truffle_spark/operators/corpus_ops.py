@@ -886,3 +886,80 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+@query(
+    "corpus_temperature_sampling_plan",
+    oracle="""
+    WITH src AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT source, tokens,
+               CAST(sum(tokens) OVER () AS BIGINT) AS total,
+               sqrt(tokens * 1.0 / CAST(sum(tokens) OVER () AS BIGINT))
+                   AS w_raw
+        FROM src
+    ), norm AS (
+        SELECT source, tokens, total,
+               w_raw / sum(w_raw) OVER () AS target_share
+        FROM tot
+    )
+    SELECT source, tokens,
+           CAST(tokens * 1000000 // total AS BIGINT)
+               AS natural_share_ppm,
+           round(target_share, 6) AS target_share,
+           round(target_share * total / tokens, 4) AS epochs
+    FROM norm
+    """,
+)
+def corpus_temperature_sampling_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based source sampling plan (the alpha/T-sampling rule
+    from multilingual pretraining — mBERT/XLM-R's p_i ∝ share_i^(1/T),
+    here T=2 i.e. sqrt): given each source's natural token share,
+    compute the up/down-weighted TARGET share and the epochs of that
+    source one total-budget pass implies (epochs > 1 = the source
+    repeats; the overfitting-vs-dilution dial every data-mixture
+    ablation turns). Emits the PLAN — the per-source sampling table a
+    weighted reader joins on — in the repo's mapping-not-mapped-rows
+    convention (corpus_quantile_normalize, matching_fellegi_sunter).
+
+    One grouped sum over the corpus, then window folds over the
+    source-count-sized table. The sqrt reweighting and the share
+    normalizer are the only doubles (sum over ~20 bounded terms,
+    identical spellings, 6dp/4dp rounds); natural shares stay integer
+    ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("tokens")
+    )
+    w_all = W.partitionBy()
+    tot = src.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_all).cast("long").alias("total"),
+        F.sqrt(
+            F.col("tokens")
+            * F.lit(1.0)
+            / F.sum("tokens").over(w_all).cast("long")
+        ).alias("w_raw"),
+    )
+    norm = tot.select(
+        "source",
+        "tokens",
+        "total",
+        (F.col("w_raw") / F.sum("w_raw").over(w_all)).alias("target_share"),
+    )
+    return norm.select(
+        "source",
+        "tokens",
+        F.expr("CAST(tokens * 1000000 div total AS BIGINT)").alias(
+            "natural_share_ppm"
+        ),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(
+            F.col("target_share") * F.col("total") / F.col("tokens"), 4
+        ).alias("epochs"),
+    )

@@ -1433,3 +1433,82 @@ def text_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row_k if out is None else out.unionAll(row_k)
     return out
+
+
+@query(
+    "text_vocab_coverage_oov",
+    oracle="""
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ), ranked AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+               CAST(sum(n) OVER (ORDER BY n DESC, tok
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_n,
+               CAST(sum(n) OVER () AS BIGINT) AS total_n,
+               CAST(count(*) OVER () AS BIGINT) AS n_types
+        FROM freq
+    )
+    SELECT k AS vocab_size,
+           max(n_types) AS n_types_total,
+           max(CASE WHEN rnk = k THEN cum_n END) AS covered_occurrences,
+           max(total_n) AS total_occurrences,
+           CAST(max(CASE WHEN rnk = k THEN cum_n END) * 1000000
+                // max(total_n) AS BIGINT) AS coverage_ppm
+    FROM ranked
+    CROSS JOIN (SELECT unnest([5, 10, 20]) AS k)
+    WHERE rnk <= k
+    GROUP BY k
+    """,
+)
+def text_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent types cover, for k = 5/10/20 —
+    the first number a tokenizer-vocab-size decision reads (the
+    complement is the OOV rate a k-entry vocabulary eats), and the
+    frequency-mass view Zipf's law (text_zipf_fit) implies but doesn't
+    report. Cumulative mass comes from ONE ranked running-sum window
+    over the type-frequency table (vocabulary-sized, not corpus-sized —
+    the corpus collapses to (type, count) first, the same fold-then-rank
+    posture as agg_rfm_segmentation); the k ladder then reads the
+    cumulative value AT rank k. Ties in frequency break by token text
+    on both engines. Integer ppm output, no doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wo = W.orderBy(F.col("n").desc(), "tok")
+    ranked = freq.select(
+        "tok",
+        "n",
+        F.row_number().over(wo).alias("rnk"),
+        F.sum("n").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_n"),
+        F.sum("n").over(W.partitionBy()).cast("long").alias("total_n"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("n_types"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy(F.col("k").cast("long").alias("vocab_size"))
+        .agg(
+            F.max("n_types").alias("n_types_total"),
+            F.max(F.when(F.col("rnk") == F.col("k"), F.col("cum_n"))).alias(
+                "covered_occurrences"
+            ),
+            F.max("total_n").alias("total_occurrences"),
+            F.expr(
+                "CAST(max(CASE WHEN rnk = k THEN cum_n END) * 1000000"
+                " div max(total_n) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

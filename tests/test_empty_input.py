@@ -125,6 +125,8 @@ _CASES = [
     ("lakehouse_deletion_vectors", 1),  # ungrouped verdict row (0s, TRUE)
     ("events_markov_stationary", 0),
     ("agg_rfm_segmentation", 0),
+    ("text_vocab_coverage_oov", 0),
+    ("corpus_temperature_sampling_plan", 0),
 ]
 
 
