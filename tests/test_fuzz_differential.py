@@ -813,3 +813,24 @@ def test_string_edge_divergences_pinned(spark):
         raise
     except Exception:
         pass
+
+
+def test_where_alias_visibility_divergence_pinned(spark):
+    """Pin the alias-in-WHERE fork (FIXTURES.md r9): DuckDB resolves a
+    SELECT-list alias referenced from WHERE; Spark raises
+    UNRESOLVED_COLUMN (ANSI scoping — WHERE evaluates before the
+    projection). GROUP BY / HAVING / ORDER BY aliases, lateral alias
+    reuse, and ordinal references agree (fuzzed, 40 seeds)."""
+    import duckdb
+
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT id * 2 AS e FROM range(3) t(id) WHERE e > 2"
+    ).fetchall() == [(4,)]
+    try:
+        spark.sql("SELECT id * 2 AS e FROM range(3) WHERE e > 2").collect()
+        raise AssertionError("Spark must reject alias in WHERE")
+    except AssertionError:
+        raise
+    except Exception as ex:
+        assert "UNRESOLVED_COLUMN" in str(ex)

@@ -1835,6 +1835,62 @@ def run_string_edge_case(
     return _compare(spark.read.parquet(path).selectExpr("rid", *exprs), con, dsql)
 
 
+def run_alias_ordinal_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Alias-visibility / ordinal-reference family (r9): SELECT-list
+    aliases referenced from GROUP BY, HAVING and ORDER BY; lateral
+    alias reuse inside the SELECT list; GROUP BY / ORDER BY by ordinal
+    position. Probed: all of those agree between the engines — the ONE
+    fork is aliases in WHERE, which DuckDB resolves and Spark rejects
+    (UNRESOLVED_COLUMN; pinned in tests/test_fuzz_differential.py), so
+    WHERE always references base columns here."""
+    rows = [
+        (
+            i,
+            rng.randint(-20, 20),
+            None if rng.random() < 0.1 else rng.randint(0, 9),
+        )
+        for i in range(rng.randint(1, 200))
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_a.parquet")
+    spark.createDataFrame(rows, "rid long, x long, y long").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    kind = rng.randint(0, 3)
+    if kind == 0:
+        k = rng.randint(2, 5)
+        sql = (
+            f"SELECT x % {k} AS g, CAST(count(*) AS BIGINT) AS c, "
+            f"CAST(sum(coalesce(y, 0)) AS BIGINT) AS s "
+            f"FROM t WHERE x > {rng.randint(-15, 0)} "
+            f"GROUP BY g HAVING c > {rng.randint(0, 3)}"
+        )
+    elif kind == 1:
+        k = rng.randint(2, 4)
+        sql = (
+            f"SELECT x % {k} AS g, CAST(count(*) AS BIGINT) AS c "
+            f"FROM t GROUP BY 1 ORDER BY 1 NULLS FIRST, 2"
+        )
+    elif kind == 2:
+        a = rng.randint(1, 5)
+        sql = (
+            f"SELECT rid, x + {a} AS a1, a1 * 2 AS a2, a2 - x AS a3 "
+            f"FROM t WHERE y IS NOT NULL"
+        )
+    else:
+        sql = (
+            f"SELECT rid, abs(x) AS e FROM t "
+            f"ORDER BY e DESC, rid LIMIT {rng.randint(1, 12)}"
+        )
+    return _compare(spark.sql(sql), con, sql)
+
+
+
 def run_try_arith_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2271,6 +2327,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_daytime_interval_case(spark, con, rng, tmp, case_id)
     if pick < 0.99998:
         return run_string_edge_case(spark, con, rng, tmp, case_id)
+    if pick < 0.99999:
+        return run_alias_ordinal_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
