@@ -1913,3 +1913,89 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_cents").cast("long").alias("segment_cents"),
     )
+
+
+@query(
+    "profile_join_cardinality_estimate",
+    oracle="""
+    WITH ha AS (
+        SELECT o_custkey % 64 AS b,
+               CAST(count(*) AS BIGINT) AS n_a,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_a
+        FROM orders GROUP BY o_custkey % 64
+    ), hb AS (
+        SELECT c_custkey % 64 AS b,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_b
+        FROM customer GROUP BY c_custkey % 64
+    ), est AS (
+        SELECT sum(n_a * n_b * 1.0 / greatest(ndv_a, ndv_b)) AS est_rows,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM ha JOIN hb USING (b)
+    ), act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT n_buckets,
+           round(est_rows, 4) AS estimated_rows,
+           actual_rows,
+           round((est_rows - actual_rows) * 1.0
+                 / nullif(actual_rows, 0), 6) AS relative_error
+    FROM est CROSS JOIN act
+    """,
+)
+def profile_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-based join-cardinality estimation vs ground truth — the
+    selectivity arithmetic inside every cost-based optimizer (System R
+    onward): bucket both join keys (64 hash buckets), and per aligned
+    bucket estimate |A ⋈ B| as n_a * n_b / max(ndv_a, ndv_b) (the
+    containment-of-value-sets assumption), then measure the REAL join
+    count and report the relative error. This is the observability
+    companion to profile_equi_depth_histogram: that op builds the
+    statistics object, this one shows the decision those statistics
+    drive and how wrong the uniformity assumption is on real key
+    distributions (near zero here — orders->customer is a clean FK;
+    skewed keys are exactly where the error column grows and a planner
+    starts choosing bad joins).
+
+    Two grouped histogram passes (map-combinable, 64-row outputs), one
+    64-row bucket join for the estimate, and the actual join count for
+    the truth side. The estimate's per-bucket terms are exact-integer
+    ratios summed in double over 64 bounded terms (round 4); the error
+    ratio rounds 6, nullif-guarded."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    ha = od.groupBy((F.col("o_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.countDistinct("o_custkey").cast("long").alias("ndv_a"),
+    )
+    hb = cu.groupBy((F.col("c_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.countDistinct("c_custkey").cast("long").alias("ndv_b"),
+    )
+    est = ha.join(hb, "b").agg(
+        F.sum(
+            F.col("n_a")
+            * F.col("n_b")
+            * F.lit(1.0)
+            / F.greatest(F.col("ndv_a"), F.col("ndv_b"))
+        ).alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    act = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "n_buckets",
+        F.round("est_rows", 4).alias("estimated_rows"),
+        "actual_rows",
+        F.round(
+            (F.col("est_rows") - F.col("actual_rows"))
+            * F.lit(1.0)
+            / F.nullif(F.col("actual_rows"), F.lit(0)),
+            6,
+        ).alias("relative_error"),
+    )

@@ -127,6 +127,7 @@ _CASES = [
     ("agg_rfm_segmentation", 0),
     ("text_vocab_coverage_oov", 0),
     ("corpus_temperature_sampling_plan", 0),
+    ("profile_join_cardinality_estimate", 1),  # 0-bucket est x 0 actual
 ]
 
 
