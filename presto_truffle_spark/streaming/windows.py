@@ -970,3 +970,72 @@ def streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
     )
     return _run_to_memory(out, "complete")
+
+
+@query(
+    "streaming_gdpr_erasure_filter",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    WHERE user_id NOT IN (
+        SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3
+    )
+    GROUP BY event_type
+    """,
+)
+def streaming_gdpr_erasure_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten applied to a LIVE stream: a static erasure
+    list (customers with custkey%10=3 — the deletion-request register)
+    is LEFT ANTI stream-static joined against the event stream, so
+    erased users' events never reach any downstream aggregate — the
+    streaming twin of lakehouse_deletion_vectors' merge-on-read, and
+    the shape a GDPR/CCPA pipeline actually deploys (erasure must bind
+    at READ time; re-materializing history per request doesn't keep up).
+    Stream-static LEFT ANTI needs no watermark and no join state: the
+    static side is re-read per micro-batch, so a NEW erasure request is
+    honored from the next batch on — exactly the compliance semantics
+    wanted. The static list routes through broadcast_if_dim (fixture:
+    broadcast hash anti; 100 TB: shuffled anti against micro-batches).
+
+    Only the final per-event-type aggregate keeps state (O(event
+    types)). Counts and cent sums are exact integers; the oracle is the
+    equivalent batch NOT IN."""
+    erased = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select(F.col("c_custkey").alias("erased_user"))
+    )
+    ev = _events_stream(spark, sf_dir)
+    kept = ev.join(
+        broadcast_if_dim(erased, "customer"),
+        ev.user_id == F.col("erased_user"),
+        "left_anti",
+    )
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    out = _run_to_memory(agg, "complete")
+    # Exact n_users needs COUNT(DISTINCT) which streaming aggregation
+    # cannot maintain incrementally; compute it from the same anti-join
+    # applied as a batch (identical plan sans the stream source).
+    ev_b = load_table(spark, sf_dir, "events")
+    kept_b = ev_b.join(
+        broadcast_if_dim(erased, "customer"),
+        ev_b.user_id == F.col("erased_user"),
+        "left_anti",
+    )
+    users = kept_b.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return out.join(users, "event_type").select(
+        "event_type", "n_events", "n_users", "total_cents"
+    )

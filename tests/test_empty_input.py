@@ -128,6 +128,7 @@ _CASES = [
     ("text_vocab_coverage_oov", 0),
     ("corpus_temperature_sampling_plan", 0),
     ("profile_join_cardinality_estimate", 1),  # 0-bucket est x 0 actual
+    ("streaming_gdpr_erasure_filter", 0),
 ]
 
 
