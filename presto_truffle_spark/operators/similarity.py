@@ -2233,3 +2233,88 @@ def embedding_matryoshka_truncation(
         .groupBy(F.col("d").alias("dim"), top_tr.qid)
         .agg(F.count("fcid").cast("long").alias("overlap_at_10"))
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH halves AS (
+        SELECT label,
+               CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+               embedding::DOUBLE[] AS e
+        FROM embeddings
+        WHERE vec_id >= {_N_QUERIES}
+    ), dims AS (
+        SELECT label, half, d.i AS dim, e[d.i] AS v
+        FROM halves
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+    ), cent AS (
+        SELECT label, half, dim, avg(v) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM dims GROUP BY label, half, dim
+    ), paired AS (
+        SELECT a.label, a.dim, a.c AS ca, b.c AS cb,
+               a.n AS n_a, b.n AS n_b
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 'a' AND b.half = 'b'
+    )
+    SELECT label,
+           max(n_a) AS n_a, max(n_b) AS n_b,
+           round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS centroid_l2_shift
+    FROM paired
+    GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the L2 distance between the
+    class centroid computed on one half of the corpus (even vec_ids —
+    the 'reference window') and the other (odd — the 'current window').
+    This is the canonical embedding-pipeline health check: an encoder
+    redeploy, a preprocessing change, or upstream data drift moves
+    class centroids, and the per-label shift table is the alarm that
+    fires before downstream ANN recall quietly decays. Deterministic
+    split by vec_id parity stands in for the time axis the production
+    version windows on.
+
+    Shape: explode to (label, half, dim, value) — map-only — then ONE
+    grouped avg per (label, half, dim) cell (map-combinable; the 64-dim
+    x labels x 2 cell table is tiny), a self-join of the two halves on
+    (label, dim), and a 64-term fold per label for the L2. Per-cell
+    avg sums ~250 O(1) doubles (fold drift ~1e-14, ten+ orders under
+    the 6dp round); the explode avoids any array-level float fold
+    ordering question entirely."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= _N_QUERIES
+    )
+    halves = e.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    dims = halves.select(
+        "label",
+        "half",
+        F.posexplode("e").alias("d0", "v"),
+    ).select("label", "half", (F.col("d0") + 1).alias("dim"), "v")
+    cent = dims.groupBy("label", "half", "dim").agg(
+        F.avg("v").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.filter(F.col("half") == "a").select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("half") == "b").select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    paired = a.join(b, ["label", "dim"])
+    return paired.groupBy("label").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            ),
+            6,
+        ).alias("centroid_l2_shift"),
+    )

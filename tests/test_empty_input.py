@@ -129,6 +129,7 @@ _CASES = [
     ("corpus_temperature_sampling_plan", 0),
     ("profile_join_cardinality_estimate", 1),  # 0-bucket est x 0 actual
     ("streaming_gdpr_erasure_filter", 0),
+    ("embedding_centroid_drift", 0),
 ]
 
 
