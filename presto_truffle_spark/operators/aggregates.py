@@ -1999,3 +1999,66 @@ def profile_join_cardinality_estimate(
             6,
         ).alias("relative_error"),
     )
+
+
+@query(
+    "agg_generalized_means",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(q) AS BIGINT) * 1.0 / count(*), 6)
+               AS arithmetic_mean,
+           round(exp(avg(ln(q))), 6) AS geometric_mean,
+           round(count(*) * 1.0 / sum(1.0 / q), 6) AS harmonic_mean,
+           round(sqrt(CAST(sum(q * q) AS BIGINT) * 1.0 / count(*)), 6)
+               AS quadratic_mean
+    FROM t
+    GROUP BY l_returnflag
+    """,
+)
+def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean-means battery per group: arithmetic, geometric
+    (exp of the log-mean — THE mean for multiplicative quantities like
+    growth rates), harmonic (THE mean for rates: average speeds, F1,
+    price/earnings), and quadratic/RMS (energy-like magnitudes). Using
+    the wrong one is a classic dashboard bug (averaging ratios
+    arithmetically overstates them — AM >= GM >= HM, verifiable in this
+    output row by row), so the engine exposes all four under one
+    grouped pass.
+
+    Numerics, per mean: arithmetic and quadratic divide EXACT integer
+    sums (quantity is integer-valued; q*q sums stay far under 2^63);
+    geometric and harmonic are irreducibly floating folds (sum of
+    ln(q) / of 1.0/q), deterministic enough because the terms are O(1)
+    positive and the grouped sums' reassociation drift (~1e-12
+    relative) sits six orders under the 6dp round — the SAFE side of
+    the Welch lesson: no large-term cancellation anywhere, every
+    partial sum is monotone increasing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("q").cast("long") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("arithmetic_mean"),
+        F.round(F.exp(F.avg(F.log("q"))), 6).alias("geometric_mean"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1.0) / F.sum(F.lit(1.0) / F.col("q")),
+            6,
+        ).alias("harmonic_mean"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("q") * F.col("q")).cast("long")
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("quadratic_mean"),
+    )

@@ -130,6 +130,7 @@ _CASES = [
     ("profile_join_cardinality_estimate", 1),  # 0-bucket est x 0 actual
     ("streaming_gdpr_erasure_filter", 0),
     ("embedding_centroid_drift", 0),
+    ("agg_generalized_means", 0),
 ]
 
 
