@@ -2318,3 +2318,84 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2_shift"),
     )
+
+
+@query(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ), dims AS (
+        SELECT vec_id, label, d.i AS dim, e[d.i] AS v
+        FROM c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+    ), stats AS (
+        SELECT dim, avg(v) AS m,
+               sum(v * v) / count(*) - avg(v) * avg(v) AS var
+        FROM dims GROUP BY dim
+    ), scored AS (
+        SELECT vec_id, label,
+               sum((v - m) * (v - m) / nullif(var, 0)) AS d2
+        FROM dims JOIN stats USING (dim)
+        GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, round(d2, 6) AS mahalanobis_sq
+    FROM scored
+    ORDER BY round(d2, 6) DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_outlier_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding outlier detection via DIAGONAL Mahalanobis distance:
+    per-dimension corpus mean/variance, each vector scored
+    sum_d (v_d - m_d)^2 / var_d, top-20 by score — the screening pass
+    that catches corrupted vectors, wrong-encoder batches, and truncated
+    embeddings BEFORE they poison an ANN index (the full-covariance
+    version needs a 64x64 inverse; the diagonal approximation is the
+    standard first line because it stays a pure aggregate). Complements
+    embedding_norm_stats (norm outliers) and embedding_centroid_drift
+    (population shift): this one names the individual offenders.
+
+    Shape: one explode -> one per-dim stats aggregate (64 rows,
+    broadcast back by the dim join) -> one per-vector fold -> global
+    top-20 (TakeOrderedAndProject). Population variance computed as
+    E[v^2] - m^2 from O(1)-magnitude doubles (no large-term
+    cancellation — the components are unit-scale), score rounded 6dp
+    BEFORE ranking with vec_id tie-break so the cutoff is stable."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= _N_QUERIES
+    )
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d0", "v"
+        ),
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("dim"), "v")
+    stats = dims.groupBy("dim").agg(
+        F.avg("v").alias("m"),
+        (
+            F.sum(F.col("v") * F.col("v")) / F.count(F.lit(1))
+            - F.avg("v") * F.avg("v")
+        ).alias("var"),
+    )
+    scored = (
+        dims.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("m"))
+                * (F.col("v") - F.col("m"))
+                / F.nullif(F.col("var"), F.lit(0.0))
+            ).alias("d2")
+        )
+    )
+    return (
+        scored.select(
+            "vec_id", "label", F.round("d2", 6).alias("mahalanobis_sq")
+        )
+        .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
+        .limit(20)
+    )

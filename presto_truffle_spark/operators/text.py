@@ -1512,3 +1512,123 @@ def text_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "text_keyness_loglikelihood",
+    oracle="""
+    WITH tok AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY source, tok
+    ), tot AS (
+        SELECT source, tok, a,
+               CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS n1,
+               CAST(sum(a) OVER (PARTITION BY tok) AS BIGINT) AS t_all,
+               CAST(sum(a) OVER () AS BIGINT) AS n_all
+        FROM tok
+    ), g AS (
+        SELECT source, tok, a,
+               t_all - a AS b, n1, n_all - n1 AS n2,
+               n1 * (t_all * 1.0) / n_all AS ea,
+               (n_all - n1) * (t_all * 1.0) / n_all AS eb
+        FROM tot
+    ), scored AS (
+        SELECT source, tok, a, b,
+               round(2 * (CASE WHEN a > 0 THEN a * ln(a / ea) ELSE 0 END
+                          + CASE WHEN b > 0 THEN b * ln(b / eb)
+                                 ELSE 0 END), 6) AS g2
+        FROM g
+        WHERE a * 1.0 / n1 > b * 1.0 / nullif(n2, 0)
+    )
+    SELECT source, tok, a AS n_in_source, b AS n_elsewhere, g2
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY g2 DESC, tok) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_keyness_loglikelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness analysis — per-source SIGNIFICANT terms by the
+    log-likelihood ratio G^2 (Dunning 1993; the statistic behind corpus
+    linguistics' keyword lists and Elasticsearch's significant_terms):
+    for each (source, token), compare the observed in-source count
+    against its expectation under the pooled corpus and keep the top 3
+    OVERUSED terms per source. Where TF-IDF ranks by rarity and PMI by
+    pairwise association, G^2 is the calibrated significance test — it
+    doesn't overreward hapaxes the way PMI does, which is why
+    significant-terms APIs default to it.
+
+    One token-count aggregate over the corpus; the per-source /
+    per-token / grand totals all come from windows over that
+    vocabulary-x-source table (no second scan, no join — the expected
+    counts are margin products, chi-square-style); then one rank window
+    for the top 3. G^2's x*ln(x/E) terms are doubles from exact counts
+    with identical spellings, zero-guarded exactly where the count is
+    zero, rounded 6dp BEFORE ranking (tok tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    tot = tok.select(
+        "source",
+        "tok",
+        "a",
+        F.sum("a").over(W.partitionBy("source")).cast("long").alias("n1"),
+        F.sum("a").over(W.partitionBy("tok")).cast("long").alias("t_all"),
+        F.sum("a").over(W.partitionBy()).cast("long").alias("n_all"),
+    )
+    g = tot.select(
+        "source",
+        "tok",
+        "a",
+        (F.col("t_all") - F.col("a")).alias("b"),
+        "n1",
+        (F.col("n_all") - F.col("n1")).alias("n2"),
+        (F.col("n1") * (F.col("t_all") * F.lit(1.0)) / F.col("n_all")).alias(
+            "ea"
+        ),
+        (
+            (F.col("n_all") - F.col("n1"))
+            * (F.col("t_all") * F.lit(1.0))
+            / F.col("n_all")
+        ).alias("eb"),
+    )
+    g2 = F.round(
+        2
+        * (
+            F.when(
+                F.col("a") > 0, F.col("a") * F.log(F.col("a") / F.col("ea"))
+            ).otherwise(0.0)
+            + F.when(
+                F.col("b") > 0, F.col("b") * F.log(F.col("b") / F.col("eb"))
+            ).otherwise(0.0)
+        ),
+        6,
+    )
+    scored = g.filter(
+        F.col("a") * F.lit(1.0) / F.col("n1")
+        > F.col("b") * F.lit(1.0) / F.nullif(F.col("n2"), F.lit(0))
+    ).select("source", "tok", "a", "b", g2.alias("g2"))
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("g2").desc(), "tok")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "source",
+            "tok",
+            F.col("a").alias("n_in_source"),
+            F.col("b").alias("n_elsewhere"),
+            "g2",
+        )
+    )

@@ -131,6 +131,8 @@ _CASES = [
     ("streaming_gdpr_erasure_filter", 0),
     ("embedding_centroid_drift", 0),
     ("agg_generalized_means", 0),
+    ("embedding_outlier_mahalanobis", 0),
+    ("text_keyness_loglikelihood", 0),
 ]
 
 
