@@ -963,3 +963,116 @@ def corpus_temperature_sampling_plan(
             F.col("target_share") * F.col("total") / F.col("tokens"), 4
         ).alias("epochs"),
     )
+
+
+@query(
+    "corpus_rendezvous_sharding",
+    oracle="""
+    WITH assign AS (
+        SELECT doc_id,
+               (SELECT s FROM (
+                    SELECT s.s,
+                           (d.doc_id * 2654435761 + s.s * 40503) % 1048576
+                               AS w
+                    FROM (SELECT unnest(generate_series(0, 7)) AS s) s
+                    ORDER BY w DESC, s.s LIMIT 1) )
+                   AS shard8,
+               (SELECT s FROM (
+                    SELECT s.s,
+                           (d.doc_id * 2654435761 + s.s * 40503) % 1048576
+                               AS w
+                    FROM (SELECT unnest(generate_series(0, 8)) AS s) s
+                    ORDER BY w DESC, s.s LIMIT 1) )
+                   AS shard9,
+               doc_id % 8 AS mod8,
+               doc_id % 9 AS mod9
+        FROM documents d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN shard8 <> shard9 THEN 1 END) AS BIGINT)
+               AS moved_rendezvous,
+           CAST(count(CASE WHEN shard8 <> shard9 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS moved_rendezvous_ppm,
+           CAST(count(CASE WHEN mod8 <> mod9 THEN 1 END) AS BIGINT)
+               AS moved_modulo,
+           CAST(count(CASE WHEN mod8 <> mod9 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS moved_modulo_ppm
+    FROM assign
+    """,
+)
+def corpus_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding vs naive modulo — the
+    shard-stability question every growing corpus store answers before
+    its first reshard: when the shard count goes 8 -> 9, HRW moves only
+    the keys whose new shard WINS the weight race (~1/9 of keys,
+    measured here as moved_rendezvous_ppm), while key%N reassigns
+    almost everything (~8/9 — moved_modulo_ppm), invalidating caches
+    and forcing a near-total data migration. HRW is fully relational:
+    weight(key, shard) = deterministic hash (the repo's arithmetic
+    mod-2^20 mix), assignment = argmax over the shard list — no ring
+    state, no virtual nodes, and adding a shard only ever STEALS keys
+    (never shuffles third parties), which is the property the ppm
+    column proves.
+
+    Shape: a per-key argmax over an 8/9-way exploded weight list (one
+    codegen pipeline, no shuffle until the final one-row count fold).
+    Everything integer; the 1/9 vs 8/9 contrast is exact arithmetic,
+    not an approximation claim."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hrw(n: int):
+        s = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("s")
+        return s
+
+    def assign_col(n: int, alias: str):
+        # argmax via array fold: build [(w, s)] structs, sort desc, take s
+        shards = F.sequence(F.lit(0), F.lit(n - 1))
+        weights = F.transform(
+            shards,
+            lambda s: F.struct(
+                (
+                    (F.col("doc_id") * F.lit(2654435761) + s * F.lit(40503))
+                    % F.lit(1048576)
+                ).alias("w"),
+                s.alias("s"),
+            ),
+        )
+        # max weight, ties to the LOWEST shard id: sort by (w asc, s desc)
+        # and take the last element == (max w, min s among ties)... use
+        # array_max on (w, -s) then recover s.
+        best = F.array_max(
+            F.transform(
+                weights,
+                lambda x: F.struct(
+                    x.w.alias("w"), (-x.s).alias("neg_s")
+                ),
+            )
+        )
+        return (-best.neg_s).cast("long").alias(alias)
+
+    assign = d.select(
+        "doc_id",
+        assign_col(8, "shard8"),
+        assign_col(9, "shard9"),
+        (F.col("doc_id") % 8).alias("mod8"),
+        (F.col("doc_id") % 9).alias("mod9"),
+    )
+    moved_r = F.count(
+        F.when(F.col("shard8") != F.col("shard9"), 1)
+    ).cast("long")
+    moved_m = F.count(F.when(F.col("mod8") != F.col("mod9"), 1)).cast(
+        "long"
+    )
+    return assign.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        moved_r.alias("moved_rendezvous"),
+        F.expr(
+            "CAST(count(CASE WHEN shard8 <> shard9 THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("moved_rendezvous_ppm"),
+        moved_m.alias("moved_modulo"),
+        F.expr(
+            "CAST(count(CASE WHEN mod8 <> mod9 THEN 1 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("moved_modulo_ppm"),
+    )

@@ -133,6 +133,7 @@ _CASES = [
     ("agg_generalized_means", 0),
     ("embedding_outlier_mahalanobis", 0),
     ("text_keyness_loglikelihood", 0),
+    ("corpus_rendezvous_sharding", 1),  # ungrouped fold row (0 docs)
 ]
 
 
