@@ -992,11 +992,11 @@ def corpus_temperature_sampling_plan(
            CAST(count(CASE WHEN shard8 <> shard9 THEN 1 END) AS BIGINT)
                AS moved_rendezvous,
            CAST(count(CASE WHEN shard8 <> shard9 THEN 1 END) * 1000000
-                // count(*) AS BIGINT) AS moved_rendezvous_ppm,
+                // nullif(count(*), 0) AS BIGINT) AS moved_rendezvous_ppm,
            CAST(count(CASE WHEN mod8 <> mod9 THEN 1 END) AS BIGINT)
                AS moved_modulo,
            CAST(count(CASE WHEN mod8 <> mod9 THEN 1 END) * 1000000
-                // count(*) AS BIGINT) AS moved_modulo_ppm
+                // nullif(count(*), 0) AS BIGINT) AS moved_modulo_ppm
     FROM assign
     """,
 )
@@ -1068,11 +1068,11 @@ def corpus_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         moved_r.alias("moved_rendezvous"),
         F.expr(
             "CAST(count(CASE WHEN shard8 <> shard9 THEN 1 END) * 1000000"
-            " div count(*) AS BIGINT)"
+            " div nullif(count(*), 0) AS BIGINT)"
         ).alias("moved_rendezvous_ppm"),
         moved_m.alias("moved_modulo"),
         F.expr(
             "CAST(count(CASE WHEN mod8 <> mod9 THEN 1 END) * 1000000"
-            " div count(*) AS BIGINT)"
+            " div nullif(count(*), 0) AS BIGINT)"
         ).alias("moved_modulo_ppm"),
     )

@@ -1452,7 +1452,7 @@ def text_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) OVER () AS BIGINT) AS n_types
         FROM freq
     )
-    SELECT k AS vocab_size,
+    SELECT CAST(k AS BIGINT) AS vocab_size,
            max(n_types) AS n_types_total,
            max(CASE WHEN rnk = k THEN cum_n END) AS covered_occurrences,
            max(total_n) AS total_occurrences,
