@@ -1957,3 +1957,94 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("et", "event_type")
         )
     return v.select("event_type", F.round("prob", 6).alias("stationary_prob"))
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+               CAST(count(*) AS BIGINT) AS total,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS errors
+        FROM events
+        GROUP BY 1
+    ), win AS (
+        SELECT hour_start, total, errors,
+               CAST(sum(total) OVER (
+                    ORDER BY hour_start
+                    RANGE BETWEEN INTERVAL 5 HOUR PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS total_6h,
+               CAST(sum(errors) OVER (
+                    ORDER BY hour_start
+                    RANGE BETWEEN INTERVAL 5 HOUR PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS errors_6h
+        FROM hourly
+    )
+    SELECT hour_start, total, errors,
+           round(errors * 1.0 / nullif(total, 0) / 0.01, 6) AS burn_1h,
+           round(errors_6h * 1.0 / nullif(total_6h, 0) / 0.01, 6)
+               AS burn_6h,
+           (errors * 1.0 / nullif(total, 0) / 0.01 > 14.4
+            AND errors_6h * 1.0 / nullif(total_6h, 0) / 0.01 > 6)
+               AS page_alert
+    FROM win
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate with the MULTIWINDOW alert policy
+    (Google SRE Workbook ch.5): against a 99% success SLO (budget
+    0.01), each hour reports its 1h burn (error_rate / budget) and its
+    trailing-6h burn, and pages only when BOTH exceed their thresholds
+    (14.4x / 6x — the standard fast-burn pair): the short window gives
+    detection speed, the long window suppresses one-hour blips, and
+    requiring both is what kills the flapping a single-window alert
+    produces. On the fixture the synthetic error share (~20%) burns at
+    ~20x continuously, so the alert column is ENGAGED (every hour
+    pages) — the query proves the policy arithmetic, while real traffic
+    exercises the asymmetry.
+
+    One grouped hourly fold (map-combinable), then two RANGE-frame
+    windows sharing ONE sort (same single-exchange shape as
+    events_velocity_windows). Hour bucketing is trunc_ntz on the Spark
+    side (date_trunc coerces NTZ to session zone — the
+    events_peak_concurrency pin); exact integer counts, burn ratios the
+    only doubles, 6dp, nullif-guarded."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        trunc_ntz("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("errors"),
+    )
+    w6 = (
+        W.orderBy(epoch_s(F.col("hour_start")))
+        .rangeBetween(-5 * 3600, 0)
+    )
+    win = hourly.select(
+        "hour_start",
+        "total",
+        "errors",
+        F.sum("total").over(w6).cast("long").alias("total_6h"),
+        F.sum("errors").over(w6).cast("long").alias("errors_6h"),
+    )
+    b1 = (
+        F.col("errors") * F.lit(1.0) / F.nullif(F.col("total"), F.lit(0))
+        / F.lit(0.01)
+    )
+    b6 = (
+        F.col("errors_6h")
+        * F.lit(1.0)
+        / F.nullif(F.col("total_6h"), F.lit(0))
+        / F.lit(0.01)
+    )
+    return win.select(
+        "hour_start",
+        "total",
+        "errors",
+        F.round(b1, 6).alias("burn_1h"),
+        F.round(b6, 6).alias("burn_6h"),
+        ((b1 > 14.4) & (b6 > 6)).alias("page_alert"),
+    )

@@ -134,6 +134,7 @@ _CASES = [
     ("embedding_outlier_mahalanobis", 0),
     ("text_keyness_loglikelihood", 0),
     ("corpus_rendezvous_sharding", 1),  # ungrouped fold row (0 docs)
+    ("events_slo_burn_rate", 0),
 ]
 
 
