@@ -1632,3 +1632,104 @@ def text_keyness_loglikelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
         )
     )
+
+
+@query(
+    "text_dispersion_gries_dp",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ), doc_sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dn FROM toks
+        GROUP BY doc_id
+    ), cells AS (
+        SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY tok, doc_id
+    ), grid AS (
+        SELECT t.tok, d.doc_id, d.dn, coalesce(c.c, 0) AS c,
+               t.f
+        FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS f FROM cells
+              GROUP BY tok) t
+        CROSS JOIN doc_sizes d
+        LEFT JOIN cells c ON c.tok = t.tok AND c.doc_id = d.doc_id
+    ), dev AS (
+        SELECT tok, f,
+               abs(c * 1.0 / f
+                   - dn * 1.0 / CAST(sum(dn) OVER (PARTITION BY tok)
+                                     AS BIGINT)) AS dev
+        FROM grid
+    ), tot AS (
+        SELECT tok, f, sum(dev) / 2 AS dp
+        FROM dev GROUP BY tok, f
+    )
+    SELECT tok, f AS total_occurrences, round(dp, 6) AS dispersion_dp
+    FROM tot
+    ORDER BY round(dp, 6) DESC, tok
+    """,
+)
+def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dispersion via Gries' DP (Deviation of Proportions, 2008) —
+    the corpus-linguistics burstiness measure: for each term, half the
+    L1 distance between where its occurrences actually fall (share per
+    document) and where they would fall if spread like the text itself
+    (each document's size share). DP ~ 0 = evenly dispersed function
+    word; DP -> 1 = bursty, concentrated in few documents. This is the
+    ACROSS-DOCUMENT axis the frequency-based ops miss: keyness
+    (text_keyness_loglikelihood) compares sources, TF-IDF rewards
+    rarity, DP distinguishes a 1000-occurrence term in one doc from the
+    same count spread over 1000 docs — exactly the signal that flags
+    template/boilerplate tokens for cleanup.
+
+    Shape: one (term, doc) cell count, one doc-size table, and the
+    dense grid their cross join implies — vocabulary x documents, the
+    honest cost of an exact DP because absent cells contribute |0 -
+    size_share| (31 x 500 here; at a real vocabulary the practical
+    variant truncates to top-K terms first — the fold itself is
+    unchanged). Shares are exact-integer ratios; the L1 fold is a
+    bounded-magnitude double sum per term, rounded 6dp before the
+    deterministic (dp desc, tok) ordering."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    doc_sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dn")
+    )
+    cells = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    terms = cells.groupBy("tok").agg(F.sum("c").cast("long").alias("f"))
+    from presto_truffle_spark.cache import scoped_persist
+
+    cells = scoped_persist(spark, "text.dispersion.cells", cells)
+    grid = (
+        terms.crossJoin(doc_sizes)
+        .join(cells, ["tok", "doc_id"], "left")
+        .select(
+            "tok",
+            "f",
+            "dn",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    dn_tot = F.sum("dn").over(W.partitionBy("tok")).cast("long")
+    with_share = grid.select(
+        "tok",
+        "f",
+        (
+            F.abs(
+                F.col("c") * F.lit(1.0) / F.col("f")
+                - F.col("dn") * F.lit(1.0) / dn_tot
+            )
+        ).alias("dev"),
+    )
+    tot = with_share.groupBy("tok", "f").agg(
+        (F.sum("dev") / 2).alias("dp")
+    )
+    return tot.select(
+        "tok",
+        F.col("f").alias("total_occurrences"),
+        F.round("dp", 6).alias("dispersion_dp"),
+    ).orderBy(F.col("dispersion_dp").desc(), "tok")

@@ -135,6 +135,7 @@ _CASES = [
     ("text_keyness_loglikelihood", 0),
     ("corpus_rendezvous_sharding", 1),  # ungrouped fold row (0 docs)
     ("events_slo_burn_rate", 0),
+    ("text_dispersion_gries_dp", 0),
 ]
 
 
