@@ -2048,3 +2048,97 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b6, 6).alias("burn_6h"),
         ((b1 > 14.4) & (b6 > 6)).alias("page_alert"),
     )
+
+
+@query(
+    "events_incident_mttr_mtbf",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(date_sub('hour', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS e
+        FROM events GROUP BY 1
+    ), deg AS (
+        SELECT hr, hr - row_number() OVER (ORDER BY hr) AS island
+        FROM h WHERE e * 1.0 / n > 0.25
+    ), inc AS (
+        SELECT island, min(hr) AS start_hr,
+               CAST(count(*) AS BIGINT) AS duration_h
+        FROM deg GROUP BY island
+    ), gaps AS (
+        SELECT start_hr, duration_h,
+               start_hr - lag(start_hr) OVER (ORDER BY start_hr) AS gap_h
+        FROM inc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_incidents,
+           round(sum(duration_h) * 1.0 / nullif(count(*), 0), 6)
+               AS mttr_hours,
+           round(avg(gap_h), 6) AS mtbf_hours,
+           CAST(max(duration_h) AS BIGINT) AS longest_incident_hours
+    FROM gaps
+    """,
+)
+def events_incident_mttr_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident MTTR / MTBF from the raw event stream — the reliability
+    read-out events_slo_burn_rate's alerts feed: an INCIDENT is a
+    maximal run of consecutive degraded hours (hourly error share >
+    0.25; probed engaged at both SFs — 204 degraded hours at sf0.01,
+    36 at sf0.1), found with the hour-index gaps-and-islands trick
+    (events_error_streaks' machinery lifted from per-user booleans to
+    fleet-level rates). MTTR = mean incident duration; MTBF = mean gap
+    between successive incident STARTS (the convention that makes
+    MTBF = MTTR + mean-time-to-failure identities hold); plus the
+    worst-case duration.
+
+    Hour indexing is the whole-unit timestamp difference from a fixed
+    NTZ anchor — date_sub on the DuckDB side per the r9 day-time
+    interval pin (date_diff counts boundary crossings, the wrong twin).
+    One hourly fold (map-combinable), islands over the <=720-row hour
+    table, then one-row reliability stats; integer hour arithmetic
+    end-to-end with 6dp ratio means."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    h = ev.groupBy(
+        F.timestamp_diff(
+            "HOUR", anchor, trunc_ntz("hour", F.col("ts"))
+        ).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("e"),
+    )
+    deg = h.filter(
+        F.col("e") * F.lit(1.0) / F.col("n") > 0.25
+    ).select(
+        "hr",
+        (F.col("hr") - F.row_number().over(W.orderBy("hr"))).alias(
+            "island"
+        ),
+    )
+    inc = deg.groupBy("island").agg(
+        F.min("hr").alias("start_hr"),
+        F.count(F.lit(1)).cast("long").alias("duration_h"),
+    )
+    gaps = inc.select(
+        "start_hr",
+        "duration_h",
+        (
+            F.col("start_hr")
+            - F.lag("start_hr").over(W.orderBy("start_hr"))
+        ).alias("gap_h"),
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.round(
+            F.sum("duration_h")
+            * F.lit(1.0)
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("mttr_hours"),
+        F.round(F.avg("gap_h"), 6).alias("mtbf_hours"),
+        F.max("duration_h").cast("long").alias("longest_incident_hours"),
+    )

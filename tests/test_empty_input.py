@@ -136,6 +136,7 @@ _CASES = [
     ("corpus_rendezvous_sharding", 1),  # ungrouped fold row (0 docs)
     ("events_slo_burn_rate", 0),
     ("text_dispersion_gries_dp", 0),
+    ("events_incident_mttr_mtbf", 1),  # ungrouped stats row (0, NULLs)
 ]
 
 
