@@ -405,3 +405,81 @@ def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .drop("rnk")
     )
+
+
+@query(
+    "window_peer_benchmark_loo",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ), loo AS (
+        SELECT seg, o_custkey, spend_cents,
+               (CAST(sum(spend_cents) OVER (PARTITION BY seg) AS BIGINT)
+                - spend_cents) * 1.0
+               / (100.0 * nullif(count(*) OVER (PARTITION BY seg) - 1, 0))
+                   AS peer_avg_d
+        FROM per_cust
+    )
+    SELECT seg, o_custkey, spend_cents,
+           round(peer_avg_d, 6) AS peer_avg,
+           round(spend_cents / 100.0 - peer_avg_d, 6) AS vs_peers
+    FROM loo
+    ORDER BY round(spend_cents / 100.0 - peer_avg_d, 6) DESC, o_custkey
+    LIMIT 25
+    """,
+)
+def window_peer_benchmark_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out peer benchmarking: each customer's spend vs the
+    average of the OTHER customers in their segment, computed as
+    (segment_total - own) / (n - 1) from ONE windowed group total — the
+    self-exclusion identity that avoids both the self-join a naive
+    'average of everyone else' spelling plans and the subtle bias of
+    comparing against an average that includes yourself (for top
+    spenders, the self-inclusive gap understates by spend/n — material
+    exactly for the outliers the report exists to rank). Emits the top
+    25 above-peers customers.
+
+    One fact->dim join + per-customer fold, two window aggregates over
+    the customer-grain table sharing one (seg) partition, then
+    TakeOrderedAndProject. Integer cents until the final dollar
+    conversion; the LOO average is the one double, 6dp, tie-broken by
+    custkey."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    wseg = W.partitionBy("seg")
+    peer = (
+        (F.sum("spend_cents").over(wseg).cast("long") - F.col("spend_cents"))
+        * F.lit(1.0)
+        / (
+            F.lit(100.0)
+            * F.nullif(F.count(F.lit(1)).over(wseg) - 1, F.lit(0))
+        )
+    )
+    loo = per_cust.select(
+        "seg", "o_custkey", "spend_cents", peer.alias("peer_avg_d")
+    )
+    vs = F.col("spend_cents") / F.lit(100.0) - F.col("peer_avg_d")
+    return (
+        loo.select(
+            "seg",
+            "o_custkey",
+            "spend_cents",
+            F.round("peer_avg_d", 6).alias("peer_avg"),
+            F.round(vs, 6).alias("vs_peers"),
+        )
+        .orderBy(F.col("vs_peers").desc(), "o_custkey")
+        .limit(25)
+    )

@@ -137,6 +137,7 @@ _CASES = [
     ("events_slo_burn_rate", 0),
     ("text_dispersion_gries_dp", 0),
     ("events_incident_mttr_mtbf", 1),  # ungrouped stats row (0, NULLs)
+    ("window_peer_benchmark_loo", 0),
 ]
 
 
