@@ -761,3 +761,88 @@ def lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mor_equals_cow"),
         )
     )
+
+
+@query(
+    "lakehouse_clustering_depth",
+    oracle="""
+    SELECT 'clustered' AS layout,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS depth_in_expected_band
+    FROM orders
+    UNION ALL
+    SELECT 'unsorted', CAST(count(*) AS BIGINT), true
+    FROM orders
+    ORDER BY layout
+    """,
+)
+def lakehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering DEPTH — the metric behind Delta/Iceberg OPTIMIZE
+    decisions: for a probe grid of keys, how many files' [min, max]
+    key ranges contain each key (depth 1 = perfectly clustered, a scan
+    for one key opens one file; depth = n_files = every file spans the
+    whole range and pruning is useless). The op writes the SAME rows in
+    two layouts — repartitionByRange(8, custkey) vs hash repartition(8)
+    — reads ONLY the parquet footers back (the
+    source_parquet_footer_audit discipline), and measures average probe
+    depth over a 64-point key grid for each.
+
+    Oracle shape is the envelope convention (agg_approx_distinct): file
+    assignment under hash repartition isn't a cross-engine-reproducible
+    value, so the oracle pins the exact ROW COUNTS both layouts must
+    preserve plus the expected-band verdicts the measured depths must
+    satisfy (range layout <= 1.5 — boundary files may touch; unsorted
+    >= half the file count), which is precisely the regression a
+    clustering-health dashboard alerts on."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    p_clu = _scratch(spark, "depth_clustered")
+    p_uns = _scratch(spark, "depth_unsorted")
+    od.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(
+        p_clu
+    )
+    od.repartition(8).write.mode("overwrite").parquet(p_uns)
+
+    def depth_stats(path: str) -> tuple[int, float]:
+        spans = []
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            md = _pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["o_custkey"]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                spans.append((lo, hi))
+        if not spans:
+            return 0, 0.0
+        gmin = min(s[0] for s in spans)
+        gmax = max(s[1] for s in spans)
+        step = max(1, (gmax - gmin) // 63)
+        probes = [gmin + i * step for i in range(64)]
+        depths = [
+            sum(1 for lo, hi in spans if lo <= k <= hi) for k in probes
+        ]
+        return len(spans), sum(depths) / len(depths)
+
+    nf_c, d_c = depth_stats(p_clu)
+    nf_u, d_u = depth_stats(p_uns)
+    n_c = spark.read.parquet(p_clu).count()
+    n_u = spark.read.parquet(p_uns).count()
+    rows = [
+        ("clustered", n_c, d_c <= 1.5),
+        ("unsorted", n_u, d_u >= nf_u / 2.0),
+    ]
+    return spark.createDataFrame(
+        rows, "layout string, n_rows long, depth_in_expected_band boolean"
+    ).orderBy("layout")

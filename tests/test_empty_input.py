@@ -138,6 +138,7 @@ _CASES = [
     ("text_dispersion_gries_dp", 0),
     ("events_incident_mttr_mtbf", 1),  # ungrouped stats row (0, NULLs)
     ("window_peer_benchmark_loo", 0),
+    ("lakehouse_clustering_depth", 2),  # one verdict row per layout
 ]
 
 
