@@ -483,3 +483,102 @@ def window_peer_benchmark_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vs_peers").desc(), "o_custkey")
         .limit(25)
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             WHEN event_type = 'error'
+                             THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS net_cents
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT d, net_cents,
+               CAST(sum(net_cents) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS equity
+        FROM daily
+    ), dd AS (
+        SELECT d, equity,
+               CAST(max(equity) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+        FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak) AS BIGINT) AS peak_equity_cents,
+           CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(CASE WHEN peak - equity
+                              = (SELECT max(peak - equity) FROM dd)
+                         THEN d END) AS DATE) AS trough_day
+    FROM dd
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily net-value equity curve (purchases
+    minus error-event value) — the canonical running-max-of-running-sum
+    window composition from quantitative finance, equally the right
+    statistic for any cumulative business KPI ('how far below our best
+    cumulative position did we ever fall, and when'). Two stacked
+    cumulative windows over the day-grain table: prefix-sum equity,
+    then prefix-max peak, then the max gap and its (earliest) trough
+    day.
+
+    The corpus collapses to <=31 daily rows before any window runs
+    (map-combinable conditional fold); both windows share one ordering
+    of that tiny table. All integer cents end-to-end — drawdown is
+    exact arithmetic, no rounding anywhere; the trough-day argmin ties
+    break to the earliest day on both engines via min(CASE...)."""
+    from presto_truffle_spark.tztime import trunc_ntz
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(trunc_ntz("day", F.col("ts")).alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .when(
+                F.col("event_type") == "error",
+                -F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("net_cents")
+    )
+    wcum = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("net_cents").over(wcum).cast("long").alias("equity"),
+    )
+    dd = cum.select(
+        "d",
+        "equity",
+        F.max("equity").over(wcum).cast("long").alias("peak"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    dd = scoped_persist(spark, "windows.drawdown.dd", dd)
+    mdd = dd.agg(
+        F.max(F.col("peak") - F.col("equity")).alias("m")
+    )
+    return (
+        dd.crossJoin(F.broadcast(mdd))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("peak").cast("long").alias("peak_equity_cents"),
+            F.max(F.col("peak") - F.col("equity"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+            F.min(
+                F.when(
+                    F.col("peak") - F.col("equity") == F.col("m"), F.col("d")
+                )
+            )
+            .cast("date")
+            .alias("trough_day"),
+        )
+    )

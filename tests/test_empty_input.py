@@ -139,6 +139,7 @@ _CASES = [
     ("events_incident_mttr_mtbf", 1),  # ungrouped stats row (0, NULLs)
     ("window_peer_benchmark_loo", 0),
     ("lakehouse_clustering_depth", 2),  # one verdict row per layout
+    ("window_max_drawdown", 1),  # ungrouped fold row (0 days, NULLs)
 ]
 
 
