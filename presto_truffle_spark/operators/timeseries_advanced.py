@@ -2142,3 +2142,85 @@ def events_incident_mttr_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_h"), 6).alias("mtbf_hours"),
         F.max("duration_h").cast("long").alias("longest_incident_hours"),
     )
+
+
+@query(
+    "events_session_gap_sweep",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(date_sub('second',
+                    lag(CAST(ts AS TIMESTAMP)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id),
+                    CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_s
+        FROM events
+    ), base AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+    )
+    SELECT g.threshold_s,
+           b.n_events,
+           b.n_users + CAST(count(CASE WHEN gap_s > g.threshold_s
+                                       THEN 1 END) AS BIGINT)
+               AS n_sessions,
+           round(b.n_events * 1.0
+                 / (b.n_users + count(CASE WHEN gap_s > g.threshold_s
+                                           THEN 1 END)), 6)
+               AS avg_events_per_session
+    FROM gaps
+    CROSS JOIN (SELECT unnest([900, 1800, 3600]) AS threshold_s) g
+    CROSS JOIN base b
+    WHERE gap_s IS NOT NULL
+    GROUP BY g.threshold_s, b.n_users, b.n_events
+    """,
+)
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap-parameter sweep (15 / 30 / 60 minutes) — the
+    calibration table a team reads BEFORE fixing the session timeout
+    (embedding_threshold_sweep's discipline applied to sessions): for
+    each candidate gap, how many sessions the corpus splits into and
+    the resulting events-per-session. The trick that makes the sweep
+    ONE pass instead of one sessionize per candidate: session count is
+    n_users + (# inter-arrival gaps exceeding the threshold) — every
+    over-threshold gap starts exactly one new session — so a single
+    per-user lag window feeds all three thresholds as conditional
+    counts. (events_session_dynamic_gap picks a per-user threshold;
+    this op is how the global default it falls back to gets chosen.)
+
+    One user-partitioned lag (the corpus-sized work), one 3-way
+    grouped conditional count over the gap column. Whole-second gap
+    arithmetic via date_sub/timestampdiff per the day-time interval
+    pin; the events-per-session ratio is the one double, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        F.timestamp_diff(
+            "SECOND", F.lag("ts").over(wlag), F.col("ts")
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    base = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    th = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(900), F.lit(1800), F.lit(3600))
+        ).alias("threshold_s")
+    )
+    swept = gaps.crossJoin(F.broadcast(th)).groupBy("threshold_s").agg(
+        F.count(F.when(F.col("gap_s") > F.col("threshold_s"), 1))
+        .cast("long")
+        .alias("n_breaks")
+    )
+    return swept.crossJoin(F.broadcast(base)).select(
+        F.col("threshold_s").cast("long").alias("threshold_s"),
+        "n_events",
+        (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+        F.round(
+            F.col("n_events")
+            * F.lit(1.0)
+            / (F.col("n_users") + F.col("n_breaks")),
+            6,
+        ).alias("avg_events_per_session"),
+    )

@@ -140,6 +140,7 @@ _CASES = [
     ("window_peer_benchmark_loo", 0),
     ("lakehouse_clustering_depth", 2),  # one verdict row per layout
     ("window_max_drawdown", 1),  # ungrouped fold row (0 days, NULLs)
+    ("events_session_gap_sweep", 0),
 ]
 
 
