@@ -2224,3 +2224,85 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_events_per_session"),
     )
+
+
+@query(
+    "scd2_as_of_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_id, ts, event_type FROM ordered
+        WHERE prev_type IS DISTINCT FROM event_type
+    ), dim AS (
+        SELECT user_id, event_type AS state,
+               ts AS effective_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS effective_to
+        FROM changes
+    ), probes AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) - INTERVAL 1 SECOND AS pts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state AS state_as_of_purchase,
+           CAST(count(*) AS BIGINT) AS n_lookups
+    FROM probes p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.effective_from <= p.pts
+     AND (d.effective_to IS NULL OR p.pts < d.effective_to)
+    GROUP BY d.state
+    """,
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ path of the Type 2 dimension scd2_dimension_build
+    writes: an AS-OF lookup joining probe timestamps (one second BEFORE
+    each purchase — probing AT the purchase degenerately resolves to
+    the purchase's own version, since it IS a state change with an
+    inclusive effective_from; the probe asks the useful question, what
+    state was the user in when they decided) to the dimension version
+    VALID AT that moment —
+    effective_from <= t < effective_to, open-ended current rows
+    included — then the distribution of looked-up states. Validity-
+    interval lookup is the defining query pattern a versioned dimension
+    exists for (as-of facts at transaction time, the SCD2 half of what
+    events_bitemporal_asof does with two time axes), and building the
+    dim and probing it in one plan proves the intervals actually
+    tile: each probe matches AT MOST one version (a user's first-ever
+    event being the purchase leaves its minus-one-second probe before
+    any version — those drop from the inner join, so sum(n_lookups) <=
+    n_purchases with the deficit = first-touch purchases).
+
+    Plan: the dim is two windows over one (user, ts, event_id) sort;
+    the lookup is a user-key equi join with residual range predicates —
+    per-user version chains are short, so the range residual filters a
+    few rows per key rather than needing the binned-range rewrite. One
+    grouped count at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_dimension_build(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "effective_from",
+        "effective_to",
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.timestamp_add("SECOND", F.lit(-1), F.col("ts")).alias("pts"),
+    )
+    return (
+        probes.join(
+            dim,
+            (probes.user_id == dim.d_user)
+            & (F.col("effective_from") <= F.col("pts"))
+            & (
+                F.col("effective_to").isNull()
+                | (F.col("pts") < F.col("effective_to"))
+            ),
+        )
+        .groupBy(F.col("state").alias("state_as_of_purchase"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lookups"))
+    )

@@ -141,6 +141,7 @@ _CASES = [
     ("lakehouse_clustering_depth", 2),  # one verdict row per layout
     ("window_max_drawdown", 1),  # ungrouped fold row (0 days, NULLs)
     ("events_session_gap_sweep", 0),
+    ("scd2_as_of_lookup", 0),
 ]
 
 
