@@ -1733,3 +1733,87 @@ def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f").alias("total_occurrences"),
         F.round("dp", 6).alias("dispersion_dp"),
     ).orderBy(F.col("dispersion_dp").desc(), "tok")
+
+
+@query(
+    "text_cooccurrence_matrix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ')[i] AS tok, i
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1,
+                          len(string_split(text, ' ')))) AS i
+            FROM documents)
+    ), pairs AS (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER w AS nxt1,
+               lead(tok, 2) OVER w AS nxt2
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), weighted AS (
+        SELECT least(tok, nxt1) AS w1, greatest(tok, nxt1) AS w2,
+               1000000 AS wt
+        FROM pairs WHERE nxt1 IS NOT NULL
+        UNION ALL
+        SELECT least(tok, nxt2), greatest(tok, nxt2), 500000
+        FROM pairs WHERE nxt2 IS NOT NULL
+    )
+    SELECT w1, w2,
+           CAST(sum(wt) AS BIGINT) AS cooc_weight_ppm,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM weighted
+    GROUP BY w1, w2
+    ORDER BY cooc_weight_ppm DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted token co-occurrence counts — the sparse matrix
+    word-vector training consumes (GloVe's X_ij with the standard 1/d
+    window weighting, window +-2): each adjacent pair contributes
+    weight 1, each distance-2 pair weight 1/2, symmetrized by
+    normalizing pair order (least/greatest), top 20 cells emitted.
+    Where text_pmi_collocations scores document-level association and
+    text_bigram_surprisal models adjacency probability, this op builds
+    the raw TRAINING ARTIFACT — the co-occurrence counts themselves —
+    which is why weights stay exact integer ppm (1/d as 1000000/d)
+    rather than floats: a reproducible matrix shard is the contract.
+
+    The window trick keeps it one pass: lead(1) and lead(2) over a
+    single per-document position ordering produce every within-window
+    pair without any self-join on positions — the shuffle is one
+    (doc_id) partition sort plus the final (w1, w2) count; cells are
+    vocabulary^2-bounded regardless of corpus size, and the 1/d ladder
+    extends by adding lead(k) columns, not passes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "tok"),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("i")
+    pairs = toks.select(
+        "tok",
+        F.lead("tok", 1).over(wdoc).alias("nxt1"),
+        F.lead("tok", 2).over(wdoc).alias("nxt2"),
+    )
+    p1 = pairs.filter(F.col("nxt1").isNotNull()).select(
+        F.least("tok", "nxt1").alias("w1"),
+        F.greatest("tok", "nxt1").alias("w2"),
+        F.lit(1000000).alias("wt"),
+    )
+    p2 = pairs.filter(F.col("nxt2").isNotNull()).select(
+        F.least("tok", "nxt2").alias("w1"),
+        F.greatest("tok", "nxt2").alias("w2"),
+        F.lit(500000).alias("wt"),
+    )
+    return (
+        p1.unionAll(p2)
+        .groupBy("w1", "w2")
+        .agg(
+            F.sum("wt").cast("long").alias("cooc_weight_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy(F.col("cooc_weight_ppm").desc(), "w1", "w2")
+        .limit(20)
+    )

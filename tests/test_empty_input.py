@@ -142,6 +142,7 @@ _CASES = [
     ("window_max_drawdown", 1),  # ungrouped fold row (0 days, NULLs)
     ("events_session_gap_sweep", 0),
     ("scd2_as_of_lookup", 0),
+    ("text_cooccurrence_matrix", 0),
 ]
 
 
