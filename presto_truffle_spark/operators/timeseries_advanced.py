@@ -2306,3 +2306,95 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("state").alias("state_as_of_purchase"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_lookups"))
     )
+
+
+@query(
+    "window_hampel_filter",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_sub('hour', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hr,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT c.hr, c.v,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n.v)
+                    AS BIGINT) AS win_med,
+               CAST(count(*) AS BIGINT) AS win_n
+        FROM hourly c JOIN hourly n ON n.hr BETWEEN c.hr - 3 AND c.hr + 3
+        GROUP BY c.hr, c.v
+    ), mad AS (
+        SELECT c.hr, c.v, c.win_med, c.win_n,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY abs(n.v - c.win_med)) AS BIGINT) AS win_mad
+        FROM med c JOIN hourly n ON n.hr BETWEEN c.hr - 3 AND c.hr + 3
+        GROUP BY c.hr, c.v, c.win_med, c.win_n
+    )
+    SELECT hr, v AS observed_cents, win_med AS window_median_cents,
+           win_mad AS window_mad_cents
+    FROM mad
+    WHERE abs(v - win_med) > 3 * 1.4826 * win_mad AND win_n = 7
+    ORDER BY hr
+    """,
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier identifier over the hourly revenue series — the
+    robust time-series cleaner (rolling median +- 3 * 1.4826 * rolling
+    MAD): unlike z-score flags (events_anomaly_mad is the GLOBAL-MAD
+    cousin), the Hampel window localizes both center and spread, so a
+    level shift doesn't poison the whole series and a single spike
+    can't inflate its own threshold the way windowed standard
+    deviations do. Flags only full 7-hour windows (edge windows have
+    deflated MADs — the standard boundary rule).
+
+    Exactness over convenience: TRUE Hampel needs the median of
+    |neighbor - center_median| where the center median varies per
+    position — NOT expressible as a window over any precomputed column
+    — so both engines spell it as a BANDED self-join on the hour index
+    (+-3), one ordered-set median for the center, a second for the
+    deviations. The hour table is <= 720 rows after the corpus fold, so
+    the 7x band blowup is trivial; at a per-key grain the same shape
+    rides the binned-range-join rewrite. Integer cents end-to-end; the
+    only double is the 3*1.4826 threshold comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    hourly = ev.groupBy(
+        F.timestamp_diff(
+            "HOUR", anchor, trunc_ntz("hour", F.col("ts"))
+        ).alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    hourly = scoped_persist(spark, "tsadv.hampel.hourly", hourly)
+    hourly.createOrReplaceTempView("pt_hampel_hourly")
+    return spark.sql(
+        """
+        WITH med AS (
+            SELECT c.hr, c.v,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n.v)
+                        AS BIGINT) AS win_med,
+                   CAST(count(*) AS BIGINT) AS win_n
+            FROM pt_hampel_hourly c
+            JOIN pt_hampel_hourly n ON n.hr BETWEEN c.hr - 3 AND c.hr + 3
+            GROUP BY c.hr, c.v
+        ), mad AS (
+            SELECT c.hr, c.v, c.win_med, c.win_n,
+                   CAST(percentile_disc(0.5) WITHIN GROUP
+                        (ORDER BY abs(n.v - c.win_med)) AS BIGINT)
+                       AS win_mad
+            FROM med c
+            JOIN pt_hampel_hourly n ON n.hr BETWEEN c.hr - 3 AND c.hr + 3
+            GROUP BY c.hr, c.v, c.win_med, c.win_n
+        )
+        SELECT hr, v AS observed_cents, win_med AS window_median_cents,
+               win_mad AS window_mad_cents
+        FROM mad
+        WHERE abs(v - win_med) > 3 * 1.4826 * win_mad AND win_n = 7
+        """
+    )

@@ -143,6 +143,7 @@ _CASES = [
     ("events_session_gap_sweep", 0),
     ("scd2_as_of_lookup", 0),
     ("text_cooccurrence_matrix", 0),
+    ("window_hampel_filter", 0),
 ]
 
 
