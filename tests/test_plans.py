@@ -1147,3 +1147,40 @@ def test_bpe_rounds_are_vocab_bound(spark, sf_dir):
     df = entry.queries()["text_bpe_merge_induction"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"FileScan parquet .*documents", plan), plan[:500]
+
+
+def test_fifth_session_ops_no_nested_loop(spark, sf_dir):
+    """The session's join-bearing ops must stay equi/hash shapes: the
+    prefix-filter candidate join is an equi join on the prefix token (a
+    nested loop would be the all-pairs scan the algorithm exists to
+    dodge), the SCD2 as-of lookup joins on the user key with residual
+    range predicates, Hampel's banded self-join binds on the hour index
+    band, and the Fellegi-Sunter grouping-sets rewrite must plan exactly
+    ONE scan of customer."""
+    import re
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("dedup_prefix_filter_join", "scd2_as_of_lookup"):
+        plan = inspect.physical_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    fs_plan = inspect.physical_plan(
+        qs["matching_fellegi_sunter"](spark, sf_dir)
+    )
+    assert len(re.findall(r"FileScan parquet .*?customer", fs_plan)) == 1
+    assert "Expand" in fs_plan  # the grouping-sets single-pass shape
+
+
+def test_uplift_and_rfm_ntile_are_tie_broken(spark, sf_dir):
+    """ntile over heavily-tied scores is partition-order nondeterministic
+    without a unique tie-break — pin that both ops' window orderings end
+    in the entity key, so the driver's hash comparison can never flap."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    up = inspect.physical_plan(qs["events_uplift_by_decile"](spark, sf_dir))
+    assert "user_id" in up and "ntile" in up
+    rfm = inspect.physical_plan(qs["agg_rfm_segmentation"](spark, sf_dir))
+    assert "o_custkey" in rfm and "ntile" in rfm
