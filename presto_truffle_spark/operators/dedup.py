@@ -1340,10 +1340,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one DF-count shuffle (token -> document frequency), one
     per-doc rank window (partitioned by doc_id, ~20 rows each), one
     equi-join on prefix tokens, then candidate-bounded verification.
-    Measured at sf0.01: the prefix index carries 51% of tokens and
-    yields 773 candidate pairs where the naive shared-token pair space
-    is 11,533 (15x; 1.13M at sf0.1) — and that full space never
-    materializes on the Spark side. Reads the memoized cached shingle
+    Measured (tools/prefix_filter_study.py): the prefix index carries
+    51% of tokens; candidates 773 vs 11,533 naive at sf0.01 (15x) and
+    310,161 vs 1,130,536 at sf0.1 (3.6x) — the naive space never
+    materializes, but at t=0.5 the prefix is ~half of each document so
+    the cut is modest; the filter tightens rapidly as t rises (prefix
+    length |x| - ceil(t|x|) + 1), and the LSH family is the
+    bounded-work alternative when approximate recall is acceptable
+    (BASELINE.md records the tradeoff row). Reads the memoized cached shingle
     table shared with the LSH family."""
     sh = _lsh_tables(spark, sf_dir)["sh"]
     t = _JACCARD_THRESHOLD
