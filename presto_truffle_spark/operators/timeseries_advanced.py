@@ -2159,7 +2159,7 @@ def events_incident_mttr_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_events
         FROM events
     )
-    SELECT g.threshold_s,
+    SELECT CAST(g.threshold_s AS BIGINT) AS threshold_s,
            b.n_events,
            b.n_users + CAST(count(CASE WHEN gap_s > g.threshold_s
                                        THEN 1 END) AS BIGINT)
@@ -2172,7 +2172,7 @@ def events_incident_mttr_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN (SELECT unnest([900, 1800, 3600]) AS threshold_s) g
     CROSS JOIN base b
     WHERE gap_s IS NOT NULL
-    GROUP BY g.threshold_s, b.n_users, b.n_events
+    GROUP BY CAST(g.threshold_s AS BIGINT), b.n_users, b.n_events
     """,
 )
 def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
