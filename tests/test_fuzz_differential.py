@@ -834,3 +834,23 @@ def test_where_alias_visibility_divergence_pinned(spark):
         raise
     except Exception as ex:
         assert "UNRESOLVED_COLUMN" in str(ex)
+
+
+def test_month_diff_clamped_end_divergence_pinned(spark):
+    """Pin the month-unit timestamp DIFF fork (FIXTURES.md r9): for the
+    clamped month-end pair Jan-31 -> Feb-29, Spark timestampdiff(MONTH)
+    says 0 complete months (ChronoUnit.MONTHS never treats a clamped
+    landing as completing the month) while DuckDB date_sub('month')
+    says 1 (clamp-aware: Jan-31 + 1 month == Feb-29). Month ADDS agree
+    exactly, time-of-day preserved (ts-month fuzz family, 40 seeds)."""
+    import duckdb
+
+    s = spark.sql(
+        "SELECT timestampdiff(MONTH, TIMESTAMP_NTZ '2024-01-31 00:00:00', "
+        "TIMESTAMP_NTZ '2024-02-29 00:00:00') AS d"
+    ).collect()[0].d
+    d = duckdb.connect().execute(
+        "SELECT date_sub('month', TIMESTAMP '2024-01-31 00:00:00', "
+        "TIMESTAMP '2024-02-29 00:00:00')"
+    ).fetchone()[0]
+    assert s == 0 and d == 1, (s, d)

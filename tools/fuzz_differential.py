@@ -1891,6 +1891,52 @@ def run_alias_ordinal_case(
 
 
 
+def run_ts_month_interval_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Month-unit arithmetic on TIMESTAMPS (r9; the r7 month family
+    covered DATEs): whole-second NTZ timestamps biased to month-end
+    days +/- random month/quarter/year counts. Probed parity:
+    timestampadd(MONTH|QUARTER|YEAR, k, ts) == ts + to_months/to_years
+    including end-of-month clamping WITH time-of-day preserved
+    (Jan 31 13:45 + 1 month = Feb 28/29 13:45 on both engines). The
+    FORK this family must avoid: month-unit timestampDIFF — Spark's
+    ChronoUnit.MONTHS yields 0 for Jan-31 -> Feb-29 where DuckDB
+    date_sub('month', ...) says 1 (clamp-aware completion); pinned in
+    tests/test_fuzz_differential.py, so the family fuzzes ADDS only."""
+    import datetime
+
+    rows = []
+    for i in range(rng.randint(1, 120)):
+        y = rng.randint(1996, 2096)
+        mo = rng.randint(1, 12)
+        dmax = [31, 29 if (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0))
+                else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31][mo - 1]
+        day = min(rng.choice([28, 29, 30, 31, rng.randint(1, 28)]), dmax)
+        t = datetime.datetime(
+            y, mo, day, rng.randint(0, 23), rng.randint(0, 59),
+            rng.randint(0, 59),
+        )
+        rows.append((i, None if rng.random() < 0.08 else t,
+                     rng.randint(-40, 40)))
+    path = os.path.join(tmp, f"fuzz_{case_id}_tm.parquet")
+    spark.createDataFrame(
+        rows, "rid long, t timestamp_ntz, k long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    unit, mult = rng.choice(
+        [("MONTH", 1), ("QUARTER", 3), ("YEAR", 12)]
+    )
+    sq = f"SELECT rid, timestampadd({unit}, CAST(k AS INT), t) AS e FROM t"
+    dq = (
+        f"SELECT rid, t + to_months(CAST(k * {mult} AS INT)) AS e FROM t"
+    )
+    return _compare(spark.sql(sq), con, dq)
+
+
 def run_try_arith_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2329,6 +2375,8 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
         return run_string_edge_case(spark, con, rng, tmp, case_id)
     if pick < 0.99999:
         return run_alias_ordinal_case(spark, con, rng, tmp, case_id)
+    if pick < 0.999995:
+        return run_ts_month_interval_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
