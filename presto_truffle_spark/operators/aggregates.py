@@ -2062,3 +2062,127 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quadratic_mean"),
     )
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ), ranked AS (
+        SELECT grp, cents,
+               CAST(2 * rank() OVER (ORDER BY cents)
+                    + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT)
+                   AS dbl_rank
+        FROM t
+    ), ties AS (
+        SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM t GROUP BY cents)
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN grp = 1 THEN dbl_rank END) AS BIGINT)
+                   AS dbl_r1,
+               CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n2
+        FROM ranked
+    )
+    SELECT n1, n2,
+           round(dbl_r1 / 2.0 - n1 * (n1 + 1.0) / 2, 1) AS u1,
+           round((dbl_r1 / 2.0 - n1 * (n1 + 1.0) / 2
+                  - n1 * (n2 * 1.0) / 2)
+                 / sqrt(n1 * (n2 * 1.0) / 12
+                        * ((n1 + n2 + 1.0)
+                           - tie_term * 1.0
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+               AS z_score
+    FROM s CROSS JOIN ties
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing order values between
+    two segments — the NONPARAMETRIC partner of agg_welch_ttest: no
+    normality assumption, robust to the heavy right tail order values
+    actually have, and the test experimentation platforms reach for
+    when means mislead. U from the rank sum of group 1; the normal
+    approximation's variance carries the standard TIE CORRECTION
+    (sum(t^3 - t) over tied-value groups), which matters here because
+    integer cents DO tie.
+
+    Exactness trick: tied observations take the AVERAGE rank — a .5
+    fraction — so ranks are carried as DOUBLED integers (dbl_rank =
+    2*rank + (ties_at_value) - 1, exact BIGINT: for a tie block
+    starting at rank r with c members, the average rank is
+    r + (c-1)/2). Rank-sum, tie term, and counts are all exact
+    integers; U and the tie-corrected z are the only doubles, spelled
+    identically, 1dp/6dp. One join + ONE global sort for the ranking
+    (rank + per-value tie counts share it) + map-combinable folds —
+    at 100 TB the global sort is the cost, same as any exact ranking;
+    the bucketed-quantile approximation is the swap-in."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    t = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    t = scoped_persist(spark, "agg.mwu.t", t)
+    ranked = t.select(
+        "grp",
+        (
+            2 * F.rank().over(W.orderBy("cents"))
+            + F.count(F.lit(1)).over(W.partitionBy("cents"))
+            - 1
+        )
+        .cast("long")
+        .alias("dbl_rank"),
+    )
+    ties = (
+        t.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("dbl_rank")))
+        .cast("long")
+        .alias("dbl_r1"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n2"),
+    )
+    u1 = F.col("dbl_r1") / F.lit(2.0) - F.col("n1") * (
+        F.col("n1") + F.lit(1.0)
+    ) / 2
+    mu = F.col("n1") * (F.col("n2") * F.lit(1.0)) / 2
+    var = (
+        F.col("n1")
+        * (F.col("n2") * F.lit(1.0))
+        / 12
+        * (
+            (F.col("n1") + F.col("n2") + F.lit(1.0))
+            - F.col("tie_term")
+            * F.lit(1.0)
+            / (
+                (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2") - F.lit(1.0))
+            )
+        )
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - mu) / F.sqrt(var), 6).alias("z_score"),
+    )

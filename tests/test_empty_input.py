@@ -144,6 +144,7 @@ _CASES = [
     ("scd2_as_of_lookup", 0),
     ("text_cooccurrence_matrix", 0),
     ("window_hampel_filter", 0),
+    ("agg_mann_whitney_u", 1),  # ungrouped pivot row (0s, NULL stats)
 ]
 
 
