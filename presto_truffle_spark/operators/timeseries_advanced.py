@@ -2398,3 +2398,110 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE abs(v - win_med) > 3 * 1.4826 * win_mad AND win_n = 7
         """
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_sub('hour', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), forecasts AS (
+        SELECT hr, y,
+               lag(y, 24) OVER (ORDER BY hr) AS naive_daily,
+               lag(y, 168) OVER (ORDER BY hr) AS naive_weekly,
+               lag(y, 1) OVER (ORDER BY hr) AS persistence
+        FROM hourly
+    )
+    SELECT 'naive_daily' AS model,
+           CAST(count(naive_daily) AS BIGINT) AS n_forecasts,
+           round(sum(abs(y - naive_daily)) * 1.0
+                 / nullif(count(naive_daily), 0), 6) AS mae,
+           round(sum(abs(y - naive_daily)) * 1.0
+                 / nullif(sum(CASE WHEN naive_daily IS NOT NULL
+                                   THEN y END), 0), 6) AS wape
+    FROM forecasts
+    UNION ALL
+    SELECT 'naive_weekly', CAST(count(naive_weekly) AS BIGINT),
+           round(sum(abs(y - naive_weekly)) * 1.0
+                 / nullif(count(naive_weekly), 0), 6),
+           round(sum(abs(y - naive_weekly)) * 1.0
+                 / nullif(sum(CASE WHEN naive_weekly IS NOT NULL
+                                   THEN y END), 0), 6)
+    FROM forecasts
+    UNION ALL
+    SELECT 'persistence', CAST(count(persistence) AS BIGINT),
+           round(sum(abs(y - persistence)) * 1.0
+                 / nullif(count(persistence), 0), 6),
+           round(sum(abs(y - persistence)) * 1.0
+                 / nullif(sum(CASE WHEN persistence IS NOT NULL
+                                   THEN y END), 0), 6)
+    FROM forecasts
+    ORDER BY model
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST of the three naive baselines every real model
+    must beat — persistence (last hour), seasonal-daily (same hour
+    yesterday), seasonal-weekly (same hour last week) — scored by MAE
+    and WAPE over the hourly event-count series. This is the evaluation
+    harness side of forecasting (the M-competitions' first lesson:
+    report the naive-baseline scores or the model numbers mean
+    nothing); events_seasonality_profile describes the cycle, this op
+    quantifies how much of it each horizon's naive forecast captures
+    (weekly < daily < persistence MAE would mean strong weekly
+    seasonality).
+
+    One hourly fold, three lag columns sharing ONE window ordering,
+    three conditional aggregates over the same 720-row table. Exact
+    integer errors; MAE/WAPE the only doubles, nullif-guarded, 6dp.
+    WAPE (sum|e| / sum y) over MAPE deliberately: hourly counts can be
+    small and MAPE explodes near zero actuals — the standard retail-
+    forecasting choice."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    hourly = ev.groupBy(
+        F.timestamp_diff(
+            "HOUR", anchor, trunc_ntz("hour", F.col("ts"))
+        ).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wh = W.orderBy("hr")
+    fc = hourly.select(
+        "y",
+        F.lag("y", 24).over(wh).alias("naive_daily"),
+        F.lag("y", 168).over(wh).alias("naive_weekly"),
+        F.lag("y", 1).over(wh).alias("persistence"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    fc = scoped_persist(spark, "tsadv.backtest.fc", fc)
+
+    def row(model: str, col: str):
+        err = F.abs(F.col("y") - F.col(col))
+        return fc.agg(
+            F.lit(model).alias("model"),
+            F.count(col).cast("long").alias("n_forecasts"),
+            F.round(
+                F.sum(err) * F.lit(1.0) / F.nullif(F.count(col), F.lit(0)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(err)
+                * F.lit(1.0)
+                / F.nullif(
+                    F.sum(F.when(F.col(col).isNotNull(), F.col("y"))),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("wape"),
+        )
+
+    out = (
+        row("naive_daily", "naive_daily")
+        .unionAll(row("naive_weekly", "naive_weekly"))
+        .unionAll(row("persistence", "persistence"))
+    )
+    return out

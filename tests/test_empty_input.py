@@ -145,6 +145,7 @@ _CASES = [
     ("text_cooccurrence_matrix", 0),
     ("window_hampel_filter", 0),
     ("agg_mann_whitney_u", 1),  # ungrouped pivot row (0s, NULL stats)
+    ("events_forecast_backtest", 3),  # one fold row per baseline model
 ]
 
 
