@@ -1694,16 +1694,20 @@ def text_dispersion_gries_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    doc_sizes = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dn")
-    )
     cells = toks.groupBy("tok", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    terms = cells.groupBy("tok").agg(F.sum("c").cast("long").alias("f"))
     from presto_truffle_spark.cache import scoped_persist
 
     cells = scoped_persist(spark, "text.dispersion.cells", cells)
+    # doc sizes and term totals both derive from the PERSISTED cell
+    # table (sum of per-token counts per doc == the doc's token count),
+    # so the corpus tokenize pass runs exactly once (rescan audit: the
+    # original toks-based doc_sizes re-scanned documents).
+    doc_sizes = cells.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("dn")
+    )
+    terms = cells.groupBy("tok").agg(F.sum("c").cast("long").alias("f"))
     grid = (
         terms.crossJoin(doc_sizes)
         .join(cells, ["tok", "doc_id"], "left")
@@ -1797,18 +1801,34 @@ def text_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("tok", 1).over(wdoc).alias("nxt1"),
         F.lead("tok", 2).over(wdoc).alias("nxt2"),
     )
-    p1 = pairs.filter(F.col("nxt1").isNotNull()).select(
-        F.least("tok", "nxt1").alias("w1"),
-        F.greatest("tok", "nxt1").alias("w2"),
-        F.lit(1000000).alias("wt"),
-    )
-    p2 = pairs.filter(F.col("nxt2").isNotNull()).select(
-        F.least("tok", "nxt2").alias("w1"),
-        F.greatest("tok", "nxt2").alias("w2"),
-        F.lit(500000).alias("wt"),
+    # Both distance ladders ride ONE pass: each row explodes into its
+    # (d=1, d=2) pair structs (NULL-guarded — Spark least/greatest SKIP
+    # nulls, so an unguarded least(tok, NULL) would fabricate pairs at
+    # document tails), then a filter drops the absent ones. The original
+    # p1-union-p2 spelling scanned the corpus once per distance
+    # (rescan audit).
+    def pstruct(nxt, wt):
+        return F.struct(
+            F.when(F.col(nxt).isNotNull(), F.least("tok", nxt)).alias(
+                "w1"
+            ),
+            F.when(F.col(nxt).isNotNull(), F.greatest("tok", nxt)).alias(
+                "w2"
+            ),
+            F.lit(wt).alias("wt"),
+        )
+
+    weighted = (
+        pairs.select(
+            F.explode(
+                F.array(pstruct("nxt1", 1000000), pstruct("nxt2", 500000))
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("w1").isNotNull())
     )
     return (
-        p1.unionAll(p2)
+        weighted
         .groupBy("w1", "w2")
         .agg(
             F.sum("wt").cast("long").alias("cooc_weight_ppm"),
