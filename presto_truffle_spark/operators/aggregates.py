@@ -2186,3 +2186,100 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 1).alias("u1"),
         F.round((u1 - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@query(
+    "agg_ks_test_two_sample",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ), counts AS (
+        SELECT cents,
+               CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS c2
+        FROM t GROUP BY cents
+    ), cum AS (
+        SELECT cents,
+               CAST(sum(c1) OVER (ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2,
+               CAST(sum(c1) OVER () AS BIGINT) AS n1,
+               CAST(sum(c2) OVER () AS BIGINT) AS n2
+        FROM counts
+    ), d AS (
+        SELECT n1, n2,
+               max(abs(f1 * n2 - f2 * n1)) AS d_scaled
+        FROM cum GROUP BY n1, n2
+    )
+    SELECT n1, n2,
+           round(d_scaled * 1.0 / (n1 * n2), 6) AS ks_d,
+           round(d_scaled * 1.0 / (n1 * n2)
+                 / sqrt((n1 + n2 * 1.0) / (n1 * n2)), 6)
+               AS ks_stat_normalized
+    FROM d
+    """,
+)
+def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the segments' order-value
+    distributions — the DISTRIBUTIONAL member of the testing trio
+    (agg_welch_ttest compares means, agg_mann_whitney_u compares ranks;
+    KS catches shape differences both miss: equal-mean equal-median
+    distributions with different tails). D = max |ECDF1 - ECDF2| over
+    the pooled support, computed EXACTLY in integers: the max of
+    |f1*n2 - f2*n1| over cumulative per-value counts — cross-
+    multiplication instead of floating ECDFs, so the argmax is
+    hash-stable and only the final two ratios are doubles (the second
+    is D / sqrt((n1+n2)/(n1*n2)), the statistic compared against the
+    Kolmogorov critical values).
+
+    Shape: one join + one per-value grouped count, one ordered
+    running-sum window over the DISTINCT-value table (values, not
+    rows — the corpus collapses first), one max fold. Same global-sort
+    posture as the rank test; at 100 TB the distinct-value table is
+    the small side."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    t = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    counts = t.groupBy("cents").agg(
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("c2"),
+    )
+    wcum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    cum = counts.select(
+        F.sum("c1").over(wcum).cast("long").alias("f1"),
+        F.sum("c2").over(wcum).cast("long").alias("f2"),
+        F.sum("c1").over(wall).cast("long").alias("n1"),
+        F.sum("c2").over(wall).cast("long").alias("n2"),
+    )
+    d = cum.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("d_scaled")
+    )
+    ks = F.col("d_scaled") * F.lit(1.0) / (F.col("n1") * F.col("n2"))
+    return d.select(
+        "n1",
+        "n2",
+        F.round(ks, 6).alias("ks_d"),
+        F.round(
+            ks
+            / F.sqrt(
+                (F.col("n1") + F.col("n2") * F.lit(1.0))
+                / (F.col("n1") * F.col("n2"))
+            ),
+            6,
+        ).alias("ks_stat_normalized"),
+    )

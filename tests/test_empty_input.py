@@ -146,6 +146,7 @@ _CASES = [
     ("window_hampel_filter", 0),
     ("agg_mann_whitney_u", 1),  # ungrouped pivot row (0s, NULL stats)
     ("events_forecast_backtest", 3),  # one fold row per baseline model
+    ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
 ]
 
 
