@@ -846,3 +846,98 @@ def lakehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, n_rows long, depth_in_expected_band boolean"
     ).orderBy("layout")
+
+
+@query(
+    "lakehouse_write_audit_publish",
+    oracle="""
+    WITH batch AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT 'gate_dup_keys' AS step,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n,
+           count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+    FROM batch
+    UNION ALL
+    SELECT 'gate_nonempty', CAST(count(*) AS BIGINT), count(*) > 0
+    FROM batch
+    UNION ALL
+    SELECT 'gate_null_keys',
+           CAST(count(*) - count(o_orderkey) AS BIGINT),
+           count(*) - count(o_orderkey) = 0
+    FROM batch
+    UNION ALL
+    SELECT 'gate_positive_amounts',
+           CAST(count(CASE WHEN cents <= 0 THEN 1 END) AS BIGINT),
+           count(CASE WHEN cents <= 0 THEN 1 END) = 0
+    FROM batch
+    UNION ALL
+    SELECT 'published', CAST(count(*) AS BIGINT), count(*) > 0
+    FROM batch
+    ORDER BY step
+    """,
+)
+def lakehouse_write_audit_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write-Audit-Publish (WAP) — the Iceberg/dbt governance pattern
+    that keeps bad batches out of consumer-visible tables: (1) WRITE
+    the incoming batch (every 4th order — the simulated CDC slice) to a
+    STAGING location; (2) AUDIT the staged files themselves (not the
+    source!) with machine-checkable gates — non-empty, no NULL keys, no
+    duplicate keys, no non-positive amounts (quality_constraint_audit's
+    gates wired into a workflow); (3) PUBLISH by rewriting the audited
+    staging data to the consumer path ONLY if every gate passed, then
+    report what consumers can now see. The op returns the audit ledger
+    plus the published count — the artifact a data-platform run log
+    records per batch.
+
+    All gates are conditional aggregates in ONE pass over the staged
+    read; the publish is gated on the collected verdict (a driver-side
+    boolean over a 4-row ledger — the one acceptable collect shape).
+    The oracle recomputes every gate from the logical slice, proving
+    the staged files faithfully carry it; counts exact BIGINTs."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    staging = _scratch(spark, "wap_staging")
+    published = _scratch(spark, "wap_published")
+    od.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    ledger = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.count("o_orderkey").cast("long").alias("n_nonnull"),
+        F.count(F.when(F.col("cents") <= 0, 1))
+        .cast("long")
+        .alias("n_nonpositive"),
+    ).collect()[0]
+    gates = [
+        (
+            "gate_dup_keys",
+            ledger.n_rows - ledger.n_keys,
+            ledger.n_rows - ledger.n_keys == 0,
+        ),
+        ("gate_nonempty", ledger.n_rows, ledger.n_rows > 0),
+        (
+            "gate_null_keys",
+            ledger.n_rows - ledger.n_nonnull,
+            ledger.n_rows - ledger.n_nonnull == 0,
+        ),
+        ("gate_positive_amounts", ledger.n_nonpositive,
+         ledger.n_nonpositive == 0),
+    ]
+    all_pass = all(g[2] for g in gates)
+    n_published = 0
+    if all_pass:
+        staged.write.mode("overwrite").parquet(published)
+        n_published = spark.read.parquet(published).count()
+    gates.append(("published", n_published, n_published > 0))
+    return spark.createDataFrame(
+        gates, "step string, n long, passed boolean"
+    ).orderBy("step")

@@ -147,6 +147,7 @@ _CASES = [
     ("agg_mann_whitney_u", 1),  # ungrouped pivot row (0s, NULL stats)
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
+    ("lakehouse_write_audit_publish", 5),  # ledger always renders
 ]
 
 
