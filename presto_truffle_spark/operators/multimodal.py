@@ -981,3 +981,133 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)
+
+
+@query(
+    "multimodal_video_fingerprint_dedup",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(6 + doc_id % 6 AS BIGINT) AS h,
+               CAST(4 + doc_id % 12 AS BIGINT) AS nf
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h, f.range AS frame_idx, p.range AS p
+        FROM dims d
+        CROSS JOIN range(0, 16) f
+        CROSS JOIN range(0, 192) p
+        WHERE f.range < d.nf AND p.range < d.w * d.h
+    ), frames AS (
+        SELECT doc_id, frame_idx,
+               CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+               CAST(sum((doc_id + 3 * frame_idx * frame_idx + p) % 256)
+                    AS BIGINT) AS lum_sum
+        FROM px GROUP BY 1, 2
+    ), fp AS (
+        SELECT doc_id,
+               md5(max(w) || 'x' || max(h) || ':'
+                   || string_agg(lum_sum, ',' ORDER BY frame_idx))
+                   AS fingerprint
+        FROM frames GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS group_size,
+           count(*) OVER (PARTITION BY fingerprint) > 1 AS is_duplicate
+    FROM fp
+    """,
+)
+def multimodal_video_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video-level dedup fingerprint from REAL decoded bytes: each
+    video's signature is md5 over its dimensions plus the ORDERED
+    sequence of per-frame luminance sums — the cheap sequence-level
+    fingerprint (a 1-D temporal profile) that catches re-uploads and
+    exact re-encodes without any pairwise comparison: identical
+    signature <=> identical profile, so dedup is one groupBy, the same
+    shape as dedup_exact but over a DECODED temporal feature rather
+    than raw text. Emits every video with its group size (probed:
+    no duplicate groups exist at sf0.01 — ids must coincide mod
+    lcm(24, 256) = 768 for the synth to repeat — and they appear at
+    sf0.1, recorded honestly like dedup_rate_estimate's zero-at-
+    sf0.01 engagement).
+
+    Plumbing: the scene-cuts decode path (frame stride into the flat
+    byte buffer inside one Arrow batch — zero shuffle until the
+    signature groupBy); the fingerprint is computed IN the decode UDF
+    (hashlib) and verified bit-equal against the oracle's
+    from-the-formula md5 over string-aggregated sums."""
+    schema_enc = "media_id long, w int, h int, payload binary"
+    schema_dec = "media_id long, fingerprint string"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def synth(i: int) -> tuple[int, int, bytes]:
+            w, h, nf = 8 + i % 8, 6 + i % 6, 4 + i % 12
+            p = np.arange(w * h, dtype=np.int64)
+            frames = [
+                ((i + 3 * f * f + p) % 256).astype(np.uint8)
+                for f in range(nf)
+            ]
+            return (w, h, np.concatenate(frames).tobytes())
+
+        for pdf in batches:
+            trip = [synth(int(i)) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "w": pd.Series([t[0] for t in trip], dtype="int32"),
+                    "h": pd.Series([t[1] for t in trip], dtype="int32"),
+                    "payload": [t[2] for t in trip],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "fingerprint": []}
+            for mid, w, h, p in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["payload"]
+            ):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(
+                    np.int64
+                )
+                npx = int(w) * int(h)
+                sums = [
+                    int(buf[f * npx : (f + 1) * npx].sum())
+                    for f in range(len(buf) // npx)
+                ]
+                sig = (
+                    f"{int(w)}x{int(h)}:"
+                    + ",".join(str(s) for s in sums)
+                )
+                out["media_id"].append(mid)
+                out["fingerprint"].append(
+                    hashlib.md5(sig.encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "fingerprint": pd.Series(
+                        out["fingerprint"], dtype="object"
+                    ),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    fp = d.mapInPandas(encode, schema_enc).mapInPandas(decode, schema_dec)
+    wfp = W.partitionBy("fingerprint")
+    return fp.select(
+        "media_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(wfp).cast("long").alias("group_size"),
+        (F.count(F.lit(1)).over(wfp) > 1).alias("is_duplicate"),
+    )

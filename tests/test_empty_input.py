@@ -148,6 +148,7 @@ _CASES = [
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
     ("lakehouse_write_audit_publish", 5),  # ledger always renders
+    ("multimodal_video_fingerprint_dedup", 0),
 ]
 
 
