@@ -1002,13 +1002,16 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, frame_idx,
                CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
                CAST(sum((doc_id + 3 * frame_idx * frame_idx + p) % 256)
-                    AS BIGINT) AS lum_sum
+                    AS BIGINT) AS lum_sum,
+               CAST(sum(((doc_id + 3 * frame_idx * frame_idx + p) % 256)
+                        * ((doc_id + 3 * frame_idx * frame_idx + p) % 256))
+                    AS BIGINT) AS lum_sq
         FROM px GROUP BY 1, 2
     ), fp AS (
         SELECT doc_id,
                md5(max(w) || 'x' || max(h) || ':'
-                   || string_agg(lum_sum, ',' ORDER BY frame_idx))
-                   AS fingerprint
+                   || string_agg(lum_sum || '|' || lum_sq, ','
+                                 ORDER BY frame_idx)) AS fingerprint
         FROM frames GROUP BY doc_id
     )
     SELECT doc_id AS media_id, fingerprint,
@@ -1023,16 +1026,17 @@ def multimodal_video_fingerprint_dedup(
 ) -> DataFrame:
     """Video-level dedup fingerprint from REAL decoded bytes: each
     video's signature is md5 over its dimensions plus the ORDERED
-    sequence of per-frame luminance sums — the cheap sequence-level
-    fingerprint (a 1-D temporal profile) that catches re-uploads and
-    exact re-encodes without any pairwise comparison: identical
-    signature <=> identical profile, so dedup is one groupBy, the same
-    shape as dedup_exact but over a DECODED temporal feature rather
-    than raw text. Emits every video with its group size (probed:
-    no duplicate groups exist at sf0.01 — ids must coincide mod
-    lcm(24, 256) = 768 for the synth to repeat — and they appear at
-    sf0.1, recorded honestly like dedup_rate_estimate's zero-at-
-    sf0.01 engagement).
+    sequence of per-frame (luminance sum, luminance sum-of-squares)
+    pairs — a two-moment temporal profile that catches re-uploads
+    without any pairwise comparison; dedup is one groupBy, the same
+    shape as dedup_exact but over a DECODED feature. The second moment
+    is load-bearing: a sums-only first draft flagged ALL 5000 videos
+    duplicate at sf0.1 — modular pixel sums collide across doc_ids
+    wholesale (partial 256-cycles are nearly shift-invariant) — while
+    the (sum, sumsq) pair leaves exactly the TRUE repeats, videos whose
+    ids coincide mod lcm(24, 256) = 768 where the synth provably
+    repeats content (none below id 768, so sf0.01 has zero dups —
+    recorded honestly like dedup_rate_estimate's engagement).
 
     Plumbing: the scene-cuts decode path (frame stride into the flat
     byte buffer inside one Arrow batch — zero shuffle until the
@@ -1079,14 +1083,12 @@ def multimodal_video_fingerprint_dedup(
                     np.int64
                 )
                 npx = int(w) * int(h)
-                sums = [
-                    int(buf[f * npx : (f + 1) * npx].sum())
-                    for f in range(len(buf) // npx)
-                ]
-                sig = (
-                    f"{int(w)}x{int(h)}:"
-                    + ",".join(str(s) for s in sums)
-                )
+                nf = len(buf) // npx
+                parts = []
+                for f in range(nf):
+                    fr = buf[f * npx : (f + 1) * npx]
+                    parts.append(f"{int(fr.sum())}|{int((fr * fr).sum())}")
+                sig = f"{int(w)}x{int(h)}:" + ",".join(parts)
                 out["media_id"].append(mid)
                 out["fingerprint"].append(
                     hashlib.md5(sig.encode()).hexdigest()
