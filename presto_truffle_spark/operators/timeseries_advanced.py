@@ -2505,3 +2505,88 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("persistence", "persistence"))
     )
     return out
+
+
+@query(
+    "window_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_sub('day', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), slopes AS (
+        SELECT (b.y - a.y) * 1.0 / (b.d - a.d) AS s
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), ts_slope AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY s) AS slope,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM slopes
+    ), icept AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY y - t.slope * d)
+                   AS intercept
+        FROM daily CROSS JOIN ts_slope t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           n_pairs,
+           round(slope / 100.0, 6) AS slope_dollars_per_day,
+           round(intercept / 100.0, 6) AS intercept_dollars
+    FROM ts_slope CROSS JOIN icept
+    """,
+)
+def window_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (and the median-residual intercept) — the
+    distribution-free trend estimator with a 29.3% breakdown point,
+    where events_trend_regression's OLS line chases any single spiky
+    day (the same robust-vs-parametric split as Hampel vs z-score,
+    here for the TREND itself; the standard choice for environmental
+    and SLA trend reporting). Slopes are exact-integer ratios evaluated
+    in double; the medians are percentile_disc picks over them — actual
+    observed slopes, deterministic.
+
+    The pairwise join is quadratic IN DAYS, not rows: the corpus folds
+    to <=31 daily points first, so all ~465 pairs are a toy self-join
+    (at a years-long horizon the repo convention is windowed Theil-Sen
+    over bounded spans — the banded self-join shape Hampel uses).
+    One corpus pass, two ordered-set medians, one row out."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    daily = ev.groupBy(
+        F.timestamp_diff(
+            "DAY", anchor, trunc_ntz("day", F.col("ts"))
+        ).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    daily = scoped_persist(spark, "tsadv.theilsen.daily", daily)
+    daily.createOrReplaceTempView("pt_ts_daily")
+    return spark.sql(
+        """
+        WITH slopes AS (
+            SELECT (b.y - a.y) * 1.0 / (b.d - a.d) AS s
+            FROM pt_ts_daily a JOIN pt_ts_daily b ON b.d > a.d
+        ), ts_slope AS (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY s)
+                       AS slope,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM slopes
+        ), icept AS (
+            SELECT percentile_disc(0.5) WITHIN GROUP
+                       (ORDER BY y - t.slope * d) AS intercept
+            FROM pt_ts_daily CROSS JOIN ts_slope t
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pt_ts_daily)
+                   AS n_days,
+               n_pairs,
+               round(slope / 100.0, 6) AS slope_dollars_per_day,
+               round(intercept / 100.0, 6) AS intercept_dollars
+        FROM ts_slope CROSS JOIN icept
+        """
+    )

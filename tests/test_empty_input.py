@@ -149,6 +149,7 @@ _CASES = [
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
     ("lakehouse_write_audit_publish", 5),  # ledger always renders
     ("multimodal_video_fingerprint_dedup", 0),
+    ("window_theil_sen_slope", 1),  # ungrouped medians row (0, NULLs)
 ]
 
 
