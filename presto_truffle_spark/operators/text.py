@@ -1837,3 +1837,102 @@ def text_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cooc_weight_ppm").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "text_langid_cohen_kappa",
+    oracle=f"""
+    {_LANGID_PRED_SQL}, m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN label_lang = pred_lang THEN 1 END)
+                    AS BIGINT) AS agree
+        FROM preds
+    ), margins AS (
+        SELECT CAST(sum(n_label * n_pred) AS BIGINT) AS chance_num
+        FROM (
+            SELECT l.lang,
+                   CAST(coalesce(nl.c, 0) AS BIGINT) AS n_label,
+                   CAST(coalesce(np.c, 0) AS BIGINT) AS n_pred
+            FROM (SELECT label_lang AS lang FROM preds
+                  UNION SELECT pred_lang FROM preds) l
+            LEFT JOIN (SELECT label_lang AS lang, count(*) AS c
+                       FROM preds GROUP BY 1) nl ON l.lang = nl.lang
+            LEFT JOIN (SELECT pred_lang AS lang, count(*) AS c
+                       FROM preds GROUP BY 1) np ON l.lang = np.lang
+        )
+    )
+    SELECT n,
+           round(agree * 1.0 / nullif(n, 0), 6) AS observed_agreement,
+           round(chance_num * 1.0 / nullif(n * n, 0), 6)
+               AS chance_agreement,
+           round((agree * 1.0 / nullif(n, 0)
+                  - chance_num * 1.0 / nullif(n * n, 0))
+                 / nullif(1 - chance_num * 1.0 / nullif(n * n, 0), 0), 6)
+               AS cohen_kappa
+    FROM m CROSS JOIN margins
+    """,
+)
+def text_langid_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the langid heuristic and the ground-truth
+    lang column — the chance-corrected scalar that text_langid_confusion's
+    matrix summarizes to: observed agreement minus the agreement two
+    INDEPENDENT raters with these marginals would reach by luck,
+    normalized by the headroom above luck. The correction is the whole
+    point (the fixture's honest ~0.44 raw accuracy shrinks further once
+    4-way chance at these marginals is removed) — raw accuracy flatters
+    any classifier whose label distribution mimics the priors, which is
+    exactly how weak langid gates slip into corpora. Kappa is also the
+    standard inter-ANNOTATOR agreement metric, so this is the evaluation
+    shape a labeling pipeline reuses verbatim with two annotator columns.
+
+    One prediction scan -> one agreement fold + two marginal counts
+    joined over the <=4-language key; the chance term sum(n_l * n_p) is
+    an exact BIGINT; the three ratios are the only doubles, 6dp,
+    nullif-guarded."""
+    preds = text_langid_heuristic(spark, sf_dir)
+    from presto_truffle_spark.cache import scoped_persist
+
+    preds = scoped_persist(spark, "text.kappa.preds", preds)
+    m = preds.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("label_lang") == F.col("pred_lang"), 1))
+        .cast("long")
+        .alias("agree"),
+    )
+    nl = preds.groupBy(F.col("label_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    np_ = preds.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    langs = (
+        preds.select(F.col("label_lang").alias("lang"))
+        .union(preds.select("pred_lang"))
+        .distinct()
+    )
+    margins = (
+        langs.join(nl, "lang", "left")
+        .join(np_, "lang", "left")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_label"), F.lit(0))
+                * F.coalesce(F.col("n_pred"), F.lit(0))
+            )
+            .cast("long")
+            .alias("chance_num")
+        )
+    )
+    po = F.col("agree") * F.lit(1.0) / F.nullif(F.col("n"), F.lit(0))
+    pe = (
+        F.col("chance_num")
+        * F.lit(1.0)
+        / F.nullif(F.col("n") * F.col("n"), F.lit(0))
+    )
+    return m.crossJoin(F.broadcast(margins)).select(
+        "n",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0)), 6).alias(
+            "cohen_kappa"
+        ),
+    )

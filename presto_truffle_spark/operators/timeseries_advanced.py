@@ -2590,3 +2590,79 @@ def window_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ts_slope CROSS JOIN icept
         """
     )
+
+
+@query(
+    "events_mcnemar_paired_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN CAST(ts AS TIMESTAMP)
+                             < TIMESTAMP '2024-01-16 00:00:00'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS pre_buy,
+               max(CASE WHEN CAST(ts AS TIMESTAMP)
+                             >= TIMESTAMP '2024-01-16 00:00:00'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS post_buy
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT CAST(count(CASE WHEN pre_buy = 1 AND post_buy = 1
+                               THEN 1 END) AS BIGINT) AS both_buy,
+               CAST(count(CASE WHEN pre_buy = 1 AND post_buy = 0
+                               THEN 1 END) AS BIGINT) AS pre_only,
+               CAST(count(CASE WHEN pre_buy = 0 AND post_buy = 1
+                               THEN 1 END) AS BIGINT) AS post_only,
+               CAST(count(CASE WHEN pre_buy = 0 AND post_buy = 0
+                               THEN 1 END) AS BIGINT) AS neither
+        FROM per_user
+    )
+    SELECT both_buy, pre_only, post_only, neither,
+           round((pre_only - post_only) * (pre_only - post_only) * 1.0
+                 / nullif(pre_only + post_only, 0), 6) AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def events_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — did each user's
+    purchase behavior flip between the pre and post periods? The paired
+    design removes between-user variance entirely (each user is their
+    own control), so only the DISCORDANT cells carry information:
+    chi2 = (b - c)^2 / (b + c) over switched-on vs switched-off users —
+    the within-subject member of the experiment suite (Welch/MWU/KS
+    compare independent groups; DiD differences group means; McNemar
+    tests the paired flip). One user-grain conditional fold
+    (map-combinable) + one 2x2 pivot; exact integers, the chi2 ratio
+    the only double, 6dp, nullif-guarded for the no-switchers edge."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    buy = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("ts") < cutoff) & buy, 1).otherwise(0)
+        ).alias("pre_buy"),
+        F.max(
+            F.when((F.col("ts") >= cutoff) & buy, 1).otherwise(0)
+        ).alias("post_buy"),
+    )
+    cell = lambda p, q: F.count(  # noqa: E731
+        F.when((F.col("pre_buy") == p) & (F.col("post_buy") == q), 1)
+    ).cast("long")
+    cells = per_user.agg(
+        cell(1, 1).alias("both_buy"),
+        cell(1, 0).alias("pre_only"),
+        cell(0, 1).alias("post_only"),
+        cell(0, 0).alias("neither"),
+    )
+    diff = F.col("pre_only") - F.col("post_only")
+    return cells.select(
+        "both_buy",
+        "pre_only",
+        "post_only",
+        "neither",
+        F.round(
+            diff * diff * F.lit(1.0)
+            / F.nullif(F.col("pre_only") + F.col("post_only"), F.lit(0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

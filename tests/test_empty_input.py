@@ -150,6 +150,8 @@ _CASES = [
     ("lakehouse_write_audit_publish", 5),  # ledger always renders
     ("multimodal_video_fingerprint_dedup", 0),
     ("window_theil_sen_slope", 1),  # ungrouped medians row (0, NULLs)
+    ("events_mcnemar_paired_test", 1),  # ungrouped 2x2 row (0s, NULL)
+    ("text_langid_cohen_kappa", 1),  # ungrouped fold row (0, NULLs)
 ]
 
 
