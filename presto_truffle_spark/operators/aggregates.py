@@ -2283,3 +2283,76 @@ def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat_normalized"),
     )
+
+
+@query(
+    "agg_cochran_armitage_trend",
+    oracle="""
+    WITH lv AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS BIGINT) AS a
+        FROM orders GROUP BY 1
+    ), f AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(a) AS BIGINT) AS aa,
+               CAST(sum(s * a) AS BIGINT) AS sa,
+               CAST(sum(s * n) AS BIGINT) AS sn,
+               CAST(sum(s * s * n) AS BIGINT) AS ssn,
+               CAST(count(*) AS BIGINT) AS n_levels
+        FROM lv
+    )
+    SELECT n_levels, nn AS n_rows, aa AS n_hits,
+           round((sa - aa * 1.0 / nn * sn)
+                 / sqrt(aa * 1.0 / nn * (1 - aa * 1.0 / nn)
+                        * (ssn - sn * 1.0 * sn / nn)), 6) AS trend_z
+    FROM f
+    """,
+)
+def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary rate MONOTONICALLY
+    associated with an ORDERED factor (here: fulfilled-status share
+    across the five order-priority levels, scored by their leading
+    digit)? The ordered-categories member of the testing suite —
+    chi-square (agg_chi_square_independence) treats levels as unordered
+    and wastes power on non-monotone patterns; Cochran-Armitage spends
+    all of it on the dose-response direction, which is why it's the
+    standard for severity/dose/tier gradients. On this fixture the
+    rates are flat (~33% everywhere) and z ~ 0 — the null machinery
+    exercised honestly, like the near-zero skew rows in
+    agg_higher_moments.
+
+    One grouped fold to the 5-level table, one exact-integer moment
+    fold (s*a, s*n, s^2*n all BIGINTs), and a closed-form z — the only
+    double, identical spelling both engines, 6dp."""
+    od = load_table(spark, sf_dir, "orders")
+    lv = od.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("long")
+        .alias("a"),
+    )
+    f = lv.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("a").cast("long").alias("aa"),
+        F.sum(F.col("s") * F.col("a")).cast("long").alias("sa"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("long")
+        .alias("ssn"),
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+    )
+    p = F.col("aa") * F.lit(1.0) / F.col("nn")
+    num = F.col("sa") - p * F.col("sn")
+    var = p * (1 - p) * (
+        F.col("ssn") - F.col("sn") * F.lit(1.0) * F.col("sn") / F.col("nn")
+    )
+    return f.select(
+        "n_levels",
+        F.col("nn").alias("n_rows"),
+        F.col("aa").alias("n_hits"),
+        F.round(num / F.sqrt(var), 6).alias("trend_z"),
+    )

@@ -152,6 +152,7 @@ _CASES = [
     ("window_theil_sen_slope", 1),  # ungrouped medians row (0, NULLs)
     ("events_mcnemar_paired_test", 1),  # ungrouped 2x2 row (0s, NULL)
     ("text_langid_cohen_kappa", 1),  # ungrouped fold row (0, NULLs)
+    ("agg_cochran_armitage_trend", 1),  # ungrouped fold row (0, NULL z)
 ]
 
 
