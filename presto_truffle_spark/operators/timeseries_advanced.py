@@ -2666,3 +2666,112 @@ def events_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+@query(
+    "window_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_sub('day', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), moves AS (
+        SELECT d,
+               CASE WHEN y > lag(y) OVER (ORDER BY d) THEN 1
+                    WHEN y < lag(y) OVER (ORDER BY d) THEN 0 END AS up
+        FROM daily
+    ), seq AS (
+        SELECT d, up,
+               lag(up) OVER (ORDER BY d) AS prev_up
+        FROM moves WHERE up IS NOT NULL
+    ), f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN up = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN up = 0 THEN 1 END) AS BIGINT) AS n2,
+               CAST(1 + count(CASE WHEN prev_up IS NOT NULL
+                                    AND up <> prev_up THEN 1 END)
+                    AS BIGINT) AS runs
+        FROM seq
+    )
+    SELECT n, n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / nullif(n, 0) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (nullif(n, 0) * n * nullif(n - 1, 0))), 6)
+               AS runs_z
+    FROM f
+    """,
+)
+def window_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue direction sequence
+    (up/down moves; flat days excluded): too FEW runs means the series
+    trends or sticks (momentum/autocorrelation), too MANY means it
+    oscillates — the classic randomness screen applied before anyone
+    fits a forecasting model (events_autocorrelation measures the
+    linear lag structure; the runs test is its distribution-free
+    cousin that needs no stationarity in levels, only in signs).
+    z against the exact run-count moments for the observed (n1, n2).
+
+    The corpus folds to daily rows first; the move signs and the
+    run-boundary count are two lag windows over one ordering of that
+    <=31-row table; the moments are exact integers and z the one
+    double (6dp, nullif-guarded for degenerate all-up/all-down)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    daily = ev.groupBy(
+        F.timestamp_diff(
+            "DAY", anchor, trunc_ntz("day", F.col("ts"))
+        ).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wd = W.orderBy("d")
+    moves = daily.select(
+        "d",
+        F.when(F.col("y") > F.lag("y").over(wd), 1)
+        .when(F.col("y") < F.lag("y").over(wd), 0)
+        .alias("up"),
+    ).filter(F.col("up").isNotNull())
+    seq = moves.select(
+        "up", F.lag("up").over(W.orderBy("d")).alias("prev_up")
+    )
+    f = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("up") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("up") == 0, 1)).cast("long").alias("n2"),
+        (
+            1
+            + F.count(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                )
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / F.nullif(F.col("n"), F.lit(0)) + 1
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n"))
+        / (
+            F.nullif(F.col("n"), F.lit(0))
+            * F.col("n")
+            * F.nullif(F.col("n") - 1, F.lit(0))
+        )
+    )
+    return f.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("runs_z"),
+    )

@@ -153,6 +153,7 @@ _CASES = [
     ("events_mcnemar_paired_test", 1),  # ungrouped 2x2 row (0s, NULL)
     ("text_langid_cohen_kappa", 1),  # ungrouped fold row (0, NULLs)
     ("agg_cochran_armitage_trend", 1),  # ungrouped fold row (0, NULL z)
+    ("window_runs_test", 1),  # ungrouped fold row (0 moves, NULL z)
 ]
 
 
