@@ -2356,3 +2356,104 @@ def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aa").alias("n_hits"),
         F.round(num / F.sqrt(var), 6).alias("trend_z"),
     )
+
+
+@query(
+    "agg_spearman_correlation",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+        SELECT CAST(2 * rank() OVER (ORDER BY price_c)
+                    + count(*) OVER (PARTITION BY price_c) - 1 AS BIGINT)
+                   AS rx,
+               CAST(2 * rank() OVER (ORDER BY bal_c)
+                    + count(*) OVER (PARTITION BY bal_c) - 1 AS BIGINT)
+                   AS ry
+        FROM t
+    ), f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx) AS BIGINT) AS sx,
+               CAST(sum(ry) AS BIGINT) AS sy,
+               sum(rx * ry) AS sxy,
+               sum(rx * rx) AS sxx,
+               sum(ry * ry) AS syy
+        FROM ranked
+    )
+    SELECT n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+               AS spearman_rho
+    FROM f
+    """,
+)
+def agg_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and the ordering
+    customer's account balance — the ROBUST correlation (Pearson on
+    ranks): monotone-invariant, immune to the heavy tails that drag a
+    raw Pearson around, and the right default when the relationship is
+    'do bigger-balance customers place bigger orders' rather than
+    'linearly how much'. Completes the association family: OLS/trend
+    (linear), chi-square (categorical), Cochran-Armitage (ordered
+    factor), and now rank correlation for numeric-numeric.
+
+    Tie handling is exact, not the shortcut: the textbook
+    1 - 6*sum(d^2)/... formula is WRONG under ties (integer cents DO
+    tie), so this computes Pearson over tie-AVERAGED ranks carried as
+    DOUBLED integers (the agg_mann_whitney_u discipline) — every
+    moment (rank sums, products, squares) is an exact integer (Spark
+    sums rx*ry in DECIMAL-safe range: dbl_rank <= 2n ~ 3e5, product
+    ~9e10, times 150k rows ~1.4e16 < 2^63), and only the final rho
+    ratio is a double, 6dp. Two global sort windows (one per variable)
+    over the joined table are the honest cost of exact ranks — same
+    posture as the other rank statistics."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    t = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    ranked = t.select(
+        (
+            2 * F.rank().over(W.orderBy("price_c"))
+            + F.count(F.lit(1)).over(W.partitionBy("price_c"))
+            - 1
+        )
+        .cast("long")
+        .alias("rx"),
+        (
+            2 * F.rank().over(W.orderBy("bal_c"))
+            + F.count(F.lit(1)).over(W.partitionBy("bal_c"))
+            - 1
+        )
+        .cast("long")
+        .alias("ry"),
+    )
+    f = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = F.col("n") * dbl("sxy") - dbl("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * dbl("sxx") - dbl("sx") * F.col("sx"))
+        * (F.col("n") * dbl("syy") - dbl("sy") * F.col("sy"))
+    )
+    return f.select(
+        "n", F.round(num / den, 6).alias("spearman_rho")
+    )

@@ -154,6 +154,7 @@ _CASES = [
     ("text_langid_cohen_kappa", 1),  # ungrouped fold row (0, NULLs)
     ("agg_cochran_armitage_trend", 1),  # ungrouped fold row (0, NULL z)
     ("window_runs_test", 1),  # ungrouped fold row (0 moves, NULL z)
+    ("agg_spearman_correlation", 1),  # ungrouped fold row (0, NULL rho)
 ]
 
 
