@@ -2775,3 +2775,95 @@ def window_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("runs_z"),
     )
+
+
+@query(
+    "events_record_breaking_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_sub('day', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), rec AS (
+        SELECT d, y,
+               y > coalesce(max(y) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    y - 1) AS is_record
+        FROM daily
+    ), f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(CASE WHEN is_record THEN 1 END) AS BIGINT)
+                   AS n_records
+        FROM rec
+    ), h AS (
+        SELECT sum(1.0 / k) AS harmonic
+        FROM (SELECT unnest(generate_series(1, 1000)) AS k)
+        CROSS JOIN f WHERE k <= n_days
+    )
+    SELECT n_days, n_records,
+           round(harmonic, 6) AS expected_records_iid,
+           round(n_records / nullif(harmonic, 0), 6) AS record_excess
+    FROM f CROSS JOIN h
+    """,
+)
+def events_record_breaking_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Record-breaking days in the daily revenue series vs the i.i.d.
+    law: for exchangeable data the expected number of running-maximum
+    records in n observations is EXACTLY the harmonic number H_n
+    (day k is a record with probability 1/k) — so the ratio
+    observed/H_n is a distribution-FREE growth detector: ~1 means
+    stationary noise, >>1 means trend (records keep falling), <<1
+    means an early peak never beaten. The extreme-value companion to
+    window_runs_test (sign randomness) and window_max_drawdown (the
+    running max's other read-out); the first day counts as a record by
+    convention (coalesce against max over the EMPTY preceding frame).
+
+    Corpus folds to daily rows; one prefix-max window; H_n evaluated
+    by summing 1/k over an exploded bounded sequence (1000-day cap —
+    a literal per the repo's bounded-explode convention, loudly above
+    the fixture's 31-day horizon). Exact integer counts; harmonic and
+    the excess ratio are the only doubles, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    daily = ev.groupBy(
+        F.timestamp_diff(
+            "DAY", anchor, trunc_ntz("day", F.col("ts"))
+        ).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wprev = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    rec = daily.select(
+        "y",
+        (
+            F.col("y")
+            > F.coalesce(F.max("y").over(wprev), F.col("y") - 1)
+        ).alias("is_record"),
+    )
+    f = rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count(F.when(F.col("is_record"), 1))
+        .cast("long")
+        .alias("n_records"),
+    )
+    ks = spark.range(1, 1001).select(F.col("id").alias("k"))
+    h = (
+        f.crossJoin(F.broadcast(ks))
+        .filter(F.col("k") <= F.col("n_days"))
+        .agg(F.sum(F.lit(1.0) / F.col("k")).alias("harmonic"))
+    )
+    return f.crossJoin(F.broadcast(h)).select(
+        "n_days",
+        "n_records",
+        F.round("harmonic", 6).alias("expected_records_iid"),
+        F.round(
+            F.col("n_records") / F.nullif(F.col("harmonic"), F.lit(0.0)), 6
+        ).alias("record_excess"),
+    )

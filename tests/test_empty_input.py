@@ -155,6 +155,7 @@ _CASES = [
     ("agg_cochran_armitage_trend", 1),  # ungrouped fold row (0, NULL z)
     ("window_runs_test", 1),  # ungrouped fold row (0 moves, NULL z)
     ("agg_spearman_correlation", 1),  # ungrouped fold row (0, NULL rho)
+    ("events_record_breaking_days", 1),  # ungrouped fold row (0, NULLs)
 ]
 
 
