@@ -886,7 +886,12 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus_token_budget_select discipline: quantize cents to ~1e4
     buckets, rank buckets (grid-bounded), and compute Gini from the
     bucket histogram — exact to bucket resolution; this query keeps
-    the exact form with the trade-off stated."""
+    the exact form with the trade-off stated.
+
+    Overflow: Σ(r·cents) grows ~x̄·n²/2 and exceeds 2^63 near sf10
+    (~1.7e20 at 1.5M customers), so the product sum accumulates in
+    DECIMAL(38,0) — mirroring agg_spearman_correlation's sxy handling —
+    while DuckDB widens the same sum to HUGEINT natively."""
     from pyspark.sql.window import Window
 
     per_cust = (
@@ -907,13 +912,16 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sx"),
-        F.sum(F.col("r") * F.col("cents")).alias("srx"),
+        F.sum(
+            (F.col("r") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("srx"),
     )
     return s.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("sx").cast("long").alias("total_cents"),
         F.round(
-            2.0 * F.col("srx") / (F.col("n") * 1.0 * F.col("sx"))
+            2.0 * F.col("srx").cast("double")
+            / (F.col("n") * 1.0 * F.col("sx"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),

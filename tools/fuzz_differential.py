@@ -2296,87 +2296,12 @@ def run_regex_case(
     return _compare(spark.sql(sql), con, sql)
 
 
-def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
-    """Returns None on agreement, else a description of the mismatch."""
+def run_base_agg_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """The original mixed aggregate/join family (filter + optional join +
+    groupBy/agg + HAVING over random long columns)."""
     from pyspark.sql import functions as F
-
-    pick = rng.random()
-    if pick < 0.14:
-        return run_window_case(spark, con, rng, tmp, case_id)
-    if pick < 0.21:
-        return run_scalar_case(spark, con, rng, tmp, case_id)
-    if pick < 0.28:
-        return run_subquery_case(spark, con, rng, tmp, case_id)
-    if pick < 0.34:
-        return run_setop_case(spark, con, rng, tmp, case_id)
-    if pick < 0.40:
-        return run_order_limit_case(spark, con, rng, tmp, case_id)
-    if pick < 0.46:
-        return run_grouping_case(spark, con, rng, tmp, case_id)
-    if pick < 0.52:
-        return run_date_case(spark, con, rng, tmp, case_id)
-    if pick < 0.57:
-        return run_like_case(spark, con, rng, tmp, case_id)
-    if pick < 0.62:
-        return run_decimal_case(spark, con, rng, tmp, case_id)
-    if pick < 0.67:
-        return run_join_window_case(spark, con, rng, tmp, case_id)
-    if pick < 0.72:
-        return run_hof_case(spark, con, rng, tmp, case_id)
-    # --- r7 families ---
-    if pick < 0.78:
-        return run_map_hof_case(spark, con, rng, tmp, case_id)
-    if pick < 0.84:
-        return run_nested_subquery_case(spark, con, rng, tmp, case_id)
-    if pick < 0.89:
-        return run_exists_in_case_case(spark, con, rng, tmp, case_id)
-    if pick < 0.90:
-        return run_month_interval_case(spark, con, rng, tmp, case_id)
-    if pick < 0.92:
-        return run_struct_case(spark, con, rng, tmp, case_id)
-    if pick < 0.935:
-        return run_array_setop_case(spark, con, rng, tmp, case_id)
-    if pick < 0.955:
-        return run_try_cast_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9675:
-        return run_explode_case(spark, con, rng, tmp, case_id)
-    # --- r9 families ---
-    if pick < 0.972:
-        return run_group_by_all_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9765:
-        return run_window_exclude_case(spark, con, rng, tmp, case_id)
-    if pick < 0.981:
-        return run_collation_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9855:
-        return run_qualify_case(spark, con, rng, tmp, case_id)
-    if pick < 0.988:
-        return run_order_by_all_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9905:
-        return run_window_filter_case(spark, con, rng, tmp, case_id)
-    if pick < 0.993:
-        return run_asof_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9955:
-        return run_try_arith_case(spark, con, rng, tmp, case_id)
-    if pick < 0.997:
-        return run_ordered_agg_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9985:
-        return run_pivot_sql_case(spark, con, rng, tmp, case_id)
-    if pick < 0.99925:
-        return run_limit_offset_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9996:
-        return run_groups_frame_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9998:
-        return run_lateral_case(spark, con, rng, tmp, case_id)
-    if pick < 0.9999:
-        return run_regex_case(spark, con, rng, tmp, case_id)
-    if pick < 0.99995:
-        return run_daytime_interval_case(spark, con, rng, tmp, case_id)
-    if pick < 0.99998:
-        return run_string_edge_case(spark, con, rng, tmp, case_id)
-    if pick < 0.99999:
-        return run_alias_ordinal_case(spark, con, rng, tmp, case_id)
-    if pick < 0.999995:
-        return run_ts_month_interval_case(spark, con, rng, tmp, case_id)
 
     rows = gen_rows(rng, rng.randint(0, 400))
     schema = "k1 string, k2 string, m1 long, m2 long, m3 long"
@@ -2467,20 +2392,104 @@ def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | No
     return None
 
 
+# Weighted family table (r10 rebalance — the r9 threshold cascade gave the
+# newest families 1e-4..5e-6 slices, i.e. ~1% chance of ONE execution in a
+# 60-case mixed run; they were dead code as regression protection). Every
+# family now gets >=1.5% mass so a 60-case run expects ~1 execution of
+# each, and `--family NAME N` runs any single family reproducibly.
+_CORE_FAMILIES = [
+    ("window", 0.05),
+    ("scalar", 0.04),
+    ("subquery", 0.04),
+    ("setop", 0.035),
+    ("order_limit", 0.035),
+    ("grouping", 0.035),
+    ("date", 0.035),
+    ("like", 0.03),
+    ("decimal", 0.03),
+    ("join_window", 0.03),
+    ("hof", 0.03),
+    ("map_hof", 0.025),
+    ("nested_subquery", 0.025),
+    ("exists_in_case", 0.025),
+    ("month_interval", 0.025),
+    ("struct", 0.025),
+    ("array_setop", 0.025),
+    ("try_cast", 0.025),
+    ("explode", 0.025),
+    ("group_by_all", 0.02),
+    ("window_exclude", 0.02),
+    ("collation", 0.02),
+    ("qualify", 0.02),
+    ("order_by_all", 0.02),
+    ("window_filter", 0.02),
+    ("asof", 0.02),
+    ("try_arith", 0.02),
+    ("ordered_agg", 0.02),
+    ("pivot_sql", 0.02),
+    ("limit_offset", 0.02),
+    ("groups_frame", 0.02),
+    ("lateral", 0.02),
+    ("regex", 0.02),
+    ("daytime_interval", 0.02),
+    ("string_edge", 0.02),
+    ("alias_ordinal", 0.02),
+    ("ts_month_interval", 0.02),
+    ("base_agg", None),  # remainder (~0.075)
+]
+
+
+def _family_runners() -> dict:
+    g = globals()
+    out = {}
+    for name, _ in _CORE_FAMILIES:
+        fn = g[f"run_{name}_case"] if name != "base_agg" else run_base_agg_case
+        out[name] = fn
+    return out
+
+
+def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
+    """Returns None on agreement, else a description of the mismatch."""
+    runners = _family_runners()
+    pick = rng.random()
+    acc = 0.0
+    for name, w in _CORE_FAMILIES:
+        if w is None:
+            return runners[name](spark, con, rng, tmp, case_id)
+        acc += w
+        if pick < acc:
+            return runners[name](spark, con, rng, tmp, case_id)
+    return runners["base_agg"](spark, con, rng, tmp, case_id)
+
+
 def main() -> int:
     from presto_truffle_spark.session import get_spark
 
-    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    argv = list(sys.argv[1:])
+    family = None
+    if "--list-families" in argv:
+        for name, w in _CORE_FAMILIES:
+            print(name, w if w is not None else "(remainder)")
+        return 0
+    if "--family" in argv:
+        i = argv.index("--family")
+        family = argv[i + 1]
+        del argv[i : i + 2]
+        if family not in {n for n, _ in _CORE_FAMILIES}:
+            print(f"unknown family {family!r}; see --list-families")
+            return 2
+    n_cases = int(argv[0]) if len(argv) > 0 else 40
+    base_seed = int(argv[1]) if len(argv) > 1 else 0
 
     spark = get_spark("fuzz-differential", cpus="8")
     con = duckdb.connect()
     tmp = tempfile.mkdtemp(prefix="fuzz_diff_")
     failures = []
+    runner = _family_runners()[family] if family else run_case
     try:
         for i in range(n_cases):
             rng = random.Random(base_seed * 100003 + i)
-            err = run_case(spark, con, rng, tmp, i)
+            err = runner(spark, con, rng, tmp, i)
             if err:
                 print(f"FAIL  case {i}: {err}")
                 failures.append(i)
@@ -2488,7 +2497,11 @@ def main() -> int:
                 print(f"PASS  case {i}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    print(f"\n{n_cases - len(failures)} pass, {len(failures)} fail of {n_cases}")
+    label = f" [{family}]" if family else ""
+    print(
+        f"\n{n_cases - len(failures)} pass, {len(failures)} fail"
+        f" of {n_cases}{label}"
+    )
     return 1 if failures else 0
 
 
