@@ -854,3 +854,44 @@ def test_month_diff_clamped_end_divergence_pinned(spark):
         "TIMESTAMP '2024-02-29 00:00:00')"
     ).fetchone()[0]
     assert s == 0 and d == 1, (s, d)
+
+
+def test_replacement_backref_spelling_divergence_pinned(spark):
+    """FIXTURES.md r10: regex replacement backreferences spell $1 on
+    Spark (java.util.regex) but \\1 on DuckDB (RE2); DuckDB passes '$1'
+    through LITERALLY rather than erroring, so the fork is silent. The
+    r10 regexp_replace fuzz family mirrors the replacement spelling."""
+    s = spark.sql(
+        "SELECT regexp_replace('ab12cd', '([0-9]+)', '<$1>') AS v"
+    ).collect()[0].v
+    con = duckdb.connect()
+    d_dollar = con.execute(
+        "SELECT regexp_replace('ab12cd', '([0-9]+)', '<$1>', 'g')"
+    ).fetchone()[0]
+    d_backslash = con.execute(
+        r"SELECT regexp_replace('ab12cd', '([0-9]+)', '<\1>', 'g')"
+    ).fetchone()[0]
+    assert s == "ab<12>cd", s
+    assert d_dollar == "ab<$1>cd", d_dollar  # literal $1: the silent fork
+    assert d_backslash == "ab<12>cd", d_backslash  # mirrored spelling
+
+
+def test_all_null_list_join_divergence_pinned(spark):
+    """FIXTURES.md r10 (found LIVE by the map_roundtrip family's first
+    12 seeds): both engines skip null elements when string-joining a
+    list, but an ALL-null list joins to '' on Spark (array_join) and to
+    NULL on DuckDB (array_to_string). Duck-side COALESCE(...,'') is the
+    mirrored spelling."""
+    s_one, s_all = spark.sql(
+        "SELECT array_join(array(CAST(NULL AS BIGINT), 5L), ',') AS a, "
+        "array_join(array(CAST(NULL AS BIGINT), NULL), ',') AS b"
+    ).collect()[0]
+    con = duckdb.connect()
+    d_one, d_all, d_coal = con.execute(
+        "SELECT array_to_string([CAST(NULL AS BIGINT), 5], ','), "
+        "array_to_string([CAST(NULL AS BIGINT), NULL], ','), "
+        "COALESCE(array_to_string([CAST(NULL AS BIGINT), NULL], ','), '')"
+    ).fetchone()
+    assert s_one == d_one == "5", (s_one, d_one)  # single null: agree
+    assert s_all == "" and d_all is None, (s_all, d_all)  # the fork
+    assert d_coal == "" == s_all  # mirrored spelling agrees

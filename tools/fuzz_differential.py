@@ -2296,6 +2296,203 @@ def run_regex_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_regexp_replace_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """regexp_replace dialect family (r10): Spark replaces ALL matches by
+    default; DuckDB replaces only the FIRST unless the 'g' flag is given
+    (probed: regexp_replace('aXbXc','X','_') = 'a_b_c' Spark vs 'a_bXc'
+    DuckDB) — so the family mirrors the spelling (bare vs ',''g''') and
+    fuzzes the agreeing global region. Second pinned fork folded in: the
+    backreference syntax is $1 in Spark (java.util.regex) but \\1 in
+    DuckDB (RE2) — DuckDB leaves '$1' LITERALLY in the output — so
+    backref cases mirror the replacement string too."""
+    alpha = "ab xy019-f."
+    n = rng.randint(0, 120)
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14))))
+        for i in range(n)
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_rr.parquet")
+    spark.createDataFrame(rows, "rid long, s string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    pat = _gen_safe_regex(rng)
+    if rng.random() < 0.4:
+        # backref replacement: group 1 wrapped in a literal marker
+        rep_s, rep_d = "<$1>", "<\\1>"
+    else:
+        rep = "".join(
+            rng.choice("_=+Q") for _ in range(rng.randint(0, 3))
+        )
+        rep_s = rep_d = rep
+    ssql = (
+        f"SELECT rid, regexp_replace(s, '{pat}', '{rep_s}') AS rp, "
+        f"length(regexp_replace(s, '{pat}', '{rep_s}')) AS rplen FROM t"
+    )
+    dsql = (
+        f"SELECT rid, regexp_replace(s, '{pat}', '{rep_d}', 'g') AS rp, "
+        f"length(regexp_replace(s, '{pat}', '{rep_d}', 'g')) AS rplen FROM t"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_map_roundtrip_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """MAP constructor round-trip family (r10): per-row maps built from
+    key/value columns, probed lookups (hit AND guaranteed-miss), size,
+    and order-canonicalized key/value lists. Mirrored spellings: Spark
+    map_from_arrays(array(..),array(..)) vs DuckDB map([..],[..]);
+    Spark element_at(m,k) (NULL on miss) vs DuckDB m[k][1] (map extract
+    returns a LIST — empty on miss, so [1] yields NULL). Keys are
+    distinct by construction: BOTH engines raise on duplicate map keys
+    (Spark mapKeyDedupPolicy=EXCEPTION default; DuckDB 'map keys must
+    be unique'), which is parity, not a fork. Key lists are compared
+    SORTED — insertion order agrees here (both preserve the array
+    order) but sorted comparison keeps the family about content.
+
+    Pinned fork found by this family's FIRST 12 seeds (3 hits): both
+    engines SKIP null elements when string-joining a list, but on an
+    ALL-null list Spark's array_join returns '' while DuckDB's
+    array_to_string returns NULL — mirrored with a duck-side COALESCE
+    and pinned in tests/FIXTURES.md."""
+    keys = ["ka", "kb", "kc", "kd", "ke"]
+    n = rng.randint(0, 100)
+    rows = []
+    for i in range(n):
+        k1, k2 = rng.sample(keys, 2)  # distinct: dup keys raise in BOTH
+        rows.append(
+            (
+                i,
+                k1,
+                k2,
+                None if rng.random() < 0.1 else rng.randint(-50, 50),
+                None if rng.random() < 0.1 else rng.randint(-50, 50),
+            )
+        )
+    path = os.path.join(tmp, f"fuzz_{case_id}_mp.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k1 string, k2 string, v1 long, v2 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    probe = rng.choice(keys)  # may hit or miss per row
+    smap = "map_from_arrays(array(k1, k2), array(v1, v2))"
+    dmap = "map([k1, k2], [v1, v2])"
+    ssql = (
+        f"SELECT rid, element_at({smap}, '{probe}') AS hit, "
+        f"element_at({smap}, 'zz') AS miss, "
+        f"CAST(cardinality({smap}) AS BIGINT) AS sz, "
+        f"array_join(sort_array(map_keys({smap})), ',') AS ks, "
+        f"array_join(sort_array(map_values({smap})), ',') AS vs "
+        "FROM t"
+    )
+    dsql = (
+        f"SELECT rid, ({dmap})['{probe}'][1] AS hit, "
+        f"({dmap})['zz'][1] AS miss, "
+        f"CAST(cardinality({dmap}) AS BIGINT) AS sz, "
+        f"array_to_string(list_sort(map_keys({dmap})), ',') AS ks, "
+        f"COALESCE(array_to_string(list_sort(map_values({dmap})), ','), '')"
+        " AS vs "
+        "FROM t"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_distinct_order_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """DISTINCT + ORDER BY + LIMIT/OFFSET interaction family (r10):
+    SELECT DISTINCT over 1-2 expressions, ordered by ALL selected
+    columns with EXPLICIT NULLS placement (the engines' bare defaults
+    differ: Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST — the ORDER BY
+    ALL variant of this fork is already pinned), then a paging tail.
+    Ordering by every output column makes the distinct row set a total
+    order, so the LIMIT/OFFSET page is a deterministic SET (canon is
+    order-insensitive; membership is what's tested)."""
+    rows = gen_rows(rng, rng.randint(0, 300))
+    path = os.path.join(tmp, f"fuzz_{case_id}_do.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    exprs = rng.sample(
+        ["k1", "k2", "m1 % 5", "m2 % 3", "CAST(m3 > 0 AS INT)"],
+        rng.randint(1, 2),
+    )
+    sel = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    order = ", ".join(
+        f"c{i} {rng.choice(['ASC', 'DESC'])} "
+        f"NULLS {rng.choice(['FIRST', 'LAST'])}"
+        for i in range(len(exprs))
+    )
+    page = ""
+    if rng.random() < 0.7:
+        page = f" LIMIT {rng.randint(0, 8)}"
+        if rng.random() < 0.5:
+            page += f" OFFSET {rng.randint(0, 6)}"
+    where = gen_predicate(rng)
+    sql = (
+        f"SELECT DISTINCT {sel} FROM t WHERE {where} "
+        f"ORDER BY {order}{page}"
+    )
+    return _compare(spark.sql(sql), con, sql)
+
+
+def run_mixed_interval_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Mixed year-month + day-time interval chains (r10; closes the gap
+    between the month family and the day-time family): ts ± INTERVAL
+    terms drawn from YEAR/MONTH/DAY/HOUR/MINUTE applied in random order
+    — order MATTERS (month-add clamps to month-end before day terms
+    shift across it: '2024-01-31' +1 MONTH +3 DAY = Mar 3 but +3 DAY
+    +1 MONTH = Mar 3 vs Feb 29+3d... both engines apply LEFT TO RIGHT,
+    probed identical incl. the Jan-31→Feb-29 clamp). Shared SQL text:
+    INTERVAL 'k' UNIT parses in both; negative counts spelled with the
+    binary minus. NTZ column read from parquet so no zone enters."""
+    import datetime
+
+    base = datetime.datetime(1995, 1, 3, 0, 0, 0)
+    rows = [
+        (
+            i,
+            None
+            if rng.random() < 0.08
+            else base
+            + datetime.timedelta(seconds=rng.randint(0, 1_300_000_000)),
+        )
+        for i in range(rng.randint(1, 150))
+    ]
+    path = os.path.join(tmp, f"fuzz_{case_id}_mi.parquet")
+    spark.createDataFrame(rows, "rid long, t1 timestamp_ntz").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    units = ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE"]
+    terms = []
+    for _ in range(rng.randint(2, 4)):
+        u = rng.choice(units)
+        k = rng.randint(0, 40 if u in ("YEAR", "MONTH") else 2000)
+        terms.append(f"{rng.choice(['+', '-'])} INTERVAL '{k}' {u}")
+    chain = " ".join(terms)
+    sql = f"SELECT rid, t1 {chain} AS e FROM t"
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_base_agg_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2398,13 +2595,13 @@ def run_base_agg_case(
 # family now gets >=1.5% mass so a 60-case run expects ~1 execution of
 # each, and `--family NAME N` runs any single family reproducibly.
 _CORE_FAMILIES = [
-    ("window", 0.05),
-    ("scalar", 0.04),
-    ("subquery", 0.04),
-    ("setop", 0.035),
-    ("order_limit", 0.035),
-    ("grouping", 0.035),
-    ("date", 0.035),
+    ("window", 0.04),
+    ("scalar", 0.035),
+    ("subquery", 0.035),
+    ("setop", 0.03),
+    ("order_limit", 0.03),
+    ("grouping", 0.03),
+    ("date", 0.03),
     ("like", 0.03),
     ("decimal", 0.03),
     ("join_window", 0.03),
@@ -2435,7 +2632,12 @@ _CORE_FAMILIES = [
     ("string_edge", 0.02),
     ("alias_ordinal", 0.02),
     ("ts_month_interval", 0.02),
-    ("base_agg", None),  # remainder (~0.075)
+    # --- r10 families ---
+    ("regexp_replace", 0.015),
+    ("map_roundtrip", 0.015),
+    ("distinct_order", 0.015),
+    ("mixed_interval", 0.015),
+    ("base_agg", None),  # remainder
 ]
 
 
