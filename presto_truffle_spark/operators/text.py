@@ -1936,3 +1936,133 @@ def text_langid_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohen_kappa"
         ),
     )
+
+_EN_MARKER_SQL = ", ".join(repr(m) for m in _LANG_MARKERS["en"])
+
+
+@query(
+    "eval_binary_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), probs AS (
+        SELECT doc_id, y,
+               least(len(list_filter(toks, x -> x IN ({_EN_MARKER_SQL})))
+                     * 5.0 / len(toks), CAST(1.0 AS DOUBLE)) AS p
+        FROM t
+    ), ranked AS (
+        SELECT y, p,
+               CAST(2 * rank() OVER (ORDER BY p)
+                    + count(*) OVER (PARTITION BY p) - 1 AS BIGINT)
+                   AS dbl_rank
+        FROM probs
+    ), g AS (
+        SELECT CAST(sum(CASE WHEN y = 1 THEN dbl_rank ELSE 0 END) AS BIGINT)
+                   AS sr2_pos,
+               CAST(sum(y) AS BIGINT) AS n1,
+               CAST(count(*) - sum(y) AS BIGINT) AS n0,
+               round(avg((p - y) * (p - y)), 6) AS brier
+        FROM ranked
+    ), bins AS (
+        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(p), 6) AS mean_pred,
+               round(avg(y * 1.0), 6) AS obs_rate
+        FROM probs
+        GROUP BY 1
+    )
+    SELECT bin_id, n_docs, mean_pred, obs_rate,
+           round((sr2_pos - n1 * (n1 + 1)) * 1.0 / (2.0 * n1 * n0), 6)
+               AS roc_auc,
+           brier
+    FROM bins CROSS JOIN g
+    """,
+)
+def eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation harness — ROC-AUC, Brier score, and
+    a decile calibration (reliability-diagram) table in ONE query: the
+    scorecard a training-data pipeline attaches to every heuristic
+    filter before trusting it at 100 TB. The classifier under test is
+    real and in-repo: the graded en-marker DENSITY score
+    p = min(5·|en-markers|/|tokens|, 1) behind `text_langid_heuristic`,
+    against the fixture's lang ground truth (y = lang='en').
+
+    Honest fixture finding (probed before registration): the synthetic
+    langs share ONE vocabulary — en-marker density is 0.0306 for non-en
+    vs 0.0290 for en docs — so AUC is ≈chance (0.47 sf0.01 / 0.51
+    sf0.1), consistent with `text_langid_confusion`'s 0.44 accuracy.
+    The harness is the capability; 8-10 calibration bins engage with a
+    graded score where the raw marker-RATIO score collapsed to {{0,1}}
+    (first draft, dropped).
+
+    AUC is the rank-sum (Mann-Whitney) formulation with the
+    `agg_mann_whitney_u` exactness trick: tie-averaged ranks carried as
+    DOUBLED integers (2·rank + ties−1, exact BIGINT), so
+    AUC = (ΣR₂⁺ − n₁(n₁+1)) / (2·n₁·n₀) is one exact-integer ratio and
+    a single 6dp division. Brier = mean((p−y)²) in double — every term
+    in [0,1], no cancellation (the welch_ttest magnitude trap does not
+    apply). Calibration: bin = min(⌊10p⌋, 9), mean predicted vs
+    observed rate per bin.
+
+    Scale shape: the score is map-side; exact AUC needs ONE global sort
+    (the bucketed-histogram AUC is the documented swap-in at extreme
+    cardinality); bins are a map-combinable groupBy; the one-row
+    metrics table broadcast-crosses onto the bins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.least(
+            _marker_count(toks, _LANG_MARKERS["en"]) * 5.0 / F.size(toks),
+            F.lit(1.0),
+        ).alias("p"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    scored = scoped_persist(spark, "text.evalbc.scored", scored)
+    ranked = scored.select(
+        "y",
+        "p",
+        (
+            2 * F.rank().over(W.orderBy("p"))
+            + F.count(F.lit(1)).over(W.partitionBy("p"))
+            - 1
+        )
+        .cast("long")
+        .alias("dbl_rank"),
+    )
+    g = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("dbl_rank")).otherwise(0))
+        .cast("long")
+        .alias("sr2_pos"),
+        F.sum("y").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n0"),
+        F.round(
+            F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6
+        ).alias("brier"),
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+        F.round(F.avg(F.col("y") * 1.0), 6).alias("obs_rate"),
+    )
+    return bins.crossJoin(F.broadcast(g)).select(
+        "bin_id",
+        "n_docs",
+        "mean_pred",
+        "obs_rate",
+        F.round(
+            (F.col("sr2_pos") - F.col("n1") * (F.col("n1") + 1))
+            * 1.0
+            / (2.0 * F.col("n1") * F.col("n0")),
+            6,
+        ).alias("roc_auc"),
+        "brier",
+    )

@@ -156,6 +156,7 @@ _CASES = [
     ("window_runs_test", 1),  # ungrouped fold row (0 moves, NULL z)
     ("agg_spearman_correlation", 1),  # ungrouped fold row (0, NULL rho)
     ("events_record_breaking_days", 1),  # ungrouped fold row (0, NULLs)
+    ("eval_binary_classifier", 0),  # empty bins x metrics row -> 0
 ]
 
 
