@@ -157,6 +157,7 @@ _CASES = [
     ("agg_spearman_correlation", 1),  # ungrouped fold row (0, NULL rho)
     ("events_record_breaking_days", 1),  # ungrouped fold row (0, NULLs)
     ("eval_binary_classifier", 0),  # empty bins x metrics row -> 0
+    ("dedup_sorted_neighborhood", 0),
 ]
 
 
