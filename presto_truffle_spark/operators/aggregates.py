@@ -2465,3 +2465,207 @@ def agg_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "n", F.round(num / den, 6).alias("spearman_rho")
     )
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 90),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'error' AND value > 90)
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM
+                 (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
+               AS n_inter,
+           CAST((SELECT count(*) FROM
+                 (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT)
+               AS n_union,
+           CAST((SELECT count(*) FROM
+                 (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT)
+               AS n_diff,
+           true AS sketch_exact
+    """,
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (Spark 4 Datasketches surface):
+    distinct-user INTERSECTION / UNION / DIFFERENCE between two behavior
+    cohorts (high-value purchasers vs high-value error reporters,
+    value > 90 — probed for PARTIAL overlap: 1341/1323 members, ∩ 1187,
+    ∪ 1477, ∖ 154 at sf0.1; the event_type cohorts alone are degenerate,
+    every user does every type). Theta sketches are what HLL cannot be:
+    closed under intersection and difference with bounded error — HLL
+    set algebra needs inclusion-exclusion (`agg_hll_intersection`) whose
+    error compounds; theta composes directly, the audience-overlap
+    primitive at 100 TB.
+
+    Envelope discipline (the `agg_approx_distinct` pattern): sketch
+    estimates are engine-specific, so the hashed surface is the EXACT
+    counts plus one boolean asserting every sketch estimate equals its
+    exact counterpart — deterministically TRUE here because the default
+    theta sketch (lgK=12) stays in EXACT mode below 4096 retained keys
+    and the fixture cohorts peak at 1500 (probed; estimates returned
+    BIGINT-exact across repartitionings). Beyond exact mode the boolean
+    would weaken to a ±2σ band, which is the documented production
+    read. Both paths (sketch and exact) run Spark-side; the one-row
+    results broadcast-join."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = spark.sql(
+        """
+        WITH s AS (
+            SELECT theta_sketch_agg(CASE WHEN event_type = 'purchase'
+                                         AND value > 90 THEN user_id END)
+                       AS ta,
+                   theta_sketch_agg(CASE WHEN event_type = 'error'
+                                         AND value > 90 THEN user_id END)
+                       AS tb
+            FROM {ev}
+        )
+        SELECT theta_sketch_estimate(ta) AS e_a,
+               theta_sketch_estimate(tb) AS e_b,
+               theta_sketch_estimate(theta_intersection(ta, tb)) AS e_inter,
+               theta_sketch_estimate(theta_union(ta, tb)) AS e_union,
+               theta_sketch_estimate(theta_difference(ta, tb)) AS e_diff
+        FROM s
+        """,
+        ev=ev,
+    )
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+    b = ev.filter((F.col("event_type") == "error") & (F.col("value") > 90))
+    sa = a.select("user_id").distinct()
+    sb = b.select("user_id").distinct()
+    exact = (
+        sa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(sb.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+        .crossJoin(
+            sa.intersect(sb).agg(
+                F.count(F.lit(1)).cast("long").alias("n_inter")
+            )
+        )
+        .crossJoin(
+            sa.union(sb)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+        )
+        .crossJoin(
+            sa.subtract(sb).agg(
+                F.count(F.lit(1)).cast("long").alias("n_diff")
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        "n_diff",
+        (
+            (F.col("e_a") == F.col("n_a"))
+            & (F.col("e_b") == F.col("n_b"))
+            & (F.col("e_inter") == F.col("n_inter"))
+            & (F.col("e_union") == F.col("n_union"))
+            & (F.col("e_diff") == F.col("n_diff"))
+        ).alias("sketch_exact"),
+    )
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    oracle="""
+    SELECT CAST(count(value) AS BIGINT) AS n,
+           round(CAST(quantile_disc(value, 0.25) AS DOUBLE), 6) AS q25_exact,
+           round(CAST(quantile_disc(value, 0.50) AS DOUBLE), 6) AS q50_exact,
+           round(CAST(quantile_disc(value, 0.75) AS DOUBLE), 6) AS q75_exact,
+           round(CAST(quantile_disc(value, 0.95) AS DOUBLE), 6) AS q95_exact,
+           true AS q25_within_3pct,
+           true AS q50_within_3pct,
+           true AS q75_within_3pct,
+           true AS q95_within_3pct
+    FROM events
+    """,
+)
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch with the MERGE discipline (Spark 4
+    Datasketches surface): per-event-type sketches built independently
+    (`kll_sketch_agg_double`, the map-side shape), merged into one
+    corpus sketch (`kll_merge_agg_double` — the property that makes
+    sketch quantiles work across 1000 executors), then queried at
+    q ∈ {0.25, 0.5, 0.75, 0.95}. This is the mergeable alternative to
+    `agg_percentile_approx` (Spark's own GK-style sketch): KLL carries
+    a PROVABLE normalized-rank error (~1.65% at the default k=200,
+    Karnin-Lang-Liberty FOCS'16).
+
+    KLL compaction is RANDOMIZED — the estimated values differ across
+    partitionings (probed: q50 34.73 vs 34.55 under repartition), so
+    estimates are never hashed. The envelope (the approx_count_distinct
+    pattern): hash the EXACT n and the exact percentile_disc values,
+    plus one boolean per quantile asserting the sketch estimate's TRUE
+    rank — count(value ≤ est)/n, computed in the same query — lands
+    within ±3% of the requested rank (1.65% theoretical + headroom).
+    The rank check is the sketch's own contract, verified against the
+    data instead of trusted."""
+    ev = load_table(spark, sf_dir, "events")
+    est = spark.sql(
+        """
+        WITH per AS (
+            SELECT event_type, kll_sketch_agg_double(value) AS sk
+            FROM {ev} GROUP BY event_type
+        ), m AS (
+            -- empty corpus: merge over zero/empty sketches yields a
+            -- buffer kll_sketch_get_quantile REJECTS (probed: raises
+            -- KLL_INVALID_INPUT_SKETCH_BUFFER, not NULL) — gate on n
+            SELECT CASE WHEN msk IS NULL
+                          OR kll_sketch_get_n_double(msk) = 0 THEN NULL
+                        ELSE msk END AS msk
+            FROM (SELECT kll_merge_agg_double(sk) AS msk FROM per)
+        )
+        SELECT CASE WHEN msk IS NULL THEN NULL
+                    ELSE kll_sketch_get_quantile_double(msk, 0.25) END AS e25,
+               CASE WHEN msk IS NULL THEN NULL
+                    ELSE kll_sketch_get_quantile_double(msk, 0.50) END AS e50,
+               CASE WHEN msk IS NULL THEN NULL
+                    ELSE kll_sketch_get_quantile_double(msk, 0.75) END AS e75,
+               CASE WHEN msk IS NULL THEN NULL
+                    ELSE kll_sketch_get_quantile_double(msk, 0.95) END AS e95
+        FROM m
+        """,
+        ev=ev,
+    )
+    ranks = ev.crossJoin(F.broadcast(est)).agg(
+        F.count("value").cast("long").alias("n"),
+        *[
+            (
+                F.sum(
+                    F.when(F.col("value") <= F.col(f"e{q}"), 1).otherwise(0)
+                )
+                / F.nullif(F.count("value"), F.lit(0))
+            ).alias(f"r{q}")
+            for q in (25, 50, 75, 95)
+        ],
+    )
+    exact = ev.agg(
+        *[
+            F.round(
+                F.expr(
+                    f"percentile_disc({q / 100.0}) WITHIN GROUP"
+                    " (ORDER BY value)"
+                ).cast("double"),
+                6,
+            ).alias(f"q{q}_exact")
+            for q in (25, 50, 75, 95)
+        ]
+    )
+    return ranks.crossJoin(F.broadcast(exact)).select(
+        "n",
+        "q25_exact",
+        "q50_exact",
+        "q75_exact",
+        "q95_exact",
+        *[
+            (F.abs(F.col(f"r{q}") - F.lit(q / 100.0)) <= 0.03).alias(
+                f"q{q}_within_3pct"
+            )
+            for q in (25, 50, 75, 95)
+        ],
+    )
