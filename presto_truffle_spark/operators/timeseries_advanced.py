@@ -2867,3 +2867,114 @@ def events_record_breaking_days(
             F.col("n_records") / F.nullif(F.col("harmonic"), F.lit(0.0)), 6
         ).alias("record_excess"),
     )
+
+
+_IVU_WINDOW_S = 14_400  # each event opens a 4-hour activity interval
+
+
+@query(
+    "events_interval_union",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + {_IVU_WINDOW_S} AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY s, e, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM flagged
+    ), spans AS (
+        SELECT user_id, island,
+               min(s) AS ss, max(e) AS se,
+               CAST(count(*) AS BIGINT) AS n_ev
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(se - ss) AS BIGINT) AS covered_seconds,
+           CAST(max(se - ss) AS BIGINT) AS longest_span_seconds,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM spans GROUP BY user_id
+    """,
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (merge overlapping intervals into maximal disjoint
+    spans) — the classic sweep that `events_peak_concurrency` (stacking
+    depth) and `events_sessionize_islands` (gap-based sessions) both
+    circle but neither computes: each event opens a 4-hour activity
+    window, and per user the overlapping windows flatten into covered
+    spans — "total time under activity", the same primitive as union of
+    incident windows or on-call coverage. Probed engagement: 31% of
+    intervals merge into a predecessor span at both SFs (15-minute
+    windows merged only 2% — too sparse; 1-day merged 88% — too blunt).
+
+    Algorithm: the running-maximum island sweep — a span breaks where a
+    start exceeds max(end) over all STRICTLY PRECEDING intervals in
+    (start, end, event_id) order; island id is the running sum of break
+    flags. All arithmetic is INTEGER epoch seconds (floor(epoch) /
+    Spark timestamp_diff-from-NTZ-epoch, the r9 whole-second pin) — no
+    timestamp type ever crosses an engine boundary.
+
+    Scale shape: both windows and the two groupBys share ONE
+    hash-partition by user_id (per-user sort inside the partition; no
+    global sort); at 100 TB this is the standard sessionize posture —
+    the only caveat is a single user's event count, same as any per-key
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        epoch_s("ts").alias("s"),
+        (epoch_s("ts") + _IVU_WINDOW_S).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+        F.col("event_id"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ss"),
+        F.max("e").alias("se"),
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("se") - F.col("ss")).cast("long").alias("covered_seconds"),
+        F.max(F.col("se") - F.col("ss"))
+        .cast("long")
+        .alias("longest_span_seconds"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )
