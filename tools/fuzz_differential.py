@@ -2493,6 +2493,62 @@ def run_mixed_interval_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_range_interval_frame_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """RANGE-frame-over-timestamp family (r10): window aggregates with
+    INTERVAL bounds — the time-windowed running-aggregate surface
+    (`events_velocity_windows`' machinery) fuzzed over shared SQL text.
+    Probed parity: `RANGE BETWEEN INTERVAL 'k' UNIT PRECEDING/FOLLOWING`
+    parses identically and the frame membership (value-based, inclusive
+    at both interval endpoints) agrees on whole-second NTZ timestamps.
+    Timestamps are kept NON-NULL (NULL ordering inside a RANGE frame is
+    a peer-group question this family doesn't pose) and ascending —
+    bounds are drawn from the four standard shapes."""
+    import datetime
+
+    base = datetime.datetime(2001, 3, 7, 0, 0, 0)
+    key_pool = ["g1", "g2", "g3"]
+    rows = []
+    for i in range(rng.randint(1, 200)):
+        rows.append(
+            (
+                i,
+                rng.choice(key_pool),
+                base
+                + datetime.timedelta(seconds=rng.randint(0, 3_000_000)),
+                None if rng.random() < 0.1 else rng.randint(-50, 50),
+            )
+        )
+    path = os.path.join(tmp, f"fuzz_{case_id}_rif.parquet")
+    spark.createDataFrame(
+        rows, "rid long, k string, t timestamp_ntz, v long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    unit = rng.choice(["SECOND", "MINUTE", "HOUR", "DAY"])
+    k1 = rng.randint(0, 2000)
+    k2 = rng.randint(0, 2000)
+    frame = rng.choice(
+        [
+            f"INTERVAL '{k1}' {unit} PRECEDING AND CURRENT ROW",
+            f"CURRENT ROW AND INTERVAL '{k2}' {unit} FOLLOWING",
+            f"INTERVAL '{k1}' {unit} PRECEDING"
+            f" AND INTERVAL '{k2}' {unit} FOLLOWING",
+            f"UNBOUNDED PRECEDING AND INTERVAL '{k2}' {unit} FOLLOWING",
+        ]
+    )
+    part = "PARTITION BY k " if rng.random() < 0.5 else ""
+    agg = rng.choice(["sum(v)", "count(v)", "min(v)", "max(v)", "count(*)"])
+    sql = (
+        f"SELECT rid, CAST({agg} OVER ({part}ORDER BY t RANGE BETWEEN "
+        f"{frame}) AS BIGINT) AS w FROM t"
+    )
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_base_agg_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2637,6 +2693,7 @@ _CORE_FAMILIES = [
     ("map_roundtrip", 0.015),
     ("distinct_order", 0.015),
     ("mixed_interval", 0.015),
+    ("range_interval_frame", 0.015),
     ("base_agg", None),  # remainder
 ]
 
