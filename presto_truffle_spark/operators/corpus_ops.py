@@ -1076,3 +1076,111 @@ def corpus_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(count(*), 0) AS BIGINT)"
         ).alias("moved_modulo_ppm"),
     )
+
+
+_PRIO_K = 100  # sample size
+
+
+@query(
+    "corpus_priority_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS wt,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                     || text), 1, 8)) AS BIGINT) + 1)
+                   / 4294967296.0 AS u
+        FROM documents
+    ), q AS (
+        SELECT doc_id, wt, wt / u AS prio,
+               row_number() OVER (ORDER BY wt / u DESC, doc_id) AS rn
+        FROM w
+    ), tau AS (
+        SELECT prio AS tau FROM q WHERE rn = {_PRIO_K + 1}
+    ), tot AS (
+        SELECT CAST(sum(wt) AS BIGINT) AS total_weight FROM w
+    )
+    SELECT q.doc_id, q.wt,
+           round(q.prio, 4) AS priority,
+           round(greatest(q.wt * 1.0, tau.tau), 4) AS est_weight,
+           tot.total_weight
+    FROM q CROSS JOIN tau CROSS JOIN tot
+    WHERE q.rn <= {_PRIO_K}
+    """,
+)
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM'07): an EXACTLY-k
+    weighted sample WITHOUT replacement — the complement of
+    `corpus_importance_resample`'s independent Bernoulli thinning, for
+    when the budget is a fixed document count rather than a keep rate.
+    Each doc gets priority q = w/u (w = token count, u ~ U(0,1]); the
+    top-k by priority are the sample, τ = the (k+1)-th priority is the
+    threshold, and ŵ = max(w, τ) per kept doc is the UNBIASED
+    subset-sum estimator (E[Σ ŵ over sample] = Σ w over corpus) — the
+    property that lets a 100-doc sample answer token-budget questions
+    about a 100 TB corpus. Both the sample membership AND the estimator
+    weights are emitted, with the exact corpus total alongside for the
+    honest single-draw comparison.
+
+    Determinism discipline: u derives from md5(doc_id#text) (the
+    importance_resample derandomization), and the priority w/u is ONE
+    IEEE division — correctly rounded, bit-identical across engines —
+    where the textbook A-ES key u^(1/w) would ride libm pow/log whose
+    last-ULP behavior is NOT cross-engine portable (the ordering, not
+    just the display, could fork). Ties broken by doc_id.
+
+    Scale shape: priorities are map-side; top-(k+1) is
+    TakeOrderedAndProject (per-partition heads, single merge — no
+    global sort); τ and the total broadcast back onto the k-row
+    sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.size(F.split("text", " ")).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    w = docs.select(
+        "doc_id", wt.alias("wt"), (F.col("wt") / u).alias("prio")
+    ).select("doc_id", "wt", "prio")
+    from presto_truffle_spark.cache import scoped_persist
+
+    w = scoped_persist(spark, "corpus.priosample.w", w)
+    topk1 = w.orderBy(F.col("prio").desc(), "doc_id").limit(_PRIO_K + 1)
+    tau = topk1.agg(F.min("prio").alias("tau"))
+    tot = w.agg(F.sum("wt").cast("long").alias("total_weight"))
+    ranked = topk1.select(
+        "doc_id",
+        "wt",
+        "prio",
+        F.row_number()
+        .over(W.orderBy(F.col("prio").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "wt",
+            F.round("prio", 4).alias("priority"),
+            F.round(F.greatest(F.col("wt") * 1.0, F.col("tau")), 4).alias(
+                "est_weight"
+            ),
+            "total_weight",
+        )
+    )

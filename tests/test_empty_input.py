@@ -161,6 +161,7 @@ _CASES = [
     ("agg_theta_sketch_setops", 1),  # 0-count folds x empty-sketch ests
     ("agg_kll_quantile_sketch", 1),  # n=0, NULL quantiles/booleans
     ("events_interval_union", 0),
+    ("corpus_priority_sample", 0),
 ]
 
 
