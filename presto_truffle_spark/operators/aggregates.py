@@ -2510,31 +2510,50 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     would weaken to a ±2σ band, which is the documented production
     read. Both paths (sketch and exact) run Spark-side; the one-row
     results broadcast-join."""
+    from presto_truffle_spark.cache import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    sk = spark.sql(
-        """
-        WITH s AS (
-            SELECT theta_sketch_agg(CASE WHEN event_type = 'purchase'
-                                         AND value > 90 THEN user_id END)
-                       AS ta,
-                   theta_sketch_agg(CASE WHEN event_type = 'error'
-                                         AND value > 90 THEN user_id END)
-                       AS tb
-            FROM {ev}
+    # ONE corpus scan: the distinct (cohort, user) table (<= 2x1500 rows
+    # on the fixture — REDUCED, so persisting it is the rescan rule);
+    # sketches, exact counts, and all three set ops derive from it.
+    hv = (
+        ev.filter(
+            (F.col("value") > 90)
+            & F.col("event_type").isin("purchase", "error")
         )
-        SELECT theta_sketch_estimate(ta) AS e_a,
-               theta_sketch_estimate(tb) AS e_b,
-               theta_sketch_estimate(theta_intersection(ta, tb)) AS e_inter,
-               theta_sketch_estimate(theta_union(ta, tb)) AS e_union,
-               theta_sketch_estimate(theta_difference(ta, tb)) AS e_diff
-        FROM s
-        """,
-        ev=ev,
+        .select("event_type", "user_id")
+        .distinct()
     )
-    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
-    b = ev.filter((F.col("event_type") == "error") & (F.col("value") > 90))
-    sa = a.select("user_id").distinct()
-    sb = b.select("user_id").distinct()
+    hv = scoped_persist(spark, "agg.thetaso.hv", hv)
+    # F.expr, NOT spark.sql("...", hv=hv): binding a PERSISTED DataFrame
+    # into parameterized SQL drops the cache entry — every later
+    # derivation of hv replans against the raw scan (found by this op's
+    # rescan audit: 9 FileScans, 0 InMemoryTableScan; pinned in
+    # tests/test_scoped_persist.py).
+    sk = hv.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase'"
+            " THEN user_id END)"
+        ).alias("ta"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'error'"
+            " THEN user_id END)"
+        ).alias("tb"),
+    ).select(
+        F.expr("theta_sketch_estimate(ta)").alias("e_a"),
+        F.expr("theta_sketch_estimate(tb)").alias("e_b"),
+        F.expr("theta_sketch_estimate(theta_intersection(ta, tb))").alias(
+            "e_inter"
+        ),
+        F.expr("theta_sketch_estimate(theta_union(ta, tb))").alias(
+            "e_union"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(ta, tb))").alias(
+            "e_diff"
+        ),
+    )
+    sa = hv.filter(F.col("event_type") == "purchase").select("user_id")
+    sb = hv.filter(F.col("event_type") == "error").select("user_id")
     exact = (
         sa.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
         .crossJoin(sb.agg(F.count(F.lit(1)).cast("long").alias("n_b")))

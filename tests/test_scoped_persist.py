@@ -61,3 +61,33 @@ def test_input_bytes_matches_on_disk_size(sf_dir):
     assert n > 0
     # sf0.001 documents is well under the 256 MiB tfidf persist gate
     assert n < 256 << 20
+
+
+def test_parameterized_sql_binding_drops_cache_substitution_pinned(spark, sf_dir):
+    """r10 gotcha, found LIVE by agg_theta_sketch_setops' rescan audit
+    (9 FileScans, 0 InMemoryTableScan): binding a PERSISTED DataFrame
+    into parameterized SQL — spark.sql("... FROM {df}", df=df) — drops
+    the cache entry, and every LATER derivation of the persisted frame
+    replans against the raw scan. Operators must stay on the DataFrame
+    API (F.expr for SQL-only functions) downstream of a scoped_persist;
+    this test pins the behavior so a Spark version that fixes it is
+    noticed."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    cached = df.persist()
+    pre = cached.filter(F.col("event_type") == "click")
+    assert "InMemoryRelation" in pre._jdf.queryExecution().optimizedPlan().toString()
+    spark.sql("SELECT count(*) AS c FROM {d}", d=cached)
+    post = cached.filter(F.col("event_type") == "click")
+    # the pinned (current) behavior: substitution is GONE after binding
+    assert (
+        "InMemoryRelation"
+        not in post._jdf.queryExecution().optimizedPlan().toString()
+    )
+    cached.unpersist()
