@@ -162,6 +162,7 @@ _CASES = [
     ("agg_kll_quantile_sketch", 1),  # n=0, NULL quantiles/booleans
     ("events_interval_union", 0),
     ("corpus_priority_sample", 0),
+    ("text_dispersion_topk", 0),
 ]
 
 
