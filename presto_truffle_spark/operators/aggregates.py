@@ -2688,3 +2688,147 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (25, 50, 75, 95)
         ],
     )
+
+
+@query(
+    "agg_hdr_histogram_percentiles",
+    oracle="""
+    WITH iv_counts AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT iv, c, length(bin(iv)) - 1 AS e FROM iv_counts
+    ), lbm AS (
+        SELECT iv, c,
+               CASE WHEN e >= 2
+                    THEN iv - (iv % (CAST(1 AS BIGINT) << (e - 2)))
+                    ELSE iv END AS lb
+        FROM b
+    ), h AS (
+        SELECT lb, CAST(sum(c) AS BIGINT) AS hc FROM lbm GROUP BY lb
+    ), cumh AS (
+        SELECT lb, CAST(sum(hc) OVER (ORDER BY lb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM h
+    ), cumiv AS (
+        SELECT iv, CAST(sum(c) OVER (ORDER BY iv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM iv_counts
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM iv_counts
+    ), qs AS (
+        SELECT unnest([50, 90, 95, 99]) AS q_pct
+    ), est AS (
+        SELECT q.q_pct, min(ch.lb) AS est_cents
+        FROM qs q CROSS JOIN tot t JOIN cumh ch
+          ON ch.cum * 100 >= q.q_pct * t.n
+        GROUP BY q.q_pct
+    ), exact AS (
+        SELECT q.q_pct, min(ci.iv) AS exact_cents
+        FROM qs q CROSS JOIN tot t JOIN cumiv ci
+          ON ci.cum * 100 >= q.q_pct * t.n
+        GROUP BY q.q_pct
+    )
+    SELECT CAST(e.q_pct AS BIGINT) AS q_pct,
+           e.est_cents, x.exact_cents,
+           round((x.exact_cents - e.est_cents) * 1.0
+                 / nullif(x.exact_cents, 0), 6) AS rel_err,
+           (x.exact_cents - e.est_cents) * 4 <= x.exact_cents
+               AS within_quarter
+    FROM est e JOIN exact x ON e.q_pct = x.q_pct
+    """,
+)
+def agg_hdr_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram percentiles — the log-bucketed latency-profiling
+    discipline (HdrHistogram / Prometheus native histograms): integer
+    cents truncate to buckets of width 2^(e−2) (e = exact integer
+    ⌊log₂⌋ via length(bin(iv))−1; bucket = drop all but the top 2
+    mantissa bits), giving a histogram whose size is ~4 buckets per
+    octave REGARDLESS of data volume, with a PROVABLE relative-error
+    bound: est ≤ exact < est + width and width/est ≤ 1/4, so
+    (exact−est)/exact ≤ 25% by construction — emitted as both the
+    measured rel_err and the within_quarter boolean, checked not
+    assumed. Unlike the KLL/GK sketches this is fully DETERMINISTIC
+    (pure integer arithmetic, no compaction randomness), so estimates
+    themselves hash-match — the full-oracle sketch.
+
+    Both the bucket estimate AND the exact percentile_disc derive from
+    ONE persisted (iv, count) fold (~49k distinct cents — REDUCED, the
+    rescan rule): exact percentiles come from the weighted cumulative
+    over iv, estimates from the cumulative over bucket lower bounds;
+    the q·n comparisons stay in integers (cum·100 ≥ q_pct·n — no double
+    quantile ever computed). At 100 TB the iv fold is the only
+    corpus-volume stage (map-combinable); everything downstream is
+    histogram-sized."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    iv_counts = ev.groupBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("iv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    iv_counts = scoped_persist(spark, "agg.hdr.iv_counts", iv_counts)
+    e = (F.length(F.bin("iv")) - 1).cast("int")
+    # shiftleft's bit count must be a column here — the python helper
+    # only takes a literal int, so the width expression goes via expr
+    w = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(iv)) - 3 AS INT))"
+    )
+    lb = F.when(e >= 2, F.col("iv") - (F.col("iv") % w)).otherwise(
+        F.col("iv")
+    )
+    h = (
+        iv_counts.select(lb.alias("lb"), "c")
+        .groupBy("lb")
+        .agg(F.sum("c").cast("long").alias("hc"))
+    )
+    cumh = h.select(
+        "lb",
+        F.sum("hc")
+        .over(W.orderBy("lb").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    cumiv = iv_counts.select(
+        "iv",
+        F.sum("c")
+        .over(W.orderBy("iv").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = iv_counts.agg(F.sum("c").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (50, 90, 95, 99)])).alias(
+            "q_pct"
+        )
+    )
+    qn = qs.crossJoin(F.broadcast(tot))
+    est = (
+        qn.join(cumh, F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct")
+        .agg(F.min("lb").alias("est_cents"))
+    )
+    exact = (
+        qn.join(cumiv, F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct")
+        .agg(F.min("iv").alias("exact_cents"))
+    )
+    return est.join(exact, "q_pct").select(
+        F.col("q_pct").cast("long").alias("q_pct"),
+        "est_cents",
+        "exact_cents",
+        F.round(
+            (F.col("exact_cents") - F.col("est_cents"))
+            * 1.0
+            / F.nullif(F.col("exact_cents"), F.lit(0)),
+            6,
+        ).alias("rel_err"),
+        (
+            (F.col("exact_cents") - F.col("est_cents")) * 4
+            <= F.col("exact_cents")
+        ).alias("within_quarter"),
+    )
