@@ -358,3 +358,68 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_scripting_threshold",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus = 'F'
+    ), thr AS (
+        SELECT CAST(quantile_disc(cents, 0.9) AS BIGINT) AS threshold_cents
+        FROM f
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_above,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           thr.threshold_cents
+    FROM f CROSS JOIN thr
+    WHERE f.cents > thr.threshold_cents
+    GROUP BY thr.threshold_cents
+    """,
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, SET from a scalar
+    subquery) composed with a SQL TABLE FUNCTION (CREATE FUNCTION …
+    RETURNS TABLE) — the two remaining Spark 4 SQL-surface pieces
+    `sql_pipe_syntax` doesn't cover. The script is the canonical
+    two-step parameterized report: a table function slices finished
+    orders, the script DECLAREs a threshold, SETs it to the slice's
+    exact 90th-percentile cents, and the final SELECT (the script's
+    return value) aggregates the above-threshold tail. Both constructs
+    resolve to ordinary plans: the table function inlines its body (no
+    Python round-trip), and the script executes statements sequentially
+    in-session with the variable folding to a literal in the last
+    query — so the oracle is the equivalent single SQL. CREATE OR
+    REPLACE + DECLARE OR REPLACE keep repeated driver invocations
+    idempotent; `spark.sql.scripting.enabled` is a runtime conf set at
+    call time (the load_table nanosAsLong discipline)."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pt_finished_orders()
+        RETURNS TABLE(o_custkey BIGINT, cents BIGINT)
+        RETURN SELECT o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+               FROM orders WHERE o_orderstatus = 'F'
+        """
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE pt_thr BIGINT DEFAULT 0;
+          SET pt_thr = (SELECT CAST(percentile_disc(0.9) WITHIN GROUP
+                                    (ORDER BY cents) AS BIGINT)
+                        FROM pt_finished_orders());
+          SELECT CAST(count(*) AS BIGINT) AS n_above,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents,
+                 pt_thr AS threshold_cents
+          FROM pt_finished_orders()
+          WHERE cents > pt_thr;
+        END
+        """
+    )
