@@ -414,12 +414,18 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
           SET pt_thr = (SELECT CAST(percentile_disc(0.9) WITHIN GROUP
                                     (ORDER BY cents) AS BIGINT)
                         FROM pt_finished_orders());
+          -- GROUP BY the (constant) variable so the no-surviving-rows
+          -- case yields ZERO groups on both engines (an ungrouped agg
+          -- here would emit a 1-row (0, NULL) answer where the
+          -- oracle's GROUP BY emits none — a shape fork if every cents
+          -- value tied at the percentile)
           SELECT CAST(count(*) AS BIGINT) AS n_above,
                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                  CAST(sum(cents) AS BIGINT) AS sum_cents,
                  pt_thr AS threshold_cents
           FROM pt_finished_orders()
-          WHERE cents > pt_thr;
+          WHERE cents > pt_thr
+          GROUP BY pt_thr;
         END
         """
     )

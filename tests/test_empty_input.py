@@ -164,7 +164,7 @@ _CASES = [
     ("corpus_priority_sample", 0),
     ("text_dispersion_topk", 0),
     ("agg_hdr_histogram_percentiles", 0),  # empty joins -> no quantile rows
-    ("sql_scripting_threshold", 1),  # ungrouped agg row (0s, NULL thr)
+    ("sql_scripting_threshold", 0),  # constant-grouped: zero groups
 ]
 
 
