@@ -1039,3 +1039,115 @@ def streaming_gdpr_erasure_filter(
     return out.join(users, "event_type").select(
         "event_type", "n_events", "n_users", "total_cents"
     )
+
+
+_PYSTREAM_BATCHES = 4
+_PYSTREAM_ROWS = 50  # rows per micro-batch
+
+
+@query(
+    "source_python_stream_datasource",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest(generate_series(0,
+                      {_PYSTREAM_BATCHES * _PYSTREAM_ROWS - 1})) AS id
+    )
+    SELECT CAST(id % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id % 50 + 1) AS BIGINT) AS total_qty,
+           CAST(sum((id * 97) % 1000000) AS BIGINT) AS total_cents
+    FROM g GROUP BY 1
+    """,
+)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (Spark 4
+    ``SimpleDataSourceStreamReader``) — the streaming twin of
+    ``source_python_datasource``: offset-tracked micro-batches from a
+    Python reader registered as a first-class ``readStream.format()``.
+    The reader's contract is exercised for real: ``initialOffset`` →
+    repeated ``read(start) -> (rows, nextOffset)`` until the source
+    reports no progress, plus ``readBetweenOffsets`` for replay — and
+    the driver-side offset dict is the checkpointable state. Four
+    50-row deterministic batches (same arithmetic rows as the batch
+    twin) aggregate in complete mode, so the final memory-sink state
+    equals the batch answer and the oracle is a pure generate_series
+    rebuild.
+
+    Probed during design: ``Trigger.AvailableNow`` consumes only ONE
+    simple-reader increment (the availableNow snapshot is taken from a
+    single read() advance), so the query runs with a processing-time
+    trigger and ``processAllAvailable()`` — which drains all four
+    batches (probed: per-bucket counts 4x the one-batch run).
+
+    Classes are nested so cloudpickle ships them by value (executors
+    must not need this repo importable — the UDF-specimen rule)."""
+    del sf_dir  # synthetic source; signature kept uniform
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    n_batches, n_rows = _PYSTREAM_BATCHES, _PYSTREAM_ROWS
+
+    class GenStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= n_batches:
+                return iter([]), start
+            rows = [
+                (i, i % 50 + 1, (i * 97) % 1000000)
+                for i in range(b * n_rows, (b + 1) * n_rows)
+            ]
+            return iter(rows), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [
+                    (i, i % 50 + 1, (i * 97) % 1000000)
+                    for i in range(
+                        start["batch"] * n_rows, end["batch"] * n_rows
+                    )
+                ]
+            )
+
+    class GenStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tpch_pystream"
+
+        def schema(self):
+            return "id bigint, qty bigint, cents bigint"
+
+        def simpleStreamReader(self, schema):
+            return GenStreamReader()
+
+    spark.dataSource.register(GenStreamSource)
+    sdf = spark.readStream.format("tpch_pystream").load()
+    agg = sdf.groupBy((F.col("id") % 7).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    name = "s" + uuid.uuid4().hex[:12]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = checkpoint_dir()
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        drop_checkpoint(ckpt)
+    return spark.table(name)

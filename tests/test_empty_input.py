@@ -165,6 +165,7 @@ _CASES = [
     ("text_dispersion_topk", 0),
     ("agg_hdr_histogram_percentiles", 0),  # empty joins -> no quantile rows
     ("sql_scripting_threshold", 0),  # constant-grouped: zero groups
+    ("source_python_stream_datasource", 7),  # synthetic source, input-independent
 ]
 
 
