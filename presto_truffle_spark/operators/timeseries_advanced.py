@@ -2978,3 +2978,132 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("longest_span_seconds"),
         F.sum("n_ev").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "events_cross_correlation",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), days AS (
+        SELECT CAST(CAST(d AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+        FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+              FROM bounds)
+    ), a AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), b AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), grid AS (
+        SELECT days.di, coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+        FROM days LEFT JOIN a ON a.di = days.di
+                  LEFT JOIN b ON b.di = days.di
+    ), lags AS (
+        SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag
+    ), pairs AS (
+        SELECT l.lag, g1.na AS x, g2.nb AS y
+        FROM lags l JOIN grid g1 ON true
+        JOIN grid g2 ON g2.di = g1.di + l.lag
+    ), s AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           round((n * sxy - sx * sy) * 1.0 /
+                 nullif(sqrt((n * sxx - sx * sx) * 1.0)
+                        * sqrt((n * syy - sy * sy) * 1.0), 0), 6)
+               AS pearson_r
+    FROM s
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag CROSS-correlation between two event-type daily series
+    (clicks vs purchases, lags −3..+3 days) — the "does A lead B"
+    primitive behind marketing-attribution and capacity-planning
+    dashboards; `events_autocorrelation` is the self-series special
+    case. Pearson r per lag from EXACT integer moment sums (n·Σxy −
+    ΣxΣy over the exact-integer variance product — the subtraction is
+    integer-exact so the welch_ttest float-cancellation trap cannot
+    fire; magnitudes here are ≤ ~10^7 at sf0.1, far inside BIGINT);
+    the only doubles are the final sqrt/divide, rounded 6dp with
+    zero-variance nullif guards.
+
+    The day axis is the OBSERVED span densified via sequence (absent
+    days count 0 — dropping them would bias r toward co-presence),
+    then shifted joins on integer epoch-day indices; lag pairs only
+    exist where both shifted days land inside the span, so per-lag n
+    shrinks by |lag| (emitted as n_days). CAST(ts AS DATE) is
+    zone-stable on NTZ (tests/test_tz_proof.py).
+
+    Scale shape: two map-combinable daily folds, a days-sized grid
+    (one row per day — trivially broadcastable), and a 7-lag explode
+    over it; nothing downstream of the folds is corpus-volume."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    di = F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(di.alias("di"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    daily = scoped_persist(spark, "tsa.xcorr.daily", daily)
+    bounds = daily.agg(
+        F.min("di").alias("d0"), F.max("di").alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("di")
+    )
+    a = daily.filter(F.col("event_type") == "click").select(
+        "di", F.col("n").alias("na")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        "di", F.col("n").alias("nb")
+    )
+    grid = (
+        days.join(a, "di", "left")
+        .join(b, "di", "left")
+        .select(
+            "di",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    grid = scoped_persist(spark, "tsa.xcorr.grid", grid)
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in range(-3, 4)])).alias("lag")
+    )
+    g1 = grid.select("di", "na")
+    g2 = grid.select(F.col("di").alias("dj"), "nb")
+    pairs = (
+        lags.crossJoin(g1)
+        .join(g2, F.col("dj") == F.col("di") + F.col("lag"))
+        .select("lag", F.col("na").alias("x"), F.col("nb").alias("y"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) * 1.0
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(
+            num * 1.0 / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0)), 6
+        ).alias("pearson_r"),
+    )
