@@ -132,6 +132,86 @@ case class DotProduct(left: Expression, right: Expression)
   ): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Fused exact-Jaccard over two string arrays (the dedup verify kernel).
+ *
+ *  The pure-SQL spelling of the LSH/prefix/SNM families' verification,
+ *  `size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect(a,b)))`,
+ *  evaluates ArrayIntersect — which builds a per-row hash set AND
+ *  materializes the intersection as a new array — and, where
+ *  subexpression elimination doesn't fire (filter + projection copies),
+ *  evaluates it twice. This expression computes
+ *  |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)| in ONE
+ *  hash pass with no intermediate array.
+ *
+ *  Semantics match the catalyst set functions': a NULL *element* is a
+ *  distinguished value (present in both sides ⇒ counted in the
+ *  intersection, same as array_intersect); duplicates collapse
+ *  (distinct-set semantics, same as array_intersect/array_union); a
+ *  NULL *array* on either side yields NULL (binary expression), and an
+ *  empty union (both arrays empty) yields NULL — where the SQL
+ *  spelling's 0/0 would raise under ANSI integer division or yield NaN
+ *  after a double cast, neither of which is a usable similarity.
+ *  CodegenFallback: the per-row hash set dominates; stage fusion
+ *  around it is preserved.
+ */
+case class JaccardSets(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sets"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<string> arguments, got " +
+            s"${left.dataType.sql} and ${right.dataType.sql}"
+        )
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var aNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true
+      else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var bNull = false
+    var inter = 0L
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true
+      else {
+        val v = b.getUTF8String(i)
+        if (seenB.add(v) && setA.contains(v)) inter += 1
+      }
+      i += 1
+    }
+    if (aNull && bNull) inter += 1
+    val da = setA.size.toLong + (if (aNull) 1L else 0L)
+    val db = seenB.size.toLong + (if (bNull) 1L else 0L)
+    val union = da + db - inter
+    if (union == 0L) null else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): JaccardSets = copy(left = newLeft, right = newRight)
+}
+
 object ReorderCheapConjuncts extends Rule[LogicalPlan] {
 
   /** Static cost rank of one conjunct: dominated by the most expensive
@@ -427,6 +507,13 @@ class PrestoTruffleExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
         (args: Seq[Expression]) => DotProduct(args(0), args(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("jaccard_sets"),
+        new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),
+        (args: Seq[Expression]) => JaccardSets(args(0), args(1))
       )
     )
     ext.injectFunction(

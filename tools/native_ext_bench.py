@@ -259,6 +259,38 @@ def _phase(which: str) -> None:
         out["vec_dot_native"] = _time(native)
         out["vec_dot_sql_lambda"] = _time(lam)
         assert native.collect()[0].s == lam.collect()[0].s
+        # jaccard_sets vs the catalyst set-function spelling: 500k rows ×
+        # two ~24-element string arrays (shingle-shaped). The spelling
+        # builds TWO hash structures and materializes both result arrays
+        # (array_intersect + array_union) per row; jaccard_sets is one
+        # hash pass with no intermediate. Both run in THIS session.
+        jdf = (
+            spark.range(500_000, numPartitions=8)
+            .select(
+                F.expr(
+                    "transform(sequence(0, 23),"
+                    " j -> concat('sh', CAST((id * 31 + j * j) % 5000 AS STRING)))"
+                ).alias("a"),
+                F.expr(
+                    "transform(sequence(0, 23),"
+                    " j -> concat('sh', CAST((id * 31 + j * 7 + 3) % 5000 AS STRING)))"
+                ).alias("b"),
+            )
+            .persist()
+        )
+        jdf.count()
+        jnat = jdf.select(F.expr("jaccard_sets(a, b)").alias("j")).agg(
+            F.sum("j").alias("s")
+        )
+        jsql = jdf.select(
+            F.expr(
+                "CAST(size(array_intersect(a, b)) AS DOUBLE)"
+                " / nullif(size(array_union(a, b)), 0)"
+            ).alias("j")
+        ).agg(F.sum("j").alias("s"))
+        out["jaccard_native"] = _time(jnat)
+        out["jaccard_sql_setfns"] = _time(jsql)
+        assert jnat.collect()[0].s == jsql.collect()[0].s
         spark.conf.set("spark.prestotruffle.rangeJoin.binSize", "1000")
         rj = _range_join(spark)
         rj_plan = rj._jdf.queryExecution().executedPlan().toString()
@@ -345,6 +377,9 @@ def main() -> int:
     )
     merged["vec_dot_speedup"] = round(
         merged["vec_dot_sql_lambda"] / merged["vec_dot_native"], 2
+    )
+    merged["jaccard_speedup"] = round(
+        merged["jaccard_sql_setfns"] / merged["jaccard_native"], 2
     )
     assert merged.pop("rangejoin_rows_vanilla") == merged["rangejoin_rows"]
     assert merged.pop("rangejoin_chk_vanilla") == merged.pop("rangejoin_chk")

@@ -352,6 +352,65 @@ def main() -> int:
     )
     spark.conf.unset("spark.prestotruffle.keyedRangeJoin.binSize")
 
+    # ------------------------------------------------------------------
+    # 7. jaccard_sets: the fused exact-Jaccard kernel must match the
+    # catalyst set-function spelling size(array_intersect)/size(array_union)
+    # bit-for-bit on a battery with duplicates and NULL *elements*, and
+    # must fix the spelling's two defined gaps: NULL array -> NULL (not
+    # an error), empty-union -> NULL (not 0/0).
+    # ------------------------------------------------------------------
+    jdf = spark.range(500).select(
+        F.col("id"),
+        # duplicates on purpose (i % 7 collides); sizes vary 0..14
+        F.expr(
+            "transform(sequence(1, CAST(id % 15 AS INT)),"
+            " i -> concat('t', CAST((id + i * i) % 7 AS STRING)))"
+        ).alias("a"),
+        F.expr(
+            "transform(sequence(1, CAST((id * 3) % 13 AS INT)),"
+            " i -> concat('t', CAST((id * 2 + i) % 9 AS STRING)))"
+        ).alias("b"),
+    )
+    jcmp = jdf.select(
+        F.expr("jaccard_sets(a, b)").alias("native"),
+        F.expr(
+            "CAST(size(array_intersect(a, b)) AS DOUBLE)"
+            " / nullif(size(array_union(a, b)), 0)"
+        ).alias("sql"),
+    ).collect()
+    assert all(r.native == r.sql for r in jcmp), next(
+        (r.native, r.sql) for r in jcmp if r.native != r.sql
+    )
+    # NULL elements are distinguished values (array_intersect semantics)
+    jedge = spark.sql(
+        """
+        SELECT jaccard_sets(a, b) AS native,
+               CAST(size(array_intersect(a, b)) AS DOUBLE)
+                 / nullif(size(array_union(a, b)), 0) AS sql
+        FROM VALUES
+          (array('x', CAST(NULL AS STRING), 'y'), array(CAST(NULL AS STRING), 'z')),
+          (array('x', CAST(NULL AS STRING)), array('x')),
+          (array('x', 'x', 'y'), array('x'))
+        AS t(a, b)
+        """
+    ).collect()
+    for r in jedge:
+        assert r.native == r.sql, (r.native, r.sql)
+    # NULL array -> NULL; empty union -> NULL; empty-vs-nonempty -> 0.0
+    jn = spark.sql(
+        "SELECT jaccard_sets(CAST(NULL AS ARRAY<STRING>), array('a')) AS v1,"
+        "       jaccard_sets(CAST(array() AS ARRAY<STRING>),"
+        "                    CAST(array() AS ARRAY<STRING>)) AS v2,"
+        "       jaccard_sets(CAST(array() AS ARRAY<STRING>), array('a')) AS v3"
+    ).collect()[0]
+    assert jn.v1 is None and jn.v2 is None and jn.v3 == 0.0, jn
+    # non-string arrays are rejected at analysis time
+    try:
+        spark.sql("SELECT jaccard_sets(array(1), array(2))").collect()
+        raise AssertionError("int arrays did not raise")
+    except Exception as e:  # noqa: BLE001
+        assert "array<string>" in str(e).lower() or "ARRAY<STRING>" in str(e), e
+
     print("NATIVE_EXT_OK")
     spark.stop()
     return 0
