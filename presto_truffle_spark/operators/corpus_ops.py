@@ -1096,7 +1096,9 @@ _PRIO_K = 100  # sample size
                row_number() OVER (ORDER BY wt / u DESC, doc_id) AS rn
         FROM w
     ), tau AS (
-        SELECT prio AS tau FROM q WHERE rn = {_PRIO_K + 1}
+        SELECT coalesce(max(CASE WHEN rn = {_PRIO_K + 1} THEN prio END),
+                        0.0) AS tau
+        FROM q
     ), tot AS (
         SELECT CAST(sum(wt) AS BIGINT) AS total_weight FROM w
     )
@@ -1160,7 +1162,14 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = scoped_persist(spark, "corpus.priosample.w", w)
     topk1 = w.orderBy(F.col("prio").desc(), "doc_id").limit(_PRIO_K + 1)
-    tau = topk1.agg(F.min("prio").alias("tau"))
+    # τ is the (k+1)-th priority; with n ≤ k docs there is no (k+1)-th,
+    # and DLT prescribes ŵ = w exactly (the sample IS the corpus), so
+    # τ degrades to 0 rather than min(prio) of the short frame.
+    tau = topk1.agg(
+        F.when(F.count(F.lit(1)) == _PRIO_K + 1, F.min("prio"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
     tot = w.agg(F.sum("wt").cast("long").alias("total_weight"))
     ranked = topk1.select(
         "doc_id",

@@ -1974,7 +1974,8 @@ _EN_MARKER_SQL = ", ".join(repr(m) for m in _LANG_MARKERS["en"])
         GROUP BY 1
     )
     SELECT bin_id, n_docs, mean_pred, obs_rate,
-           round((sr2_pos - n1 * (n1 + 1)) * 1.0 / (2.0 * n1 * n0), 6)
+           round((sr2_pos - n1 * (n1 + 1)) * 1.0
+                 / nullif(2.0 * n1 * n0, 0), 6)
                AS roc_auc,
            brier
     FROM bins CROSS JOIN g
@@ -2061,7 +2062,7 @@ def eval_binary_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sr2_pos") - F.col("n1") * (F.col("n1") + 1))
             * 1.0
-            / (2.0 * F.col("n1") * F.col("n0")),
+            / F.nullif(2.0 * F.col("n1") * F.col("n0"), F.lit(0.0)),
             6,
         ).alias("roc_auc"),
         "brier",

@@ -2985,7 +2985,7 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
         SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-        FROM events
+        FROM events WHERE event_type IN ('click', 'purchase')
     ), days AS (
         SELECT CAST(CAST(d AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
         FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d

@@ -290,7 +290,16 @@ def _phase(which: str) -> None:
         ).agg(F.sum("j").alias("s"))
         out["jaccard_native"] = _time(jnat)
         out["jaccard_sql_setfns"] = _time(jsql)
-        assert jnat.collect()[0].s == jsql.collect()[0].s
+        # Per-row values are bit-identical doubles (checked row-wise by
+        # native_ext_check.py), but partial-aggregate combine ORDER is
+        # not contractually deterministic across two different plans, so
+        # the 500k-term sums may differ in the last ulps — tolerance,
+        # not equality.
+        s_nat, s_sql = jnat.collect()[0].s, jsql.collect()[0].s
+        assert abs(s_nat - s_sql) <= 1e-9 * max(abs(s_nat), 1.0), (
+            s_nat,
+            s_sql,
+        )
         spark.conf.set("spark.prestotruffle.rangeJoin.binSize", "1000")
         rj = _range_join(spark)
         rj_plan = rj._jdf.queryExecution().executedPlan().toString()
