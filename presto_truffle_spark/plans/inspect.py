@@ -60,6 +60,41 @@ def parquet_scans(df: DataFrame) -> list[ScanInfo]:
     return out
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """WindowExec nodes whose partitionSpec is EMPTY — every one of these
+    funnels its whole input through a single task, the #1 false-scale
+    pattern (WindowExec logs 'Moving all data to a single partition').
+    Counted from the physical plan: Spark prints a partitioned window as
+    `Window [exprs], [partSpec], [orderSpec]` and an unpartitioned one
+    as `Window [exprs], [orderSpec]` — i.e. the SECOND top-level bracket
+    group carries ASC/DESC when no partition spec exists."""
+    plan = physical_plan(df)
+    n = 0
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-*(0123456789)")
+        if not stripped.startswith("Window "):
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in stripped:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        if len(groups) >= 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            n += 1
+    return n
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded) — the
     number every scale review starts from."""

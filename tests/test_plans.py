@@ -1184,3 +1184,19 @@ def test_uplift_and_rfm_ntile_are_tie_broken(spark, sf_dir):
     assert "user_id" in up and "ntile" in up
     rfm = inspect.physical_plan(qs["agg_rfm_segmentation"](spark, sf_dir))
     assert "o_custkey" in rfm and "ntile" in rfm
+
+
+def test_snm_no_single_partition_window(spark, sf_dir):
+    """dedup_sorted_neighborhood's r10 draft ran lead() over an
+    UNPARTITIONED sort — the whole corpus through one task (VERDICT r10
+    #2). Pin the fix: the plan's windows are all partitioned (the local
+    row_number partitions by spark_partition_id), and the pair
+    generation is an equi-join on the stitched global rank, not a
+    nested loop."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dedup_sorted_neighborhood"](spark, sf_dir)
+    assert inspect.unpartitioned_window_count(df) == 0
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
