@@ -2121,7 +2121,14 @@ def text_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary. Engages on the fixture: 31-term vocab → the 11
     least-frequent terms are pruned and the emitted freq_rank column
     pins the selection order. Same exact-integer shares + 6dp L1 fold
-    as the full op; the K-term table broadcast-joins the cell table."""
+    as the full op; the K-term table broadcast-joins the cell table.
+
+    Top-K selection is TakeOrderedAndProject (per-partition heads, one
+    driver merge — the corpus_priority_sample discipline), NOT a
+    row_number over a global vocabulary sort (the r10 draft's
+    single-partition window, fixed per VERDICT r10 #3); the only
+    unpartitioned window left ranks the already-materialized K-row
+    frame."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -2135,17 +2142,18 @@ def text_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_sizes = cells.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("dn")
     )
-    terms = (
+    topk = (
         cells.groupBy("tok")
         .agg(F.sum("c").cast("long").alias("f"))
-        .select(
-            "tok",
-            "f",
-            F.row_number()
-            .over(W.orderBy(F.col("f").desc(), "tok"))
-            .alias("rk"),
-        )
-        .filter(F.col("rk") <= _DISP_TOPK)
+        .orderBy(F.col("f").desc(), "tok")
+        .limit(_DISP_TOPK)
+    )
+    terms = topk.select(
+        "tok",
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), "tok"))
+        .alias("rk"),
     )
     grid = (
         F.broadcast(terms)

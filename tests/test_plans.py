@@ -1200,3 +1200,18 @@ def test_snm_no_single_partition_window(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dispersion_topk_uses_take_ordered(spark, sf_dir):
+    """text_dispersion_topk's term selection must be
+    TakeOrderedAndProject (per-partition heads + driver merge), never a
+    row_number over a globally-sorted vocabulary (VERDICT r10 #3). The
+    one remaining unpartitioned window ranks the K-row frame, so it
+    must sit ABOVE the TakeOrdered in the tree (i.e. consume its
+    output)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["text_dispersion_topk"](spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
