@@ -929,6 +929,121 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_gini_bucketed",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), mx AS (
+        SELECT max(cents) // 10000 + 1 AS bw FROM per_cust
+    ), hist AS (
+        SELECT bw, cents - cents % bw AS v,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM per_cust CROSS JOIN mx GROUP BY 1, 2
+    ), cum AS (
+        SELECT bw, v, nb,
+               coalesce(sum(nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cprev
+        FROM hist
+    ), s AS (
+        SELECT CAST(min(bw) AS BIGINT) AS bucket_width,
+               CAST(sum(nb) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(nb * v) AS HUGEINT) AS sx,
+               sum(CAST(v AS HUGEINT) * nb * (2 * cprev + nb + 1))
+                   AS srx2
+        FROM cum
+    )
+    SELECT n AS n_customers, bucket_width, n_buckets,
+           CAST(sx AS BIGINT) AS total_cents_q,
+           round(CAST(srx2 AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH `agg_gini_coefficient`'s docstring promises:
+    Gini from a ~10k-bucket histogram instead of a global per-customer
+    rank sort. Cents are quantized to bucket floors (bw = max_cents
+    DIV 1e4 + 1, so ≤ 1e4 buckets regardless of corpus size; the
+    quantization is `cents − cents % bw`, pure integer ops on both
+    engines — no div-semantics fork), and the distinct-rank Gini of
+    the QUANTIZED multiset is computed exactly from bucket counts:
+    items in bucket b (count n_b, value v_b, C = count below) occupy
+    ranks C+1..C+n_b, so Σ(r·x) = v_b·n_b·(2C+n_b+1)/2 — carried
+    DOUBLED (2·Σrx) to stay integer-exact, in DECIMAL(38,0)/HUGEINT
+    (the gini overflow discipline). Fixture probe: 1287 buckets at
+    sf0.01 / 4850 at sf0.1, gini within 3e-5 of the exact op (0.204267
+    vs 0.204243 / 0.205532 vs 0.205502) — exact to bucket resolution,
+    as the trade-off states.
+
+    Scale shape: per-customer totals are one map-combinable groupBy;
+    the histogram fold is a second (≤1e4-key) groupBy; the cumulative
+    window and final fold run on the GRID-BOUNDED ≤1e4-row histogram —
+    metadata scale, never corpus scale. Contrast the exact op, whose
+    rank window single-partitions the full customer list; this is the
+    one you run at 100 TB."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    per_cust = scoped_persist(spark, "agg.ginibkt.percust", per_cust)
+    bw_df = per_cust.agg(
+        F.expr("max(cents) DIV 10000 + 1").cast("long").alias("bw")
+    )
+    hist = (
+        per_cust.crossJoin(F.broadcast(bw_df))
+        .groupBy(
+            "bw",
+            (F.col("cents") - F.col("cents") % F.col("bw")).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    from pyspark.sql.window import Window
+
+    cprev = F.coalesce(
+        F.sum("nb").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = hist.select("bw", "v", "nb", cprev.alias("cprev"))
+    s = cum.agg(
+        F.min("bw").cast("long").alias("bucket_width"),
+        F.sum("nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("nb") * F.col("v")).cast("long").alias("sx"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * F.col("nb")
+            * (2 * F.col("cprev") + F.col("nb") + 1)
+        ).alias("srx2"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        "bucket_width",
+        "n_buckets",
+        F.col("sx").alias("total_cents_q"),
+        F.round(
+            F.col("srx2").cast("double")
+            / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
     "agg_percentile_disc",
     oracle="""
     SELECT l_returnflag,

@@ -1461,9 +1461,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     `repartitionByRange(skey, doc_id)` gives an order-preserving range
     partitioning; a per-partition row_number (window partitioned by
     `spark_partition_id()`) plus a cumulative offset per partition
-    (one ≤ _SNM_PARTS-row count aggregate — metadata-scale, collected
-    the same way RangePartitioner itself samples to the driver) stitch
-    an exact consecutive global rank. Each doc then EXPLODES its w−1
+    (a driver-side running sum over the ≤ _SNM_PARTS-row count table —
+    partition-count metadata, the same scale of driver state the
+    RangePartitioner's boundary sample already is) stitch an exact
+    consecutive global rank. Each doc then EXPLODES its w−1
     successor ranks and equi-joins back on rank — a plain shuffled
     hash join that handles partition skew and sub-window partitions
     with no boundary-replication bookkeeping. Verification is the same
@@ -1486,27 +1487,40 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_rn = F.row_number().over(
         W.partitionBy("pid").orderBy("skey", "doc_id")
     )
+    # Cumulative partition offsets: the count table is bounded by the
+    # partition COUNT (≤ _SNM_PARTS rows), never by the corpus, so a
+    # driver-side cumsum is the honest spelling — the same metadata
+    # RangePartitioner itself pulls to the driver to pick boundaries.
+    # (A lit-partitioned window gets constant-folded back to a
+    # single-partition WindowExec, which the plan pin forbids; an
+    # inequality self-join plans as BroadcastNestedLoopJoin, ditto.)
     counts = {
         r["pid"]: r["cnt"]
         for r in ranged.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .collect()
     }
-    offsets, acc = {}, 0
+    acc, rows = 0, []
     for p in sorted(counts):
-        offsets[p] = acc
+        rows.append((p, acc))
         acc += counts[p]
-    off = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(v) for kv in offsets.items() for v in kv]
-            ),
-            F.col("pid"),
-        ),
-        F.lit(0),
+    offsets = spark.createDataFrame(
+        rows or [(0, 0)], "pid int, off long"
     )
-    ranked = ranged.select(
-        "doc_id", "shingles", (local_rn + off).cast("long").alias("rn")
+    ranked = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "shingles",
+            "skey",
+            "pid",
+            "off",
+        )
+        .select(
+            "doc_id",
+            "shingles",
+            (local_rn + F.col("off")).cast("long").alias("rn"),
+        )
     )
     ranked = scoped_persist(spark, "dedup.snm.ranked", ranked)
     a_side = ranked.select(

@@ -97,6 +97,7 @@ _CASES = [
     ("events_autocorrelation", 0),
     ("dedup_minhash_estimator_error", 0),
     ("agg_gini_coefficient", 1),  # ungrouped stats row (0, NULL, NULL)
+    ("agg_gini_bucketed", 1),  # ungrouped stats row (NULL, NULL, 0, ...)
     ("agg_percentile_disc", 0),
     ("agg_winsorized_stats", 0),
     ("streaming_seasonal_anomaly", 0),
