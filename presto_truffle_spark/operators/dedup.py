@@ -1547,3 +1547,181 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(jac >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "neighbor_dist", F.round(jac, 6).alias("jaccard")
     )
+
+
+def _snm_candidate_pairs(
+    spark: SparkSession, keyed: DataFrame, key: str, site: str
+) -> DataFrame:
+    """One SNM pass over `keyed` (doc_id + a blocking-key column named
+    `key`): canonicalized candidate pairs (doc_a < doc_b) within the
+    w−1-successor window of the global (key, doc_id) order. Same
+    distributed-rank discipline as dedup_sorted_neighborhood: range
+    partitions, per-partition row_number, driver-side cumsum of the
+    ≤ _SNM_PARTS-row partition counts (metadata scale), rank equi-join
+    — no single-partition window, no nested loop."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    ranged = keyed.select("doc_id", key).repartitionByRange(
+        _SNM_PARTS, key, "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = scoped_persist(spark, site, ranged)
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    acc, rows = 0, []
+    for p in sorted(counts):
+        rows.append((p, acc))
+        acc += counts[p]
+    offsets = spark.createDataFrame(rows or [(0, 0)], "pid int, off long")
+    local_rn = F.row_number().over(
+        W.partitionBy("pid").orderBy(key, "doc_id")
+    )
+    ranked = ranged.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (local_rn + F.col("off")).cast("long").alias("rn")
+    )
+    a_side = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _SNM_WINDOW)])
+        ).alias("k"),
+        "rn",
+    ).select("id_a", (F.col("rn") + F.col("k")).alias("rn_b"))
+    b_side = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("rn").alias("rn_b")
+    )
+    return a_side.join(b_side, "rn_b").select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    )
+
+
+@query(
+    "dedup_snm_multipass",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lower(text) AS lt,
+               list_transform(
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - {_SHINGLE - 1}),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])),
+                   x -> substr(md5(x), 1, 16)) AS shingles
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SHINGLE}
+    ), keys AS (
+        SELECT doc_id, shingles,
+               substr(lt, 1, {_SNM_KEY_LEN}) AS k1,
+               substr(lt, greatest(1, len(lt) - {_SNM_KEY_LEN - 1}),
+                      {_SNM_KEY_LEN}) AS k2,
+               substr(lt, greatest(1, len(lt) // 2 - {_SNM_KEY_LEN // 2 - 1}),
+                      {_SNM_KEY_LEN}) AS k3
+        FROM sh
+    ),
+    s1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rn
+           FROM keys),
+    s2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) AS rn
+           FROM keys),
+    s3 AS (SELECT doc_id, row_number() OVER (ORDER BY k3, doc_id) AS rn
+           FROM keys),
+    cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM s1 a JOIN s1 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW - 1}
+        UNION ALL
+        SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        FROM s2 a JOIN s2 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW - 1}
+        UNION ALL
+        SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        FROM s3 a JOIN s3 b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SNM_WINDOW - 1}
+    ), grouped AS (
+        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_passes
+        FROM cand GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b, g.n_passes,
+           round(len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+                 (len(x.shingles) + len(y.shingles)
+                  - len(list_intersect(x.shingles, y.shingles))), 6)
+               AS jaccard
+    FROM grouped g
+    JOIN keys x ON x.doc_id = g.doc_a
+    JOIN keys y ON y.doc_id = g.doc_b
+    WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+          (len(x.shingles) + len(y.shingles)
+           - len(list_intersect(x.shingles, y.shingles)))
+          >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS Sorted-Neighborhood (Hernández & Stolfo's own
+    mitigation for SNM's single-key fragility, and the follow-up
+    `dedup_sorted_neighborhood`'s docstring promises): THREE rotated
+    blocking keys — text prefix (the single-pass key), text SUFFIX
+    (last 24 chars, read forward — deliberately NOT reverse(), whose
+    code-unit vs grapheme semantics fork across engines on non-ASCII),
+    and a MID-TEXT window (24 chars centred at len/2) — each sorted
+    independently, w−1-successor candidate pairs unioned, and ONE
+    shared exact-Jaccard verify over the union. A prefix edit breaks
+    pass 1 but leaves passes 2-3 adjacency intact; the emitted
+    n_passes column records how many passes proposed each surviving
+    pair (8 of 256 pairs are multi-pass at sf0.1 — the keys genuinely
+    rotate).
+
+    Measured recall vs the prefix-study brute-force truth (Jaccard
+    ≥ 0.5 over the same shingle sets): 25/25 at sf0.01, 256/256 at
+    sf0.1 — identical to single-pass, as expected on this corpus
+    (template near-dups share prefixes), so the fixture demonstrates
+    the UNION mechanics and per-pass key rotation, not a recall gain;
+    the gain scenario (prefix-edited dups) is what the design buys at
+    100 TB.
+
+    Scale shape: 3× the single-pass cost, each pass the same
+    distributed-rank discipline (range partitions + stitched rank +
+    rank equi-join — no single-partition window); the union is a
+    16-byte-pair shuffle; verification joins the memoized shingle
+    digests once, on the DEDUPLICATED candidate set."""
+    sh = _lsh_tables(spark, sf_dir)["sh"]
+    lt = F.lower(F.col("text"))
+    keys = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(lt, 1, _SNM_KEY_LEN).alias("k1"),
+        lt.substr(
+            F.greatest(F.lit(1), F.length(lt) - (_SNM_KEY_LEN - 1)),
+            F.lit(_SNM_KEY_LEN),
+        ).alias("k2"),
+        lt.substr(
+            F.greatest(
+                F.lit(1),
+                (F.length(lt) / 2).cast("long") - (_SNM_KEY_LEN // 2 - 1),
+            ),
+            F.lit(_SNM_KEY_LEN),
+        ).alias("k3"),
+    )
+    keyed = sh.select("doc_id").join(keys, "doc_id")
+    from presto_truffle_spark.cache import scoped_persist
+
+    keyed = scoped_persist(spark, "dedup.snm_mp.keyed", keyed)
+    cand = None
+    for i, k in enumerate(("k1", "k2", "k3"), start=1):
+        p = _snm_candidate_pairs(
+            spark, keyed, k, f"dedup.snm_mp.pass{i}"
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    grouped = cand.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passes")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        grouped.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_passes", F.round(jac, 6).alias("jaccard")
+        )
+    )

@@ -159,6 +159,7 @@ _CASES = [
     ("events_record_breaking_days", 1),  # ungrouped fold row (0, NULLs)
     ("eval_binary_classifier", 0),  # empty bins x metrics row -> 0
     ("dedup_sorted_neighborhood", 0),
+    ("dedup_snm_multipass", 0),
     ("agg_theta_sketch_setops", 1),  # 0-count folds x empty-sketch ests
     ("agg_kll_quantile_sketch", 1),  # n=0, NULL quantiles/booleans
     ("events_interval_union", 0),
