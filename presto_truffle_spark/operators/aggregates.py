@@ -2312,6 +2312,150 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_mwu_bucketed",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ), mx AS (
+        SELECT max(cents) // 10000 + 1 AS bw FROM t
+    ), hist AS (
+        SELECT bw, cents - cents % bw AS v,
+               CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n1b,
+               CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n0b
+        FROM t CROSS JOIN mx GROUP BY 1, 2
+    ), cum AS (
+        SELECT bw, v, n1b, n0b, n1b + n0b AS nb,
+               coalesce(sum(n1b + n0b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cprev
+        FROM hist
+    ), s AS (
+        SELECT CAST(min(bw) AS BIGINT) AS bucket_width,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n1b) AS BIGINT) AS n1,
+               CAST(sum(n0b) AS BIGINT) AS n2,
+               sum(CAST(n1b AS HUGEINT) * (2 * cprev + nb + 1)) AS dbl_r1,
+               sum(CAST(nb AS HUGEINT) * nb * nb - nb) AS tie_term
+        FROM cum
+    )
+    SELECT n1, n2, bucket_width, n_buckets,
+           round(CAST(dbl_r1 AS DOUBLE) / 2.0 - n1 * (n1 + 1.0) / 2, 1)
+               AS u1,
+           round((CAST(dbl_r1 AS DOUBLE) / 2.0 - n1 * (n1 + 1.0) / 2
+                  - n1 * (n2 * 1.0) / 2)
+                 / sqrt(n1 * (n2 * 1.0) / 12
+                        * ((n1 + n2 + 1.0)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+               AS z_score
+    FROM s
+    """,
+)
+def agg_mwu_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_mann_whitney_u` on the HISTOGRAM — the rank-family's scale
+    exemplar alongside `agg_gini_bucketed` (VERDICT r10 #4): the exact
+    MWU's one global sort is replaced by a ≤1e4-bucket quantization
+    (bw = max_cents DIV 1e4 + 1, floors via `cents − cents % bw`), and
+    tie-averaged rank sums come EXACTLY from bucket counts — each
+    bucket IS one tie group, so 2·R₁ = Σ_b n1_b·(2·C_below + n_b + 1)
+    and the tie-corrected variance term is Σ(n_b³ − n_b), both exact
+    integers in DECIMAL(38,0)/HUGEINT (n_b³ overflows BIGINT at real
+    cardinalities — the gini overflow discipline). Quantization is the
+    only approximation: measured z −0.881026 vs exact −0.881033 at
+    sf0.01, −1.503222 vs −1.503291 at sf0.1 — 7e-5 absolute, far
+    inside any decision threshold.
+
+    Scale shape: the fact⋈dim join and the per-bucket counts are
+    map-combinable; the cumulative window and final fold run on the
+    GRID-BOUNDED ≤1e4-row histogram (metadata scale). The exact op's
+    docstring names this as the swap-in; this registers it."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    t = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    t = scoped_persist(spark, "agg.mwubkt.t", t)
+    bw_df = t.agg(
+        F.expr("max(cents) DIV 10000 + 1").cast("long").alias("bw")
+    )
+    hist = (
+        t.crossJoin(F.broadcast(bw_df))
+        .groupBy(
+            "bw",
+            (F.col("cents") - F.col("cents") % F.col("bw")).alias("v"),
+        )
+        .agg(
+            F.count(F.when(F.col("grp") == 1, 1))
+            .cast("long")
+            .alias("n1b"),
+            F.count(F.when(F.col("grp") == 0, 1))
+            .cast("long")
+            .alias("n0b"),
+        )
+    )
+    nb = F.col("n1b") + F.col("n0b")
+    cprev = F.coalesce(
+        F.sum(F.col("n1b") + F.col("n0b")).over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = hist.select(
+        "bw", "v", "n1b", "n0b", nb.alias("nb"), cprev.alias("cprev")
+    )
+    s = cum.agg(
+        F.min("bw").cast("long").alias("bucket_width"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n1b").cast("long").alias("n1"),
+        F.sum("n0b").cast("long").alias("n2"),
+        F.sum(
+            F.col("n1b").cast("decimal(38,0)")
+            * (2 * F.col("cprev") + F.col("nb") + 1)
+        ).alias("dbl_r1"),
+        F.sum(
+            F.col("nb").cast("decimal(38,0)") * F.col("nb") * F.col("nb")
+            - F.col("nb")
+        ).alias("tie_term"),
+    )
+    u1 = F.col("dbl_r1").cast("double") / F.lit(2.0) - F.col("n1") * (
+        F.col("n1") + F.lit(1.0)
+    ) / 2
+    mu = F.col("n1") * (F.col("n2") * F.lit(1.0)) / 2
+    var = (
+        F.col("n1")
+        * (F.col("n2") * F.lit(1.0))
+        / 12
+        * (
+            (F.col("n1") + F.col("n2") + F.lit(1.0))
+            - F.col("tie_term").cast("double")
+            / (
+                (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2") - F.lit(1.0))
+            )
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "bucket_width",
+        "n_buckets",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+@query(
     "agg_ks_test_two_sample",
     oracle="""
     WITH t AS (

@@ -146,6 +146,7 @@ _CASES = [
     ("text_cooccurrence_matrix", 0),
     ("window_hampel_filter", 0),
     ("agg_mann_whitney_u", 1),  # ungrouped pivot row (0s, NULL stats)
+    ("agg_mwu_bucketed", 1),  # ungrouped fold row (0s, NULL u1/z)
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
     ("lakehouse_write_audit_publish", 5),  # ledger always renders
