@@ -2185,3 +2185,136 @@ def text_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f").alias("total_occurrences"),
         F.round("dp", 6).alias("dispersion_dp"),
     )
+
+
+_LM_TRAIN_HI = "cd"  # the corpus_hash_split train boundary (~80%)
+
+
+@query(
+    "text_unigram_lm_perplexity",
+    oracle=f"""
+    WITH d AS (
+        SELECT text, substr(md5(text), 1, 2) < '{_LM_TRAIN_HI}' AS is_train
+        FROM documents
+    ), tr_tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM d WHERE is_train
+    ), ev_tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM d WHERE NOT is_train
+    ), tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tr_tok GROUP BY tok
+    ), tstat AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+        FROM tc
+    ), ec AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS m FROM ev_tok GROUP BY tok
+    ), joined AS (
+        SELECT coalesce(tc.c, 0) AS c, ec.m
+        FROM ec LEFT JOIN tc ON ec.tok = tc.tok
+    ), grid AS (
+        SELECT c, CAST(sum(m) AS BIGINT) AS mc FROM joined GROUP BY c
+    ), s AS (
+        SELECT CAST(sum(mc) AS BIGINT) AS m_total,
+               CAST(sum(CASE WHEN c = 0 THEN mc ELSE 0 END) AS BIGINT)
+                   AS oov_tokens,
+               sum(mc * ln(c + 1.0)) AS sl,
+               CAST(count(*) AS BIGINT) AS n_count_classes
+        FROM grid
+    )
+    SELECT tstat.n AS train_tokens, tstat.v AS train_vocab,
+           s.m_total AS eval_tokens, s.oov_tokens,
+           round(s.oov_tokens * 1.0 / nullif(s.m_total, 0), 6) AS oov_rate,
+           round((s.sl - s.m_total * ln(tstat.n + tstat.v + 1.0))
+                 / nullif(s.m_total, 0), 6) AS avg_logprob,
+           round(exp(-(s.sl - s.m_total * ln(tstat.n + tstat.v + 1.0))
+                     / nullif(s.m_total, 0)), 6) AS perplexity,
+           s.n_count_classes
+    FROM tstat CROSS JOIN s
+    """,
+)
+def text_unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram-LM perplexity — the classic corpus-quality
+    metric a training pipeline tracks release-over-release (a corpus
+    whose heldout PPL jumps got noisier; one whose PPL collapses got
+    templated): train an add-one-smoothed unigram LM on the
+    `corpus_hash_split` train slice (SAME md5 boundary — duplicates
+    can't straddle the split), score the remaining ~20% of tokens,
+    PPL = exp(−mean log p), p(w) = (c_w + 1)/(N + V + 1) with the +1
+    denominator slot standing for the single OOV class.
+
+    Determinism discipline: eval tokens are folded to (train-count c,
+    token count m_c) pairs — both exact integers — so the float work
+    collapses to Σ m_c·ln(c+1) over the ≤|count-classes| grid (28 at
+    sf0.01, 31 at sf0.1) minus one closed-form term, same ≤dozens-term
+    IEEE sum on both engines, rounded 6dp (the events_cross_correlation
+    exposure class). Fixture honesty: the synthetic langs share one
+    31-word vocabulary, so oov_rate = 0 and PPL ≈ 30 ≈ V — the harness
+    is the capability; real corpora put OOV mass and the count-class
+    grid to work.
+
+    Scale shape: two map-combinable token folds (train counts, eval
+    counts), one vocab-sized equi-join, then a count-class fold — no
+    global sort, no window; nothing downstream of the folds is
+    corpus-volume."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "text",
+        (
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+            < _LM_TRAIN_HI
+        ).alias("is_train"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    d = scoped_persist(spark, "text.unilm.d", d)
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    tc = (
+        d.filter("is_train")
+        .select(tok)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tstat = tc.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ec = (
+        d.filter(~F.col("is_train"))
+        .select(tok)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    joined = ec.join(tc, "tok", "left").select(
+        F.coalesce("c", F.lit(0)).alias("c"), "m"
+    )
+    grid = joined.groupBy("c").agg(F.sum("m").cast("long").alias("mc"))
+    s = grid.agg(
+        F.sum("mc").cast("long").alias("m_total"),
+        F.sum(F.when(F.col("c") == 0, F.col("mc")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.sum(F.col("mc") * F.log(F.col("c") + 1.0)).alias("sl"),
+        F.count(F.lit(1)).cast("long").alias("n_count_classes"),
+    )
+    avg_lp = (
+        F.col("sl")
+        - F.col("m_total") * F.log(F.col("n") + F.col("v") + 1.0)
+    ) / F.nullif(F.col("m_total") * F.lit(1.0), F.lit(0.0))
+    return (
+        F.broadcast(tstat)
+        .crossJoin(s)
+        .select(
+            F.col("n").alias("train_tokens"),
+            F.col("v").alias("train_vocab"),
+            F.col("m_total").alias("eval_tokens"),
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens")
+                * 1.0
+                / F.nullif(F.col("m_total") * F.lit(1.0), F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+            F.round(avg_lp, 6).alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 6).alias("perplexity"),
+            "n_count_classes",
+        )
+    )
