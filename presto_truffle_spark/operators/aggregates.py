@@ -2312,6 +2312,161 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_spearman_bucketed",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), mx AS (
+        SELECT max(abs(x)) // 10000 + 1 AS bwx,
+               max(abs(y)) // 10000 + 1 AS bwy FROM t
+    ), joint AS (
+        SELECT x - x % bwx AS vx, y - y % bwy AS vy,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t CROSS JOIN mx GROUP BY 1, 2
+    ), margx AS (
+        SELECT vx, CAST(sum(cnt) AS BIGINT) AS nb FROM joint GROUP BY vx
+    ), rankx AS (
+        SELECT vx, 2 * coalesce(sum(nb) OVER (ORDER BY vx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + nb + 1 AS rx
+        FROM margx
+    ), margy AS (
+        SELECT vy, CAST(sum(cnt) AS BIGINT) AS nb FROM joint GROUP BY vy
+    ), ranky AS (
+        SELECT vy, 2 * coalesce(sum(nb) OVER (ORDER BY vy
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + nb + 1 AS ry
+        FROM margy
+    ), f AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               sum(CAST(rx AS HUGEINT) * cnt) AS sx,
+               sum(CAST(ry AS HUGEINT) * cnt) AS sy,
+               sum(CAST(rx AS HUGEINT) * ry * cnt) AS sxy,
+               sum(CAST(rx AS HUGEINT) * rx * cnt) AS sxx,
+               sum(CAST(ry AS HUGEINT) * ry * cnt) AS syy
+        FROM joint j
+        JOIN rankx ON j.vx = rankx.vx
+        JOIN ranky ON j.vy = ranky.vy
+    )
+    SELECT n, n_cells,
+           round((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM f
+    """,
+)
+def agg_spearman_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_spearman_correlation` on the JOINT histogram — the third
+    bucketed-rank exemplar (with `agg_gini_bucketed` and
+    `agg_mwu_bucketed`): both variables quantize to ≤ ~2e4 buckets
+    each (bw = max(|v|) DIV 1e4 + 1; `v − v % bw` truncates toward
+    zero identically on both engines — acctbal IS negative, and
+    toward-zero quantization is still monotone, so quantized ranks
+    are valid ranks), the corpus folds ONCE to the (vx, vy) joint
+    histogram, marginals + tie-averaged doubled ranks derive from
+    that histogram on the ≤2e4-row grids, and Pearson-over-ranks
+    moments are Σ over populated cells weighted by cnt — exact
+    integers in DECIMAL(38,0)/HUGEINT. Measured vs exact: rho
+    0.005042 vs 0.005038 (sf0.01), −0.002754 vs −0.002755 (sf0.1).
+
+    Scale shape: ONE map-combinable corpus fold (the joint histogram,
+    ≤ min(n, Bx·By) ≈ 1e8 cells worst-case — a distributed groupBy,
+    never a global sort); everything downstream runs on grid-bounded
+    marginals. The exact op's two global sort windows are the cost
+    this swaps out. Fixture honesty: order price vs customer balance
+    is designed-independent (rho ≈ 0), and prices are near-unique so
+    n_cells ≈ n here — the compression engages on real repeated-value
+    data; the PLAN shape is the capability."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    t = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("y"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    t = scoped_persist(spark, "agg.spearbkt.t", t)
+    bw_df = t.agg(
+        F.expr("max(abs(x)) DIV 10000 + 1").cast("long").alias("bwx"),
+        F.expr("max(abs(y)) DIV 10000 + 1").cast("long").alias("bwy"),
+    )
+    joint = (
+        t.crossJoin(F.broadcast(bw_df))
+        .groupBy(
+            (F.col("x") - F.col("x") % F.col("bwx")).alias("vx"),
+            (F.col("y") - F.col("y") % F.col("bwy")).alias("vy"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    joint = scoped_persist(spark, "agg.spearbkt.joint", joint)
+
+    def _ranks(col: str, alias: str) -> DataFrame:
+        marg = joint.groupBy(col).agg(
+            F.sum("cnt").cast("long").alias("nb")
+        )
+        cprev = F.coalesce(
+            F.sum("nb").over(
+                W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        return marg.select(
+            col, (2 * cprev + F.col("nb") + 1).cast("long").alias(alias)
+        )
+
+    f = (
+        joint.join(F.broadcast(_ranks("vx", "rx")), "vx")
+        .join(F.broadcast(_ranks("vy", "ry")), "vy")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(
+                F.col("rx").cast("decimal(38,0)") * F.col("cnt")
+            ).alias("sx"),
+            F.sum(
+                F.col("ry").cast("decimal(38,0)") * F.col("cnt")
+            ).alias("sy"),
+            F.sum(
+                F.col("rx").cast("decimal(38,0)")
+                * F.col("ry")
+                * F.col("cnt")
+            ).alias("sxy"),
+            F.sum(
+                F.col("rx").cast("decimal(38,0)")
+                * F.col("rx")
+                * F.col("cnt")
+            ).alias("sxx"),
+            F.sum(
+                F.col("ry").cast("decimal(38,0)")
+                * F.col("ry")
+                * F.col("cnt")
+            ).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return f.select(
+        "n",
+        "n_cells",
+        F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+    )
+
+
+@query(
     "agg_mwu_bucketed",
     oracle="""
     WITH t AS (
