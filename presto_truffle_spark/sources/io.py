@@ -585,3 +585,115 @@ def source_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, n_values long, null_count long, "
         "stat_min long, stat_max long",
     )
+
+
+@query(
+    "source_python_datasource_sink",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source WRITER (Spark 4 DataSource API) — the
+    sink half of `source_python_datasource` / the r10 streaming reader:
+    a first-class ``df.write.format(...)`` target whose per-partition
+    `write(iterator)` runs ON THE EXECUTORS (one JSONL file per task,
+    named by TaskContext partition id), returns a WriterCommitMessage
+    per task, and whose driver-side `commit(messages)` publishes a
+    manifest only after every task reported in — the real two-phase
+    commit protocol every production sink (and lakehouse WAP) builds
+    on. Round-trip: documents (doc_id, lang, n_chars) → custom sink →
+    read back with an EXPLICIT schema → aggregate by lang; the oracle
+    aggregates the source table directly, so any row lost or
+    duplicated by the sink's task/commit plumbing forks the hash.
+
+    Local-mode note: executors share one filesystem, so plain paths
+    work; on a cluster the same class writes to shared storage — the
+    PROTOCOL (executor-side write, message, driver commit) is
+    identical. Classes nested so cloudpickle ships them by value."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class JsonlCommit(WriterCommitMessage):
+        def __init__(self, path: str, rows: int):
+            self.path = path
+            self.rows = rows
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            import os as _os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            _os.makedirs(self.path, exist_ok=True)
+            out = f"{self.path}/part-{pid:05d}.jsonl"
+            n = 0
+            with open(out, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": row[0],
+                                "lang": row[1],
+                                "n_chars": row[2],
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return JsonlCommit(out, n)
+
+        def commit(self, messages):
+            import os as _os
+
+            _os.makedirs(self.path, exist_ok=True)
+            manifest = {
+                "files": sorted(m.path for m in messages),
+                "rows": sum(m.rows for m in messages),
+            }
+            with open(f"{self.path}/_MANIFEST.json", "w") as fh:
+                fh.write(_json.dumps(manifest))
+
+        def abort(self, messages):
+            pass  # scratch dir is app-scoped; nothing durable to undo
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "docs_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlSink)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _scoped_scratch(spark, "pyds_sink")
+    (
+        d.repartition(4)
+        .write.format("docs_jsonl_sink")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).json(f"{path}/part-*.jsonl")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
