@@ -2318,3 +2318,203 @@ def text_unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_count_classes",
         )
     )
+
+
+@query(
+    "corpus_ccnet_quality_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, substr(md5(text), 1, 2) < '{_LM_TRAIN_HI}'
+                   AS is_train
+        FROM documents
+    ), tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM d WHERE is_train)
+        GROUP BY tok
+    ), tstat AS (
+        SELECT CAST(round(ln(sum(c) + count(*) + 1.0) * 1000000)
+                    AS BIGINT) AS li_den
+        FROM tc
+    ), dtc AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM d)
+        GROUP BY 1, 2
+    ), dtc_c AS (
+        SELECT dtc.doc_id, coalesce(tc.c, 0) AS c, dtc.m
+        FROM dtc LEFT JOIN tc ON dtc.tok = tc.tok
+    ), li AS (
+        SELECT c, CAST(round(ln(c + 1.0) * 1000000) AS BIGINT) AS li_c
+        FROM (SELECT DISTINCT c FROM dtc_c)
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(m * li_c) AS BIGINT) AS sum_li,
+               CAST(sum(m) AS BIGINT) AS mt
+        FROM dtc_c JOIN li ON dtc_c.c = li.c
+        GROUP BY doc_id
+    ), scored AS (
+        SELECT doc_id,
+               CAST(round((sum_li - mt * li_den) * 1.0 / mt) AS BIGINT)
+                   AS s,
+               mt
+        FROM per_doc CROSS JOIN tstat
+    ), bwq AS (
+        SELECT max(abs(s)) // 10000 + 1 AS bw FROM scored
+    ), hist AS (
+        SELECT s - s % bw AS vb, CAST(count(*) AS BIGINT) AS nb
+        FROM scored CROSS JOIN bwq GROUP BY 1
+    ), cum AS (
+        SELECT vb, CAST(sum(nb) OVER (ORDER BY vb) AS BIGINT) AS cumn
+        FROM hist
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd FROM scored
+    ), thr AS (
+        SELECT min(CASE WHEN cumn * 3 >= nd THEN vb END) AS t1,
+               min(CASE WHEN cumn * 3 >= 2 * nd THEN vb END) AS t2
+        FROM cum CROSS JOIN tot
+    )
+    SELECT CASE WHEN (s - s % bw) <= t1 THEN 'tail'
+                WHEN (s - s % bw) <= t2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mt) AS BIGINT) AS total_tokens,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 2) AS mean_score_micro
+    FROM scored CROSS JOIN bwq CROSS JOIN thr
+    GROUP BY 1
+    """,
+)
+def corpus_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing (Wenzek et al.,
+    LREC'20): score every document by its per-token log-likelihood
+    under the `text_unigram_lm_perplexity` LM (trained on the
+    hash-split train slice), then split the corpus into perplexity
+    TERTILES — head = most-fluent third, tail = noisiest — the
+    pre-training curriculum/filter step CCNet runs with a 5-gram
+    KenLM and this repo re-expresses with its unigram LM (the harness
+    and the bucketing mechanics, not the LM order, are the
+    capability).
+
+    Determinism discipline (three layers): (1) per-doc scores never
+    sum floats — each count-class's log-prob is frozen ONCE as an
+    integer micro-nat (round(ln(c+1)·1e6)), so per-doc folds are
+    exact BIGINT sums of (token-count × micro-nat); (2) the per-doc
+    normalization is ONE double division rounded to integer micro-
+    nats; (3) tertile thresholds come from the bucketed-rank
+    discipline — a ≤1e4-bucket histogram of quantized scores with
+    integer cumulative-count comparisons (cum·3 ≥ n, ≥ 2n) — never a
+    global ntile/percent_rank sort. Boundary docs sharing a quantized
+    bucket share a tertile, so tertile sizes are equal only to bucket
+    resolution (156/175/169 at sf0.01 — honest and pinned).
+
+    Scale shape: token folds and per-doc sums are map-combinable; the
+    count-class log-prob table and the score histogram are grid-
+    bounded; threshold assignment broadcasts two integers. Nothing
+    downstream of the folds is corpus-volume."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+            < _LM_TRAIN_HI
+        ).alias("is_train"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    d = scoped_persist(spark, "corpus.ccnet.d", d)
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok")
+    tc = (
+        d.filter("is_train")
+        .select(tok)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tstat = tc.agg(
+        F.round(
+            F.log(F.sum("c") + F.count(F.lit(1)) + 1.0) * 1000000
+        )
+        .cast("long")
+        .alias("li_den")
+    )
+    dtc = (
+        d.select("doc_id", tok)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    dtc_c = dtc.join(tc, "tok", "left").select(
+        "doc_id", F.coalesce("c", F.lit(0)).alias("c"), "m"
+    )
+    dtc_c = scoped_persist(spark, "corpus.ccnet.dtcc", dtc_c)
+    li = (
+        dtc_c.select("c")
+        .distinct()
+        .select(
+            "c",
+            F.round(F.log(F.col("c") + 1.0) * 1000000)
+            .cast("long")
+            .alias("li_c"),
+        )
+    )
+    per_doc = (
+        dtc_c.join(F.broadcast(li), "c")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("m") * F.col("li_c")).cast("long").alias("sum_li"),
+            F.sum("m").cast("long").alias("mt"),
+        )
+    )
+    scored = per_doc.crossJoin(F.broadcast(tstat)).select(
+        "doc_id",
+        F.round(
+            (F.col("sum_li") - F.col("mt") * F.col("li_den"))
+            * 1.0
+            / F.col("mt")
+        )
+        .cast("long")
+        .alias("s"),
+        "mt",
+    )
+    scored = scoped_persist(spark, "corpus.ccnet.scored", scored)
+    bwq = scored.agg(
+        F.expr("max(abs(s)) DIV 10000 + 1").cast("long").alias("bw")
+    )
+    withbw = scored.crossJoin(F.broadcast(bwq))
+    hist = withbw.groupBy(
+        (F.col("s") - F.col("s") % F.col("bw")).alias("vb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    cum = hist.select(
+        "vb",
+        F.sum("nb")
+        .over(W.orderBy("vb").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cumn"),
+    )
+    tot = scored.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    thr = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cumn") * 3 >= F.col("nd"), F.col("vb"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cumn") * 3 >= 2 * F.col("nd"), F.col("vb"))
+        ).alias("t2"),
+    )
+    vb = F.col("s") - F.col("s") % F.col("bw")
+    return (
+        withbw.crossJoin(F.broadcast(thr))
+        .select(
+            F.when(vb <= F.col("t1"), "tail")
+            .when(vb <= F.col("t2"), "middle")
+            .otherwise("head")
+            .alias("bucket"),
+            "s",
+            "mt",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("mt").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 2
+            ).alias("mean_score_micro"),
+        )
+    )

@@ -150,6 +150,7 @@ _CASES = [
     ("agg_spearman_bucketed", 1),  # ungrouped fold row (0, 0, NULL rho)
     ("agg_countmin_heavy_hitters", 0),  # empty vocab -> no hitters
     ("source_python_datasource_sink", 0),  # 4 empty part files round-trip
+    ("corpus_ccnet_quality_buckets", 0),  # no docs -> no tertiles
     ("text_unigram_lm_perplexity", 1),  # 1x1 cross of empty folds, NULLs
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
