@@ -3107,3 +3107,136 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num * 1.0 / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0)), 6
         ).alias("pearson_r"),
     )
+
+
+@query(
+    "events_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), days AS (
+        SELECT CAST(CAST(d AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+        FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+              FROM bounds)
+    ), daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), grid AS (
+        SELECT days.di, CAST(coalesce(daily.n, 0) AS DOUBLE) AS x
+        FROM days LEFT JOIN daily ON daily.di = days.di
+    ), lim AS (
+        SELECT min(di) AS i0, max(di) AS i1, CAST(count(*) AS BIGINT) AS nd
+        FROM grid
+    ), rec AS (
+        SELECT g1.di AS di, g0.x AS l, g1.x - g0.x AS t
+        FROM lim JOIN grid g0 ON g0.di = lim.i0
+                 JOIN grid g1 ON g1.di = lim.i0 + 1
+        UNION ALL
+        SELECT g.di,
+               CAST(0.3 AS DOUBLE) * g.x
+                   + CAST(0.7 AS DOUBLE) * (r.l + r.t),
+               CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * g.x
+                    + CAST(0.7 AS DOUBLE) * (r.l + r.t)) - r.l)
+               + CAST(0.9 AS DOUBLE) * r.t
+        FROM rec r JOIN grid g ON g.di = r.di + 1
+    )
+    SELECT lim.nd AS n_days,
+           round(r.l, 6) AS level, round(r.t, 6) AS trend,
+           round(r.l + r.t, 6) AS forecast_1d,
+           round(r.l + 7 * r.t, 6) AS forecast_7d
+    FROM rec r JOIN lim ON r.di = lim.i1
+    WHERE lim.nd >= 3
+    """,
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double) exponential smoothing over the daily
+    event-count series, with 1-day and 7-day forecasts — the SEQUENTIAL
+    RECURRENCE the forecast-backtest family's seasonal-naive baselines
+    deliberately avoid: l_i = αx_i + (1−α)(l+t), t_i = β(l_i−l) +
+    (1−β)t. A recurrence can't be a groupBy or a window frame, and the
+    classic dodge (driver loop / UDF) is neither declarative nor
+    cross-engine checkable. The spelling here: densify the observed
+    span (the events_cross_correlation grid), collect the GRID-BOUNDED
+    day series into ONE ordered array, and run the recurrence as a
+    higher-order-function LEFT FOLD — Spark `aggregate(slice, init,
+    merge)` — mirrored by a DuckDB RECURSIVE CTE stepping day-by-day
+    with the identical arithmetic spelling, hence the SAME IEEE op
+    sequence: results are bit-identical with no integerization needed
+    (α,β literals parse to identical doubles — F.lit on the Spark
+    side, CAST(.. AS DOUBLE) on the duck side, dodging the
+    DECIMAL-literal trap). Init: l₀ = x₁, t₀ = x₂ − x₁; observations
+    fold from day 3 (the convention is part of the contract and
+    mirrored exactly).
+
+    Engine-fork note (probed r11, pinned here): DuckDB 1.0's
+    `list_reduce` with a STRUCT accumulator does NOT perform a clean
+    left fold — from the second iteration one field's `acc.`
+    references bind to the freshly-computed sibling field (observed:
+    acc.l in the trend expression took the NEW level), so the
+    lambda-fold spelling silently diverges from Spark's `aggregate`.
+    The recursive-CTE oracle sidesteps lambda evaluation entirely;
+    scalar-accumulator list_reduce folds are unaffected (probed
+    left-fold-correct).
+
+    Scale shape: the daily fold is map-combinable; the recurrence runs
+    on the days-sized array (30 at fixture; time-bounded by
+    definition — a year is 365 elements), one row, driver-free. The
+    collect_list is the honest point where 'sequential' meets
+    'distributed': bounded by the CALENDAR, not the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    di = F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(di.alias("di")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    daily = scoped_persist(spark, "tsa.holt.daily", daily)
+    bounds = daily.agg(F.min("di").alias("d0"), F.max("di").alias("d1"))
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("di"))
+    grid = days.join(daily, "di", "left").select(
+        "di", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    arr = grid.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("di"), F.col("x")))
+        ).alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    ).select(
+        F.transform(F.col("sx"), lambda s: s.x).alias("xs"), "nd"
+    )
+    a, b = F.lit(0.3), F.lit(0.1)
+    one_a, one_b = F.lit(0.7), F.lit(0.9)
+
+    def merge(acc, e):
+        newl = a * e + one_a * (acc.l + acc.t)
+        return F.struct(
+            newl.alias("l"),
+            (b * (newl - acc.l) + one_b * acc.t).alias("t"),
+        )
+
+    folded = arr.filter(F.col("nd") >= 3).select(
+        "nd",
+        F.aggregate(
+            F.slice(F.col("xs"), 3, F.size(F.col("xs"))),
+            F.struct(
+                F.element_at(F.col("xs"), 1).alias("l"),
+                (
+                    F.element_at(F.col("xs"), 2)
+                    - F.element_at(F.col("xs"), 1)
+                ).alias("t"),
+            ),
+            merge,
+        ).alias("st"),
+    )
+    return folded.select(
+        F.col("nd").alias("n_days"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.t"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_1d"),
+        F.round(F.col("st.l") + 7 * F.col("st.t"), 6).alias(
+            "forecast_7d"
+        ),
+    )
