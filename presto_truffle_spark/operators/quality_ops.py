@@ -1598,3 +1598,111 @@ def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("released_count"),
         F.round("noise", 6).alias("noise_applied"),
     )
+
+
+_CANON_ORACLE = (
+    _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ), toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), m AS (
+        SELECT t.doc_id, coalesce(c.component, t.doc_id) AS cluster_id,
+               t.n_tokens
+        FROM toks t LEFT JOIN comp c ON c.doc_id = t.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           n_tokens,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+    FROM m
+"""
+)
+
+
+@query("dedup_canonical_selection", oracle=_CANON_ORACLE)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step the cluster ops stop short of: a
+    per-document KEEP/DROP manifest. Near-dup clusters (connected
+    components over the verified MinHash pairs — the
+    `dedup_connected_components` machinery) each keep ONE canonical
+    document — the longest (most tokens), ties to the lowest doc_id —
+    and singletons keep themselves; the emitted manifest (doc_id,
+    cluster_id, cluster_size, n_tokens, keep) is exactly the frame a
+    release pipeline anti-joins against the corpus (or feeds to
+    `lakehouse_deletion_vectors`) to materialize the deduplicated set.
+    'Longest wins' is the C4/RefinedWeb convention — near-dup clusters
+    are usually truncations and boilerplate-wrapped copies of one
+    fullest text.
+
+    Scale shape: pair generation and CC are the measured LSH +
+    large-small-star paths (O(log n) rounds, key-shuffles only); the
+    manifest adds ONE left join of the corpus against the (far
+    smaller) labeled set and one window partitioned by cluster_id —
+    cluster-bounded partitions, no global sort. Canonical choice is
+    deterministic under the driver's hash (total order per cluster)."""
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    try:
+        labels = large_small_star_components(edges)
+    finally:
+        edges.unpersist()
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    m = toks.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "n_tokens",
+    )
+    w = W.partitionBy("cluster_id")
+    return m.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        "n_tokens",
+        (
+            F.row_number().over(
+                w.orderBy(F.col("n_tokens").desc(), "doc_id")
+            )
+            == 1
+        ).alias("keep"),
+    )

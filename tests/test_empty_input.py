@@ -152,6 +152,7 @@ _CASES = [
     ("source_python_datasource_sink", 0),  # 4 empty part files round-trip
     ("corpus_ccnet_quality_buckets", 0),  # no docs -> no tertiles
     ("events_holt_smoothing", 0),  # <3 days of series -> filtered out
+    ("dedup_canonical_selection", 0),  # no docs -> empty manifest
     ("text_unigram_lm_perplexity", 1),  # 1x1 cross of empty folds, NULLs
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
