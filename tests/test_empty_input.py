@@ -153,6 +153,7 @@ _CASES = [
     ("corpus_ccnet_quality_buckets", 0),  # no docs -> no tertiles
     ("events_holt_smoothing", 0),  # <3 days of series -> filtered out
     ("dedup_canonical_selection", 0),  # no docs -> empty manifest
+    ("embedding_jl_projection", 1),  # ungrouped audit row (0 pairs, NULLs)
     ("text_unigram_lm_perplexity", 1),  # 1x1 cross of empty folds, NULLs
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
