@@ -71,7 +71,7 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     plan = physical_plan(df)
     n = 0
     for line in plan.splitlines():
-        stripped = line.lstrip(" +-*(0123456789)")
+        stripped = line.lstrip(" :+-*(0123456789)")
         if not stripped.startswith("Window "):
             continue
         groups, depth, cur = [], 0, ""

@@ -1,0 +1,138 @@
+"""Registry-wide plan audit: build the physical plan of EVERY registered
+query and flag the three false-scale patterns the per-op reviews hunt by
+hand — CartesianProduct, BroadcastNestedLoopJoin, and single-partition
+WindowExec (empty partitionSpec, via plans.inspect).
+
+Whitelists are EXPLANATIONS, not exemptions-by-default: each entry names
+the op and why its flagged node is bounded (grid-scale input, pinned
+constant frame, deliberate audit shape). Anything flagged and not
+whitelisted is a finding.
+
+Usage: python tools/plan_audit.py [sf_dir]   (plans only — no execution;
+~2-4 min for the full registry). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# op -> reason the flagged node is scale-bounded (reviewed by hand).
+WHITELIST: dict[str, str] = {
+    # K-row / grid-bounded unpartitioned windows (post-limit or
+    # histogram-sized input, documented in each docstring):
+    "corpus_priority_sample": "rank of the k+1-row TakeOrdered frame",
+    "text_dispersion_topk": "rank of the K-row TakeOrdered frame",
+    "agg_gini_bucketed": "cumsum over <=1e4-row histogram",
+    "agg_mwu_bucketed": "cumsum over <=1e4-row histogram",
+    "agg_spearman_bucketed": "cumsums over <=2e4-row marginals",
+    "corpus_ccnet_quality_buckets": "cumsum over <=1e4-row histogram",
+    "embedding_jl_projection": "8128-pair broadcast self-join of a fixed 128-vector frame",
+    # The documented exact-rank family (VERDICT r10's 'weak 7'): exact
+    # ranks need ONE global sort by definition; each op's docstring
+    # names its *_bucketed / approx swap-in as the 100 TB path.
+    "agg_gini_coefficient": "exact-rank family; scale path agg_gini_bucketed",
+    "agg_mann_whitney_u": "exact-rank family; scale path agg_mwu_bucketed",
+    "agg_spearman_correlation": "exact-rank family; scale path agg_spearman_bucketed",
+    "agg_ks_test_two_sample": "exact-rank family; cumulative-dist global sort, histogram swap-in documented",
+    "eval_binary_classifier": "exact-rank AUC; bucketed-histogram AUC is the documented swap-in",
+    "agg_percentile_disc": "exact ordered-set aggregate; approx_percentile is the documented swap-in",
+    "agg_winsorized_stats": "exact-rank trim; approx-quantile swap-in documented",
+    # Grid-bounded windows (day/hour tables, k-row frames -- each
+    # docstring states the bound):
+    "events_survival_curve": "day-table window",
+    "events_forecast_backtest": "day-table window",
+    "events_incident_mttr_mtbf": "incident-table window (events fold first)",
+    "events_peak_concurrency": "boundary-table window over per-user folds",
+    "events_slo_burn_rate": "day/window-grid fold",
+    "events_watermark_lateness_audit": "watermark-grid window",
+    "events_record_breaking_days": "day-table scalar cross",
+    "events_uplift_by_decile": "ntile over per-user fold (user-bounded, tie-broken)",
+    "agg_rfm_segmentation": "ntile over per-customer fold (customer-bounded, tie-broken)",
+    "agg_poisson_bootstrap_ci": "replicate-grid window (32 replicates)",
+    "agg_hdr_histogram_percentiles": "log-bucket grid window + scalar threshold join",
+    "filter_skyline_2d": "skyline frontier window over pre-reduced candidates",
+    "search_hybrid_rrf": "rank fusion over two k-row retrieval frames",
+    "text_zipf_fit": "vocabulary-grid rank window (vocab-bounded)",
+    "window_max_drawdown": "day-table running max",
+    "window_runs_test": "day-table sign sequence",
+    "window_theil_sen_slope": "day-pair grid (<=30x30)",
+    "window_hampel_filter": "banded hour-grid self-join (documented)",
+    "events_bitemporal_asof": "scalar system-version threshold join",
+    "corpus_token_budget_select": "cumulative-vs-scalar-budget threshold join",
+    "pipeline_budgeted_release": "cumulative-vs-scalar-budget threshold join",
+    "retrieval_eval_metrics": "rank-vs-scalar threshold join over k-row frames",
+    "subquery_scalar_agg": "scalar correlated-subquery rewrite (1-row build)",
+    "text_cosine_pairs": "df-vs-scalar threshold joins (1-row build)",
+    "text_cosine_pairs_weighted": "df-vs-scalar threshold joins (1-row build)",
+    "text_heaps_law_fit": "scalar cutoff threshold joins (1-row build)",
+    "text_vocab_coverage_oov": "rank-vs-scalar k threshold join",
+    "agg_countmin_heavy_hitters": "estimate-vs-scalar total threshold join (1-row build)",
+    "events_cross_correlation": "lag-grid x day-grid joins (calendar-bounded)",
+    "events_autocorrelation": "lag-grid x day-grid joins (calendar-bounded)",
+    "events_session_gap_sweep": "gap-grid x session fold (grid-bounded)",
+    "events_decayed_counts": "day-grid decay join (calendar-bounded)",
+    "events_markov_stationary": "state-grid iteration (|states|^2-bounded)",
+}
+
+
+def main() -> int:
+    from presto_truffle_spark.plans import inspect
+    from presto_truffle_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("plan-audit", cpus="8")
+    qs = entry.queries()
+    findings: dict[str, list[str]] = {}
+    whitelisted: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        try:
+            df = fn(spark, SF_DIR)
+            plan = inspect.physical_plan(df)
+            flags = []
+            if "CartesianProduct" in plan:
+                flags.append("CartesianProduct")
+            # An UNCONDITIONED BroadcastNestedLoopJoin is (in this repo)
+            # the crossJoin(broadcast(<=1-row aggregate>)) scalar-attach
+            # pattern -- bounded build side, benign at any scale. A
+            # CONDITIONED one is a real non-equi join fallback: flag it.
+            for m in re.finditer(r"BroadcastNestedLoopJoin BuildLeft|BroadcastNestedLoopJoin BuildRight", plan):
+                line = plan[m.start():plan.index("\n", m.start())]
+                if re.search(r"(Inner|Cross|LeftOuter|RightOuter|LeftSemi|LeftAnti|FullOuter),\s*\(", line):
+                    flags.append(f"conditioned BNLJ: {line.strip()[:90]}")
+            upw = inspect.unpartitioned_window_count(df)
+            if upw:
+                flags.append(f"unpartitioned_window x{upw}")
+            if not flags:
+                continue
+            if name in WHITELIST:
+                whitelisted[name] = flags
+            else:
+                findings[name] = flags
+        except Exception:
+            errors[name] = traceback.format_exc(limit=1).splitlines()[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "plan_audit",
+                "n_queries": len(qs),
+                "flagged": findings,
+                "whitelisted": whitelisted,
+                "errors": errors,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
