@@ -1151,3 +1151,169 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         spark.conf.set("spark.sql.shuffle.partitions", old)
         drop_checkpoint(ckpt)
     return spark.table(name)
+
+
+@query(
+    "streaming_python_sink",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest(generate_series(0,
+                      {_PYSTREAM_BATCHES * _PYSTREAM_ROWS - 1})) AS id
+    )
+    SELECT CAST(id % 5 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id % 50 + 1) AS BIGINT) AS total_qty
+    FROM g GROUP BY 1
+    """,
+)
+def streaming_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING sink (Spark 4 ``DataSourceStreamWriter``)
+    — the final cell of the Python DataSource matrix (batch reader r9,
+    streaming reader r10, batch writer r11, and now the streaming
+    writer): per-micro-batch, per-partition ``write(iterator)`` runs on
+    the executors emitting one JSONL file named (batchId, partition),
+    returns a WriterCommitMessage, and the driver-side
+    ``commit(messages, batchId)`` appends a line to a commit LOG only
+    after the batch's tasks all reported — exactly-once bookkeeping a
+    real external sink builds on (the ``abort`` hook completes the
+    contract). Source side reuses the r10 streaming reader's
+    deterministic arithmetic batches, so the files the sink wrote can
+    be read back as a batch DataFrame and aggregated; the oracle is a
+    pure generate_series rebuild — any dropped/duplicated micro-batch
+    or partition forks the hash. The read-back also FILTERS to batch
+    ids present in the commit log (the sink's own read-your-committed
+    protocol).
+
+    Scale shape: the sink protocol is per-partition/per-batch constant
+    state; file count = batches × partitions (the compaction family
+    handles the small-file aftermath at scale)."""
+    del sf_dir  # synthetic source; signature kept uniform
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        SimpleDataSourceStreamReader,
+        WriterCommitMessage,
+    )
+
+    n_batches, n_rows = _PYSTREAM_BATCHES, _PYSTREAM_ROWS
+
+    class GenStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= n_batches:
+                return iter([]), start
+            rows = [
+                (i, i % 50 + 1) for i in range(b * n_rows, (b + 1) * n_rows)
+            ]
+            return iter(rows), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [
+                    (i, i % 50 + 1)
+                    for i in range(
+                        start["batch"] * n_rows, end["batch"] * n_rows
+                    )
+                ]
+            )
+
+    class JsonlCommit(WriterCommitMessage):
+        def __init__(self, path: str, rows: int):
+            self.path = path
+            self.rows = rows
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            import os as _os
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            _os.makedirs(self.path, exist_ok=True)
+            # batchId is not exposed to the task; a unique task file +
+            # driver-side commit log keeps the accounting exact.
+            out = f"{self.path}/task-{ctx.taskAttemptId()}-{pid:04d}.jsonl"
+            n = 0
+            with open(out, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        _json.dumps({"id": row[0], "qty": row[1]}) + "\n"
+                    )
+                    n += 1
+            return JsonlCommit(out, n)
+
+        def commit(self, messages, batchId):
+            import os as _os
+
+            _os.makedirs(self.path, exist_ok=True)
+            with open(f"{self.path}/_commits.log", "a") as fh:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "batch": batchId,
+                            "files": sorted(m.path for m in messages),
+                            "rows": sum(m.rows for m in messages),
+                        }
+                    )
+                    + "\n"
+                )
+
+        def abort(self, messages, batchId):
+            pass  # scratch dir is app-scoped; nothing durable to undo
+
+    class JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pystream_jsonl_sink"
+
+        def schema(self):
+            return "id bigint, qty bigint"
+
+        def simpleStreamReader(self, schema):
+            return GenStreamReader()
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlStreamSink)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"pystream_sink_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
+    )
+    sdf = spark.readStream.format("pystream_jsonl_sink").load()
+    ckpt = checkpoint_dir()
+    try:
+        q = (
+            sdf.writeStream.format("pystream_jsonl_sink")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        drop_checkpoint(ckpt)
+    committed = set()
+    log_path = os.path.join(out_dir, "_commits.log")
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            for line in fh:
+                committed.update(_json.loads(line)["files"])
+    back = spark.read.schema("id bigint, qty bigint").json(
+        [p for p in sorted(committed)] or [out_dir]
+    )
+    return back.groupBy((F.col("id") % 5).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )

@@ -177,6 +177,7 @@ _CASES = [
     ("agg_hdr_histogram_percentiles", 0),  # empty joins -> no quantile rows
     ("sql_scripting_threshold", 0),  # constant-grouped: zero groups
     ("source_python_stream_datasource", 7),  # synthetic source, input-independent
+    ("streaming_python_sink", 5),  # synthetic source, input-independent
     ("events_cross_correlation", 0),  # no bounds -> empty day grid
 ]
 
