@@ -3368,3 +3368,129 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_ks_bucketed",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ), mx AS (
+        SELECT max(cents) // 10000 + 1 AS bw FROM t
+    ), hist AS (
+        SELECT bw, cents - cents % bw AS v,
+               CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS c2
+        FROM t CROSS JOIN mx GROUP BY 1, 2
+    ), cum AS (
+        SELECT bw, v,
+               CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+        FROM hist
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2
+        FROM hist
+    ), s AS (
+        SELECT CAST(min(bw) AS BIGINT) AS bucket_width,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               max(abs(CAST(f1 AS HUGEINT) * n2
+                       - CAST(f2 AS HUGEINT) * n1)) AS dnum
+        FROM cum CROSS JOIN tot
+    )
+    SELECT tot.n1, tot.n2, s.bucket_width, s.n_buckets,
+           round(CAST(s.dnum AS DOUBLE)
+                 / nullif(tot.n1 * CAST(tot.n2 AS DOUBLE), 0), 6) AS ks_d,
+           round(CAST(s.dnum AS DOUBLE)
+                 / nullif(tot.n1 * CAST(tot.n2 AS DOUBLE), 0)
+                 * sqrt(tot.n1 * CAST(tot.n2 AS DOUBLE)
+                        / nullif(tot.n1 + CAST(tot.n2 AS DOUBLE), 0)), 6)
+               AS ks_z
+    FROM s CROSS JOIN tot
+    """,
+)
+def agg_ks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_ks_test_two_sample` on the HISTOGRAM — the fourth and last
+    exact-rank scale twin (gini/MWU/Spearman/KS): two-sample
+    Kolmogorov-Smirnov D over ≤1e4-bucket quantized ECDFs, and the
+    supremum search is EXACT INTEGER — D's argmax is found on the
+    cross-multiplied numerator |F₁·n₂ − F₂·n₁| (HUGEINT/DECIMAL(38,0)),
+    so no per-bucket float division can reorder the max; the two
+    divisions happen ONCE on the winning numerator. D is exact for the
+    quantized samples (quantization only coarsens the sup over a
+    within-bucket range — resolution-bounded, like the rest of the
+    family). ks_z = D·√(n₁n₂/(n₁+n₂)), the asymptotic statistic.
+
+    Scale shape: one map-combinable fold to the two-group histogram;
+    the cumulative ECDF window runs on the grid-bounded ≤1e4-row
+    histogram (the exact op's window runs on every distinct VALUE —
+    value-cardinality scale, its documented weakness)."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    t = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    t = scoped_persist(spark, "agg.ksbkt.t", t)
+    bw_df = t.agg(
+        F.expr("max(cents) DIV 10000 + 1").cast("long").alias("bw")
+    )
+    hist = (
+        t.crossJoin(F.broadcast(bw_df))
+        .groupBy(
+            "bw",
+            (F.col("cents") - F.col("cents") % F.col("bw")).alias("v"),
+        )
+        .agg(
+            F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("c1"),
+            F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("c2"),
+        )
+    )
+    hist = scoped_persist(spark, "agg.ksbkt.hist", hist)
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "bw",
+        "v",
+        F.sum("c1").over(wcum).cast("long").alias("f1"),
+        F.sum("c2").over(wcum).cast("long").alias("f2"),
+    )
+    tot = hist.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    s = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min("bw").cast("long").alias("bucket_width"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max(
+            F.abs(
+                F.col("f1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+            )
+        ).alias("dnum"),
+    )
+    d = F.col("dnum").cast("double") / F.nullif(
+        F.col("n1") * F.col("n2").cast("double"), F.lit(0.0)
+    )
+    z = d * F.sqrt(
+        F.col("n1")
+        * F.col("n2").cast("double")
+        / F.nullif(F.col("n1") + F.col("n2").cast("double"), F.lit(0.0))
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "bucket_width",
+        "n_buckets",
+        F.round(d, 6).alias("ks_d"),
+        F.round(z, 6).alias("ks_z"),
+    )
