@@ -2518,3 +2518,236 @@ def corpus_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score_micro"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_perplexity",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               substr(md5(text), 1, 2) < '{_LM_TRAIN_HI}' AS is_train
+        FROM documents
+    ), tr_bi AS (
+        SELECT toks[i] AS prev, toks[i+1] AS cur,
+               CAST(count(*) AS BIGINT) AS cbi
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE is_train GROUP BY 1, 2
+    ), tr_ctx AS (
+        SELECT prev, CAST(sum(cbi) AS BIGINT) AS cprev
+        FROM tr_bi GROUP BY prev
+    ), tr_uni AS (
+        SELECT toks[i] AS tok, CAST(count(*) AS BIGINT) AS cuni
+        FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+        WHERE is_train GROUP BY 1
+    ), tstat AS (
+        SELECT CAST(sum(cuni) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v
+        FROM tr_uni
+    ), ev_bi AS (
+        SELECT toks[i] AS prev, toks[i+1] AS cur,
+               CAST(count(*) AS BIGINT) AS m
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE NOT is_train GROUP BY 1, 2
+    ), ev_first AS (
+        SELECT toks[1] AS tok, CAST(count(*) AS BIGINT) AS m
+        FROM d WHERE NOT is_train AND len(toks) >= 1 GROUP BY 1
+    ), bi_cls AS (
+        SELECT coalesce(b.cbi, 0) AS cbi, coalesce(cx.cprev, 0) AS cprev,
+               coalesce(u.cuni, 0) AS cuni, CAST(sum(e.m) AS BIGINT) AS m
+        FROM ev_bi e
+        LEFT JOIN tr_bi b ON b.prev = e.prev AND b.cur = e.cur
+        LEFT JOIN tr_ctx cx ON cx.prev = e.prev
+        LEFT JOIN tr_uni u ON u.tok = e.cur
+        GROUP BY 1, 2, 3
+    ), fi_cls AS (
+        SELECT coalesce(u.cuni, 0) AS cuni, CAST(sum(e.m) AS BIGINT) AS m
+        FROM ev_first e LEFT JOIN tr_uni u ON u.tok = e.tok
+        GROUP BY 1
+    ), bi_li AS (
+        SELECT m,
+               CAST(round(ln(
+                   (CASE WHEN cprev > 0
+                         THEN CAST(0.7 AS DOUBLE) * cbi / cprev
+                         ELSE CAST(0 AS DOUBLE) END)
+                   + CAST(0.3 AS DOUBLE) * (cuni + 1)
+                     / (tstat.n + tstat.v + 1.0)) * 1000000)
+                    AS BIGINT) AS li
+        FROM bi_cls CROSS JOIN tstat
+    ), fi_li AS (
+        SELECT m,
+               CAST(round(ln((cuni + 1) / (tstat.n + tstat.v + 1.0))
+                          * 1000000) AS BIGINT) AS li
+        FROM fi_cls CROSS JOIN tstat
+    ), s AS (
+        SELECT CAST((SELECT sum(m) FROM bi_li) AS BIGINT) AS m_bi,
+               CAST((SELECT sum(m) FROM fi_li) AS BIGINT) AS m_fi,
+               CAST((SELECT sum(m * li) FROM bi_li) AS BIGINT)
+                   + CAST((SELECT sum(m * li) FROM fi_li) AS BIGINT)
+                   AS sum_li,
+               CAST((SELECT count(*) FROM bi_li) AS BIGINT)
+                   AS n_bi_classes
+    )
+    SELECT tstat.n AS train_tokens, tstat.v AS train_vocab,
+           s.m_bi + s.m_fi AS eval_tokens, s.n_bi_classes,
+           round(s.sum_li * 1.0
+                 / nullif((s.m_bi + s.m_fi) * 1000000.0, 0), 6)
+               AS avg_logprob,
+           round(exp(-s.sum_li * 1.0
+                     / nullif((s.m_bi + s.m_fi) * 1000000.0, 0)), 6)
+               AS perplexity
+    FROM s CROSS JOIN tstat
+    """,
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM-LM held-out perplexity — the second member
+    of the LM family (`text_unigram_lm_perplexity` trains the fallback
+    distribution): p(cur|prev) = 0.7·c(prev,cur)/c(prev) +
+    0.3·(c(cur)+1)/(N+V+1), Jelinek-Mercer interpolation with the
+    add-one unigram as the smoothing floor (unseen context ⇒ the
+    bigram term is defined 0, the floor carries); each document's
+    FIRST token scores under the pure unigram (no context — the
+    convention is part of the contract and mirrored exactly).
+
+    Determinism: the ccnet/unigram micro-nat discipline generalized to
+    the bigram CLASS grid — eval bigram instances fold to exact
+    integer counts per (c_bi, c_prev, c_uni) triple (890 classes at
+    sf0.01, 920 at sf0.1 — bounded by bigram types, never corpus
+    volume), each class's log-prob frozen ONCE as integer micro-nats,
+    totals are exact BIGINT sums, ONE final division. Fixture honesty:
+    the synthetic token order is near-random, so bigram PPL 30.37 ≈
+    unigram 30.16 — the interpolation floor dominates; on real text
+    the bigram term is where the signal lives.
+
+    Scale shape: train bigram/context/unigram counts are three
+    map-combinable folds; eval folds join the (vocab²-bounded) count
+    tables; nothing downstream of the folds is corpus-volume."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("toks"),
+        (
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+            < _LM_TRAIN_HI
+        ).alias("is_train"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    d = scoped_persist(spark, "text.bilm.d", d)
+    sz = F.size(F.col("toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, sz - 1),
+        F.slice(F.col("toks"), 2, sz - 1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    tr_bi = (
+        d.filter("is_train")
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy(
+            F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cbi"))
+    )
+    tr_bi = scoped_persist(spark, "text.bilm.trbi", tr_bi)
+    tr_ctx = tr_bi.groupBy("prev").agg(
+        F.sum("cbi").cast("long").alias("cprev")
+    )
+    tr_uni = (
+        d.filter("is_train")
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cuni"))
+    )
+    tr_uni = scoped_persist(spark, "text.bilm.truni", tr_uni)
+    tstat = tr_uni.agg(
+        F.sum("cuni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ev = d.filter(~F.col("is_train"))
+    ev_bi = (
+        ev.select(F.explode(bigrams).alias("b"))
+        .groupBy(
+            F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    ev_first = (
+        ev.filter(sz >= 1)
+        .select(F.element_at("toks", 1).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    bi_cls = (
+        ev_bi.join(tr_bi, ["prev", "cur"], "left")
+        .join(tr_ctx, "prev", "left")
+        .join(
+            tr_uni.select(F.col("tok").alias("cur"), "cuni"),
+            "cur",
+            "left",
+        )
+        .groupBy(
+            F.coalesce("cbi", F.lit(0)).alias("cbi"),
+            F.coalesce("cprev", F.lit(0)).alias("cprev"),
+            F.coalesce("cuni", F.lit(0)).alias("cuni"),
+        )
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    fi_cls = (
+        ev_first.join(tr_uni, "tok", "left")
+        .groupBy(F.coalesce("cuni", F.lit(0)).alias("cuni"))
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    floor = (
+        F.lit(0.3)
+        * (F.col("cuni") + 1)
+        / (F.col("n") + F.col("v") + F.lit(1.0))
+    )
+    bi_li = bi_cls.crossJoin(F.broadcast(tstat)).select(
+        "m",
+        F.round(
+            F.log(
+                F.when(
+                    F.col("cprev") > 0,
+                    F.lit(0.7) * F.col("cbi") / F.col("cprev"),
+                ).otherwise(F.lit(0.0))
+                + floor
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("li"),
+    )
+    fi_li = fi_cls.crossJoin(F.broadcast(tstat)).select(
+        "m",
+        F.round(
+            F.log(
+                (F.col("cuni") + 1)
+                / (F.col("n") + F.col("v") + F.lit(1.0))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("li"),
+    )
+    s_bi = bi_li.agg(
+        F.sum("m").cast("long").alias("m_bi"),
+        F.sum(F.col("m") * F.col("li")).cast("long").alias("sl_bi"),
+        F.count(F.lit(1)).cast("long").alias("n_bi_classes"),
+    )
+    s_fi = fi_li.agg(
+        F.sum("m").cast("long").alias("m_fi"),
+        F.sum(F.col("m") * F.col("li")).cast("long").alias("sl_fi"),
+    )
+    mt = (F.col("m_bi") + F.col("m_fi")) * F.lit(1000000.0)
+    avg = (F.col("sl_bi") + F.col("sl_fi")) * 1.0 / F.nullif(
+        mt, F.lit(0.0)
+    )
+    return (
+        s_bi.crossJoin(F.broadcast(s_fi))
+        .crossJoin(F.broadcast(tstat))
+        .select(
+            F.col("n").alias("train_tokens"),
+            F.col("v").alias("train_vocab"),
+            (F.col("m_bi") + F.col("m_fi")).alias("eval_tokens"),
+            "n_bi_classes",
+            F.round(avg, 6).alias("avg_logprob"),
+            F.round(F.exp(-avg), 6).alias("perplexity"),
+        )
+    )
