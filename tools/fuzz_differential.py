@@ -627,6 +627,86 @@ def run_hof_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_fold_order_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """NON-COMMUTATIVE scalar-fold family (r11): the struct-accumulator
+    list_reduce fork (FIXTURES.md r11, found by events_holt_smoothing)
+    proved DuckDB's lambda folds deserve order-sensitive scrutiny — the
+    existing hof family's fold is a commutative sum, blind to order.
+    This family folds with a*m + x (mod p, non-negative elements) and
+    with string concatenation, forward and REVERSED, where any
+    left/right-fold or element-order divergence changes the result.
+    Spark spells aggregate(arr, init, merge); DuckDB list_reduce over
+    the init-prepended list (IEEE/arithmetic sequence identical —
+    SCALAR accumulators fold correctly in both engines; struct
+    accumulators remain a pinned divergence, excluded here)."""
+    rows = gen_rows(rng, rng.randint(0, 200))
+    path = os.path.join(tmp, f"fuzz_{case_id}_fo.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    # non-negative elements keep % sign semantics out of scope
+    arr_s = (
+        "array(abs(coalesce(m1,0)) % 97, abs(coalesce(m2,1)) % 97,"
+        " abs(coalesce(m3,2)) % 97, {k})"
+    )
+    arr_d = (
+        "[abs(coalesce(m1,0)) % 97, abs(coalesce(m2,1)) % 97,"
+        " abs(coalesce(m3,2)) % 97, {k}]"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        k = rng.randint(0, 96)
+        a_s, a_d = arr_s.format(k=k), arr_d.format(k=k)
+        m = rng.randint(2, 5)
+        init = rng.randint(0, 9)
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            s = (
+                f"CAST(aggregate({a_s}, CAST({init} AS BIGINT),"
+                f" (a, x) -> (a * {m} + x) % 1000003) AS BIGINT)"
+            )
+            d = (
+                f"CAST(list_reduce([CAST({init} AS BIGINT)] || {a_d},"
+                f" (a, x) -> (a * {m} + x) % 1000003) AS BIGINT)"
+            )
+        elif kind == 1:
+            s = (
+                f"CAST(aggregate(reverse({a_s}), CAST({init} AS BIGINT),"
+                f" (a, x) -> (a * {m} + x) % 1000003) AS BIGINT)"
+            )
+            d = (
+                f"CAST(list_reduce([CAST({init} AS BIGINT)] ||"
+                f" list_reverse({a_d}),"
+                f" (a, x) -> (a * {m} + x) % 1000003) AS BIGINT)"
+            )
+        else:
+            s = (
+                f"aggregate(transform({a_s}, x -> CAST(x AS STRING)),"
+                f" '{init}', (a, x) -> concat(a, '-', x))"
+            )
+            d = (
+                f"list_reduce(['{init}'] || list_transform({a_d},"
+                f" x -> CAST(x AS VARCHAR)), (a, x) -> a || '-' || x)"
+            )
+        exprs.append((f"{s} AS f{i}", f"{d} AS f{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_decimal_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2694,6 +2774,7 @@ _CORE_FAMILIES = [
     ("distinct_order", 0.015),
     ("mixed_interval", 0.015),
     ("range_interval_frame", 0.015),
+    ("fold_order", 0.015),
     ("base_agg", None),  # remainder
 ]
 
