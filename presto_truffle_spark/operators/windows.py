@@ -582,3 +582,102 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trough_day"),
         )
     )
+
+
+_EWMA_HORIZON = 32  # last-k events per user fed to the recurrence
+_EWMA_ALPHA = 0.25  # binary-exact: 0.25/0.75 are exact doubles
+
+
+@query(
+    "window_ewma_per_key",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                   AS rdesc
+        FROM events
+    ), lastk AS (
+        SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS idx,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM ev WHERE rdesc <= {_EWMA_HORIZON}
+    ), rec AS (
+        SELECT user_id, idx, n, CAST(cents AS DOUBLE) AS s,
+               CAST(cents AS DOUBLE) AS last_x
+        FROM lastk WHERE idx = 1
+        UNION ALL
+        SELECT l.user_id, l.idx, l.n,
+               CAST({_EWMA_ALPHA} AS DOUBLE) * l.cents
+                   + CAST({1 - _EWMA_ALPHA} AS DOUBLE) * r.s,
+               CAST(l.cents AS DOUBLE)
+        FROM rec r
+        JOIN lastk l ON l.user_id = r.user_id AND l.idx = r.idx + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(last_x AS BIGINT) AS last_cents,
+           round(s, 6) AS ewma_cents,
+           round(last_x - s, 6) AS deviation
+    FROM rec WHERE idx = n
+    """,
+)
+def window_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY exponential moving average — the per-entity smoothing
+    primitive (payment-amount baselines, per-user engagement levels,
+    per-host latency floors) and the DISTRIBUTED counterpart of
+    `events_holt_smoothing`'s single global series: every user's
+    recurrence s ← αx + (1−α)s runs independently, so the corpus
+    parallelizes BY KEY — the classic way a sequential algorithm
+    scales on Spark. The horizon is explicitly BOUNDED (each user's
+    last {_EWMA_HORIZON} events by (ts, event_id), selected by a
+    per-key window that plans as WindowGroupLimit), so the per-user
+    array the fold runs over is O(k) regardless of corpus size — the
+    unbounded-collect_list trap is designed out, not hoped away.
+
+    Determinism: α = 0.25 and 1−α = 0.75 are EXACT binary doubles, the
+    fold is a scalar-accumulator `aggregate()` in (ts, event_id) order
+    (safe per the r11 list_reduce fork note), and the oracle is a
+    per-user recursive CTE with the identical arithmetic — same IEEE
+    sequence, bit-identical at 6dp. Deviation (last − ewma) is the
+    anomaly signal this op exists to produce.
+
+    Scale shape: one key-partitioned window (top-k per key), one
+    groupBy(user) with k-bounded arrays, map-side fold — no global
+    sort, no single-partition window; output is one row per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rdesc = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    lastk = ev.withColumn("rdesc", rdesc).filter(
+        F.col("rdesc") <= _EWMA_HORIZON
+    )
+    arr = lastk.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "cents"))
+        ).alias("xs")
+    )
+    xs = F.transform(F.col("xs"), lambda s: s.cents.cast("double"))
+    a, one_a = F.lit(_EWMA_ALPHA), F.lit(1 - _EWMA_ALPHA)
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.size(xs)),
+        F.element_at(xs, 1),
+        lambda s, x: a * x + one_a * s,
+    )
+    last_x = F.element_at(xs, -1)
+    return arr.select(
+        "user_id",
+        F.size(F.col("xs")).cast("long").alias("n_events"),
+        last_x.cast("long").alias("last_cents"),
+        F.round(ewma, 6).alias("ewma_cents"),
+        F.round(last_x - ewma, 6).alias("deviation"),
+    )
