@@ -1706,3 +1706,178 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1
         ).alias("keep"),
     )
+
+
+_BUCKET_CROSS_ORACLE = (
+    _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ), dtoks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), manifest AS (
+        SELECT t.doc_id, coalesce(c.component, t.doc_id) AS cluster_id,
+               t.n_tokens,
+               row_number() OVER (PARTITION BY
+                                  coalesce(c.component, t.doc_id)
+                                  ORDER BY t.n_tokens DESC, t.doc_id)
+                   = 1 AS keep
+        FROM dtoks t LEFT JOIN comp c ON c.doc_id = t.doc_id
+    ), lm_d AS (
+        SELECT doc_id, text,
+               substr(md5(text), 1, 2) < 'cd' AS is_train
+        FROM documents
+    ), lm_tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM lm_d WHERE is_train)
+        GROUP BY tok
+    ), lm_tstat AS (
+        SELECT CAST(round(ln(sum(c) + count(*) + 1.0) * 1000000)
+                    AS BIGINT) AS li_den
+        FROM lm_tc
+    ), lm_dtc AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM lm_d)
+        GROUP BY 1, 2
+    ), lm_dtc_c AS (
+        SELECT lm_dtc.doc_id, coalesce(lm_tc.c, 0) AS c, lm_dtc.m
+        FROM lm_dtc LEFT JOIN lm_tc ON lm_dtc.tok = lm_tc.tok
+    ), lm_li AS (
+        SELECT c, CAST(round(ln(c + 1.0) * 1000000) AS BIGINT) AS li_c
+        FROM (SELECT DISTINCT c FROM lm_dtc_c)
+    ), lm_per_doc AS (
+        SELECT doc_id,
+               CAST(sum(m * li_c) AS BIGINT) AS sum_li,
+               CAST(sum(m) AS BIGINT) AS mt
+        FROM lm_dtc_c JOIN lm_li ON lm_dtc_c.c = lm_li.c
+        GROUP BY doc_id
+    ), lm_scored AS (
+        SELECT doc_id,
+               CAST(round((sum_li - mt * li_den) * 1.0 / mt) AS BIGINT)
+                   AS s
+        FROM lm_per_doc CROSS JOIN lm_tstat
+    ), lm_bwq AS (
+        SELECT max(abs(s)) // 10000 + 1 AS bw FROM lm_scored
+    ), lm_hist AS (
+        SELECT s - s % bw AS vb, CAST(count(*) AS BIGINT) AS nb
+        FROM lm_scored CROSS JOIN lm_bwq GROUP BY 1
+    ), lm_cum AS (
+        SELECT vb, CAST(sum(nb) OVER (ORDER BY vb) AS BIGINT) AS cumn
+        FROM lm_hist
+    ), lm_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd FROM lm_scored
+    ), lm_thr AS (
+        SELECT min(CASE WHEN cumn * 3 >= nd THEN vb END) AS t1,
+               min(CASE WHEN cumn * 3 >= 2 * nd THEN vb END) AS t2
+        FROM lm_cum CROSS JOIN lm_tot
+    ), bucketed AS (
+        SELECT doc_id,
+               CASE WHEN (s - s % bw) <= t1 THEN 'tail'
+                    WHEN (s - s % bw) <= t2 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM lm_scored CROSS JOIN lm_bwq CROSS JOIN lm_thr
+    )
+    SELECT b.bucket, m.keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_tokens) AS BIGINT) AS total_tokens
+    FROM bucketed b JOIN manifest m ON m.doc_id = b.doc_id
+    GROUP BY 1, 2
+"""
+)
+
+
+@query("corpus_bucket_dedup_cross", oracle=_BUCKET_CROSS_ORACLE)
+def corpus_bucket_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-audit a data-curation review actually asks for: ARE
+    THE DUPLICATES CONCENTRATED IN A QUALITY BUCKET? Joins the two
+    registered machineries per document — the CCNet perplexity tertile
+    (`ccnet_doc_buckets`, the micro-nat scoring core) and the dedup
+    keep/drop manifest (the `dedup_canonical_selection` longest-wins
+    rule over near-dup CC clusters) — and folds to (bucket × keep)
+    counts + token mass. Template near-dups share text, hence share
+    scores, hence cluster INSIDE buckets: if drops skew toward 'head'
+    the corpus is over-represented in its most fluent stratum (the
+    boilerplate signature); skew toward 'tail' means the noise is also
+    redundant (cheap to cut). Composition is per-doc_id equi-joins of
+    two already-measured plans — no new corpus-scale machinery.
+
+    Scale shape: inherits the parents' postures (map-combinable LM
+    folds + grid thresholds; LSH + large-small-star CC); the cross
+    itself is one join on doc_id and a ≤6-group fold."""
+    from presto_truffle_spark.operators.text import ccnet_doc_buckets
+
+    buckets = ccnet_doc_buckets(spark, sf_dir).select("doc_id", "bucket")
+    pairs = _verified_pairs(spark, sf_dir, bucket_cap=None).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    try:
+        labels = large_small_star_components(edges)
+    finally:
+        edges.unpersist()
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    manifest = (
+        toks.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            "n_tokens",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.row_number().over(
+                    W.partitionBy("cluster_id").orderBy(
+                        F.col("n_tokens").desc(), "doc_id"
+                    )
+                )
+                == 1
+            ).alias("keep"),
+        )
+    )
+    return (
+        buckets.join(manifest, "doc_id")
+        .groupBy("bucket", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

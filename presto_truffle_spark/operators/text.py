@@ -2411,6 +2411,24 @@ def corpus_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-class log-prob table and the score histogram are grid-
     bounded; threshold assignment broadcasts two integers. Nothing
     downstream of the folds is corpus-volume."""
+    return (
+        ccnet_doc_buckets(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("mt").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 2
+            ).alias("mean_score_micro"),
+        )
+    )
+
+
+def ccnet_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CCNet scoring + tertile assignment (doc_id, bucket,
+    s, mt) — the shared core of `corpus_ccnet_quality_buckets` and the
+    bucket×dedup cross audit. See the registered op's docstring for
+    the integer micro-nat discipline."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -2499,24 +2517,14 @@ def corpus_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t2"),
     )
     vb = F.col("s") - F.col("s") % F.col("bw")
-    return (
-        withbw.crossJoin(F.broadcast(thr))
-        .select(
-            F.when(vb <= F.col("t1"), "tail")
-            .when(vb <= F.col("t2"), "middle")
-            .otherwise("head")
-            .alias("bucket"),
-            "s",
-            "mt",
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("mt").cast("long").alias("total_tokens"),
-            F.round(
-                F.sum("s").cast("double") / F.count(F.lit(1)), 2
-            ).alias("mean_score_micro"),
-        )
+    return withbw.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        F.when(vb <= F.col("t1"), "tail")
+        .when(vb <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+        "s",
+        "mt",
     )
 
 
