@@ -3494,3 +3494,168 @@ def agg_ks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("ks_d"),
         F.round(z, 6).alias("ks_z"),
     )
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+    WITH e AS (
+        SELECT event_type AS x, user_id % 8 AS y FROM events
+    ), cells AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM e GROUP BY 1, 2
+    ), mx AS (
+        SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x
+    ), my AS (
+        SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y
+    ), tot AS (
+        SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells
+    ), terms AS (
+        SELECT c.nxy,
+               CAST(round((ln(tot.n * 1.0 * c.nxy) - ln(mx.nx * 1.0)
+                           - ln(my.ny * 1.0)) * 1000000) AS BIGINT)
+                   AS mi_t
+        FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y
+        CROSS JOIN tot
+    ), hx AS (
+        SELECT CAST(sum(nx * CAST(round((ln(tot.n * 1.0) - ln(nx * 1.0))
+                                        * 1000000) AS BIGINT))
+                    AS BIGINT) AS shx
+        FROM mx CROSS JOIN tot
+    ), hy AS (
+        SELECT CAST(sum(ny * CAST(round((ln(tot.n * 1.0) - ln(ny * 1.0))
+                                        * 1000000) AS BIGINT))
+                    AS BIGINT) AS shy
+        FROM my CROSS JOIN tot
+    ), s AS (
+        SELECT CAST(sum(nxy * mi_t) AS BIGINT) AS smi,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM terms
+    )
+    SELECT tot.n AS n_events, s.n_cells,
+           round(s.smi * 1.0 / nullif(tot.n * 1000000.0, 0), 6)
+               AS mi_nats,
+           round(hx.shx * 1.0 / nullif(tot.n * 1000000.0, 0), 6)
+               AS h_event_type,
+           round(hy.shy * 1.0 / nullif(tot.n * 1000000.0, 0), 6)
+               AS h_cohort,
+           round(s.smi * 1.0 / nullif(least(hx.shx, hy.shy) * 1.0, 0), 6)
+               AS nmi
+    FROM s CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and user cohort (user_id
+    mod 8) — the INFORMATION-THEORETIC association measure completing
+    the family (chi² tests dependence, Cramér-style effect sizes scale
+    it; MI measures it in nats and is the feature-selection /
+    leakage-audit currency: 'how many bits does the cohort leak about
+    behavior'). Emitted alongside both marginal entropies and the
+    normalized MI = I/min(H_x, H_y) ∈ [0,1].
+
+    Determinism: the micro-nat discipline — each contingency CELL's
+    log-ratio ln(N·n_xy/(n_x·n_y)) and each marginal's ln(N/n) is
+    frozen ONCE as a rounded integer micro-nat; Σ n·t sums are exact
+    BIGINT; the only doubles are three final divisions, 6dp. The grid
+    is |X|·|Y| = 40 cells — every downstream row count is
+    category-bounded.
+
+    Fixture honesty: event types are assigned independently of users
+    by the generator, so MI ≈ sampling noise (0.0013 nats at sf0.01 →
+    0.0002 at sf0.1, shrinking ~1/n as independence predicts — the
+    shrink itself is the fixture's verification). The 40-cell term
+    structure is what the op exercises; real logs put signal in it.
+
+    Scale shape: ONE map-combinable contingency fold; marginals fold
+    from the 40-cell grid; everything else is grid-bounded."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        (F.col("user_id") % 8).alias("y"),
+    )
+    cells = e.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    cells = scoped_persist(spark, "agg.mi.cells", cells)
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nxy",
+            F.round(
+                (
+                    F.log(F.col("n") * 1.0 * F.col("nxy"))
+                    - F.log(F.col("nx") * 1.0)
+                    - F.log(F.col("ny") * 1.0)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("mi_t"),
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("nx")
+            * F.round(
+                (F.log(F.col("n") * 1.0) - F.log(F.col("nx") * 1.0))
+                * 1000000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("shx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("ny")
+            * F.round(
+                (F.log(F.col("n") * 1.0) - F.log(F.col("ny") * 1.0))
+                * 1000000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("shy")
+    )
+    s = terms.agg(
+        F.sum(F.col("nxy") * F.col("mi_t")).cast("long").alias("smi"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_events"),
+            "n_cells",
+            F.round(
+                F.col("smi")
+                * 1.0
+                / F.nullif(F.col("n") * F.lit(1000000.0), F.lit(0.0)),
+                6,
+            ).alias("mi_nats"),
+            F.round(
+                F.col("shx")
+                * 1.0
+                / F.nullif(F.col("n") * F.lit(1000000.0), F.lit(0.0)),
+                6,
+            ).alias("h_event_type"),
+            F.round(
+                F.col("shy")
+                * 1.0
+                / F.nullif(F.col("n") * F.lit(1000000.0), F.lit(0.0)),
+                6,
+            ).alias("h_cohort"),
+            F.round(
+                F.col("smi")
+                * 1.0
+                / F.nullif(
+                    F.least("shx", "shy") * F.lit(1.0), F.lit(0.0)
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -152,6 +152,7 @@ _CASES = [
     ("eval_auc_bucketed", 1),  # ungrouped fold row (0s, NULL auc)
     ("window_ewma_per_key", 0),  # no users -> no rows
     ("corpus_bucket_dedup_cross", 0),  # no docs -> no cross cells
+    ("agg_mutual_information", 1),  # ungrouped folds cross (0s, NULLs)
     ("agg_spearman_bucketed", 1),  # ungrouped fold row (0, 0, NULL rho)
     ("agg_countmin_heavy_hitters", 0),  # empty vocab -> no hitters
     ("source_python_datasource_sink", 0),  # 4 empty part files round-trip
