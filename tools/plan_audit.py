@@ -36,6 +36,7 @@ WHITELIST: dict[str, str] = {
     "agg_ks_bucketed": "ECDF cumsum over <=1e4-row histogram",
     "eval_auc_bucketed": "rank cumsum over <=1e4-row histogram",
     "corpus_ccnet_quality_buckets": "cumsum over <=1e4-row histogram",
+    "corpus_bucket_dedup_cross": "inherits the ccnet grid cumsum (<=1e4-row histogram)",
     "embedding_jl_projection": "8128-pair broadcast self-join of a fixed 128-vector frame",
     # The documented exact-rank family (VERDICT r10's 'weak 7'): exact
     # ranks need ONE global sort by definition; each op's docstring
