@@ -2858,3 +2858,144 @@ def eval_auc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("roc_auc"),
     )
+
+
+@query(
+    "text_jsd_by_source",
+    oracle="""
+    WITH toks AS (
+        SELECT d.source, unnest(string_split(d.text, ' ')) AS tok
+        FROM documents d
+    ), st AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS nst
+        FROM toks GROUP BY 1, 2
+    ), s_tot AS (
+        SELECT source, CAST(sum(nst) AS BIGINT) AS ns FROM st GROUP BY source
+    ), gt AS (
+        SELECT tok, CAST(sum(nst) AS BIGINT) AS nt FROM st GROUP BY tok
+    ), n_all AS (
+        SELECT CAST(sum(nst) AS BIGINT) AS n FROM st
+    ), grid AS (
+        SELECT s.source, g.tok, coalesce(st.nst, 0) AS nst,
+               g.nt - coalesce(st.nst, 0) AS nrt,
+               s.ns, n_all.n - s.ns AS nr
+        FROM s_tot s CROSS JOIN gt g CROSS JOIN n_all
+        LEFT JOIN st ON st.source = s.source AND st.tok = g.tok
+    ), terms AS (
+        SELECT source, ns, nr, nst, nrt,
+               CASE WHEN nst > 0 THEN
+                   CAST(round(ln(2.0 * nst * nr
+                                 / (nst * 1.0 * nr + nrt * 1.0 * ns))
+                              * 1000000) AS BIGINT)
+               ELSE 0 END AS tp,
+               CASE WHEN nrt > 0 THEN
+                   CAST(round(ln(2.0 * nrt * ns
+                                 / (nst * 1.0 * nr + nrt * 1.0 * ns))
+                              * 1000000) AS BIGINT)
+               ELSE 0 END AS tq
+        FROM grid
+    ), s AS (
+        SELECT source, CAST(min(ns) AS BIGINT) AS n_tokens,
+               CAST(count(CASE WHEN nst > 0 THEN 1 END) AS BIGINT)
+                   AS vocab_size,
+               CAST(sum(nst * tp) AS BIGINT) AS sp,
+               CAST(sum(nrt * tq) AS BIGINT) AS sq,
+               CAST(min(nr) AS BIGINT) AS nr
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size,
+           round((sp * 0.5 / nullif(n_tokens * 1000000.0, 0))
+                 + (sq * 0.5 / nullif(nr * 1000000.0, 0)), 6) AS jsd_nats
+    FROM s
+    """,
+)
+def text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    vs the REST of the corpus (leave-one-out) — the bounded, symmetric
+    drift measure LM-data pipelines report next to `corpus_drift_psi`:
+    JSD ∈ [0, ln 2], defined even where supports differ (PSI needs
+    binning dodges; KL diverges), so it is the per-source 'how weird
+    is this feed' number you can threshold release-over-release.
+
+    Determinism: the micro-nat discipline over the (source × vocab)
+    grid — every cell's ln(2p/(p+q)) argument is a RATIO OF INTEGERS
+    (2·n_st·N_r / (n_st·N_r + n_rt·N_s)), frozen once as a rounded
+    integer micro-nat; each source's two KL halves are exact BIGINT
+    dot products; two final divisions, 6dp. Zero-support cells
+    contribute only their non-zero half (the JSD limit, exact).
+
+    Fixture honesty: all 20 sources draw from the shared 31-word
+    vocabulary, so JSD ≈ sampling noise and shrinks ~1/n (0.0027 at
+    sf0.01 → 0.0003 at sf0.1 per source) — the shrink is the
+    verification; real feeds differ in support and put mass in the
+    zero-cells.
+
+    Scale shape: one map-combinable (source, token) fold; the grid is
+    |sources|×|vocab| — category-bounded; marginals fold from the
+    grid. Nothing downstream of the first fold is corpus-volume."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("nst")
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    st = scoped_persist(spark, "text.jsd.st", st)
+    s_tot = st.groupBy("source").agg(F.sum("nst").cast("long").alias("ns"))
+    gt = st.groupBy("tok").agg(F.sum("nst").cast("long").alias("nt"))
+    n_all = st.agg(F.sum("nst").cast("long").alias("n"))
+    grid = (
+        s_tot.crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(n_all))
+        .join(st, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.coalesce("nst", F.lit(0)).alias("nst"),
+            (F.col("nt") - F.coalesce("nst", F.lit(0))).alias("nrt"),
+            "ns",
+            (F.col("n") - F.col("ns")).alias("nr"),
+        )
+    )
+    denom = (
+        F.col("nst") * 1.0 * F.col("nr") + F.col("nrt") * 1.0 * F.col("ns")
+    )
+    tp = F.when(
+        F.col("nst") > 0,
+        F.round(
+            F.log(2.0 * F.col("nst") * F.col("nr") / denom) * 1000000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    tq = F.when(
+        F.col("nrt") > 0,
+        F.round(
+            F.log(2.0 * F.col("nrt") * F.col("ns") / denom) * 1000000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    terms = grid.select(
+        "source", "ns", "nr", "nst", "nrt", tp.alias("tp"), tq.alias("tq")
+    )
+    s = terms.groupBy("source").agg(
+        F.min("ns").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("nst") > 0, 1)).cast("long").alias(
+            "vocab_size"
+        ),
+        F.sum(F.col("nst") * F.col("tp")).cast("long").alias("sp"),
+        F.sum(F.col("nrt") * F.col("tq")).cast("long").alias("sq"),
+        F.min("nr").cast("long").alias("nr"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.round(
+            F.col("sp")
+            * 0.5
+            / F.nullif(F.col("n_tokens") * F.lit(1000000.0), F.lit(0.0))
+            + F.col("sq")
+            * 0.5
+            / F.nullif(F.col("nr") * F.lit(1000000.0), F.lit(0.0)),
+            6,
+        ).alias("jsd_nats"),
+    )
