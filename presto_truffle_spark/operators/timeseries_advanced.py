@@ -3240,3 +3240,116 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# SPRT constants, frozen ONCE in micro-nats (H0: p=0.18 vs H1: p=0.22;
+# error rates alpha=beta=0.05 -> boundaries +/- ln(19)):
+_SPRT_L1 = 200671  # round(ln(p1/p0) * 1e6), per conversion
+_SPRT_L0 = -50010  # round(ln((1-p1)/(1-p0)) * 1e6), per non-conversion
+_SPRT_A = 2944439  # round(ln(19) * 1e6)
+
+
+@query(
+    "events_sprt_sequential_test",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ), daily AS (
+        SELECT di, arm, CAST(sum(conv) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    ), llr AS (
+        SELECT di, arm,
+               CAST(sum(x) OVER w AS BIGINT) * {_SPRT_L1}
+               + CAST(sum(n - x) OVER w AS BIGINT) * {_SPRT_L0}
+                   AS cum_llr_micro,
+               CAST(sum(n) OVER w AS BIGINT) AS cum_trials
+        FROM daily
+        WINDOW w AS (PARTITION BY arm ORDER BY di)
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(cum_trials) AS BIGINT) AS trials,
+           round(max(cum_llr_micro) / 1000000.0, 6) AS max_llr,
+           round(min(cum_llr_micro) / 1000000.0, 6) AS min_llr,
+           CAST(min(CASE WHEN cum_llr_micro >= {_SPRT_A} THEN di END)
+                AS BIGINT) AS first_accept_h1_day,
+           CAST(min(CASE WHEN cum_llr_micro <= -{_SPRT_A} THEN di END)
+                AS BIGINT) AS first_accept_h0_day
+    FROM llr GROUP BY arm
+    """,
+)
+def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over daily conversion
+    streams — the SEQUENTIAL member the experiment suite was missing
+    (Wilson CI / bootstrap / Welch / MWU / chi² / DiD / uplift are all
+    fixed-horizon; SPRT is the 'stop the experiment the day the
+    evidence suffices' discipline, the optimal-stopping result behind
+    every industrial early-stopping framework). Per arm (user_id
+    parity): cumulative LLR_t = X_t·ln(p₁/p₀) + (N_t−X_t)·
+    ln((1−p₁)/(1−p₀)) against H₀: p=0.18 vs H₁: p=0.22, boundaries
+    ±ln(19) (α=β=0.05); emitted are the LLR envelope and the FIRST
+    boundary-crossing day per side.
+
+    Determinism: the two log constants and the boundary are frozen
+    once as Python-side integer micro-nats (module constants — no
+    runtime ln at all), so the cumulative LLR is an exact BIGINT
+    integer combination of conversion counts; the only doubles are
+    two display divisions. Fixture honesty: the generator's purchase
+    share (~0.198) sits BETWEEN the hypotheses, so each arm's LLR is
+    a near-zero-drift random walk and the two arms cross OPPOSITE
+    boundaries at both SFs — exactly the inconclusive-truth behavior
+    SPRT textbooks warn about, demonstrated rather than hidden.
+
+    Scale shape: one map-combinable (day, arm) fold; the cumulative
+    window runs per-arm over the calendar-bounded day table; the
+    final fold is 2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    di = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = (
+        ev.select(
+            di.alias("di"),
+            (F.col("user_id") % 2 == 1).cast("int").alias("arm"),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("di", "arm")
+        .agg(
+            F.sum("conv").cast("long").alias("x"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        W.partitionBy("arm")
+        .orderBy("di")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    llr = daily.select(
+        "di",
+        "arm",
+        (
+            F.sum("x").over(w).cast("long") * _SPRT_L1
+            + F.sum(F.col("n") - F.col("x")).over(w).cast("long")
+            * _SPRT_L0
+        ).alias("cum_llr_micro"),
+        F.sum("n").over(w).cast("long").alias("cum_trials"),
+    )
+    return llr.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("cum_trials").cast("long").alias("trials"),
+        F.round(F.max("cum_llr_micro") / 1000000.0, 6).alias("max_llr"),
+        F.round(F.min("cum_llr_micro") / 1000000.0, 6).alias("min_llr"),
+        F.min(
+            F.when(F.col("cum_llr_micro") >= _SPRT_A, F.col("di"))
+        )
+        .cast("long")
+        .alias("first_accept_h1_day"),
+        F.min(
+            F.when(F.col("cum_llr_micro") <= -_SPRT_A, F.col("di"))
+        )
+        .cast("long")
+        .alias("first_accept_h0_day"),
+    )
