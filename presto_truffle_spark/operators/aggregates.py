@@ -3659,3 +3659,111 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), mx AS (
+        SELECT max(cents) // 10000 + 1 AS bw FROM per_cust
+    ), hist AS (
+        SELECT cents - cents % bw AS v, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(cents) AS BIGINT) AS sb
+        FROM per_cust CROSS JOIN mx GROUP BY 1
+    ), cum AS (
+        SELECT v, CAST(sum(nb) OVER w AS BIGINT) AS cn,
+               CAST(sum(sb) OVER w AS BIGINT) AS cs
+        FROM hist WINDOW w AS (ORDER BY v)
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM per_cust
+    ), dec AS (
+        SELECT unnest(generate_series(1, 10)) AS k
+    )
+    SELECT CAST(dec.k AS BIGINT) AS decile,
+           CAST(max(cum.cn) AS BIGINT) AS customers_cum,
+           round(max_by(cum.cs, cum.cn) * 1.0 / nullif(tot.s, 0), 6)
+               AS spend_share_cum
+    FROM dec CROSS JOIN tot JOIN cum ON cum.cn * 10 <= dec.k * tot.n
+    GROUP BY dec.k, tot.s
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve decile points — the CURVE behind
+    `agg_gini_coefficient`'s single number (the dashboard artifact:
+    'the bottom 10% of customers hold 4.2% of revenue, the top decile
+    17%'), computed with the bucketed-rank discipline so it shares
+    `agg_gini_bucketed`'s scale posture: per-customer exact-cents
+    fold → ≤1e4-bucket histogram carrying per-bucket count AND spend
+    → cumulative grid → for each decile boundary, the largest bucket
+    prefix whose cumulative count fits (bucket-resolution convention,
+    stated; within-bucket interpolation would smuggle a uniformity
+    assumption). max_by(cs, cn) is deterministic here because cn
+    strictly increases across buckets.
+
+    Scale shape: one map-combinable customer fold; the decile ×
+    histogram threshold join is grid × 10 (whitelisted in the plan
+    audit as such); output is exactly 10 rows."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    per_cust = scoped_persist(spark, "agg.lorenz.percust", per_cust)
+    bw_df = per_cust.agg(
+        F.expr("max(cents) DIV 10000 + 1").cast("long").alias("bw")
+    )
+    hist = (
+        per_cust.crossJoin(F.broadcast(bw_df))
+        .groupBy(
+            (F.col("cents") - F.col("cents") % F.col("bw")).alias("v")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("cents").cast("long").alias("sb"),
+        )
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("nb").over(wcum).cast("long").alias("cn"),
+        F.sum("sb").over(wcum).cast("long").alias("cs"),
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    dec = spark.range(1, 11).select(F.col("id").cast("long").alias("k"))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("cn") * 10 <= F.col("k") * F.col("n"),
+        )
+        .groupBy("k", "s")
+        .agg(
+            F.max("cn").cast("long").alias("customers_cum"),
+            F.expr("max_by(cs, cn)").alias("cs_at"),
+        )
+        .select(
+            F.col("k").alias("decile"),
+            "customers_cum",
+            F.round(
+                F.col("cs_at")
+                * 1.0
+                / F.nullif(F.col("s") * F.lit(1.0), F.lit(0.0)),
+                6,
+            ).alias("spend_share_cum"),
+        )
+    )

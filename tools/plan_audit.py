@@ -35,6 +35,7 @@ WHITELIST: dict[str, str] = {
     "agg_spearman_bucketed": "cumsums over <=2e4-row marginals",
     "agg_ks_bucketed": "ECDF cumsum over <=1e4-row histogram",
     "eval_auc_bucketed": "rank cumsum over <=1e4-row histogram",
+    "agg_lorenz_curve": "decile x <=1e4-bucket grid threshold join + grid cumsum",
     "corpus_ccnet_quality_buckets": "cumsum over <=1e4-row histogram",
     "corpus_bucket_dedup_cross": "inherits the ccnet grid cumsum (<=1e4-row histogram)",
     "embedding_jl_projection": "8128-pair broadcast self-join of a fixed 128-vector frame",
