@@ -3290,7 +3290,7 @@ _CMS_D = 4  # count-min depth (hash rows)
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05) —
     the frequency-sketch sibling of the theta/KLL/HDR family: a
-    {_CMS_D}×{_CMS_W} counter grid built in ONE map-combinable fold
+    4×16 (_CMS_D×_CMS_W) counter grid built in ONE map-combinable fold
     (explode tokens × hash rows → groupBy (row, bucket) count — the
     sketch is 64 integers, mergeable across any partitioning, which
     is the entire point at 100 TB), then every vocabulary term is
@@ -3687,10 +3687,11 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(generate_series(1, 10)) AS k
     )
     SELECT CAST(dec.k AS BIGINT) AS decile,
-           CAST(max(cum.cn) AS BIGINT) AS customers_cum,
-           round(max_by(cum.cs, cum.cn) * 1.0 / nullif(tot.s, 0), 6)
-               AS spend_share_cum
-    FROM dec CROSS JOIN tot JOIN cum ON cum.cn * 10 <= dec.k * tot.n
+           CAST(coalesce(max(cum.cn), 0) AS BIGINT) AS customers_cum,
+           round(coalesce(max_by(cum.cs, cum.cn), 0) * 1.0
+                 / nullif(tot.s, 0), 6) AS spend_share_cum
+    FROM dec CROSS JOIN tot
+    LEFT JOIN cum ON cum.cn * 10 <= dec.k * tot.n
     GROUP BY dec.k, tot.s
     """,
 )
@@ -3705,7 +3706,12 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix whose cumulative count fits (bucket-resolution convention,
     stated; within-bucket interpolation would smuggle a uniformity
     assumption). max_by(cs, cn) is deterministic here because cn
-    strictly increases across buckets.
+    strictly increases across buckets. The decile frame LEFT-joins the
+    cumulative grid, so a decile whose boundary falls BEFORE the first
+    bucket's cumulative count (possible under extreme skew: one bucket
+    holding >10% of customers) still emits a row with customers_cum=0
+    and spend_share_cum=0.0 — the 10-row output contract holds
+    unconditionally (ADVICE r11).
 
     Scale shape: one map-combinable customer fold; the decile ×
     histogram threshold join is grid × 10 (whitelisted in the plan
@@ -3750,11 +3756,14 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(cum),
             F.col("cn") * 10 <= F.col("k") * F.col("n"),
+            "left",
         )
         .groupBy("k", "s")
         .agg(
-            F.max("cn").cast("long").alias("customers_cum"),
-            F.expr("max_by(cs, cn)").alias("cs_at"),
+            F.coalesce(F.max("cn"), F.lit(0))
+            .cast("long")
+            .alias("customers_cum"),
+            F.coalesce(F.expr("max_by(cs, cn)"), F.lit(0)).alias("cs_at"),
         )
         .select(
             F.col("k").alias("decile"),

@@ -1404,6 +1404,27 @@ _SNM_KEY_LEN = 24  # chars of lower(text) used as the SNM sort key
 _SNM_PARTS = 32  # range partitions for the distributed global rank
 
 
+def _snm_offsets(counts: DataFrame) -> DataFrame:
+    """Exclusive prefix sum of per-partition counts → (pid, off).
+
+    The input is bounded by the partition COUNT (≤ _SNM_PARTS = 32
+    rows) — partition-count METADATA, never corpus volume, the same
+    cardinality RangePartitioner pulls to the driver to pick range
+    boundaries. It runs as a single-partition window, whitelisted in
+    tools/plan_audit.py with that bound. Lazy by design (ADVICE r11):
+    the earlier driver-side .collect() spelling made merely BUILDING an
+    SNM plan execute a corpus-scale count+persist job, contradicting
+    plan_audit's "plans only — no execution" contract; this keeps every
+    registered op's DataFrame construction action-free."""
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    return counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+
+
 @query(
     "dedup_sorted_neighborhood",
     oracle=f"""
@@ -1461,10 +1482,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     `repartitionByRange(skey, doc_id)` gives an order-preserving range
     partitioning; a per-partition row_number (window partitioned by
     `spark_partition_id()`) plus a cumulative offset per partition
-    (a driver-side running sum over the ≤ _SNM_PARTS-row count table —
-    partition-count metadata, the same scale of driver state the
-    RangePartitioner's boundary sample already is) stitch an exact
-    consecutive global rank. Each doc then EXPLODES its w−1
+    (a lazy exclusive prefix sum over the ≤ _SNM_PARTS-row count
+    table — partition-count metadata, the same scale the
+    RangePartitioner's boundary sample already is; see _snm_offsets)
+    stitch an exact consecutive global rank. Each doc then EXPLODES its w−1
     successor ranks and equi-joins back on rank — a plain shuffled
     hash join that handles partition skew and sub-window partitions
     with no boundary-replication bookkeeping. Verification is the same
@@ -1488,24 +1509,17 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("pid").orderBy("skey", "doc_id")
     )
     # Cumulative partition offsets: the count table is bounded by the
-    # partition COUNT (≤ _SNM_PARTS rows), never by the corpus, so a
-    # driver-side cumsum is the honest spelling — the same metadata
-    # RangePartitioner itself pulls to the driver to pick boundaries.
-    # (A lit-partitioned window gets constant-folded back to a
-    # single-partition WindowExec, which the plan pin forbids; an
-    # inequality self-join plans as BroadcastNestedLoopJoin, ditto.)
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .collect()
-    }
-    acc, rows = 0, []
-    for p in sorted(counts):
-        rows.append((p, acc))
-        acc += counts[p]
-    offsets = spark.createDataFrame(
-        rows or [(0, 0)], "pid int, off long"
+    # partition COUNT (≤ _SNM_PARTS rows), never by the corpus — an
+    # exclusive prefix sum over partition-count METADATA (the same
+    # cardinality RangePartitioner itself pulls to the driver to pick
+    # boundaries). Computed LAZILY (ADVICE r11): the earlier
+    # driver-side .collect() spelling executed a corpus-scale count
+    # job at plan-CONSTRUCTION time, which broke plan_audit's
+    # "plans only — no execution" claim.
+    offsets = _snm_offsets(
+        ranged.groupBy("pid").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
     )
     ranked = (
         ranged.join(F.broadcast(offsets), "pid")
@@ -1556,26 +1570,21 @@ def _snm_candidate_pairs(
     `key`): canonicalized candidate pairs (doc_a < doc_b) within the
     w−1-successor window of the global (key, doc_id) order. Same
     distributed-rank discipline as dedup_sorted_neighborhood: range
-    partitions, per-partition row_number, driver-side cumsum of the
-    ≤ _SNM_PARTS-row partition counts (metadata scale), rank equi-join
-    — no single-partition window, no nested loop."""
+    partitions, per-partition row_number, lazy metadata-scale prefix
+    sum of the ≤ _SNM_PARTS-row partition counts (_snm_offsets), rank
+    equi-join — no corpus-scale single-partition window, no nested
+    loop, no plan-time execution."""
     from presto_truffle_spark.cache import scoped_persist
 
     ranged = keyed.select("doc_id", key).repartitionByRange(
         _SNM_PARTS, key, "doc_id"
     ).withColumn("pid", F.spark_partition_id())
     ranged = scoped_persist(spark, site, ranged)
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .collect()
-    }
-    acc, rows = 0, []
-    for p in sorted(counts):
-        rows.append((p, acc))
-        acc += counts[p]
-    offsets = spark.createDataFrame(rows or [(0, 0)], "pid int, off long")
+    offsets = _snm_offsets(
+        ranged.groupBy("pid").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
     local_rn = F.row_number().over(
         W.partitionBy("pid").orderBy(key, "doc_id")
     )

@@ -67,7 +67,10 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     Counted from the physical plan: Spark prints a partitioned window as
     `Window [exprs], [partSpec], [orderSpec]` and an unpartitioned one
     as `Window [exprs], [orderSpec]` — i.e. the SECOND top-level bracket
-    group carries ASC/DESC when no partition spec exists."""
+    group carries ASC/DESC when no partition spec exists. A window with
+    BOTH specs empty (`count(*) over ()`) prints a SINGLE bracket group
+    — it still funnels all rows to one task, so it is counted too
+    (ADVICE r11: the empty-order gap)."""
     plan = physical_plan(df)
     n = 0
     for line in plan.splitlines():
@@ -88,8 +91,9 @@ def unpartitioned_window_count(df: DataFrame) -> int:
                     continue
             if depth >= 1:
                 cur += ch
-        if len(groups) >= 2 and (
-            " ASC" in groups[1] or " DESC" in groups[1]
+        if len(groups) == 1 or (
+            len(groups) >= 2
+            and (" ASC" in groups[1] or " DESC" in groups[1])
         ):
             n += 1
     return n

@@ -134,6 +134,10 @@ _FORCE_HEAD: dict[str, int] = {
     "source_binary_files": 8,
     "source_xml_roundtrip": 8,
     "streaming_transform_with_state": 8,
+    # r12 code-staled green: ADVICE r11 — ln(c+1) terms frozen as
+    # integer micro-nats (exact BIGINT fold; 6dp values can shift at
+    # rounding boundaries vs the old float sum).
+    "text_unigram_lm_perplexity": 11,
 }
 
 _WINDOW = 50

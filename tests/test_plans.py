@@ -5,6 +5,8 @@ filter or drops a broadcast fails here, not in production."""
 
 from __future__ import annotations
 
+import re
+
 from presto_truffle_spark.plans import inspect
 
 
@@ -190,6 +192,72 @@ def test_tfidf_skips_persist_below_threshold(spark, sf_dir, monkeypatch):
     plan = inspect.physical_plan(df)
     assert "InMemoryTableScan" not in plan
     assert inspect.uses_broadcast_join(df)
+
+
+def test_tfidf_vocab_salting_gate(spark, sf_dir, monkeypatch):
+    """Past _VOCAB_BROADCAST_MAX_BYTES the df side must stop
+    broadcasting and the tf⋈df join must run SALTED on (token, salt)
+    — the fallback the docstring promised and VERDICT r11 #2 demanded
+    as code. Pin: the salted plan carries the pmod salt + the df-side
+    explode fan-out, and both gate settings produce IDENTICAL rows."""
+    from presto_truffle_spark.operators import text
+
+    spark.catalog.clearCache()
+    base = sorted(
+        map(tuple, text.text_tfidf_top_terms(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(text, "_VOCAB_BROADCAST_MAX_BYTES", 0)
+    df = text.text_tfidf_top_terms(spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "pmod" in plan and "salt" in plan
+    assert "Generate explode" in plan or "explode" in plan
+    assert sorted(map(tuple, df.collect())) == base
+    spark.catalog.clearCache()
+
+
+def _broadcast_agg_keys(plan: str) -> list[str]:
+    """For each BroadcastExchange in a toString plan, the keys=[...] of
+    the first HashAggregate beneath it (empty string if none before the
+    next Exchange) — enough to tell WHICH marginal was broadcast."""
+    out = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        key = ""
+        for nxt in lines[i + 1 : i + 12]:
+            if "Exchange" in nxt and "BroadcastExchange" not in nxt:
+                break
+            m = re.search(r"HashAggregate\(keys=\[(\w+)", nxt)
+            if m:
+                key = m.group(1)
+                break
+        out.append(key)
+    return out
+
+
+def test_jsd_vocab_broadcast_flip(spark, sf_dir, monkeypatch):
+    """text_jsd_by_source broadcasts the VOCAB marginal only below the
+    gate; past it the broadcast flips to the categorically-bounded
+    SOURCES marginal (VERDICT r11 #2 — previously an undocumented
+    broadcast assumption). Pin: below the gate some BroadcastExchange
+    aggregates by tok; above it none does but one aggregates by
+    source; values identical both ways."""
+    from presto_truffle_spark.operators import text
+
+    spark.catalog.clearCache()
+    df0 = text.text_jsd_by_source(spark, sf_dir)
+    keys0 = _broadcast_agg_keys(inspect.physical_plan(df0))
+    assert "tok" in keys0, keys0
+    base = sorted(map(tuple, df0.collect()))
+    spark.catalog.clearCache()
+    monkeypatch.setattr(text, "_VOCAB_BROADCAST_MAX_BYTES", 0)
+    df1 = text.text_jsd_by_source(spark, sf_dir)
+    keys1 = _broadcast_agg_keys(inspect.physical_plan(df1))
+    assert "tok" not in keys1, keys1
+    assert "source" in keys1, keys1
+    assert sorted(map(tuple, df1.collect())) == base
+    spark.catalog.clearCache()
 
 
 def test_user_days_consumers_share_one_pipeline(spark, sf_dir):
@@ -1189,14 +1257,19 @@ def test_uplift_and_rfm_ntile_are_tie_broken(spark, sf_dir):
 def test_snm_no_single_partition_window(spark, sf_dir):
     """dedup_sorted_neighborhood's r10 draft ran lead() over an
     UNPARTITIONED sort — the whole corpus through one task (VERDICT r10
-    #2). Pin the fix: the plan's windows are all partitioned (the local
-    row_number partitions by spark_partition_id), and the pair
-    generation is an equi-join on the stitched global rank, not a
+    #2). Pin the fix: the only unpartitioned window left is the
+    METADATA-scale _snm_offsets prefix sum (≤32 partition-count rows,
+    lazy per ADVICE r11 — previously a plan-time .collect()); the
+    corpus-scale row_number partitions by spark_partition_id, and the
+    pair generation is an equi-join on the stitched global rank, not a
     nested loop."""
     import __spark_entry__ as entry
 
     df = entry.queries()["dedup_sorted_neighborhood"](spark, sf_dir)
-    assert inspect.unpartitioned_window_count(df) == 0
+    # == 2: the ONE metadata window's subtree prints under BOTH
+    # branches of the rank self-join (a_side/b_side fork above the
+    # persisted `ranged`); each evaluation is a 32-row prefix sum.
+    assert inspect.unpartitioned_window_count(df) == 2
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -84,6 +84,20 @@ WHITELIST: dict[str, str] = {
     "events_session_gap_sweep": "gap-grid x session fold (grid-bounded)",
     "events_decayed_counts": "day-grid decay join (calendar-bounded)",
     "events_markov_stationary": "state-grid iteration (|states|^2-bounded)",
+    # SNM distributed rank: the one unpartitioned window per pass is
+    # _snm_offsets' exclusive prefix sum over <=32 partition-count rows
+    # (metadata scale; lazy per ADVICE r11 — was a plan-time collect;
+    # the subtree prints once per self-join branch, so counts are x2/x6).
+    "dedup_sorted_neighborhood": "metadata prefix sum over <=32 partition counts",
+    "dedup_snm_multipass": "metadata prefix sum over <=32 partition counts (x3 passes)",
+    # sum() OVER () global-total windows surfaced by the r12 detector
+    # widening (ADVICE r11: empty-order windows were invisible before).
+    # Each runs over a grid its docstring bounds; text_keyness was the
+    # one VOCAB-sized case and was rewritten to a broadcast 1-row agg.
+    "agg_chi_square_independence": "margin windows over the r*c<=25-row cell table",
+    "agg_jackknife_ratio_se": "replicate folds over the 20-bucket table",
+    "corpus_drift_psi": "normalizer window over the 10-bin histogram",
+    "corpus_temperature_sampling_plan": "share windows over the ~20-row source table",
 }
 
 
