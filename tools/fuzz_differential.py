@@ -707,6 +707,119 @@ def run_fold_order_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_hof_nested_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """NESTED / composed HOF-lambda family (r12, VERDICT r11 #6): the
+    r11 struct-fold fork proved the lambda surface hides engine
+    divergences, and the flat hof/fold_order families never compose
+    lambdas. Five shapes, probed before registration:
+      0. lambda-captures-the-array: transform whose body embeds a
+         filter+fold over the SAME array (inner empty-filter folds to
+         the init via DuckDB's [init] || list prepend);
+      1. index lambdas — Spark's two-arg (x, i) with 0-based i vs the
+         DuckDB mirror list_transform(generate_series(1, len(a)),
+         i -> a[i] ...) with 1-based i (offset folded into the
+         template so both compute the identical linear form);
+      2. exists/forall vs the len(list_filter(...)) spellings, cast to
+         BIGINT on both sides so the hash compares integers;
+      3. lambdas capturing an OUTER COLUMN (correlated lambda bodies —
+         both engines resolve the capture, probed);
+      4. Spark's 4-arg aggregate finish lambda vs applying the finish
+         outside DuckDB's list_reduce.
+    Array results serialize via array_join / coalesced array_to_string
+    (the empty-array NULL-vs-'' pinned convention)."""
+    rows = gen_rows(rng, rng.randint(0, 200))
+    path = os.path.join(tmp, f"fuzz_{case_id}_hn.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    arr_s = "array(coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), {k})"
+    arr_d = "[coalesce(m1,0), coalesce(m2,1), coalesce(m3,2), {k}]"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        k = rng.randint(-5, 5)
+        a_s, a_d = arr_s.format(k=k), arr_d.format(k=k)
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            mm, md = rng.randint(-3, 3), rng.randint(2, 5)
+            s = (
+                f"array_join(transform({a_s}, x -> x * {mm} +"
+                f" aggregate(filter({a_s}, y -> y % {md} = 0),"
+                " CAST(0 AS BIGINT), (a, y) -> a + y)), ',')"
+            )
+            d = (
+                f"coalesce(array_to_string(list_transform({a_d},"
+                f" x -> x * {mm} + list_reduce([CAST(0 AS BIGINT)] ||"
+                f" list_filter({a_d}, y -> y % {md} = 0),"
+                " (a, y) -> a + y)), ','), '')"
+            )
+        elif kind == 1:
+            m, c = rng.randint(-3, 3), rng.randint(-4, 4)
+            s = (
+                f"array_join(transform({a_s},"
+                f" (x, i) -> x * {m} + (i + 1) * {c}), ',')"
+            )
+            d = (
+                "coalesce(array_to_string(list_transform("
+                f"generate_series(1, len({a_d})),"
+                f" i -> {a_d}[i] * {m} + i * {c}), ','), '')"
+            )
+        elif kind == 2:
+            md, thr = rng.randint(2, 5), rng.randint(-5, 5)
+            if rng.random() < 0.5:
+                s = f"CAST(exists({a_s}, x -> x % {md} = 0) AS BIGINT)"
+                d = (
+                    f"CAST(len(list_filter({a_d}, x -> x % {md} = 0)) > 0"
+                    " AS BIGINT)"
+                )
+            else:
+                s = f"CAST(forall({a_s}, x -> x > {thr}) AS BIGINT)"
+                d = (
+                    f"CAST(len(list_filter({a_d},"
+                    f" x -> NOT (x > {thr}))) = 0 AS BIGINT)"
+                )
+        elif kind == 3:
+            cap = rng.choice(["coalesce(m1,0)", "coalesce(m2,1)"])
+            if rng.random() < 0.5:
+                s = f"array_join(transform({a_s}, x -> x + {cap}), ',')"
+                d = (
+                    f"coalesce(array_to_string(list_transform({a_d},"
+                    f" x -> x + {cap}), ','), '')"
+                )
+            else:
+                s = f"array_join(filter({a_s}, x -> x <= {cap}), ',')"
+                d = (
+                    f"coalesce(array_to_string(list_filter({a_d},"
+                    f" x -> x <= {cap}), ','), '')"
+                )
+        else:
+            init, p = rng.randint(0, 9), rng.choice([97, 101, 1009])
+            s = (
+                f"CAST(aggregate({a_s}, CAST({init} AS BIGINT),"
+                f" (a, x) -> a + x, a -> abs(a) % {p}) AS BIGINT)"
+            )
+            d = (
+                f"CAST(abs(list_reduce([CAST({init} AS BIGINT)] || {a_d},"
+                f" (a, x) -> a + x)) % {p} AS BIGINT)"
+            )
+        exprs.append((f"{s} AS hn{i}", f"{d} AS hn{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_decimal_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2775,6 +2888,8 @@ _CORE_FAMILIES = [
     ("mixed_interval", 0.015),
     ("range_interval_frame", 0.015),
     ("fold_order", 0.015),
+    # --- r12 families ---
+    ("hof_nested", 0.015),
     ("base_agg", None),  # remainder
 ]
 
