@@ -2816,6 +2816,301 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_trigram_lm_perplexity",
+    oracle=f"""
+    WITH d AS (
+        SELECT string_split(text, ' ') AS toks,
+               substr(md5(text), 1, 2) < '{_LM_TRAIN_HI}' AS is_train
+        FROM documents
+    ), tr_tri AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+               CAST(count(*) AS BIGINT) AS c3
+        FROM d, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE is_train GROUP BY 1, 2, 3
+    ), tr_bi AS (
+        SELECT toks[i] AS prev, toks[i+1] AS cur,
+               CAST(count(*) AS BIGINT) AS cbi
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE is_train GROUP BY 1, 2
+    ), tr_uni AS (
+        SELECT toks[i] AS tok, CAST(count(*) AS BIGINT) AS cuni
+        FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+        WHERE is_train GROUP BY 1
+    ), tstat AS (
+        SELECT CAST(sum(cuni) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v
+        FROM tr_uni
+    ), ev_tri AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+               CAST(count(*) AS BIGINT) AS m
+        FROM d, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+        WHERE NOT is_train GROUP BY 1, 2, 3
+    ), ev_head AS (
+        SELECT toks[i] AS tok, CAST(count(*) AS BIGINT) AS m
+        FROM d, unnest(generate_series(1, least(2, len(toks)))) AS t(i)
+        WHERE NOT is_train GROUP BY 1
+    ), tri_cls AS (
+        SELECT coalesce(t3.c3, 0) AS c3, coalesce(b1.cbi, 0) AS h2,
+               coalesce(b2.cbi, 0) AS c2, coalesce(u1.cuni, 0) AS h1,
+               coalesce(u2.cuni, 0) AS c1,
+               CAST(sum(e.m) AS BIGINT) AS m
+        FROM ev_tri e
+        LEFT JOIN tr_tri t3 ON t3.w1 = e.w1 AND t3.w2 = e.w2
+                           AND t3.w3 = e.w3
+        LEFT JOIN tr_bi b1 ON b1.prev = e.w1 AND b1.cur = e.w2
+        LEFT JOIN tr_bi b2 ON b2.prev = e.w2 AND b2.cur = e.w3
+        LEFT JOIN tr_uni u1 ON u1.tok = e.w2
+        LEFT JOIN tr_uni u2 ON u2.tok = e.w3
+        GROUP BY 1, 2, 3, 4, 5
+    ), hd_cls AS (
+        SELECT coalesce(u.cuni, 0) AS c1, CAST(sum(e.m) AS BIGINT) AS m
+        FROM ev_head e LEFT JOIN tr_uni u ON u.tok = e.tok
+        GROUP BY 1
+    ), tri_li AS (
+        SELECT m,
+               CAST(round(ln(
+                   (CASE WHEN h2 > 0
+                         THEN CAST(0.5 AS DOUBLE) * c3 / h2
+                         ELSE CAST(0 AS DOUBLE) END)
+                   + (CASE WHEN h1 > 0
+                          THEN CAST(0.3 AS DOUBLE) * c2 / h1
+                          ELSE CAST(0 AS DOUBLE) END)
+                   + CAST(0.2 AS DOUBLE) * (c1 + 1)
+                     / (tstat.n + tstat.v + 1.0)) * 1000000)
+                    AS BIGINT) AS li
+        FROM tri_cls CROSS JOIN tstat
+    ), hd_li AS (
+        SELECT m,
+               CAST(round(ln((c1 + 1) / (tstat.n + tstat.v + 1.0))
+                          * 1000000) AS BIGINT) AS li
+        FROM hd_cls CROSS JOIN tstat
+    ), s AS (
+        SELECT CAST((SELECT sum(m) FROM tri_li) AS BIGINT) AS m_tri,
+               CAST((SELECT sum(m) FROM hd_li) AS BIGINT) AS m_hd,
+               CAST((SELECT sum(m * li) FROM tri_li) AS BIGINT)
+                   + CAST((SELECT sum(m * li) FROM hd_li) AS BIGINT)
+                   AS sum_li,
+               CAST((SELECT count(*) FROM tri_li) AS BIGINT)
+                   AS n_tri_classes
+    )
+    SELECT tstat.n AS train_tokens, tstat.v AS train_vocab,
+           s.m_tri + s.m_hd AS eval_tokens, s.n_tri_classes,
+           round(s.sum_li * 1.0
+                 / nullif((s.m_tri + s.m_hd) * 1000000.0, 0), 6)
+               AS avg_logprob,
+           round(exp(-s.sum_li * 1.0
+                     / nullif((s.m_tri + s.m_hd) * 1000000.0, 0)), 6)
+               AS perplexity
+    FROM s CROSS JOIN tstat
+    """,
+)
+def text_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM-LM held-out perplexity — the third LM-family
+    member (deferred in r11 until a fixture with real n-gram structure
+    existed to prove it discriminates; sources/rich_fixture.py is that
+    fixture, VERDICT r11 #4): p(w3|w1,w2) = 0.5·c(w1w2w3)/c(w1w2) +
+    0.3·c(w2w3)/c(w2) + 0.2·(c(w3)+1)/(N+V+1) — Jelinek-Mercer
+    interpolation down the order ladder with the add-one unigram as
+    the floor. Each document's first TWO tokens score under the pure
+    unigram (no context — the bigram op's boundary convention,
+    extended); unseen histories contribute a defined-0 term, never a
+    division.
+
+    Measured discrimination (BASELINE.md r12, rich fixture at 5000
+    docs): unigram PPL 392.6 → bigram 97.7 → trigram 71.5, because the
+    fixture's Markov triples make c3/h2 predictive (at 500 docs the
+    trigram grid is still sparsity-bound: 140.9 ≈ bigram 137.7 — the
+    order ladder needs data, faithfully reproduced); on the driver's
+    near-random-order corpus all three collapse to ≈V ≈ 30-34 — the
+    family's fixture-honesty note, now with the structured twin
+    recorded.
+
+    Determinism: the micro-nat class-grid discipline, one order
+    higher — eval trigram instances fold to exact integer counts per
+    (c3, h2, c2, h1, c1) tuple, each tuple's log-prob frozen ONCE as
+    integer micro-nats, exact BIGINT totals, ONE final division. The
+    class grid is bounded by distinct EVAL TRIGRAM TYPES (≤ vocab³ but
+    in practice the Heaps-law trigram vocabulary), never by corpus
+    volume; all five count lookups are plain equi-joins on n-gram keys
+    (grouped eval side ⇒ ≤1 row per key — no hot-token skew like the
+    tfidf df join).
+
+    Scale shape: three map-combinable train folds + two eval folds;
+    everything downstream of the folds is n-gram-type-sized."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("toks"),
+        (
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+            < _LM_TRAIN_HI
+        ).alias("is_train"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    d = scoped_persist(spark, "text.trilm.d", d)
+    sz = F.size(F.col("toks"))
+    tris = F.transform(
+        F.sequence(F.lit(1), sz - 2),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+            F.element_at("toks", i + 2).alias("w3"),
+        ),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, sz - 1),
+        F.slice(F.col("toks"), 2, sz - 1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    # Spark's sequence(1, sz-2) DESCENDS for sz < 3 (DuckDB's
+    # generate_series is empty) — the sz >= 3 filter keeps the
+    # engines' trigram sets identical.
+    tr = d.filter("is_train")
+    tr_tri = (
+        tr.filter(sz >= 3)
+        .select(F.explode(tris).alias("t"))
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+    tr_bi = (
+        tr.filter(sz >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy(
+            F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cbi"))
+    )
+    tr_bi = scoped_persist(spark, "text.trilm.trbi", tr_bi)
+    tr_uni = (
+        tr.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cuni"))
+    )
+    tr_uni = scoped_persist(spark, "text.trilm.truni", tr_uni)
+    tstat = tr_uni.agg(
+        F.sum("cuni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ev = d.filter(~F.col("is_train"))
+    ev_tri = (
+        ev.filter(sz >= 3)
+        .select(F.explode(tris).alias("t"))
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    ev_head = (
+        ev.select(
+            F.explode(
+                F.slice(F.col("toks"), 1, F.least(F.lit(2), sz))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    tri_cls = (
+        ev_tri.join(tr_tri, ["w1", "w2", "w3"], "left")
+        .join(
+            tr_bi.select(
+                F.col("prev").alias("w1"),
+                F.col("cur").alias("w2"),
+                F.col("cbi").alias("h2_"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            tr_bi.select(
+                F.col("prev").alias("w2"),
+                F.col("cur").alias("w3"),
+                F.col("cbi").alias("c2_"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            tr_uni.select(F.col("tok").alias("w2"), F.col("cuni").alias("h1_")),
+            "w2",
+            "left",
+        )
+        .join(
+            tr_uni.select(F.col("tok").alias("w3"), F.col("cuni").alias("c1_")),
+            "w3",
+            "left",
+        )
+        .groupBy(
+            F.coalesce("c3", F.lit(0)).alias("c3"),
+            F.coalesce("h2_", F.lit(0)).alias("h2"),
+            F.coalesce("c2_", F.lit(0)).alias("c2"),
+            F.coalesce("h1_", F.lit(0)).alias("h1"),
+            F.coalesce("c1_", F.lit(0)).alias("c1"),
+        )
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    hd_cls = (
+        ev_head.join(tr_uni, "tok", "left")
+        .groupBy(F.coalesce("cuni", F.lit(0)).alias("c1"))
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    p = (
+        F.when(
+            F.col("h2") > 0, F.lit(0.5) * F.col("c3") / F.col("h2")
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("h1") > 0, F.lit(0.3) * F.col("c2") / F.col("h1")
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.2)
+        * (F.col("c1") + 1)
+        / (F.col("n") + F.col("v") + F.lit(1.0))
+    )
+    tri_li = tri_cls.crossJoin(F.broadcast(tstat)).select(
+        "m", F.round(F.log(p) * 1000000).cast("long").alias("li")
+    )
+    hd_li = hd_cls.crossJoin(F.broadcast(tstat)).select(
+        "m",
+        F.round(
+            F.log(
+                (F.col("c1") + 1) / (F.col("n") + F.col("v") + F.lit(1.0))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("li"),
+    )
+    s_tri = tri_li.agg(
+        F.sum("m").cast("long").alias("m_tri"),
+        F.sum(F.col("m") * F.col("li")).cast("long").alias("sl_tri"),
+        F.count(F.lit(1)).cast("long").alias("n_tri_classes"),
+    )
+    s_hd = hd_li.agg(
+        F.sum("m").cast("long").alias("m_hd"),
+        F.sum(F.col("m") * F.col("li")).cast("long").alias("sl_hd"),
+    )
+    mt = (F.col("m_tri") + F.col("m_hd")) * F.lit(1000000.0)
+    avg = (F.col("sl_tri") + F.col("sl_hd")) * 1.0 / F.nullif(
+        mt, F.lit(0.0)
+    )
+    return (
+        s_tri.crossJoin(F.broadcast(s_hd))
+        .crossJoin(F.broadcast(tstat))
+        .select(
+            F.col("n").alias("train_tokens"),
+            F.col("v").alias("train_vocab"),
+            (F.col("m_tri") + F.col("m_hd")).alias("eval_tokens"),
+            "n_tri_classes",
+            F.round(avg, 6).alias("avg_logprob"),
+            F.round(F.exp(-avg), 6).alias("perplexity"),
+        )
+    )
+
+
+@query(
     "eval_auc_bucketed",
     oracle=f"""
     WITH t AS (

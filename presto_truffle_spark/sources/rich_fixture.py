@@ -1,0 +1,155 @@
+"""Seeded RICH fixture generator: Zipfian Markov text + clustered embeddings.
+
+VERDICT r11 #4: the driver's synthetic corpus has near-random token
+order and isotropic embeddings, which FLOOR-BOUNDS several quality
+studies — PQ/IVF recall ≈ fraction-probed, JSD ≈ sampling noise,
+higher-order LMs indistinguishable from unigram. This module generates
+a structurally rich variant with the SAME schemas as
+/root/testdata/sf*/documents.parquet and embeddings.parquet, so every
+registered query runs on it unchanged:
+
+* ``zipf_documents``: vocabulary of V tokens whose per-topic frequency
+  follows a Zipf(≈1) law (closed-form inverse CDF: rank =
+  floor(exp(u·ln(V+1))) for u ~ U[0,1)), emitted as TRIPLES with a
+  deterministic Markov structure — within a topic, token B is a fixed
+  function of A and C a fixed function of (A, B) except with a
+  per-quality-tier NOISE rate that replaces them with independent
+  draws. Consequences, by construction: a bigram LM beats unigram, a
+  trigram LM beats bigram, quality tiers separate in held-out
+  perplexity (CCNet bucketing becomes a real discriminator), and each
+  topic permutes WHICH tokens are frequent, so per-source JSD measures
+  composition, not noise.
+* ``clustered_embeddings``: a seeded Gaussian-mixture stand-in — K
+  unit-scale centers, per-vector noise at 0.25 amplitude — so
+  IVF/PQ/LSH recall reflects cluster structure instead of the
+  isotropic floor. ``label`` = the true mixture component.
+
+Everything is derived from Spark's murmur3 ``hash()`` over (seed, id,
+tag) — no rand(), replayable at any parallelism, generated ON THE
+EXECUTORS via spark.range (no driver loops; scales to any row count).
+
+This is a FIXTURE GENERATOR, not a registered query: tools/
+make_rich_fixture.py materializes parquet for studies and selfcheck
+runs; BASELINE.md records the study deltas vs the isotropic fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = 512  # token types: 'w000'..'w511'
+N_TOPICS = 8
+N_SOURCES = 20
+# quality tiers: noise % of Markov links broken (independent redraw).
+TIER_NOISE = (5, 20, 45)
+EMB_DIM = 64
+EMB_CLUSTERS = 16
+
+
+def _u01(*cols) -> F.Column:
+    """Deterministic U[0,1) from a murmur3 hash of the inputs."""
+    return F.pmod(F.hash(*cols), F.lit(1 << 20)) / F.lit(float(1 << 20))
+
+
+def _zipf_rank(u: F.Column) -> F.Column:
+    """Inverse-CDF Zipf(s=1) rank in [1, VOCAB]: P(rank <= r) ~ ln r."""
+    import math
+
+    r = F.floor(F.exp(u * F.lit(math.log(VOCAB + 1.0))))
+    return F.least(F.lit(VOCAB), F.greatest(F.lit(1), r)).cast("long")
+
+
+def _tok(idx: F.Column) -> F.Column:
+    return F.concat(F.lit("w"), F.lpad(idx.cast("string"), 3, "0"))
+
+
+def zipf_documents(
+    spark: SparkSession, n_docs: int, seed: int = 12
+) -> DataFrame:
+    """documents-schema DataFrame (doc_id, text, lang, source, n_chars)
+    with Zipfian vocabulary, per-topic Markov triples, quality tiers."""
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    s = F.lit(seed)
+    topic = F.pmod(F.hash(s, F.col("doc_id"), F.lit("topic")), F.lit(N_TOPICS))
+    tier = F.pmod(F.hash(s, F.col("doc_id"), F.lit("tier")), F.lit(3))
+    noise_pct = F.element_at(
+        F.array(*[F.lit(p) for p in TIER_NOISE]), (tier + 1).cast("int")
+    )
+    n_tri = (
+        F.pmod(F.hash(s, F.col("doc_id"), F.lit("len")), F.lit(40)) + 10
+    ).cast("int")
+
+    d = d.select(
+        "doc_id",
+        topic.alias("topic"),
+        noise_pct.alias("noise_pct"),
+        n_tri.alias("n_tri"),
+    )
+
+    doc, tpc, npct = F.col("doc_id"), F.col("topic"), F.col("noise_pct")
+
+    def head_idx(g):
+        # per-topic affine permutation of the Zipf rank: every topic is
+        # Zipfian but over a DIFFERENT frequent set (JSD signal).
+        rank = _zipf_rank(_u01(s, doc, g, F.lit("a")))
+        return F.pmod(rank * (tpc * 2 + 7) + tpc * 13, F.lit(VOCAB))
+
+    def indep_idx(g, tag):
+        rank = _zipf_rank(_u01(s, doc, g, F.lit(tag)))
+        return F.pmod(rank * (tpc * 2 + 7) + tpc * 13, F.lit(VOCAB))
+
+    def triple(g):
+        a = head_idx(g)
+        noisy_b = F.pmod(F.hash(s, doc, g, F.lit("nb")), F.lit(100)) < npct
+        noisy_c = F.pmod(F.hash(s, doc, g, F.lit("nc")), F.lit(100)) < npct
+        b = F.when(noisy_b, indep_idx(g, "ib")).otherwise(
+            F.pmod(a * 31 + tpc * 7 + 3, F.lit(VOCAB))
+        )
+        c = F.when(noisy_c, indep_idx(g, "ic")).otherwise(
+            F.pmod(a * 17 + b * 13 + tpc, F.lit(VOCAB))
+        )
+        return F.concat_ws(" ", _tok(a), _tok(b), _tok(c))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("n_tri") - 1), triple), " "
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.pmod(tpc, F.lit(3)) + 1).cast("int"),
+    )
+    source = F.concat(
+        F.lit("src"),
+        F.pmod(F.hash(s, doc, F.lit("src")), F.lit(N_SOURCES)).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def clustered_embeddings(
+    spark: SparkSession, n_vecs: int, seed: int = 12
+) -> DataFrame:
+    """embeddings-schema DataFrame (vec_id, embedding array<float>,
+    label int) drawn from a seeded Gaussian-mixture stand-in."""
+    d = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    s = F.lit(seed)
+    c = F.pmod(F.hash(s, F.col("vec_id"), F.lit("c")), F.lit(EMB_CLUSTERS))
+
+    def coord(j):
+        ctr = (
+            F.pmod(F.hash(s, c, j, F.lit("ctr")), F.lit(2001)) - 1000
+        ) / F.lit(1000.0)
+        nz = (
+            F.pmod(F.hash(s, F.col("vec_id"), j, F.lit("nz")), F.lit(2001))
+            - 1000
+        ) / F.lit(1000.0)
+        return (ctr + nz * F.lit(0.25)).cast("float")
+
+    emb = F.transform(F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), coord)
+    return d.select(
+        "vec_id", emb.alias("embedding"), c.cast("int").alias("label")
+    )
