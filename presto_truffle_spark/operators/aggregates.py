@@ -3304,19 +3304,31 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivations (tok#j), bit-identical on both engines — the
     corpus_priority_sample derandomization.
 
-    Scale shape: sketch build is map-side (constant 64-cell state);
-    the point-query side here scans the full vocab (fixture: 31
-    terms) — at 100 TB the candidate set comes from a sample or a
-    prior round, and the sketch answers in O(d) per candidate. The
-    threshold filter broadcasts the 1-row total."""
+    Scale shape: ONE corpus-scale token fold; the sketch cells derive
+    from the per-token counts, so the hash-row explode and md5 bucket
+    expressions run over VOCAB rows only (r12 fusion — the 10x scale
+    ratio fell 7.18 → 1.05); the point-query side here scans the full
+    vocab (fixture: 31 terms) — at 100 TB the candidate set comes
+    from a sample or a prior round, and the sketch answers in O(d)
+    per candidate. The threshold filter broadcasts the 1-row total."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     from presto_truffle_spark.cache import scoped_persist
 
-    toks = scoped_persist(spark, "agg.cms.toks", toks)
-    n = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # One corpus-scale token fold feeds EVERYTHING: the sketch cells
+    # derive from the per-token counts (r12, the TODO-r11 fusion), so
+    # the x_CMS_D hash-row explode and the md5 bucket expression run
+    # over VOCAB rows, not corpus tokens — at 100 TB that is the
+    # difference between 4 md5 evaluations per corpus token and 4 per
+    # vocabulary term. Counts are identical by construction
+    # (sum of per-token counts per (row, bucket) = token instances).
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    vocab = scoped_persist(spark, "agg.cms.vocab", vocab)
+    n = vocab.agg(F.sum("exact_count").cast("long").alias("total"))
     rows_j = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
 
     def _bucket(tok_col, j_col):
@@ -3338,14 +3350,11 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cells = (
-        toks.crossJoin(F.broadcast(rows_j))
+        vocab.crossJoin(F.broadcast(rows_j))
         .groupBy(
             "j", _bucket(F.col("tok"), F.col("j")).alias("bucket")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    vocab = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_count")
+        .agg(F.sum("exact_count").cast("long").alias("c"))
     )
     # the bucket expression is recomputed on the vocab side, matching
     # the oracle's join key
