@@ -2816,6 +2816,239 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_kn_bigram_perplexity",
+    oracle=f"""
+    WITH d AS (
+        SELECT string_split(text, ' ') AS toks,
+               substr(md5(text), 1, 2) < '{_LM_TRAIN_HI}' AS is_train
+        FROM documents
+    ), tr_bi AS (
+        SELECT toks[i] AS prev, toks[i+1] AS cur,
+               CAST(count(*) AS BIGINT) AS cbi
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE is_train GROUP BY 1, 2
+    ), tr_ctx AS (
+        SELECT prev, CAST(sum(cbi) AS BIGINT) AS cprev,
+               CAST(count(*) AS BIGINT) AS n1p
+        FROM tr_bi GROUP BY prev
+    ), tr_cont AS (
+        SELECT cur, CAST(count(*) AS BIGINT) AS n1m
+        FROM tr_bi GROUP BY cur
+    ), bstat AS (
+        SELECT CAST(count(*) AS BIGINT) AS bt FROM tr_bi
+    ), tstat AS (
+        SELECT CAST(count(DISTINCT toks[i]) AS BIGINT) AS v
+        FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+        WHERE is_train
+    ), ev_bi AS (
+        SELECT toks[i] AS prev, toks[i+1] AS cur,
+               CAST(count(*) AS BIGINT) AS m
+        FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE NOT is_train GROUP BY 1, 2
+    ), ev_first AS (
+        SELECT toks[1] AS tok, CAST(count(*) AS BIGINT) AS m
+        FROM d WHERE NOT is_train AND len(toks) >= 1 GROUP BY 1
+    ), bi_cls AS (
+        SELECT coalesce(b.cbi, 0) AS cbi, coalesce(cx.cprev, 0) AS cprev,
+               coalesce(cx.n1p, 0) AS n1p, coalesce(cn.n1m, 0) AS n1m,
+               CAST(sum(e.m) AS BIGINT) AS m
+        FROM ev_bi e
+        LEFT JOIN tr_bi b ON b.prev = e.prev AND b.cur = e.cur
+        LEFT JOIN tr_ctx cx ON cx.prev = e.prev
+        LEFT JOIN tr_cont cn ON cn.cur = e.cur
+        GROUP BY 1, 2, 3, 4
+    ), fi_cls AS (
+        SELECT coalesce(cn.n1m, 0) AS n1m, CAST(sum(e.m) AS BIGINT) AS m
+        FROM ev_first e LEFT JOIN tr_cont cn ON cn.cur = e.tok
+        GROUP BY 1
+    ), bi_li AS (
+        SELECT m,
+               CAST(round(ln(
+                   CASE WHEN cprev > 0 THEN
+                       greatest(cbi - CAST(0.75 AS DOUBLE),
+                                CAST(0 AS DOUBLE)) / cprev
+                       + CAST(0.75 AS DOUBLE) * n1p / cprev
+                         * ((n1m + 1) / (bstat.bt + tstat.v + 1.0))
+                   ELSE (n1m + 1) / (bstat.bt + tstat.v + 1.0) END)
+                   * 1000000) AS BIGINT) AS li
+        FROM bi_cls CROSS JOIN bstat CROSS JOIN tstat
+    ), fi_li AS (
+        SELECT m,
+               CAST(round(ln((n1m + 1) / (bstat.bt + tstat.v + 1.0))
+                          * 1000000) AS BIGINT) AS li
+        FROM fi_cls CROSS JOIN bstat CROSS JOIN tstat
+    ), s AS (
+        SELECT CAST((SELECT sum(m) FROM bi_li) AS BIGINT) AS m_bi,
+               CAST((SELECT sum(m) FROM fi_li) AS BIGINT) AS m_fi,
+               CAST((SELECT sum(m * li) FROM bi_li) AS BIGINT)
+                   + CAST((SELECT sum(m * li) FROM fi_li) AS BIGINT)
+                   AS sum_li,
+               CAST((SELECT count(*) FROM bi_li) AS BIGINT)
+                   AS n_kn_classes
+    )
+    SELECT bstat.bt AS train_bigram_types, tstat.v AS train_vocab,
+           s.m_bi + s.m_fi AS eval_tokens, s.n_kn_classes,
+           round(s.sum_li * 1.0
+                 / nullif((s.m_bi + s.m_fi) * 1000000.0, 0), 6)
+               AS avg_logprob,
+           round(exp(-s.sum_li * 1.0
+                     / nullif((s.m_bi + s.m_fi) * 1000000.0, 0)), 6)
+               AS perplexity
+    FROM s CROSS JOIN bstat CROSS JOIN tstat
+    """,
+)
+def text_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram held-out perplexity — the SMOOTHING the LM
+    family was missing (unigram/bigram/trigram use Jelinek-Mercer
+    interpolation; KN is what production n-gram stacks — KenLM, the
+    CCNet scorer — actually ship): absolute discounting D = 0.75 off
+    every seen bigram, with the reclaimed mass D·N1+(prev·)/c(prev)
+    backing off to the CONTINUATION distribution p_cont(cur) =
+    (N1+(·cur)+1)/(B+V+1) — "how many contexts does cur complete",
+    not "how often does cur occur" (the famous San-Francisco
+    correction: 'Francisco' is frequent but only ever follows 'San',
+    so its continuation probability is tiny). The +1/(B+V+1) add-one
+    floor keeps OOV continuations finite; unseen histories score
+    under pure p_cont; each doc's first token likewise (the family's
+    boundary convention).
+
+    Determinism: the micro-nat class-grid discipline over
+    (c_bi, c_prev, N1+(prev·), N1+(·cur)) integer tuples — all four
+    are exact counts off ONE bigram-type table; each class's log-prob
+    frozen once as integer micro-nats; exact BIGINT totals; one final
+    division. Scale shape: one bigram fold feeds every statistic
+    (context sums, continuation counts, the type total B); eval folds
+    join it on grouped n-gram keys — nothing downstream of the folds
+    is corpus-volume."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("toks"),
+        (
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+            < _LM_TRAIN_HI
+        ).alias("is_train"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    d = scoped_persist(spark, "text.knlm.d", d)
+    sz = F.size(F.col("toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, sz - 1),
+        F.slice(F.col("toks"), 2, sz - 1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    tr_bi = (
+        d.filter("is_train")
+        .filter(sz >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy(
+            F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cbi"))
+    )
+    tr_bi = scoped_persist(spark, "text.knlm.trbi", tr_bi)
+    tr_ctx = tr_bi.groupBy("prev").agg(
+        F.sum("cbi").cast("long").alias("cprev"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    tr_cont = tr_bi.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n1m")
+    )
+    bstat = tr_bi.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    tstat = (
+        d.filter("is_train")
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    ev = d.filter(~F.col("is_train"))
+    ev_bi = (
+        ev.filter(sz >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy(
+            F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    ev_first = (
+        ev.filter(sz >= 1)
+        .select(F.element_at("toks", 1).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    bi_cls = (
+        ev_bi.join(tr_bi, ["prev", "cur"], "left")
+        .join(tr_ctx, "prev", "left")
+        .join(
+            tr_cont.select(F.col("cur"), "n1m"),
+            "cur",
+            "left",
+        )
+        .groupBy(
+            F.coalesce("cbi", F.lit(0)).alias("cbi"),
+            F.coalesce("cprev", F.lit(0)).alias("cprev"),
+            F.coalesce("n1p", F.lit(0)).alias("n1p"),
+            F.coalesce("n1m", F.lit(0)).alias("n1m"),
+        )
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    fi_cls = (
+        ev_first.join(
+            tr_cont.select(F.col("cur").alias("tok"), "n1m"),
+            "tok",
+            "left",
+        )
+        .groupBy(F.coalesce("n1m", F.lit(0)).alias("n1m"))
+        .agg(F.sum("m").cast("long").alias("m"))
+    )
+    pc = (F.col("n1m") + 1) / (F.col("bt") + F.col("v") + F.lit(1.0))
+    p = F.when(
+        F.col("cprev") > 0,
+        F.greatest(F.col("cbi") - F.lit(0.75), F.lit(0.0))
+        / F.col("cprev")
+        + F.lit(0.75) * F.col("n1p") / F.col("cprev") * pc,
+    ).otherwise(pc)
+    bi_li = (
+        bi_cls.crossJoin(F.broadcast(bstat))
+        .crossJoin(F.broadcast(tstat))
+        .select(
+            "m", F.round(F.log(p) * 1000000).cast("long").alias("li")
+        )
+    )
+    fi_li = (
+        fi_cls.crossJoin(F.broadcast(bstat))
+        .crossJoin(F.broadcast(tstat))
+        .select(
+            "m", F.round(F.log(pc) * 1000000).cast("long").alias("li")
+        )
+    )
+    s_bi = bi_li.agg(
+        F.sum("m").cast("long").alias("m_bi"),
+        F.sum(F.col("m") * F.col("li")).cast("long").alias("sl_bi"),
+        F.count(F.lit(1)).cast("long").alias("n_kn_classes"),
+    )
+    s_fi = fi_li.agg(
+        F.sum("m").cast("long").alias("m_fi"),
+        F.sum(F.col("m") * F.col("li")).cast("long").alias("sl_fi"),
+    )
+    mt = (F.col("m_bi") + F.col("m_fi")) * F.lit(1000000.0)
+    avg = (F.col("sl_bi") + F.col("sl_fi")) * 1.0 / F.nullif(
+        mt, F.lit(0.0)
+    )
+    return (
+        s_bi.crossJoin(F.broadcast(s_fi))
+        .crossJoin(F.broadcast(bstat))
+        .crossJoin(F.broadcast(tstat))
+        .select(
+            F.col("bt").alias("train_bigram_types"),
+            F.col("v").alias("train_vocab"),
+            (F.col("m_bi") + F.col("m_fi")).alias("eval_tokens"),
+            "n_kn_classes",
+            F.round(avg, 6).alias("avg_logprob"),
+            F.round(F.exp(-avg), 6).alias("perplexity"),
+        )
+    )
+
+
+@query(
     "text_trigram_lm_perplexity",
     oracle=f"""
     WITH d AS (

@@ -166,6 +166,7 @@ _CASES = [
     ("text_unigram_lm_perplexity", 1),  # 1x1 cross of empty folds, NULLs
     ("text_bigram_lm_perplexity", 1),  # 1x1x1 cross of empty folds, NULLs
     ("text_trigram_lm_perplexity", 1),  # 1x1x1 cross of empty folds, NULLs
+    ("text_kn_bigram_perplexity", 1),  # 1x1x1x1 cross of empty folds, NULLs
     ("events_forecast_backtest", 3),  # one fold row per baseline model
     ("agg_ks_test_two_sample", 0),  # no values -> no (n1,n2) group
     ("lakehouse_write_audit_publish", 5),  # ledger always renders
