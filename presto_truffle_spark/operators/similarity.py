@@ -2577,3 +2577,163 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 6).alias("max_ratio"),
         "n_within_eps",
     )
+
+
+@query(
+    "eval_cluster_ari",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+        WHERE vec_id BETWEEN 10 AND {10 + _N_CENTROIDS - 1}
+    ), ranked AS (
+        SELECT e.vec_id, e.label, c.c_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_dot_product(e.embedding::DOUBLE[], c.ce) /
+                         (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                   c.c_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ), cont AS (
+        SELECT c_id, label, CAST(count(*) AS BIGINT) AS nij
+        FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    ), ai AS (
+        SELECT c_id, CAST(sum(nij) AS BIGINT) AS a FROM cont GROUP BY 1
+    ), bj AS (
+        SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM cont GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n FROM cont
+    ), s AS (
+        SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sij,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cont
+    ), pur AS (
+        SELECT CAST(sum(mx) AS BIGINT) AS hits
+        FROM (SELECT c_id, max(nij) AS mx FROM cont GROUP BY 1)
+    ), sa AS (
+        SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS sa,
+               CAST(count(*) AS BIGINT) AS k FROM ai
+    ), sb AS (
+        SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS sb,
+               CAST(count(*) AS BIGINT) AS l FROM bj
+    )
+    SELECT tot.n AS n_vectors, sa.k AS n_clusters, sb.l AS n_labels,
+           s.n_cells,
+           round(pur.hits * 1.0 / nullif(tot.n, 0), 6) AS purity,
+           round((s.sij - sa.sa * 1.0 * sb.sb
+                      / nullif(tot.n * (tot.n - 1.0) / 2, 0))
+                 / nullif((sa.sa + sb.sb) / 2.0 - sa.sa * 1.0 * sb.sb
+                      / nullif(tot.n * (tot.n - 1.0) / 2, 0), 0), 6)
+               AS ari
+    FROM tot CROSS JOIN s CROSS JOIN sa CROSS JOIN sb CROSS JOIN pur
+    """,
+)
+def eval_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-evaluation metrics — Adjusted Rand Index (Hubert &
+    Arabie '85) and purity of the IVF cell assignment against the
+    fixture's ground-truth ``label``: the audit a pipeline runs on any
+    unsupervised grouping it is about to USE (IVF cells for ANN
+    routing, dedup clusters, topic buckets) — 'does my partitioning
+    recover the known structure, beyond chance?'. Completes the
+    association family: chi²/Cramér test dependence, MI measures it in
+    nats, ARI scores PARTITION AGREEMENT on the pair-counting scale
+    where 0 = chance and 1 = identical up to relabeling.
+
+    Assignment is the registered IVF discipline verbatim (pinned
+    data-derived centroids, 6dp-rounded cosine, c_id tie-break —
+    ann_ivf_topk's cross-engine contract). Every ARI ingredient is an
+    EXACT INTEGER off the K×|labels| contingency grid (Σ C(n_ij,2),
+    Σ C(a_i,2), Σ C(b_j,2) — products of consecutive ints, // 2 exact);
+    the only doubles are the final expected-index ratio and two
+    divisions, identical spellings, 6dp. Purity = Σ_i max_j n_ij / n,
+    integer argmax.
+
+    Fixture honesty: the driver's embeddings are isotropic, so ARI ≈ 0
+    — measured and WANTED (the metric correctly reports no structure;
+    the labels are unrecoverable from geometry there). On the rich
+    clustered fixture (sources/rich_fixture.py) the same op reads the
+    recovered mixture: BASELINE.md r12 records the pair.
+
+    Scale shape: one broadcast-centroid assignment pass (the corpus
+    never shuffles for it), one grid fold; everything downstream is
+    K×|labels|-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(
+        F.col("vec_id").between(10, 10 + _N_CENTROIDS - 1)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    cent = cent.withColumn("cnorm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    ev = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("ev"),
+    ).withColumn("evnorm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    sim_c = _dot(F.col("ev"), F.col("ce")) / (
+        F.col("evnorm") * F.col("cnorm")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.round(sim_c, 6).desc(), "c_id"
+    )
+    assign = (
+        ev.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "c_id",
+            F.row_number().over(w_assign).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    cont = assign.groupBy("c_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    cont = scoped_persist(spark, "sim.ari.cont", cont)
+    ai = cont.groupBy("c_id").agg(F.sum("nij").cast("long").alias("a"))
+    bj = cont.groupBy("label").agg(F.sum("nij").cast("long").alias("b"))
+    tot = cont.agg(F.sum("nij").cast("long").alias("n"))
+    s = cont.agg(
+        F.sum(F.expr("(nij * (nij - 1)) DIV 2")).cast("long").alias("sij"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    pur = (
+        cont.groupBy("c_id")
+        .agg(F.max("nij").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("hits"))
+    )
+    sa = ai.agg(
+        F.sum(F.expr("(a * (a - 1)) DIV 2")).cast("long").alias("sa"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    sb = bj.agg(
+        F.sum(F.expr("(b * (b - 1)) DIV 2")).cast("long").alias("sb"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    cn2 = F.nullif(
+        F.col("n") * (F.col("n") - F.lit(1.0)) / 2, F.lit(0.0)
+    )
+    exp_idx = F.col("sa") * 1.0 * F.col("sb") / cn2
+    ari = (F.col("sij") - exp_idx) / F.nullif(
+        (F.col("sa") + F.col("sb")) / F.lit(2.0) - exp_idx, F.lit(0.0)
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("k").alias("n_clusters"),
+            F.col("l").alias("n_labels"),
+            "n_cells",
+            F.round(
+                F.col("hits") * 1.0
+                / F.nullif(F.col("n") * F.lit(1.0), F.lit(0.0)),
+                6,
+            ).alias("purity"),
+            F.round(ari, 6).alias("ari"),
+        )
+    )

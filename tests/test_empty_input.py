@@ -163,6 +163,7 @@ _CASES = [
     ("events_holt_smoothing", 0),  # <3 days of series -> filtered out
     ("dedup_canonical_selection", 0),  # no docs -> empty manifest
     ("embedding_jl_projection", 1),  # ungrouped audit row (0 pairs, NULLs)
+    ("eval_cluster_ari", 1),  # 1-row cross of empty grid folds, NULLs
     ("text_unigram_lm_perplexity", 1),  # 1x1 cross of empty folds, NULLs
     ("text_bigram_lm_perplexity", 1),  # 1x1x1 cross of empty folds, NULLs
     ("text_trigram_lm_perplexity", 1),  # 1x1x1 cross of empty folds, NULLs
