@@ -1193,3 +1193,74 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_weight",
         )
     )
+
+
+_CHUNK_LEN = 64  # tokens per training chunk
+_CHUNK_STRIDE = 48  # window stride (16-token overlap between neighbors)
+
+
+@query(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), st AS (
+        SELECT doc_id, toks, i AS chunk_start,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS chunk_id
+        FROM t, unnest(generate_series(1, len(toks), {_CHUNK_STRIDE}))
+             AS s(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start,
+                               chunk_start + {_CHUNK_LEN} - 1))
+                AS BIGINT) AS chunk_len,
+           array_to_string(list_slice(toks, chunk_start,
+                                      chunk_start + {_CHUNK_LEN} - 1),
+                           ' ') AS chunk_text
+    FROM st
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows — the tokenize-and-chunk
+    step every pretraining pipeline runs between cleaning and packing
+    (documents become {_CHUNK_LEN}-token training sequences at stride
+    {_CHUNK_STRIDE}, i.e. 16 tokens of overlap so no boundary context
+    is lost; the final window per doc may be short and carries its
+    true chunk_len so the packer — corpus_pack_bins — can decide).
+    Emits the MAPPING rows (doc_id, chunk_id, chunk_start, chunk_len,
+    chunk_text): corpus-linear output by design, ~L/stride rows per
+    doc — the repo's mapping-not-mapped-rows convention does not apply
+    because the chunks ARE the product here.
+
+    Determinism: pure integer arithmetic — arithmetic-progression
+    starts, inclusive-clamped slices (Spark slice(toks, start, C) ≡
+    DuckDB list_slice(toks, start, start+C-1), probed), chunk_id =
+    row_number over the per-doc start order (unique, tie-free).
+
+    Scale shape: one map-side explode per doc — no shuffle at all
+    except the per-doc chunk_id window, which is partitioned BY doc_id
+    (state = one doc's ≤L/stride starts). At 100 TB this is the
+    archetypal embarrassingly-parallel pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    st = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), F.lit(_CHUNK_LEN))
+    w = W.partitionBy("doc_id").orderBy("chunk_start")
+    return st.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -115,6 +115,7 @@ _CASES = [
     ("matching_fellegi_sunter", 0),  # no histogram -> no calibration rows
     ("quality_dp_noisy_release", 0),
     ("corpus_ngram_novelty", 0),
+    ("corpus_chunk_windows", 0),  # no docs -> no chunks
     ("embedding_matryoshka_truncation", 0),
     ("profile_equi_depth_histogram", 0),
     ("agg_jackknife_ratio_se", 1),  # ungrouped fold row (0 orders, NULLs)
