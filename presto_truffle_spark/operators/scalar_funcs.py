@@ -429,3 +429,59 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain(k, cur, d) AS (
+        SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        UNION ALL
+        SELECT k, cur // 10, d + 1 FROM chain WHERE cur >= 10
+    ), leaf AS (
+        SELECT k, cur AS root_key, d AS depth FROM chain WHERE cur < 10
+    )
+    SELECT root_key, depth,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM leaf GROUP BY 1, 2
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE surface (`WITH RECURSIVE`, new in 4.0) on
+    the classic hierarchy-walk shape — the BOM-explosion / org-chart /
+    folder-tree traversal SQL engines are asked for daily and Spark
+    historically could NOT express (the pre-4.0 answer was a driver
+    loop of self-joins): walk every customer key up its ancestor chain
+    (parent = key DIV 10 — a deterministic 10-ary tree over the key
+    space, depth ≈ log10(maxkey), engaging 4 levels at sf0.01 and 5 at
+    sf0.1), stop at the single-digit root, and fold the per-(root,
+    depth) population. Purely integer arithmetic — no float anywhere —
+    so the oracle is the byte-identical DuckDB recursion (`//` for
+    DIV, the one token that differs).
+
+    Scale shape: each recursion level is one self-contained map step
+    over the surviving frontier (rows leave the recursion as soon as
+    they hit the root — the frontier SHRINKS 10× per level); Spark
+    executes levels iteratively under the cteRecursionLevelLimit
+    guard (default 100; depth here is ≤ ~7 at any conceivable key
+    range, 1e100 keys notwithstanding). Output is the (roots × depth)
+    grid, ≤ ~70 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(k, cur, d) AS (
+            SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+            UNION ALL
+            SELECT k, cur DIV 10, d + 1 FROM chain WHERE cur >= 10
+        ), leaf AS (
+            SELECT k, cur AS root_key, d AS depth FROM chain WHERE cur < 10
+        )
+        SELECT root_key, depth,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(min(k) AS BIGINT) AS min_key,
+               CAST(max(k) AS BIGINT) AS max_key
+        FROM leaf GROUP BY 1, 2
+        """
+    )

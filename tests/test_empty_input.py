@@ -191,6 +191,7 @@ _CASES = [
     ("text_dispersion_topk", 0),
     ("agg_hdr_histogram_percentiles", 0),  # empty joins -> no quantile rows
     ("sql_scripting_threshold", 0),  # constant-grouped: zero groups
+    ("sql_recursive_hierarchy", 0),  # no customers -> empty recursion
     ("source_python_stream_datasource", 7),  # synthetic source, input-independent
     ("streaming_python_sink", 5),  # synthetic source, input-independent
     ("events_cross_correlation", 0),  # no bounds -> empty day grid
