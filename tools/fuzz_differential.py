@@ -820,6 +820,95 @@ def run_hof_nested_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_sort_comparator_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Comparator-lambda array_sort family (r12): Spark's two-arg
+    comparator `array_sort(a, (x, y) -> CASE ...)` has NO DuckDB
+    twin — list_sort takes no lambda — so the mirror is the
+    sort-by-injective-key emulation: transform to a key that encodes
+    both the sort field and the original value, list_sort, invert.
+    Any comparator-vs-key-order divergence (including how Spark
+    resolves comparator ties — avoided here by injective keys) flips
+    element order and fails the hash. Values are bounded to (-500,
+    500) so the key arithmetic is collision-free by construction."""
+    rows = gen_rows(rng, rng.randint(0, 200))
+    path = os.path.join(tmp, f"fuzz_{case_id}_sc.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    arr_s = (
+        "array(coalesce(m1,0) % 500, coalesce(m2,1) % 500,"
+        " coalesce(m3,2) % 500, {k})"
+    )
+    arr_d = (
+        "[coalesce(m1,0) % 500, coalesce(m2,1) % 500,"
+        " coalesce(m3,2) % 500, {k}]"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        k = rng.randint(-499, 499)
+        a_s, a_d = arr_s.format(k=k), arr_d.format(k=k)
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            # sort by |x|, original value as the injective tie-break
+            s = (
+                f"array_join(array_sort({a_s}, (x, y) -> CASE"
+                " WHEN abs(x) * 1000 + x < abs(y) * 1000 + y THEN -1"
+                " WHEN abs(x) * 1000 + x > abs(y) * 1000 + y THEN 1"
+                " ELSE 0 END), ',')"
+            )
+            d = (
+                f"coalesce(array_to_string(list_transform(list_sort("
+                f"list_transform({a_d}, x -> abs(x) * 1000 + x + 500)),"
+                " e -> (e % 1000) - 500), ','), '')"
+            )
+        elif kind == 1:
+            # descending
+            s = (
+                f"array_join(array_sort({a_s}, (x, y) -> CASE"
+                " WHEN x > y THEN -1 WHEN x < y THEN 1 ELSE 0 END), ',')"
+            )
+            d = (
+                f"coalesce(array_to_string(list_reverse(list_sort({a_d}"
+                ")), ','), '')"
+            )
+        else:
+            md = rng.randint(2, 7)
+            # sort by pmod(x, md) (non-negative on BOTH sides — a
+            # signed % would make the DuckDB key negative and break
+            # the %-based inversion, found live by seed 0 case 2),
+            # then x as the injective tie-break
+            s = (
+                f"array_join(array_sort({a_s}, (x, y) -> CASE"
+                f" WHEN pmod(x, {md}) * 10000 + x <"
+                f" pmod(y, {md}) * 10000 + y THEN -1"
+                f" WHEN pmod(x, {md}) * 10000 + x >"
+                f" pmod(y, {md}) * 10000 + y THEN 1 ELSE 0 END), ',')"
+            )
+            d = (
+                f"coalesce(array_to_string(list_transform(list_sort("
+                f"list_transform({a_d},"
+                f" x -> ((x % {md} + {md}) % {md}) * 10000 + x + 5000)),"
+                " e -> (e % 10000) - 5000), ','), '')"
+            )
+        exprs.append((f"{s} AS sc{i}", f"{d} AS sc{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_decimal_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -2890,6 +2979,7 @@ _CORE_FAMILIES = [
     ("fold_order", 0.015),
     # --- r12 families ---
     ("hof_nested", 0.015),
+    ("sort_comparator", 0.015),
     ("base_agg", None),  # remainder
 ]
 
