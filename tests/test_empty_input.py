@@ -158,7 +158,9 @@ _CASES = [
     ("agg_mutual_information", 1),  # ungrouped folds cross (0s, NULLs)
     ("text_jsd_by_source", 0),  # no sources -> no rows
     ("events_sprt_sequential_test", 0),  # no arms -> no rows
-    ("agg_lorenz_curve", 0),  # empty grid join -> no decile rows
+    # ADVICE r11: the decile frame LEFT-joins the grid, so all 10
+    # decile rows survive empty input (customers_cum=0, NULL share)
+    ("agg_lorenz_curve", 10),
     ("agg_spearman_bucketed", 1),  # ungrouped fold row (0, 0, NULL rho)
     ("agg_countmin_heavy_hitters", 0),  # empty vocab -> no hitters
     ("source_python_datasource_sink", 0),  # 4 empty part files round-trip
