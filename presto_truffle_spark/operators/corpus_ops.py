@@ -543,9 +543,9 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, then select the highest-scoring documents whose tokens fit the
     budget. Done the way it must be done at 100 TB — NOT a global
     running sum over per-document rows (a single-partition window over
-    the corpus): scores are quantized into {_TTR_BUCKETS} buckets, token mass is
+    the corpus): scores are quantized into 1000 (_TTR_BUCKETS) buckets, token mass is
     aggregated per bucket (one small shuffle), the cumulative-from-the-top
-    threshold is computed over the <= {_TTR_BUCKETS}-row bucket table (driver-scale
+    threshold is computed over the <= 1000-row (_TTR_BUCKETS) bucket table (driver-scale
     window), and the corpus is then FILTERED by the kept-bucket list via
     a broadcast semi-join — one scan, one bounded aggregate, one
     broadcast filter. Whole buckets only: the boundary bucket that would
@@ -1195,8 +1195,13 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CHUNK_LEN = 64  # tokens per training chunk
-_CHUNK_STRIDE = 48  # window stride (16-token overlap between neighbors)
+_CHUNK_TOK_LEN = 64  # tokens per training chunk
+_CHUNK_TOK_STRIDE = 48  # token-window stride (16-token overlap); NOTE:
+# distinct from the CHARACTER-chunk constants (_CHUNK_CHARS /
+# _CHUNK_STRIDE) that text_chunk_overlap above bakes into its oracle —
+# an EOF rebinding of _CHUNK_STRIDE in the first r12 draft silently
+# changed that op's runtime stride while its f-string oracle kept 180
+# (caught by the full-registry selfcheck; names are now disjoint).
 
 
 @query(
@@ -1208,16 +1213,16 @@ _CHUNK_STRIDE = 48  # window stride (16-token overlap between neighbors)
         SELECT doc_id, toks, i AS chunk_start,
                row_number() OVER (PARTITION BY doc_id ORDER BY i)
                    AS chunk_id
-        FROM t, unnest(generate_series(1, len(toks), {_CHUNK_STRIDE}))
+        FROM t, unnest(generate_series(1, len(toks), {_CHUNK_TOK_STRIDE}))
              AS s(i)
     )
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
            CAST(chunk_start AS BIGINT) AS chunk_start,
            CAST(len(list_slice(toks, chunk_start,
-                               chunk_start + {_CHUNK_LEN} - 1))
+                               chunk_start + {_CHUNK_TOK_LEN} - 1))
                 AS BIGINT) AS chunk_len,
            array_to_string(list_slice(toks, chunk_start,
-                                      chunk_start + {_CHUNK_LEN} - 1),
+                                      chunk_start + {_CHUNK_TOK_LEN} - 1),
                            ' ') AS chunk_text
     FROM st
     """,
@@ -1225,8 +1230,9 @@ _CHUNK_STRIDE = 48  # window stride (16-token overlap between neighbors)
 def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size overlapping token windows — the tokenize-and-chunk
     step every pretraining pipeline runs between cleaning and packing
-    (documents become {_CHUNK_LEN}-token training sequences at stride
-    {_CHUNK_STRIDE}, i.e. 16 tokens of overlap so no boundary context
+    (documents become 64-token (_CHUNK_TOK_LEN) training sequences at
+    stride 48 (_CHUNK_TOK_STRIDE), i.e. 16 tokens of overlap so no
+    boundary context
     is lost; the final window per doc may be short and carries its
     true chunk_len so the packer — corpus_pack_bins — can decide).
     Emits the MAPPING rows (doc_id, chunk_id, chunk_start, chunk_len,
@@ -1251,11 +1257,11 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.explode(
             F.sequence(
-                F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE)
+                F.lit(1), F.size("toks"), F.lit(_CHUNK_TOK_STRIDE)
             )
         ).alias("chunk_start"),
     )
-    chunk = F.slice(F.col("toks"), F.col("chunk_start"), F.lit(_CHUNK_LEN))
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), F.lit(_CHUNK_TOK_LEN))
     w = W.partitionBy("doc_id").orderBy("chunk_start")
     return st.select(
         "doc_id",

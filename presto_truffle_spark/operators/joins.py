@@ -592,7 +592,7 @@ _BASKET_MIN_SUPPORT = 3
 )
 def join_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence — part pairs appearing in the same
-    order, with support >= {_BASKET_MIN_SUPPORT} (the level-1 step of
+    order, with support >= 3 (_BASKET_MIN_SUPPORT) (the level-1 step of
     association mining / co-view recommendation). The pair join is
     SELF-JOIN ON THE BASKET KEY, so the pair space is Σ(basket_size²)
     — bounded by the largest basket (TPC-H orders cap at 7 lines),

@@ -486,7 +486,7 @@ def lakehouse_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta algebra d(A⋈B) = dA⋈B ∪ A_old⋈dB (with dA⋈dB inside the first
     term when B is taken post-delta) — composed with the distributive-
     aggregate merge of `lakehouse_incremental_agg`. The orders/lineitem
-    facts split at {_IVM_SPLIT} into history and delta; the HISTORY
+    facts split at 2001-06-01 (_IVM_SPLIT) into history and delta; the HISTORY
     join's aggregate state is materialized to the lake (real parquet
     write/read through the scoped-scratch discipline) and never
     recomputed; the refresh computes aggregates over only the two delta

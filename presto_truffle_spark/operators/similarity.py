@@ -1721,7 +1721,7 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pool comes from the broadcast-query corpus scan (the
     `ann_cosine_topk` plan, IVF-PQ at 100 TB); the dup-pair side is
     LSH-bucket-scoped, never all-pairs; the exclusion is a left-anti
-    join on (qid, cid) — since qid < {_N_QUERIES} <= cid, the dup
+    join on (qid, cid) — since qid < 5 (_N_QUERIES) <= cid, the dup
     table's (id_a < id_b) orientation makes the key exact. Anti-join
     shuffles only the two candidate lists, both already top-k-bounded
     per query."""

@@ -632,7 +632,7 @@ def window_ewma_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence s ← αx + (1−α)s runs independently, so the corpus
     parallelizes BY KEY — the classic way a sequential algorithm
     scales on Spark. The horizon is explicitly BOUNDED (each user's
-    last {_EWMA_HORIZON} events by (ts, event_id), selected by a
+    last 32 (_EWMA_HORIZON) events by (ts, event_id), selected by a
     per-key window that plans as WindowGroupLimit), so the per-user
     array the fold runs over is O(k) regardless of corpus size — the
     unbounded-collect_list trap is designed out, not hoped away.
