@@ -464,11 +464,21 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each recursion level is one self-contained map step
     over the surviving frontier (rows leave the recursion as soon as
     they hit the root — the frontier SHRINKS 10× per level); Spark
-    executes levels iteratively under the cteRecursionLevelLimit
-    guard (default 100; depth here is ≤ ~7 at any conceivable key
-    range, 1e100 keys notwithstanding). Output is the (roots × depth)
-    grid, ≤ ~70 rows."""
+    executes levels iteratively under TWO backstops:
+    cteRecursionLevelLimit (default 100; depth here ≤ ~7 at any key
+    range) and cteRecursionRowLimit (default 1e6 TOTAL rows across
+    levels — which a mere 150k-customer run legitimately exceeds at
+    ~Σ n/10^k ≈ 1.1·n rows; found live by the 10× scale audit). The
+    row limit is a runaway guard, not a semantic bound, so the op
+    raises it explicitly for the session — the deliberate, visible
+    opt-in the error message demands — raised to the conf's int32
+    ceiling (the knob is a JVM int), covering ~1.9e9 frontier rows ≈
+    a 1.7e9-key hierarchy per executor pass. Output is the (roots ×
+    depth) grid, ≤ ~70 rows."""
     register_views(spark, sf_dir)
+    # Σ frontier rows = n·(1 + 1/10 + 1/100 + …) < 1.12·n; the conf is
+    # a JVM int, so int32-max is the largest visible opt-in available.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     return spark.sql(
         """
         WITH RECURSIVE chain(k, cur, d) AS (
