@@ -1770,8 +1770,40 @@ def run_collation_case(
     ).parquet(path)
     spark.read.parquet(path).createOrReplaceTempView("t")
     con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'")
-    kind = rng.randint(0, 2)
+    kind = rng.randint(0, 4)
     sp_coll = rng.choice(["UTF8_LCASE", "UNICODE_CI"])
+    if kind == 3:
+        # TRUE collated GROUP BY (r12 — the r9 family only grouped by
+        # lower()): the CI key partitions the rows, the EMITTED columns
+        # are collation-independent (binary min/max + integer folds) so
+        # group-representative selection can't flake the hash
+        ssql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(m) AS BIGINT) AS s, min(c) AS mn, max(c) AS mx"
+            f" FROM t WHERE c IS NOT NULL GROUP BY c COLLATE {sp_coll}"
+        )
+        dsql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(m) AS BIGINT) AS s, min(c) AS mn, max(c) AS mx"
+            " FROM t WHERE c IS NOT NULL GROUP BY c COLLATE NOCASE"
+        )
+        return _compare(spark.sql(ssql), con, dsql)
+    if kind == 4:
+        # CI self-join (r12): both sides collated (mixed-collation
+        # comparisons raise COLLATION_MISMATCH on Spark); fold to
+        # count + integer sum so the pair blow-up stays 1 row
+        ssql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(a.m + b.m) AS BIGINT) AS s FROM t a JOIN t b"
+            f" ON a.c COLLATE {sp_coll} = b.c COLLATE {sp_coll}"
+            " AND a.rid <= b.rid"
+        )
+        dsql = (
+            "SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(a.m + b.m) AS BIGINT) AS s FROM t a JOIN t b"
+            " ON lower(a.c) = lower(b.c) AND a.rid <= b.rid"
+        )
+        return _compare(spark.sql(ssql), con, dsql)
     if kind == 0:
         # ordering: CI collation major, binary value + rid as tie-breaks;
         # ordered compare via the rid projection (canon preserves order)
