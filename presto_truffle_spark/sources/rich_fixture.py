@@ -65,29 +65,59 @@ def _tok(idx: F.Column) -> F.Column:
 
 
 def zipf_documents(
-    spark: SparkSession, n_docs: int, seed: int = 12
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 12,
+    replica_pct: int = 0,
+    mut_pct: int = 5,
 ) -> DataFrame:
     """documents-schema DataFrame (doc_id, text, lang, source, n_chars)
-    with Zipfian vocabulary, per-topic Markov triples, quality tiers."""
+    with Zipfian vocabulary, per-topic Markov triples, quality tiers.
+
+    ``replica_pct`` > 0 turns ~that percentage of docs into NEAR-DUP
+    replicas: the doc's entire generation keys off a nearby SOURCE doc
+    (same topic/length/noise stream — a byte-identical copy), except
+    each triple's head token is independently re-drawn with
+    ``mut_pct``% probability keyed on the REPLICA id, and the Markov
+    links then propagate the edit through that triple — the localized-
+    edit near-duplicate a MinHash/SNM study needs ground truth for
+    (the default fixture has NO structured near-dups; probed r12:
+    MinHash truth = 0 pairs). Replicas keep their own source/lang
+    labels off the source doc so cluster structure is preserved."""
     d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
     s = F.lit(seed)
-    topic = F.pmod(F.hash(s, F.col("doc_id"), F.lit("topic")), F.lit(N_TOPICS))
-    tier = F.pmod(F.hash(s, F.col("doc_id"), F.lit("tier")), F.lit(3))
+    is_rep = (
+        F.pmod(F.hash(s, F.col("doc_id"), F.lit("rep")), F.lit(100))
+        < F.lit(replica_pct)
+    ) & (F.col("doc_id") > 0)
+    src = F.when(
+        is_rep,
+        F.greatest(
+            F.lit(0),
+            F.col("doc_id")
+            - (F.pmod(F.hash(s, F.col("doc_id"), F.lit("rd")), F.lit(20)) + 1),
+        ),
+    ).otherwise(F.col("doc_id"))
+    d = d.select("doc_id", is_rep.alias("is_rep"), src.alias("src"))
+    topic = F.pmod(F.hash(s, F.col("src"), F.lit("topic")), F.lit(N_TOPICS))
+    tier = F.pmod(F.hash(s, F.col("src"), F.lit("tier")), F.lit(3))
     noise_pct = F.element_at(
         F.array(*[F.lit(p) for p in TIER_NOISE]), (tier + 1).cast("int")
     )
     n_tri = (
-        F.pmod(F.hash(s, F.col("doc_id"), F.lit("len")), F.lit(40)) + 10
+        F.pmod(F.hash(s, F.col("src"), F.lit("len")), F.lit(40)) + 10
     ).cast("int")
 
     d = d.select(
         "doc_id",
+        "is_rep",
+        "src",
         topic.alias("topic"),
         noise_pct.alias("noise_pct"),
         n_tri.alias("n_tri"),
     )
 
-    doc, tpc, npct = F.col("doc_id"), F.col("topic"), F.col("noise_pct")
+    doc, tpc, npct = F.col("src"), F.col("topic"), F.col("noise_pct")
 
     def head_idx(g):
         # per-topic affine permutation of the Zipf rank: every topic is
@@ -95,12 +125,23 @@ def zipf_documents(
         rank = _zipf_rank(_u01(s, doc, g, F.lit("a")))
         return F.pmod(rank * (tpc * 2 + 7) + tpc * 13, F.lit(VOCAB))
 
-    def indep_idx(g, tag):
-        rank = _zipf_rank(_u01(s, doc, g, F.lit(tag)))
+    def indep_idx(g, tag, key=None):
+        rank = _zipf_rank(_u01(s, key if key is not None else doc, g, F.lit(tag)))
         return F.pmod(rank * (tpc * 2 + 7) + tpc * 13, F.lit(VOCAB))
 
     def triple(g):
-        a = head_idx(g)
+        mutated = (
+            F.col("is_rep")
+            & (
+                F.pmod(
+                    F.hash(s, F.col("doc_id"), g, F.lit("mut")), F.lit(100)
+                )
+                < F.lit(mut_pct)
+            )
+        )
+        a = F.when(
+            mutated, indep_idx(g, "ma", key=F.col("doc_id"))
+        ).otherwise(head_idx(g))
         noisy_b = F.pmod(F.hash(s, doc, g, F.lit("nb")), F.lit(100)) < npct
         noisy_c = F.pmod(F.hash(s, doc, g, F.lit("nc")), F.lit(100)) < npct
         b = F.when(noisy_b, indep_idx(g, "ib")).otherwise(
