@@ -124,3 +124,36 @@ def test_clustered_embeddings_separate(spark):
         for row in pairs.groupBy("same").agg(F.avg("cos").alias("m")).collect()
     }
     assert r[True] > r[False] + 0.3, r
+
+
+def test_replica_mode_produces_near_dups(spark):
+    """replica_pct > 0 must produce genuine near-dup pairs (replica vs
+    its source shares most tokens) while replica_pct = 0 (the default
+    every earlier study used) leaves the corpus unchanged."""
+    base = zipf_documents(spark, 150, seed=12)
+    nd = zipf_documents(spark, 150, seed=12, replica_pct=15)
+    b = {r["doc_id"]: r["text"] for r in base.collect()}
+    n = {r["doc_id"]: r["text"] for r in nd.collect()}
+    changed = [i for i in b if b[i] != n[i]]
+    assert changed, "replica_pct=15 changed nothing"
+    # each changed doc must be a near-dup of a nearby earlier doc:
+    # >= 50% token-set Jaccard against at least one of the previous 20
+    ok = 0
+    for i in changed:
+        ts = set(n[i].split())
+        best = max(
+            (
+                len(ts & set(n[j].split()))
+                / len(ts | set(n[j].split()))
+                for j in range(max(0, i - 20), i)
+            ),
+            default=0.0,
+        )
+        ok += best >= 0.5
+    assert ok >= len(changed) * 0.8, (ok, len(changed))
+    # default mode is byte-identical to the pre-replica generator
+    again = {
+        r["doc_id"]: r["text"]
+        for r in zipf_documents(spark, 150, seed=12, replica_pct=0).collect()
+    }
+    assert again == b
