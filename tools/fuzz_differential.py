@@ -1216,7 +1216,7 @@ def run_map_hof_case(
     m_d = "map(['a','b','c'], [coalesce(m1,0), coalesce(m2,1), coalesce(m3,2)])"
     exprs = []
     for i in range(rng.randint(1, 3)):
-        kind = rng.randint(0, 4)
+        kind = rng.randint(0, 6)
         if kind == 0:
             key = rng.choice(["a", "b", "c", "z"])  # 'z' misses → NULL
             s = f"CAST({m_s}['{key}'] AS BIGINT)"
@@ -1236,7 +1236,7 @@ def run_map_hof_case(
                 f" (k, v) -> v * {mul} + {c})['{key}'] AS BIGINT)"
             )
             d = f"CAST({m_d}['{key}'][1] * {mul} + {c} AS BIGINT)"
-        else:
+        elif kind == 4:
             md = rng.randint(2, 5)
             s = (
                 f"CAST(cardinality(map_filter({m_s},"
@@ -1245,6 +1245,42 @@ def run_map_hof_case(
             d = (
                 f"CAST(len(list_filter(map_values({m_d}),"
                 f" x -> x % {md} = 0)) AS BIGINT)"
+            )
+        elif kind == 5:
+            # r12: map_zip_with over PARTIALLY-OVERLAPPING key sets —
+            # DuckDB has no map lambdas, so the mirror unions the key
+            # lists and rebuilds each value via m[k][1] lookups; both
+            # serialize as sorted key=value strings
+            m2_s = "map('b', coalesce(m2,1), 'd', coalesce(m1,0))"
+            m2_d = "map(['b','d'], [coalesce(m2,1), coalesce(m1,0)])"
+            al, be = rng.randint(-3, 3), rng.randint(-3, 3)
+            s = (
+                f"array_join(transform(array_sort(map_entries("
+                f"map_zip_with({m_s}, {m2_s},"
+                f" (k, v1, v2) -> coalesce(v1, 0) * {al}"
+                f" + coalesce(v2, 0) * {be}))),"
+                " e -> concat(e.key, '=', CAST(e.value AS STRING))), ',')"
+            )
+            d = (
+                "array_to_string(list_transform(list_sort(list_distinct("
+                f"map_keys({m_d}) || map_keys({m2_d}))),"
+                f" k -> k || '=' || CAST(coalesce({m_d}[k][1], 0) * {al}"
+                f" + coalesce({m2_d}[k][1], 0) * {be} AS VARCHAR)), ',')"
+            )
+        else:
+            # r12: transform_keys — DuckDB mirror derives the new key
+            # strings from the key list + per-key value lookups
+            md = rng.randint(2, 5)
+            s = (
+                f"array_join(array_sort(map_keys(transform_keys({m_s},"
+                f" (k, v) -> concat(k, '#',"
+                f" CAST(pmod(v, {md}) AS STRING))))), ',')"
+            )
+            d = (
+                "array_to_string(list_sort(list_transform("
+                f"map_keys({m_d}), k -> k || '#' ||"
+                f" CAST((({m_d}[k][1] % {md}) + {md}) % {md}"
+                " AS VARCHAR))), ',')"
             )
         exprs.append((f"{s} AS p{i}", f"{d} AS p{i}"))
     where = gen_predicate(rng)
