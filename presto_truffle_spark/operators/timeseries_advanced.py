@@ -3353,3 +3353,130 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_accept_h0_day"),
     )
+
+
+@query(
+    "events_interval_gaps",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + {_IVU_WINDOW_S} AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY s, e, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM flagged
+    ), spans AS (
+        SELECT user_id, island, min(s) AS ss, max(e) AS se
+        FROM islands GROUP BY user_id, island
+    ), gaps AS (
+        SELECT user_id,
+               ss - lag(se) OVER (PARTITION BY user_id
+                                  ORDER BY island) AS gap_s,
+               se - ss AS span_s
+        FROM spans
+    )
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS idle_seconds,
+           CAST(coalesce(max(gap_s), 0) AS BIGINT) AS max_gap_seconds,
+           round(sum(span_s) * 1.0
+                 / nullif(sum(span_s) + coalesce(sum(gap_s), 0), 0), 6)
+               AS coverage_ratio
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps of the interval UNION — the complement
+    `events_interval_union` doesn't emit: after each user's 4-hour
+    activity windows flatten into maximal disjoint spans, the LAG
+    between consecutive spans is the user's idle window — the
+    on-call-coverage / uptime-hole / maintenance-window artifact
+    ('this user's longest unobserved stretch was max_gap_seconds').
+    Distinct from `events_inter_arrival_stats` (raw event-to-event
+    deltas): a gap here only exists where the MERGED coverage breaks,
+    i.e. deltas already absorbed by overlapping windows don't count.
+    coverage_ratio = covered / (covered + idle) over the user's
+    observed extent, the per-user availability number.
+
+    Probed engagement at sf0.01: every user has 36+ gaps (spans per
+    user 37-55); the first span contributes a NULL lag, excluded by
+    count(gap_s) on both engines identically.
+
+    Determinism: the interval_union island sweep verbatim (integer
+    epoch seconds, (s, e, event_id) total order), then one more
+    per-user LAG over the island-numbered span table; one 6dp double.
+
+    Scale shape: identical to interval_union — every window and
+    groupBy shares ONE hash-partition by user_id; the extra lag runs
+    over the per-user SPAN table (≤ n_events rows, usually far
+    fewer)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        epoch_s("ts").alias("s"),
+        (epoch_s("ts") + _IVU_WINDOW_S).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+        "event_id",
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("se")
+    )
+    w_isl = W.partitionBy("user_id").orderBy("island")
+    gaps = spans.select(
+        "user_id",
+        (F.col("ss") - F.lag("se").over(w_isl)).alias("gap_s"),
+        (F.col("se") - F.col("ss")).alias("span_s"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias(
+            "idle_seconds"
+        ),
+        F.coalesce(F.max("gap_s"), F.lit(0)).cast("long").alias(
+            "max_gap_seconds"
+        ),
+        F.round(
+            F.sum("span_s")
+            * 1.0
+            / F.nullif(
+                F.sum("span_s") + F.coalesce(F.sum("gap_s"), F.lit(0)),
+                F.lit(0),
+            ).cast("double"),
+            6,
+        ).alias("coverage_ratio"),
+    )

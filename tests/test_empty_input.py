@@ -190,6 +190,7 @@ _CASES = [
     ("agg_theta_sketch_setops", 1),  # 0-count folds x empty-sketch ests
     ("agg_kll_quantile_sketch", 1),  # n=0, NULL quantiles/booleans
     ("events_interval_union", 0),
+    ("events_interval_gaps", 0),  # no events -> no spans -> no rows
     ("corpus_priority_sample", 0),
     ("text_dispersion_topk", 0),
     ("agg_hdr_histogram_percentiles", 0),  # empty joins -> no quantile rows
