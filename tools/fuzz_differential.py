@@ -820,6 +820,71 @@ def run_hof_nested_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_try_agg_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """TRY-aggregate family (r12): Spark's try_sum returns NULL when the
+    BIGINT sum overflows; DuckDB's sum promotes to HUGEINT and never
+    does — the mirror sums in HUGEINT and NULLs outside the int64 range.
+    Values are NON-NEGATIVE by construction: with mixed signs Spark's
+    partial sums can overflow transiently in a partition-order-dependent
+    way even when the total fits (same-sign addition is monotone, so
+    overflow happens iff the TOTAL overflows — deterministic). The row
+    expression is capped at (x % 10) * C ≤ 8.1e18 so the per-row product
+    never overflows on either engine; C is drawn so some groups overflow
+    and some don't. try_avg is probed non-overflowing (internal wide
+    accumulator), so its kind sticks to <2^53-exact sums where IEEE
+    division matches bit-for-bit."""
+    rows = gen_rows(rng, rng.randint(0, 200))
+    path = os.path.join(tmp, f"fuzz_{case_id}_ta.parquet")
+    spark.createDataFrame(
+        rows, "k1 string, k2 string, m1 long, m2 long, m3 long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            c = rng.choice(
+                [9_000_000_000_000_000, 90_000_000_000_000_000,
+                 900_000_000_000_000_000]
+            )
+            val = f"(abs(coalesce(m3, 0)) % 10) * CAST({c} AS BIGINT)"
+            s = f"try_sum({val})"
+            d = (
+                f"CASE WHEN sum(CAST({val} AS HUGEINT))"
+                " BETWEEN -9223372036854775808 AND 9223372036854775807"
+                f" THEN CAST(sum(CAST({val} AS HUGEINT)) AS BIGINT)"
+                " END"
+            )
+        elif kind == 1:
+            val = "coalesce(m3, 0) % 100000"
+            s = f"round(try_avg({val}), 6)"
+            d = f"round(avg({val}), 6)"
+        else:
+            md = rng.randint(2, 5)
+            c = rng.choice(
+                [9_000_000_000_000_000, 900_000_000_000_000_000]
+            )
+            val = f"(abs(coalesce(m3, 0)) % 10) * CAST({c} AS BIGINT)"
+            s = f"try_sum({val}) FILTER (WHERE coalesce(m2, 0) % {md} = 0)"
+            d = (
+                f"CASE WHEN sum(CAST({val} AS HUGEINT))"
+                f" FILTER (coalesce(m2, 0) % {md} = 0)"
+                " BETWEEN -9223372036854775808 AND 9223372036854775807"
+                f" THEN CAST(sum(CAST({val} AS HUGEINT))"
+                f" FILTER (coalesce(m2, 0) % {md} = 0) AS BIGINT)"
+                " END"
+            )
+        exprs.append((f"{s} AS ta{i}", f"{d} AS ta{i}"))
+    ssql = "SELECT k1, " + ", ".join(e[0] for e in exprs) + " FROM t GROUP BY k1"
+    dsql = "SELECT k1, " + ", ".join(e[1] for e in exprs) + " FROM t GROUP BY k1"
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_sort_comparator_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -3048,6 +3113,7 @@ _CORE_FAMILIES = [
     # --- r12 families ---
     ("hof_nested", 0.015),
     ("sort_comparator", 0.015),
+    ("try_agg", 0.015),
     ("base_agg", None),  # remainder
 ]
 
