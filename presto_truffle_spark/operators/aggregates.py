@@ -3785,91 +3785,3 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_share_cum"),
         )
     )
-
-
-@query(
-    "agg_benford_deviation",
-    oracle="""
-    WITH cents AS (
-        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
-        FROM orders WHERE o_totalprice > 0
-    ), digit AS (
-        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
-        FROM cents
-    ), obs AS (
-        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digit GROUP BY d
-    ), tot AS (
-        SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs
-    ), exp AS (
-        SELECT unnest(generate_series(1, 9)) AS d
-    ), expd AS (
-        SELECT d, CAST(round(ln(1.0 + 1.0 / d) / ln(10.0) * 1000000)
-                       AS BIGINT) AS exp_ppm
-        FROM exp
-    )
-    SELECT expd.d AS first_digit,
-           CAST(coalesce(obs.n, 0) AS BIGINT) AS n_observed,
-           expd.exp_ppm,
-           CAST(coalesce(obs.n, 0) * 1000000 // tot.nt AS BIGINT)
-               AS obs_ppm,
-           CAST(coalesce(obs.n, 0) * 1000000 // tot.nt - expd.exp_ppm
-                AS BIGINT) AS dev_ppm
-    FROM expd LEFT JOIN obs ON obs.d = expd.d CROSS JOIN tot
-    """,
-)
-def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
-    forensic data-quality screen auditors and fraud pipelines run over
-    any organically-generated amount column: under Benford's law the
-    first significant digit d appears with P(d) = log10(1 + 1/d)
-    (30.1% ones down to 4.6% nines), and fabricated / truncated /
-    unit-capped data visibly deviates. Emitted per digit: observed
-    count, expected ppm, observed ppm, deviation ppm — the 9-row
-    audit artifact (per-digit terms, deliberately NOT one summed
-    scalar — the corpus_drift_psi convention: consumers sum the tiny
-    result themselves).
-
-    Fixture honesty: TPC-H order totals are sums of uniform prices,
-    NOT a multiplicative process, so they deviate from Benford hugely
-    — which is the audit WORKING (uniform-ish synthetic data is
-    exactly what it's built to flag).
-
-    Determinism: first digit off the exact integer CENTS rendered as
-    a string (both engines render BIGINT identically; no float
-    formatting anywhere); expected shares frozen per digit as
-    round(log10(1+1/d)·1e6) integer ppm; observed shares via integer
-    floor-division. Scale shape: one map-side digit extraction into a
-    9-group fold; everything downstream is the fixed digit grid."""
-    cents = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 0
-    ).select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
-    )
-    obs = cents.select(
-        F.substring(F.col("c").cast("string"), 1, 1)
-        .cast("long")
-        .alias("d")
-    ).groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = obs.agg(F.sum("n").cast("long").alias("nt"))
-    expd = spark.range(1, 10).select(
-        F.col("id").cast("long").alias("d"),
-        F.round(
-            F.log(1.0 + 1.0 / F.col("id")) / F.log(F.lit(10.0)) * 1e6
-        )
-        .cast("long")
-        .alias("exp_ppm"),
-    )
-    obs_ppm = F.expr(
-        "CAST(coalesce(n, 0) * 1000000 DIV nt AS BIGINT)"
-    )
-    return (
-        expd.join(F.broadcast(obs), "d", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("d").alias("first_digit"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_observed"),
-            "exp_ppm",
-            obs_ppm.alias("obs_ppm"),
-            (obs_ppm - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
-        )
-    )

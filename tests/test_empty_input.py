@@ -114,7 +114,6 @@ _CASES = [
     ("source_parquet_footer_audit", 4),  # one audit row per int column
     ("matching_fellegi_sunter", 0),  # no histogram -> no calibration rows
     ("matching_edit_distance_profile", 0),  # no parts -> no pairs
-    ("agg_benford_deviation", 9),  # digit grid survives; counts 0, NULL ppm
     ("quality_dp_noisy_release", 0),
     ("corpus_ngram_novelty", 0),
     ("corpus_chunk_windows", 0),  # no docs -> no chunks
