@@ -1240,6 +1240,13 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — the repo's mapping-not-mapped-rows convention does not apply
     because the chunks ARE the product here.
 
+    Sibling disambiguation (capability-dedup note): `text_chunk_overlap`
+    slides a CHARACTER window and emits chunk HASHES — the chunk-level
+    dedup fingerprint primitive; this op slides a TOKEN window and
+    emits the chunk TEXT — the training-sequence product a packer
+    (corpus_pack_bins) consumes. Different grain, different output,
+    different downstream.
+
     Determinism: pure integer arithmetic — arithmetic-progression
     starts, inclusive-clamped slices (Spark slice(toks, start, C) ≡
     DuckDB list_slice(toks, start, start+C-1), probed), chunk_id =

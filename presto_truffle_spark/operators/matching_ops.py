@@ -911,7 +911,10 @@ def matching_edit_distance_profile(
     the distance HISTOGRAM (capped at 5+, ≤6 rows) plus the
     compared/skipped block counts — never the pair list (probed: d≤2
     alone matches 3.1M pairs at sf0.1; the profile is the decision
-    artifact).
+    artifact). Sibling disambiguation: `fuzzy_match_blocked` is the
+    MATCHER — it commits to d ≤ 2 and emits the pair list; this op is
+    the calibration pass run BEFORE that commitment (full distance
+    distribution + block-size safety audit the matcher lacks).
 
     The block CAP is the scale contract (the dedup_minhash_lsh_capped
     precedent): in-block comparisons are inherently C(n_b, 2), so an
