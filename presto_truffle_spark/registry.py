@@ -124,20 +124,25 @@ def load_all_modules() -> None:
 # green (the driver re-verified the staled code); until then it heads
 # the window. A further code change bumps the number by hand.
 _FORCE_HEAD: dict[str, int] = {
-    # r9 code-staled greens: IVF-PQ index build + the io.py roundtrips
-    # moved to (age-gated) app-scoped scratch; the CC queries got the
-    # single-action convergence check; transformWithState got the
-    # processor-factory extraction.
-    "ann_ivfpq_index_build": 8,
-    "dedup_connected_components": 8,
-    "dedup_survivor_pick": 8,
-    "source_binary_files": 8,
-    "source_xml_roundtrip": 8,
-    "streaming_transform_with_state": 8,
-    # r12 code-staled green: ADVICE r11 — ln(c+1) terms frozen as
-    # integer micro-nats (exact BIGINT fold; 6dp values can shift at
-    # rounding boundaries vs the old float sum).
-    "text_unigram_lm_perplexity": 11,
+    # (r9 pins and the r12 unigram micro-nat pin re-greened and were
+    # pruned in r13 per the keep-it-short rule above.)
+    #
+    # r13 pins — ADVICE r12: these six had r12 code changes AFTER their
+    # last green driver row and were not in the r12 sample window.
+    # agg_lorenz_curve's change can alter OUTPUT (decile contract now
+    # emits 0-filled rows under extreme skew); the other five are
+    # value-identical plan rewrites (keyness global-window -> broadcast
+    # agg; countmin build fused onto the token fold; SNM offsets lazy;
+    # tfidf vocab-salting gate branch; JSD broadcast flip) — pinned
+    # anyway because driver re-verification is cheap and the window is
+    # pure re-confirmation this round (never-green backlog is empty).
+    "agg_lorenz_curve": 11,
+    "text_keyness_loglikelihood": 9,
+    "agg_countmin_heavy_hitters": 11,
+    "dedup_snm_multipass": 11,
+    "dedup_sorted_neighborhood": 10,
+    "text_tfidf_top_terms": 6,
+    "text_jsd_by_source": 11,
 }
 
 _WINDOW = 50
