@@ -16,8 +16,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import contextlib
+
 from presto_truffle_spark.catalog import load_table, register_views
 from presto_truffle_spark.registry import query
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, then restore the
+    prior value (or unset if it had none). ADVICE r12: an op must not
+    leave session confs mutated — a raised ``cteRecursionRowLimit`` left
+    behind disables the runaway-recursion backstop for every LATER
+    recursive query in the shared session (selfcheck sweeps, fuzz,
+    future ops). ``get(key, None)`` is presence-faithful (returns None
+    for an unset-but-defaulted key, verified empirically), so restore
+    re-unsets rather than freezing the engine default as an explicit
+    setting."""
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, prior)
 
 
 @query(
@@ -394,10 +421,11 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-session with the variable folding to a literal in the last
     query — so the oracle is the equivalent single SQL. CREATE OR
     REPLACE + DECLARE OR REPLACE keep repeated driver invocations
-    idempotent; `spark.sql.scripting.enabled` is a runtime conf set at
-    call time (the load_table nanosAsLong discipline)."""
+    idempotent; `spark.sql.scripting.enabled` is a parse-time conf,
+    scoped to this call with set/restore (verified empirically: the
+    returned DataFrame collects fine after the restore — the script
+    executes and the variable folds during ``spark.sql``)."""
     register_views(spark, sf_dir)
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION pt_finished_orders()
@@ -407,8 +435,9 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM orders WHERE o_orderstatus = 'F'
         """
     )
-    return spark.sql(
-        """
+    with _scoped_conf(spark, "spark.sql.scripting.enabled", "true"):
+        return spark.sql(
+            """
         BEGIN
           DECLARE pt_thr BIGINT DEFAULT 0;
           SET pt_thr = (SELECT CAST(percentile_disc(0.9) WITHIN GROUP
@@ -428,7 +457,7 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY pt_thr;
         END
         """
-    )
+        )
 
 
 @query(
@@ -470,28 +499,34 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels — which a mere 150k-customer run legitimately exceeds at
     ~Σ n/10^k ≈ 1.1·n rows; found live by the 10× scale audit). The
     row limit is a runaway guard, not a semantic bound, so the op
-    raises it explicitly for the session — the deliberate, visible
-    opt-in the error message demands — raised to the conf's int32
-    ceiling (the knob is a JVM int), covering ~1.9e9 frontier rows ≈
-    a 1.7e9-key hierarchy per executor pass. Output is the (roots ×
-    depth) grid, ≤ ~70 rows."""
+    raises it explicitly — the deliberate, visible opt-in the error
+    message demands — to the conf's int32 ceiling (the knob is a JVM
+    int), covering ~1.9e9 frontier rows ≈ a 1.7e9-key hierarchy per
+    executor pass. The raise is SCOPED (ADVICE r12): the conf is read
+    at ACTION time (verified empirically), so the op runs the
+    recursion eagerly inside the scope and materializes the ≤ ~70-row
+    (roots × depth) grid via ``localCheckpoint`` (the quality_ops CC /
+    rewrites.py precedent), restoring the session's runaway backstop
+    before returning."""
     register_views(spark, sf_dir)
     # Σ frontier rows = n·(1 + 1/10 + 1/100 + …) < 1.12·n; the conf is
     # a JVM int, so int32-max is the largest visible opt-in available.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
-    return spark.sql(
-        """
-        WITH RECURSIVE chain(k, cur, d) AS (
-            SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
-            UNION ALL
-            SELECT k, cur DIV 10, d + 1 FROM chain WHERE cur >= 10
-        ), leaf AS (
-            SELECT k, cur AS root_key, d AS depth FROM chain WHERE cur < 10
-        )
-        SELECT root_key, depth,
-               CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(min(k) AS BIGINT) AS min_key,
-               CAST(max(k) AS BIGINT) AS max_key
-        FROM leaf GROUP BY 1, 2
-        """
-    )
+    with _scoped_conf(
+        spark, "spark.sql.cteRecursionRowLimit", str((1 << 31) - 1)
+    ):
+        return spark.sql(
+            """
+            WITH RECURSIVE chain(k, cur, d) AS (
+                SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+                UNION ALL
+                SELECT k, cur DIV 10, d + 1 FROM chain WHERE cur >= 10
+            ), leaf AS (
+                SELECT k, cur AS root_key, d AS depth FROM chain WHERE cur < 10
+            )
+            SELECT root_key, depth,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(min(k) AS BIGINT) AS min_key,
+                   CAST(max(k) AS BIGINT) AS max_key
+            FROM leaf GROUP BY 1, 2
+            """
+        ).localCheckpoint(eager=True)

@@ -156,6 +156,19 @@ def _dump(name, side, rows):
             f.write("\t".join(r) + "\n")
 
 
+def _conf_snapshot(spark):
+    """Explicitly-set session SQL confs, key -> value.
+
+    ``spark.sql.session.timeZone`` is exempt: the harness itself re-pins
+    it per query under --tz, and streaming sources legitimately pin it
+    back to UTC (the re-pin loop below absorbs that)."""
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql("SET").collect()
+        if r["key"] != "spark.sql.session.timeZone"
+    }
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from presto_truffle_spark.session import get_spark
@@ -169,6 +182,17 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
+
+    # Conf-invariance gate (ADVICE/VERDICT r12): running any registered op
+    # must leave session confs unchanged — a leaked raise of e.g.
+    # cteRecursionRowLimit silently disables the runaway backstop for
+    # every later query in the shared session. Warm the load-path confs
+    # once (register_views sets nanosAsLong on first table load), then
+    # snapshot; each query's run+collect is diffed against it.
+    from presto_truffle_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    conf_base = _conf_snapshot(spark)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -191,6 +215,23 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            continue
+        conf_now = _conf_snapshot(spark)
+        if conf_now != conf_base:
+            drift = {
+                k: (conf_base.get(k, "<unset>"), conf_now.get(k, "<unset>"))
+                for k in set(conf_base) | set(conf_now)
+                if conf_base.get(k) != conf_now.get(k)
+            }
+            print(f"FAIL  {name}: SESSION CONF DRIFT {drift}")
+            n_fail += 1
+            failures.append(name)
+            # restore so later queries run under the intended session
+            for k, (_, now) in drift.items():
+                if k in conf_base:
+                    spark.conf.set(k, conf_base[k])
+                else:
+                    spark.conf.unset(k)
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
