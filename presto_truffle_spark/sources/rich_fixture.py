@@ -64,6 +64,71 @@ def _tok(idx: F.Column) -> F.Column:
     return F.concat(F.lit("w"), F.lpad(idx.cast("string"), 3, "0"))
 
 
+def _doc_lineage(
+    spark: SparkSession, n_docs: int, seed: int, replica_pct: int
+) -> DataFrame:
+    """(doc_id, is_rep, src): which docs are replicas and whose streams
+    their generation keys off. Shared by ``zipf_documents`` (the text
+    itself) and ``document_quality_labels`` (the ground truth), so the
+    label column can never drift from what the generator actually did."""
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    s = F.lit(seed)
+
+    def raw_rep(col):
+        return (
+            F.pmod(F.hash(s, col, F.lit("rep")), F.lit(100))
+            < F.lit(replica_pct)
+        ) & (col > 0)
+
+    src_cand = F.greatest(
+        F.lit(0),
+        F.col("doc_id")
+        - (F.pmod(F.hash(s, F.col("doc_id"), F.lit("rd")), F.lit(20)) + 1),
+    )
+    is_rep = raw_rep(F.col("doc_id")) & ~raw_rep(src_cand)
+    src = F.when(is_rep, src_cand).otherwise(F.col("doc_id"))
+    return d.select("doc_id", is_rep.alias("is_rep"), src.alias("src"))
+
+
+def document_quality_labels(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 12,
+    replica_pct: int = 0,
+) -> DataFrame:
+    """Ground-truth labels for the rich fixture (VERDICT r12 #1):
+    (doc_id, tier, noise_pct, is_rep, src_doc_id).
+
+    ``tier`` is the LATENT quality class the generator drew the doc's
+    text from — 0/1/2 with 5/20/45% of Markov links broken
+    (``TIER_NOISE``) — re-derived from the exact hash stream
+    ``zipf_documents`` uses (same ``_doc_lineage``, same
+    ``hash(seed, src, 'tier')``), so this IS what the generator did,
+    not a reconstruction. ``is_rep``/``src_doc_id`` expose the
+    near-dup lineage as labeled truth for dedup studies (a replica's
+    truth partner is its src doc).
+
+    This is a SIDE TABLE, deliberately not a column on documents: the
+    documents schema must stay byte-compatible with the driver fixture
+    so every registered query runs on the rich fixture unchanged.
+    Measured-decision-quality studies join it on doc_id
+    (tools/quality_gate_study.py; pinned in
+    tests/test_quality_gate_pin.py)."""
+    d = _doc_lineage(spark, n_docs, seed, replica_pct)
+    s = F.lit(seed)
+    tier = F.pmod(F.hash(s, F.col("src"), F.lit("tier")), F.lit(3))
+    noise_pct = F.element_at(
+        F.array(*[F.lit(p) for p in TIER_NOISE]), (tier + 1).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        tier.cast("int").alias("tier"),
+        noise_pct.cast("int").alias("noise_pct"),
+        F.col("is_rep").cast("boolean").alias("is_rep"),
+        F.col("src").alias("src_doc_id"),
+    )
+
+
 def zipf_documents(
     spark: SparkSession,
     n_docs: int,
@@ -83,22 +148,18 @@ def zipf_documents(
     edit near-duplicate a MinHash/SNM study needs ground truth for
     (the default fixture has NO structured near-dups; probed r12:
     MinHash truth = 0 pairs). Replicas keep their own source/lang
-    labels off the source doc so cluster structure is preserved."""
-    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    labels off the source doc so cluster structure is preserved.
+
+    Chain purity (ADVICE r12): a doc only BECOMES a replica if its
+    sampled source is itself a NON-replica — otherwise the replica's
+    text would key off the intermediate doc_id's streams while that
+    doc's own text came from a different src, making it a near-dup of
+    no materialized doc (silently polluting dedup ground truth). The
+    rep flag of the candidate src is re-derived with the same hash, so
+    the skip is deterministic and one-hop exact: every emitted
+    replica's src doc is materialized from its own streams."""
+    d = _doc_lineage(spark, n_docs, seed, replica_pct)
     s = F.lit(seed)
-    is_rep = (
-        F.pmod(F.hash(s, F.col("doc_id"), F.lit("rep")), F.lit(100))
-        < F.lit(replica_pct)
-    ) & (F.col("doc_id") > 0)
-    src = F.when(
-        is_rep,
-        F.greatest(
-            F.lit(0),
-            F.col("doc_id")
-            - (F.pmod(F.hash(s, F.col("doc_id"), F.lit("rd")), F.lit(20)) + 1),
-        ),
-    ).otherwise(F.col("doc_id"))
-    d = d.select("doc_id", is_rep.alias("is_rep"), src.alias("src"))
     topic = F.pmod(F.hash(s, F.col("src"), F.lit("topic")), F.lit(N_TOPICS))
     tier = F.pmod(F.hash(s, F.col("src"), F.lit("tier")), F.lit(3))
     noise_pct = F.element_at(

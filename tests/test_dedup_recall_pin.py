@@ -82,16 +82,40 @@ def _truth_pairs(spark, sf_dir: str) -> set[tuple[int, int]]:
 @pytest.fixture(scope="module")
 def truth(spark, replica_dir) -> set[tuple[int, int]]:
     pairs = _truth_pairs(spark, replica_dir)
-    # Fixture-integrity guard: the r12 study measured exactly 56 truth
-    # pairs at (500 docs, seed 12, replica_pct 12). A different count
-    # means the GENERATOR changed — re-measure and re-pin deliberately
-    # rather than letting the recall bands drift to a new denominator.
-    assert len(pairs) == 56, (
-        f"replica-fixture truth-pair count changed: {len(pairs)} != 56 — "
-        "rich_fixture generation changed; re-run the r12 recall study "
-        "and re-pin (BASELINE.md r12 row)"
+    # Fixture-integrity guard: the r13 chain-pure generator (a doc only
+    # becomes a replica of a NON-replica src — ADVICE r12) measures
+    # exactly 55 truth pairs at (500 docs, seed 12, replica_pct 12),
+    # re-measured from the r12 study's 56. A different count means the
+    # GENERATOR changed — re-measure and re-pin deliberately rather
+    # than letting the recall bands drift to a new denominator.
+    assert len(pairs) == 55, (
+        f"replica-fixture truth-pair count changed: {len(pairs)} != 55 — "
+        "rich_fixture generation changed; re-run the recall study "
+        "and re-pin (BASELINE.md r13 row)"
     )
     return pairs
+
+
+def test_replica_lineage_is_subset_of_truth(spark, replica_dir, truth):
+    """Chain-purity invariant (ADVICE r12): every emitted replica must be
+    a genuine Jaccard>=0.5 near-dup of its MATERIALIZED source doc. The
+    pre-r13 generator let a replica sample a src that was itself a
+    replica, making it a near-dup of no materialized doc; all 50
+    lineage pairs now sit inside the brute-force truth set."""
+    from presto_truffle_spark.sources.rich_fixture import (
+        document_quality_labels,
+    )
+
+    lab = document_quality_labels(spark, 500, seed=12, replica_pct=12)
+    lineage = {
+        (min(r.src_doc_id, r.doc_id), max(r.src_doc_id, r.doc_id))
+        for r in lab.filter("is_rep").collect()
+    }
+    assert len(lineage) == 50
+    assert lineage <= truth, (
+        f"replica lineage pairs missing from Jaccard truth: "
+        f"{sorted(lineage - truth)[:5]}"
+    )
 
 
 def test_minhash_lsh_recall_pin(spark, replica_dir, truth):
