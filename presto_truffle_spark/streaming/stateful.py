@@ -157,7 +157,9 @@ def _has_protobuf() -> bool:
     there is nothing to vendor FROM, and hand-writing a
     descriptor-compatible runtime is out of scope. The runtime
     dispatch + unit-pinned processor logic remains the honest best
-    available; re-probe next round."""
+    available; re-probe next round. Re-probed r13 (2026-08-15):
+    ``pip download protobuf --no-deps`` still yields no wheel and
+    ``import google.protobuf`` still fails — unchanged."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

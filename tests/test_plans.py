@@ -1266,10 +1266,12 @@ def test_snm_no_single_partition_window(spark, sf_dir):
     import __spark_entry__ as entry
 
     df = entry.queries()["dedup_sorted_neighborhood"](spark, sf_dir)
-    # == 2: the ONE metadata window's subtree prints under BOTH
-    # branches of the rank self-join (a_side/b_side fork above the
-    # persisted `ranged`); each evaluation is a 32-row prefix sum.
-    assert inspect.unpartitioned_window_count(df) == 2
+    # {1, 2}: the ONE metadata window's subtree (a 32-row prefix sum)
+    # prints under BOTH branches of the rank self-join today, but
+    # exchange reuse / AQE / cache materialization could legitimately
+    # print it once (ADVICE r12) — the invariant is "no CORPUS-scale
+    # unpartitioned window appears", not the printer's subtree count.
+    assert inspect.unpartitioned_window_count(df) in (1, 2)
     plan = inspect.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
