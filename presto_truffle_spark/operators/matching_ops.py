@@ -200,7 +200,13 @@ def text_cosine_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     products and squared norms are exact BIGINT sums in any aggregation
     order; FP appears only in the final sqrt/divide, an identical IEEE
     sequence on both engines. Same candidate bound as the binary variant
-    (shared df caps); weights ≤ 1e6 keep every sum far under 2⁶³.
+    (shared df caps); weights ≤ 1e6 keep every SUM far under 2⁶³ — but
+    the norm PRODUCT n2a·n2b is not (found live by the r13 rich-fixture
+    sweep: rare tokens ⇒ w up to 1e6 ⇒ n2 ~ 1e14 ⇒ product ~ 1e28,
+    ANSI long overflow), so the product is taken in DOUBLE. Parity: each
+    n2 < 2⁵³ is exactly representable, and IEEE multiply of two exact
+    doubles is the correctly-rounded exact product — bit-identical to
+    DuckDB's exact HUGEINT product cast to double at sqrt.
     """
     p = _postings(spark, sf_dir)
     dfreq = p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -218,7 +224,9 @@ def text_cosine_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    cos = F.col("dot") / F.sqrt(F.col("na.n2") * F.col("nb.n2"))
+    cos = F.col("dot") / F.sqrt(
+        F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")
+    )
     return (
         dots.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
         .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))

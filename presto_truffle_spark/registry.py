@@ -143,6 +143,10 @@ _FORCE_HEAD: dict[str, int] = {
     "dedup_sorted_neighborhood": 10,
     "text_tfidf_top_terms": 6,
     "text_jsd_by_source": 11,
+    # r13 code-staled green: the rich-fixture full sweep found an ANSI
+    # long overflow in the norm product (n2a·n2b); product now taken in
+    # DOUBLE (value-identical where it didn't overflow).
+    "text_cosine_pairs_weighted": 5,
 }
 
 _WINDOW = 50

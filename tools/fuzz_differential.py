@@ -1633,6 +1633,89 @@ def run_array_setop_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_array_battery_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """array_position / array_remove / array_insert battery (r13,
+    VERDICT r12 #6). Probed + pinned semantics this family is built on
+    (tests/test_fuzz_differential.py):
+
+      * array_position ≡ list_position with missing → 0 on BOTH
+        engines (coalesce kept anyway — older DuckDB returned NULL);
+        first occurrence wins on both.
+      * array_remove(a, v) removes ALL occurrences ≡ list_filter
+        (x -> x != v); elements are non-null by construction (the
+        array_setop family's NULL-element pin applies here too).
+      * array_insert: Spark pos is 1-based; pos 0 ERRORS; pos past
+        len+1 pads with NULLs (excluded — pos drawn in [1, len+1]);
+        NEGATIVE pos p maps to insert position len+2+p (probed:
+        -1 appends, -len-1 prepends; p < -(len+1) pads — excluded).
+        DuckDB has no list_insert — the twin is slice concatenation
+        a[1:p-1] || [v] || a[p:len].
+      * array_append/array_prepend ≡ list || [v] / [v] || list.
+    Arrays are fixed length 4 with a REPEATED element so position and
+    remove exercise multi-occurrence paths."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_ab")
+    k = rng.randint(-2, 4)
+    # c1 repeats at slots 1 and 3: first-occurrence + remove-all paths
+    elems_s = [
+        "coalesce(m1, 0) % 5",
+        "coalesce(m2, 1) % 5",
+        "coalesce(m1, 0) % 5",
+        str(k),
+    ]
+    a_s = "array(" + ", ".join(elems_s) + ")"
+    a_d = "[" + ", ".join(elems_s) + "]"
+    n = 4
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        probe = rng.randint(-2, 6)
+        v = rng.randint(-9, 9)
+        if kind == 0:
+            s = f"CAST(array_position({a_s}, {probe}) AS BIGINT)"
+            d = f"CAST(coalesce(list_position({a_d}, {probe}), 0) AS BIGINT)"
+        elif kind == 1:
+            s = f"array_join(array_remove({a_s}, {probe}), ',')"
+            d = (
+                "coalesce(array_to_string(list_filter("
+                f"{a_d}, x -> x != {probe}), ','), '')"
+            )
+        elif kind == 2:
+            p = rng.randint(1, n + 1)
+            s = f"array_join(array_insert({a_s}, {p}, {v}), ',')"
+            d = (
+                f"array_to_string({a_d}[1:{p - 1}] || [{v}] || "
+                f"{a_d}[{p}:{n}], ',')"
+            )
+        elif kind == 3:
+            p = rng.randint(-(n + 1), -1)
+            q = n + 2 + p
+            s = f"array_join(array_insert({a_s}, {p}, {v}), ',')"
+            d = (
+                f"array_to_string({a_d}[1:{q - 1}] || [{v}] || "
+                f"{a_d}[{q}:{n}], ',')"
+            )
+        else:
+            if rng.random() < 0.5:
+                s = f"array_join(array_append({a_s}, {v}), ',')"
+                d = f"array_to_string({a_d} || [{v}], ',')"
+            else:
+                s = f"array_join(array_prepend({a_s}, {v}), ',')"
+                d = f"array_to_string([{v}] || {a_d}, ',')"
+        exprs.append((f"{s} AS ab{i}", f"{d} AS ab{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3114,6 +3197,8 @@ _CORE_FAMILIES = [
     ("hof_nested", 0.015),
     ("sort_comparator", 0.015),
     ("try_agg", 0.015),
+    # --- r13 families ---
+    ("array_battery", 0.015),
     ("base_agg", None),  # remainder
 ]
 
