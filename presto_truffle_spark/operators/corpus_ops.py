@@ -1277,3 +1277,119 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_len"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+_CURR_PARTS = 32  # range partitions for the distributed curriculum rank
+
+
+@query(
+    "corpus_curriculum_interleave",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS wr
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS difficulty,
+           CAST(wr AS BIGINT) AS within_rank,
+           CAST(row_number() OVER (ORDER BY wr, source, doc_id)
+                AS BIGINT) AS position
+    FROM r
+    """,
+)
+def corpus_curriculum_interleave(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum training order with source interleaving (Bengio et
+    al. ICML'09 easy-first curriculum + the round-robin source mixing
+    every multi-source pretraining reader does): rank each doc WITHIN
+    its source by a difficulty proxy (n_chars ascending — short docs
+    first), then emit the global training `position` that takes rank-1
+    docs of every source, then rank-2, … — so the schedule ramps
+    difficulty without ever bursting a single source's distribution.
+    The complement of `corpus_temperature_sampling_plan` (which emits
+    per-source RATES) and `corpus_pack_bins_sorted` (which packs a
+    fixed order): this op emits the ORDER itself.
+
+    Scale shape — neither window a global sort: the within-source rank
+    comes from the SNM distributed-rank discipline (range partition by
+    (source, difficulty, doc_id) → per-partition row_number + the lazy
+    ≤{parts}-row offset prefix sum → exact source-major global rank,
+    then within_rank = rank − min_rank(source) + 1 via a source-count
+    broadcast) — NOT a per-source window, which would funnel each
+    source's whole corpus through one task (the
+    corpus_quality_calibrated rule). The interleaved position is then
+    CLOSED-FORM from (within_rank r, source s) and the per-source
+    count table: docs scheduled before (r, s) are Σ_s' min(cnt_s',
+    r−1) rank-below docs plus the same-rank sources ordering before s
+    — a per-row fold over the broadcast ≤|sources|-entry count array
+    (metadata scale), zero additional shuffle. The 1-row
+    crossJoin(broadcast) carrying the array is the benign pattern;
+    the offsets window is the whitelisted ≤32-row metadata prefix sum.
+
+    Determinism: pure integers end to end (length proxy, counts,
+    ranks); ties broken by doc_id everywhere.
+    """
+    from presto_truffle_spark.cache import scoped_persist
+    from presto_truffle_spark.operators.dedup import _snm_offsets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("difficulty")
+    )
+    ranged = d.repartitionByRange(
+        _CURR_PARTS, "source", "difficulty", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    # pid is stable only within one materialization — persist before
+    # the counts/main consumers fork (the SNM discipline).
+    ranged = scoped_persist(spark, "corpus.curriculum.ranged", ranged)
+    offsets = _snm_offsets(
+        ranged.groupBy("pid").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    local_rn = F.row_number().over(
+        W.partitionBy("pid").orderBy("source", "difficulty", "doc_id")
+    )
+    g = ranged.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "source",
+        "difficulty",
+        (local_rn + F.col("off")).cast("long").alias("g"),
+    )
+    g = scoped_persist(spark, "corpus.curriculum.g", g)
+    # source-major global rank → within-source rank via the ≤|sources|
+    # min-rank table (metadata; broadcast)
+    src_min = g.groupBy("source").agg(F.min("g").alias("g0"))
+    ranked = g.join(F.broadcast(src_min), "source").select(
+        "doc_id",
+        "source",
+        "difficulty",
+        (F.col("g") - F.col("g0") + 1).alias("within_rank"),
+    )
+    # per-source count array (sorted for a deterministic fold order),
+    # carried to every row by the benign 1-row broadcast cross join
+    counts = (
+        g.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("source", "cnt"))
+            ).alias("cnts")
+        )
+    )
+    r, s = F.col("within_rank"), F.col("source")
+    below = F.aggregate(
+        F.col("cnts"),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.least(e["cnt"], r - 1),
+    )
+    same_rank_before = F.size(
+        F.filter(F.col("cnts"), lambda e: (e["cnt"] >= r) & (e["source"] < s))
+    ).cast("long")
+    return ranked.crossJoin(F.broadcast(counts)).select(
+        "doc_id",
+        "source",
+        "difficulty",
+        "within_rank",
+        (below + same_rank_before + 1).alias("position"),
+    )

@@ -90,6 +90,10 @@ WHITELIST: dict[str, str] = {
     # the subtree prints once per self-join branch, so counts are x2/x6).
     "dedup_sorted_neighborhood": "metadata prefix sum over <=32 partition counts",
     "dedup_snm_multipass": "metadata prefix sum over <=32 partition counts (x3 passes)",
+    "corpus_curriculum_interleave": (
+        "metadata prefix sum over <=32 partition counts (SNM rank "
+        "discipline) + benign 1-row counts-array broadcast cross join"
+    ),
     # sum() OVER () global-total windows surfaced by the r12 detector
     # widening (ADVICE r11: empty-order windows were invisible before).
     # Each runs over a grid its docstring bounds; text_keyness was the
