@@ -3480,3 +3480,153 @@ def events_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage_ratio"),
     )
+
+
+@query(
+    "events_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_sub('day', TIMESTAMP '2024-01-01 00:00:00',
+                             date_trunc('day', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+                    AS BIGINT) AS tie_term
+        FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS tc
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_term AS BIGINT) AS var_num18,
+           round(CASE
+               WHEN s.s_stat > 0 THEN (s.s_stat - 1) /
+                   sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                         - ties.tie_term) / 18.0)
+               WHEN s.s_stat < 0 THEN (s.s_stat + 1) /
+                   sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                         - ties.tie_term) / 18.0)
+               ELSE CAST(0 AS DOUBLE) END, 6) AS z_score
+    FROM n
+    JOIN s ON n.event_type = s.event_type
+    JOIN ties ON n.event_type = ties.event_type
+    """,
+)
+def events_mann_kendall_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotone-trend TEST per event type (Mann 1945,
+    Kendall's tau numerator): S = Σ_{i<j} sign(v_j − v_i) over the
+    daily revenue series, tie-corrected variance Var(S) = [n(n−1)(2n+5)
+    − Σ_k t_k(t_k−1)(2t_k+5)]/18, and the continuity-corrected normal
+    z — the nonparametric significance companion to
+    `window_theil_sen_slope` (which estimates the slope MK tests) and
+    `events_changepoint_cusum` (which locates breaks MK only detects).
+    No distributional assumption, invariant to monotone transforms —
+    the standard first-line trend screen in environmental/ops
+    monitoring.
+
+    Determinism: the series is exact integer day-cents (per-event
+    floor(value·100+0.5), then BIGINT sums); S is an integer pairwise
+    fold spelled as an explicit CASE (DuckDB's sign() folds to HUGEINT
+    and Spark's signum() to DOUBLE — the CASE keeps both in BIGINT);
+    the tie term and the 18·Var(S) numerator are exact BIGINT; z is
+    the only double (one division + one sqrt per row, identical IEEE),
+    6dp-rounded. Types with a single observed day carry no pair and
+    are omitted by the inner join (documented contract).
+
+    Scale shape: the corpus folds to the (type × day) grid in one
+    map-combinable aggregate; the pairwise S self-join is an equi-join
+    on event_type over that GRID (≤ types × days² with days bounded by
+    the calendar — metadata-scale state, never raw events); ties and n
+    are grid re-aggregates of the one persisted daily table."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    daily = ev.groupBy(
+        "event_type",
+        F.timestamp_diff("DAY", anchor, trunc_ntz("day", F.col("ts"))).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    # daily feeds 4 consumers (pair sides, ties, n) — persist the
+    # REDUCED grid, not raw events
+    daily = scoped_persist(spark, "ts.mk.daily", daily)
+    a = daily.select(
+        F.col("event_type"), F.col("d").alias("da"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        F.col("event_type"), F.col("d").alias("db"), F.col("v").alias("vb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    tc = daily.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    ties = tc.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tie_term")
+    )
+    nd = F.col("n_days")
+    var_num18 = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")).cast(
+        "long"
+    )
+    sd = F.sqrt(var_num18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var_num18.alias("var_num18"),
+            F.round(z, 6).alias("z_score"),
+        )
+    )

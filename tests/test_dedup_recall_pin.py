@@ -97,11 +97,14 @@ def truth(spark, replica_dir) -> set[tuple[int, int]]:
 
 
 def test_replica_lineage_is_subset_of_truth(spark, replica_dir, truth):
-    """Chain-purity invariant (ADVICE r12): every emitted replica must be
-    a genuine Jaccard>=0.5 near-dup of its MATERIALIZED source doc. The
-    pre-r13 generator let a replica sample a src that was itself a
-    replica, making it a near-dup of no materialized doc; all 50
-    lineage pairs now sit inside the brute-force truth set."""
+    """Chain-purity check (ADVICE r12): the pre-r13 generator let a
+    replica sample a src that was itself a replica, making it a
+    near-dup of no materialized doc. Post-fix, every replica's src is
+    materialized from its own streams; note the subset relation below
+    is NOT a theorem — the 5% mutation rate can legitimately push a
+    short doc below the 0.5 Jaccard threshold (observed: 1 of 550
+    lineage pairs at 5000 docs) — but at this exact 500-doc seed-12
+    shape all 50 lineage pairs sit inside truth, deterministically."""
     from presto_truffle_spark.sources.rich_fixture import (
         document_quality_labels,
     )
