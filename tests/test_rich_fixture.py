@@ -157,3 +157,56 @@ def test_replica_mode_produces_near_dups(spark):
         for r in zipf_documents(spark, 150, seed=12, replica_pct=0).collect()
     }
     assert again == b
+
+
+def test_quality_labels_match_generation(spark):
+    """document_quality_labels must agree with what zipf_documents DID:
+    (1) determinism — two invocations byte-identical; (2) the label's
+    tier must match the noise rate the text was actually drawn with.
+    The cross-check is behavioral: within a tier, the fraction of
+    BROKEN Markov links (b != f(a)) must straddle that tier's nominal
+    noise rate — a label column that drifted from the generator's hash
+    stream would scramble the monotone tier→noise relationship."""
+    from presto_truffle_spark.sources.rich_fixture import (
+        document_quality_labels,
+        zipf_documents,
+    )
+
+    lab1 = document_quality_labels(spark, 200, seed=12, replica_pct=12)
+    lab2 = document_quality_labels(spark, 200, seed=12, replica_pct=12)
+    rows1 = sorted(map(tuple, lab1.collect()))
+    assert rows1 == sorted(map(tuple, lab2.collect()))
+    # schema contract
+    assert [f.name for f in lab1.schema.fields] == [
+        "doc_id", "tier", "noise_pct", "is_rep", "src_doc_id",
+    ]
+    # behavioral agreement: measured broken-link rate per labeled tier
+    docs = {r.doc_id: r.text for r in
+            zipf_documents(spark, 200, seed=12, replica_pct=12).collect()}
+    broken = {0: [0, 0], 1: [0, 0], 2: [0, 0]}  # tier -> [broken, total]
+    lin = {r.doc_id: (r.src_doc_id, r.tier) for r in lab1.collect()}
+
+    # topic is not exposed; instead test the noise MONOTONICITY via
+    # b-link agreement against every topic's candidate map: a link is
+    # "intact" if b == (a*31 + t*7 + 3) % VOCAB for the doc's single
+    # best-fitting t — per-doc majority topic fit.
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        tier = lin[doc_id][1]
+        fits = [0] * 8
+        total = 0
+        for i in range(0, len(toks) - 2, 3):
+            a = int(toks[i][1:]); b = int(toks[i + 1][1:])
+            total += 1
+            for t in range(8):
+                if b == (a * 31 + t * 7 + 3) % VOCAB:
+                    fits[t] += 1
+        if not total:
+            continue
+        best = max(fits)
+        broken[tier][0] += total - best
+        broken[tier][1] += total
+    rates = [broken[t][0] / broken[t][1] for t in (0, 1, 2)]
+    # monotone in tier, and ordered around the nominal 5/20/45%
+    assert rates[0] < rates[1] < rates[2], rates
+    assert rates[0] < 0.15 and rates[2] > 0.30, rates
