@@ -1716,6 +1716,108 @@ def run_array_battery_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_str_map_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """str_to_map / map_concat / map_from_entries / element_at battery
+    (r13). Probed + pinned semantics the family is built on
+    (tests/test_fuzz_differential.py):
+
+      * str_to_map: a trailing delimiter yields value '' while an
+        entry WITHOUT the kv-delimiter yields value NULL ('a:1,b:,c'
+        → {a:'1', b:'', c:NULL}) — the DuckDB twin is string_split
+        twice (split[2] is NULL/'' the same way);
+      * DUPLICATE keys ERROR on Spark (mapKeyDedupPolicy=EXCEPTION
+        default) for both str_to_map and map_concat — the family
+        generates unique/disjoint keys by construction;
+      * map comparison is CANONICAL-STRING only (sorted
+        'k=coalesce(v)' entry join) — engines serialize maps
+        differently (DuckDB fetches {key:[...], value:[...]});
+      * DuckDB map extraction m[k] returns a LIST ([] on miss) — the
+        scalar twin is m[k][1]; Spark element_at on a missing key is
+        NULL (non-ANSI-erroring, probed); this DuckDB has no
+        map_contains — the twin is list_contains(map_keys(m), k).
+    """
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_sm")
+    v1 = "CAST(abs(coalesce(m1, 0)) % 100 AS STRING)"
+    v2 = "CAST(abs(coalesce(m2, 1)) % 100 AS STRING)"
+    v3 = "CAST(abs(coalesce(m3, 2)) % 100 AS STRING)"
+    d1 = v1.replace("STRING", "VARCHAR")
+    d2 = v2.replace("STRING", "VARCHAR")
+    d3 = v3.replace("STRING", "VARCHAR")
+    canon_s = (
+        "array_join(transform(array_sort(map_entries({m})), "
+        "e -> concat(e.key, '=', coalesce(e.value, '?'))), ',')"
+    )
+    canon_d = (
+        "array_to_string(list_sort(list_transform(map_entries({m}), "
+        "e -> e.key || '=' || coalesce(e.value, '?'))), ',')"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            # parse string incl. empty-value ('d:') and valueless ('e')
+            raw_s = f"concat('a:', {v1}, ',b:', {v2}, ',d:,e')"
+            raw_d = f"('a:' || {d1} || ',b:' || {d2} || ',d:,e')"
+            s = canon_s.format(m=f"str_to_map({raw_s}, ',', ':')")
+            d = canon_d.format(
+                m=(
+                    f"map(list_transform(string_split({raw_d}, ','), "
+                    "x -> string_split(x, ':')[1]), "
+                    f"list_transform(string_split({raw_d}, ','), "
+                    "x -> string_split(x, ':')[2]))"
+                )
+            )
+        elif kind == 1:
+            m_s = f"map_concat(map('a', {v1}), map('b', {v2}, 'c', {v3}))"
+            m_d = f"map(['a','b','c'], [{d1}, {d2}, {d3}])"
+            s = (
+                f"concat(CAST(cardinality({m_s}) AS STRING), '|', "
+                + canon_s.format(m=m_s)
+                + ")"
+            )
+            d = (
+                f"concat(CAST(cardinality({m_d}) AS VARCHAR), '|', "
+                + canon_d.format(m=m_d)
+                + ")"
+            )
+        elif kind == 2:
+            m_s = (
+                f"map_from_entries(array(struct('b', {v2}), "
+                f"struct('a', {v1})))"
+            )
+            m_d = f"map(['b','a'], [{d2}, {d1}])"
+            s = canon_s.format(m=m_s)
+            d = canon_d.format(m=m_d)
+        elif kind == 3:
+            probe = rng.choice(["'a'", "'z'"])
+            m_s = f"map('a', {v1}, 'b', {v2})"
+            m_d = f"map(['a','b'], [{d1}, {d2}])"
+            s = f"coalesce(element_at({m_s}, {probe}), '<miss>')"
+            d = f"coalesce(({m_d})[{probe}][1], '<miss>')"
+        else:
+            probe = rng.choice(["'a'", "'z'"])
+            s = (
+                f"CAST(map_contains_key(map('a', {v1}), {probe}) AS INT)"
+            )
+            d = (
+                f"CAST(list_contains(map_keys(map(['a'], [{d1}])), "
+                f"{probe}) AS INT)"
+            )
+        exprs.append((f"{s} AS sm{i}", f"{d} AS sm{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3199,6 +3301,7 @@ _CORE_FAMILIES = [
     ("try_agg", 0.015),
     # --- r13 families ---
     ("array_battery", 0.015),
+    ("str_map", 0.015),
     ("base_agg", None),  # remainder
 ]
 
