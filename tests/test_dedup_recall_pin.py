@@ -189,3 +189,70 @@ def test_ivf_recall_pin(spark, replica_dir):
         "embeddings (r12 measured 1.00 vs 0.22 isotropic floor) — "
         "coarse-quantizer/probe regression"
     )
+
+
+def test_dedup_stack_operating_points(spark, replica_dir, truth):
+    """Whole-stack recall, each member against ITS OWN contract (r13 —
+    extends the r12 LSH/SNM story to the rest of the dedup family):
+
+      * winnowing (>=2 shared fingerprints) is the LOOSE candidate
+        generator — recall must be total (55/55; 4.5k candidates is
+        the price, verified downstream);
+      * chunk_fingerprint is a per-DOC containment signal — every
+        flagged doc must belong to the replica-or-source set (zero
+        spurious flags) and coverage of that set stays high (89/95
+        measured: the missed docs are replicas whose mutations break
+        every exact 16-token run);
+      * simhash_hamming (<=3 of 48 bits) is the TIGHT operating point
+        — low candidate count (33), partial Jaccard recall (0.582
+        measured; band-pinned), occasional beyond-Jaccard pair (it
+        approximates cosine, not Jaccard);
+      * ngram_jaccard at >= 0.5 on its de-slice contract is exact
+        Jaccard — lossless there (18/18, 0 fp)."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators import dedup as D
+    from presto_truffle_spark.sources.rich_fixture import (
+        document_quality_labels,
+    )
+
+    wi = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in D.dedup_winnowing(spark, replica_dir).collect()
+    }
+    assert len(wi & truth) == len(truth), "winnowing lost a true pair"
+
+    lab = document_quality_labels(spark, 500, seed=12, replica_pct=12)
+    reps = lab.filter("is_rep").collect()
+    involved = {r.doc_id for r in reps} | {r.src_doc_id for r in reps}
+    flagged = {
+        r.doc_id
+        for r in D.dedup_chunk_fingerprint(spark, replica_dir).collect()
+        if r.n_dup_chunks > 0
+    }
+    assert not (flagged - involved), "chunk fingerprint flagged a non-replica doc"
+    assert len(flagged) >= 0.85 * len(involved), (len(flagged), len(involved))
+
+    sh = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in D.dedup_simhash_hamming(spark, replica_dir).collect()
+    }
+    r_sh = len(sh & truth) / len(truth)
+    assert 0.45 <= r_sh <= 0.80, f"simhash band moved: {r_sh:.3f} (measured 0.582)"
+    assert len(sh - truth) <= 3, f"simhash beyond-Jaccard pairs grew: {len(sh - truth)}"
+
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, replica_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    de_truth = {p for p in truth if lang[p[0]] == "de" and lang[p[1]] == "de"}
+    ng = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in D.dedup_ngram_jaccard(spark, replica_dir).collect()
+        if r.jaccard >= 0.5
+    }
+    assert ng & de_truth == de_truth and not (ng - de_truth), (
+        len(ng & de_truth),
+        len(de_truth),
+    )
