@@ -3785,3 +3785,79 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_share_cum"),
         )
     )
+
+
+_SKEW_PARTS = 32  # the executor-parallelism a salt recommendation targets
+
+
+def _key_skew_profile_sql(table: str, key: str) -> str:
+    """One UNION ALL branch of the skew-profile oracle (shared shape)."""
+    return f"""
+    SELECT '{table}.{key}' AS join_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)
+                AS BIGINT) AS p99_key_rows,
+           CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
+               AS top1_share_ppm,
+           CAST(max(cnt) * count(*) * 1000000 // sum(cnt) AS BIGINT)
+               AS max_over_mean_ppm,
+           CAST(least(CAST({_SKEW_PARTS} AS BIGINT), greatest(
+               CAST(1 AS BIGINT),
+               (max(cnt) * {_SKEW_PARTS} + sum(cnt) - 1) // sum(cnt)))
+               AS BIGINT) AS recommended_salt
+    FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS cnt
+          FROM {table} GROUP BY {key})
+    HAVING count(*) > 0
+    """
+
+
+@query(
+    "profile_key_skew",
+    oracle=" UNION ALL ".join(
+        _key_skew_profile_sql(t, k)
+        for t, k in (
+            ("orders", "o_custkey"),
+            ("lineitem", "l_partkey"),
+            ("events", "user_id"),
+        )
+    ),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profile — the shuffle-planning diagnostic that
+    decides whether a key needs `rewrite_salted_join` (the fix this op
+    is the companion of) BEFORE the job hot-spots: for each audited
+    join key, the key-count distribution's tail (max, discrete p99),
+    the hottest key's share, the max-over-mean ratio (a uniform key
+    reads 1.0e6 ppm; the bench skew demo's synthetic key reads ~8e6),
+    and the salt factor that would cap the hottest key at one
+    32nd of the rows — `ceil(max_cnt·32 / n_rows)` clamped to
+    [1, 32] (1 = no salting needed, the fixture's near-uniform keys'
+    answer; the recommendation is the integer the salted rewrite
+    takes as its fan-out).
+
+    Determinism: pure integers end to end — counts, a discrete
+    percentile on counts (the ANSI WITHIN GROUP spelling both engines
+    parse, agg_percentile_disc's proven pairing), ppm shares via
+    integer division, ceil-div spelled (a + b − 1) DIV b (floor-DIV
+    equal across engines on positives).
+
+    Scale shape: one map-combinable count per key + a tiny
+    per-key-count re-aggregate (state = distinct keys, the same
+    cardinality the join itself would shuffle); the three audited
+    keys union three independent branches. At 100 TB the count table
+    IS large for high-cardinality keys — the aggregate stays
+    partition-parallel, and only 1-row stats survive per branch."""
+    from presto_truffle_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    parts = [
+        _key_skew_profile_sql(t, k).replace(" // ", " DIV ")
+        for t, k in (
+            ("orders", "o_custkey"),
+            ("lineitem", "l_partkey"),
+            ("events", "user_id"),
+        )
+    ]
+    return spark.sql(" UNION ALL ".join(parts))

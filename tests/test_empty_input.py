@@ -119,6 +119,7 @@ _CASES = [
     ("corpus_chunk_windows", 0),  # no docs -> no chunks
     ("corpus_curriculum_interleave", 0),  # no docs -> empty schedule
     ("events_mann_kendall_trend", 0),  # no events -> no day pairs
+    ("profile_key_skew", 0),  # empty tables -> integer-div guards moot, no key rows
     ("embedding_matryoshka_truncation", 0),
     ("profile_equi_depth_histogram", 0),
     ("agg_jackknife_ratio_se", 1),  # ungrouped fold row (0 orders, NULLs)
