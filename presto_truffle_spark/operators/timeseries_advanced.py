@@ -900,8 +900,10 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling distinct active users per day — the WAU-style metric
-    SQL windows cannot express (COUNT(DISTINCT) over a sliding frame is
-    unsupported in both engines' window clauses).
+    Spark's window clause cannot express (COUNT(DISTINCT) over a frame
+    is unsupported in Spark; DuckDB DOES support it natively — probed
+    r13, and the `distinct_window` fuzz family differentials Spark's
+    emulation patterns against exactly that native form).
 
     The scalable spelling: collapse events to distinct (user, day) rows
     first (the ~1000× reduction), then explode each user-day into the ≤7

@@ -1633,6 +1633,75 @@ def run_array_setop_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_distinct_window_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """DISTINCT-over-window family (r13): Spark's window clause has no
+    COUNT/SUM(DISTINCT) OVER, so the engine's rolling-distinct ops use
+    EMULATIONS (collect_list over the frame → array_distinct → fold);
+    DuckDB supports DISTINCT window aggregates NATIVELY (probed r13) —
+    which makes it the perfect oracle for exactly those emulation
+    patterns. Frames are RANGE-based on purpose: with duplicate order
+    keys a ROWS frame's content depends on the tiebreak (engines would
+    legitimately disagree), while RANGE frames are value-based and
+    tie-stable. The distinct-ed value is coalesced non-null: Spark's
+    collect_list DROPS NULLs and DuckDB's DISTINCT aggregates ignore
+    them — same outcome, but the equivalence is not worth leaning on."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_dw")
+    okey = "coalesce(m1, 0) % 50"
+    x = f"abs(coalesce(m2, 0)) % {rng.randint(3, 9)}"
+    exprs = []
+    for i in range(rng.randint(1, 2)):
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            c = rng.randint(0, 20)
+            frame = (
+                f"PARTITION BY k1 ORDER BY {okey} "
+                f"RANGE BETWEEN {c} PRECEDING AND CURRENT ROW"
+            )
+            s = (
+                f"size(array_distinct(collect_list({x}) "
+                f"OVER ({frame})))"
+            )
+            d = f"CAST(count(DISTINCT {x}) OVER ({frame}) AS INT)"
+        elif kind == 1:
+            frame = (
+                f"PARTITION BY k1 ORDER BY {okey} "
+                "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            )
+            s = (
+                f"size(array_distinct(collect_list({x}) "
+                f"OVER ({frame})))"
+            )
+            d = f"CAST(count(DISTINCT {x}) OVER ({frame}) AS INT)"
+        else:
+            c = rng.randint(0, 20)
+            frame = (
+                f"PARTITION BY k1 ORDER BY {okey} "
+                f"RANGE BETWEEN {c} PRECEDING AND CURRENT ROW"
+            )
+            s = (
+                f"aggregate(array_distinct(collect_list({x}) "
+                f"OVER ({frame})), 0L, (acc, v) -> acc + v)"
+            )
+            d = (
+                f"CAST(coalesce(sum(DISTINCT {x}) OVER ({frame}), 0) "
+                "AS BIGINT)"
+            )
+        exprs.append((f"{s} AS dw{i}", f"{d} AS dw{i}"))
+    ssql = (
+        f"SELECT k1, {okey} AS ok, "
+        + ", ".join(e[0] for e in exprs)
+        + " FROM t"
+    )
+    dsql = (
+        f"SELECT k1, {okey} AS ok, "
+        + ", ".join(e[1] for e in exprs)
+        + " FROM t"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_array_battery_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -3302,6 +3371,7 @@ _CORE_FAMILIES = [
     # --- r13 families ---
     ("array_battery", 0.015),
     ("str_map", 0.015),
+    ("distinct_window", 0.015),
     ("base_agg", None),  # remainder
 ]
 
