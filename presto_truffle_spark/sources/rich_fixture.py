@@ -120,12 +120,14 @@ def document_quality_labels(
     noise_pct = F.element_at(
         F.array(*[F.lit(p) for p in TIER_NOISE]), (tier + 1).cast("int")
     )
+    topic = F.pmod(F.hash(s, F.col("src"), F.lit("topic")), F.lit(N_TOPICS))
     return d.select(
         "doc_id",
         tier.cast("int").alias("tier"),
         noise_pct.cast("int").alias("noise_pct"),
         F.col("is_rep").cast("boolean").alias("is_rep"),
         F.col("src").alias("src_doc_id"),
+        topic.cast("int").alias("topic"),
     )
 
 

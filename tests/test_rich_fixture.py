@@ -178,7 +178,7 @@ def test_quality_labels_match_generation(spark):
     assert rows1 == sorted(map(tuple, lab2.collect()))
     # schema contract
     assert [f.name for f in lab1.schema.fields] == [
-        "doc_id", "tier", "noise_pct", "is_rep", "src_doc_id",
+        "doc_id", "tier", "noise_pct", "is_rep", "src_doc_id", "topic",
     ]
     # behavioral agreement: measured broken-link rate per labeled tier
     docs = {r.doc_id: r.text for r in
