@@ -242,18 +242,52 @@ def clustered_embeddings(
     d = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
     s = F.lit(seed)
     c = F.pmod(F.hash(s, F.col("vec_id"), F.lit("c")), F.lit(EMB_CLUSTERS))
+    emb = _gmm_coords(s, F.col("vec_id"), c, 250)
+    return d.select(
+        "vec_id", emb.alias("embedding"), c.cast("int").alias("label")
+    )
+
+
+def _gmm_coords(s, vid, c, noise_milli: int):
+    """Shared GMM coordinate builder: unit-scale hash centers per
+    cluster c + per-vector noise at noise_milli/1000 amplitude."""
 
     def coord(j):
         ctr = (
             F.pmod(F.hash(s, c, j, F.lit("ctr")), F.lit(2001)) - 1000
         ) / F.lit(1000.0)
         nz = (
-            F.pmod(F.hash(s, F.col("vec_id"), j, F.lit("nz")), F.lit(2001))
-            - 1000
+            F.pmod(F.hash(s, vid, j, F.lit("nz")), F.lit(2001)) - 1000
         ) / F.lit(1000.0)
-        return (ctr + nz * F.lit(0.25)).cast("float")
+        return (ctr + nz * F.lit(noise_milli / 1000.0)).cast("float")
 
-    emb = F.transform(F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), coord)
+    return F.transform(F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), coord)
+
+
+def topic_aligned_embeddings(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 12,
+    replica_pct: int = 0,
+    noise_milli: int = 600,
+) -> DataFrame:
+    """embeddings-schema DataFrame whose vec_id IS a doc_id and whose
+    mixture component IS that doc's latent TOPIC — the cross-modal
+    ground truth a hybrid (lexical + dense) retrieval study needs:
+    with aligned IDs, BM25 over the documents table and cosine over
+    this table rank the SAME candidate set against the SAME topical
+    relevance labels. The default ``noise_milli`` is deliberately high
+    (0.6 vs clustered_embeddings' 0.25): a near-perfect dense retriever
+    leaves no headroom to measure hybrid complementarity — the study
+    wants an IMPERFECT one, like real embeddings of short documents.
+    ``label`` = the topic (same hash stream as
+    ``document_quality_labels``)."""
+    d = _doc_lineage(spark, n_docs, seed, replica_pct)
+    s = F.lit(seed)
+    topic = F.pmod(F.hash(s, F.col("src"), F.lit("topic")), F.lit(N_TOPICS))
+    emb = _gmm_coords(s, F.col("doc_id"), topic, noise_milli)
     return d.select(
-        "vec_id", emb.alias("embedding"), c.cast("int").alias("label")
+        F.col("doc_id").alias("vec_id"),
+        emb.alias("embedding"),
+        topic.cast("int").alias("label"),
     )

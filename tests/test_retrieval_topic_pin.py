@@ -45,3 +45,37 @@ def test_bm25_topic_precision_pin(spark, labeled_dir):
     assert r["bm25_precision_at_10"] >= 0.85, r
     assert r["lift"] >= 5.0, r
     assert r["per_query_min"] >= 0.3, r
+
+
+def test_hybrid_rrf_complementarity_pin(spark, labeled_dir):
+    """Hybrid complementarity, measured (r13): with BOTH retrievers
+    deliberately imperfect (6-token lexical queries P@10 0.835;
+    noise-2200 topic-aligned embeddings P@10 0.795) and top-50 lists
+    fused, RRF@10 reaches 0.885 — strictly above both singles. The
+    pin keeps the fusion genuinely helping: a regression that lets
+    either retriever dominate or breaks the rank fusion shows up as
+    hybrid <= max(singles)."""
+    from tools.retrieval_topic_study import (
+        FUSE_DEPTH,
+        _p_at_k,
+        bm25_topk,
+        dense_topk,
+        rrf_topk,
+    )
+
+    from presto_truffle_spark.sources.rich_fixture import (
+        topic_aligned_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    out, labels = labeled_dir
+    emb = topic_aligned_embeddings(spark, N_DOCS, seed=SEED, noise_milli=2200)
+    bm = bm25_topk(spark, out, qlen=6, depth=FUSE_DEPTH)
+    de = dense_topk(spark, emb, depth=FUSE_DEPTH)
+    bp, _ = _p_at_k(bm.filter(F.col("rank") <= 10), labels)
+    dp, _ = _p_at_k(de.filter(F.col("rank") <= 10), labels)
+    hp, _ = _p_at_k(rrf_topk(spark, [bm, de]), labels)
+    assert 0.70 <= bp <= 0.95, bp  # the "imperfect" regime must hold
+    assert 0.65 <= dp <= 0.95, dp
+    assert hp > max(bp, dp) + 0.02, (bp, dp, hp)
+    assert hp >= 0.85, hp  # measured 0.885
