@@ -938,9 +938,11 @@ def matching_edit_distance_profile(
     Engine-parity note (probed, pinned in FIXTURES.md r12): Spark's
     levenshtein counts CHARACTERS, DuckDB's counts BYTES — they
     diverge on any non-ASCII input ('héllo'→'hello' = 1 vs 2). The
-    part-name fixture is ASCII by construction; a production corpus
-    needs a byte-normalized twin before trusting a cross-engine
-    oracle.
+    part-name fixture is ASCII by construction; the byte-normalized
+    twin for non-ASCII corpora exists as working code in the r13
+    `strdist` fuzz family (tools/fuzz_differential._strdist_remap_sql
+    — single-byte remap of the multibyte alphabet before DuckDB's
+    levenshtein; 80 seeds green over é/ü/日-bearing strings).
 
     Scale shape: one shuffle on the blocking key; pair volume bounded
     by n_blocks × C(cap, 2) regardless of corpus size; output is the

@@ -895,3 +895,70 @@ def test_all_null_list_join_divergence_pinned(spark):
     assert s_one == d_one == "5", (s_one, d_one)  # single null: agree
     assert s_all == "" and d_all is None, (s_all, d_all)  # the fork
     assert d_coal == "" == s_all  # mirrored spelling agrees
+
+
+def test_filter_agg_semantics_pinned(spark):
+    """FIXTURES.md r13 (filter_agg family, 51st): aggregate FILTER
+    clause + bool/bit aggregates agree across engines — NULL-yielding
+    filter predicates exclude the row (3-valued), bool_and/bool_or
+    skip NULL booleans and yield NULL for all-NULL groups, Spark's
+    count_if(p) ≡ DuckDB count(*) FILTER (WHERE p), bit aggregates
+    skip NULLs. If either engine changes any of these, this pin fails
+    before a fuzz seed silently does."""
+    srow = spark.createDataFrame(
+        [(True, 1), (False, 2), (None, 3), (None, None)], "b boolean, m int"
+    )
+    srow.createOrReplaceTempView("fp")
+    s = spark.sql(
+        "SELECT count(*) FILTER (WHERE b) c, "
+        "CAST(sum(m) FILTER (WHERE b IS NULL) AS BIGINT) s, "
+        "CAST(bool_and(b) AS INT) ba, CAST(bool_or(b) AS INT) bo, "
+        "count_if(m > 1) ci, CAST(bit_xor(m) AS BIGINT) bx FROM fp"
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT count(*) FILTER (WHERE b), "
+        "CAST(sum(m) FILTER (WHERE b IS NULL) AS BIGINT), "
+        "CAST(bool_and(b) AS INT), CAST(bool_or(b) AS INT), "
+        "count(*) FILTER (WHERE m > 1), CAST(bit_xor(m) AS BIGINT) "
+        "FROM (VALUES (true, 1), (false, 2), (NULL, 3), (NULL, NULL)) "
+        "t(b, m)"
+    ).fetchone()
+    assert tuple(s) == d == (1, 3, 0, 1, 2, 1 ^ 2 ^ 3), (tuple(s), d)
+    # all-NULL group: bool/bit aggregates yield NULL on both
+    s2 = spark.sql(
+        "SELECT CAST(bool_and(b) AS INT) ba, CAST(bit_and(m) AS BIGINT) x "
+        "FROM fp WHERE m IS NULL"
+    ).collect()[0]
+    d2 = con.execute(
+        "SELECT CAST(bool_and(b) AS INT), CAST(bit_and(m) AS BIGINT) "
+        "FROM (VALUES (CAST(NULL AS BOOLEAN), CAST(NULL AS INT))) t(b, m)"
+    ).fetchone()
+    assert tuple(s2) == d2 == (None, None), (tuple(s2), d2)
+
+
+def test_levenshtein_char_vs_byte_divergence_pinned(spark):
+    """FIXTURES.md r12/r13 (strdist family, 52nd): Spark levenshtein
+    counts CHARACTERS, DuckDB counts BYTES — they diverge on any
+    multibyte input; the single-byte remap
+    (fuzz_differential._strdist_remap_sql) is the byte-normalized twin
+    the r12 matching_edit_distance_profile pin called for. length and
+    instr/strpos are char-based on BOTH engines (no remap needed);
+    octet_length ≡ strlen is the byte axis."""
+    from tools.fuzz_differential import _strdist_remap_sql
+
+    s = spark.sql(
+        "SELECT levenshtein('é日', 'a日') a, levenshtein('abc', 'axcy', 1) t, "
+        "length('é日') l, octet_length('é日') o, instr('aé日b', '日') i"
+    ).collect()[0]
+    assert tuple(s) == (1, -1, 2, 5, 3), tuple(s)
+    con = duckdb.connect()
+    raw, remapped, l, o, i = con.execute(
+        "SELECT levenshtein('é日', 'a日'), "
+        f"levenshtein({_strdist_remap_sql(chr(39) + 'é日' + chr(39))}, "
+        f"{_strdist_remap_sql(chr(39) + 'a日' + chr(39))}), "
+        "length('é日'), strlen('é日'), strpos('aé日b', '日')"
+    ).fetchone()
+    assert raw == 2, raw  # the byte-counting fork, live
+    assert remapped == 1 == s.a  # remap restores char distance
+    assert (l, o, i) == (2, 5, 3) == (s.l, s.o, s.i)

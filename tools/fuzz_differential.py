@@ -1887,6 +1887,155 @@ def run_str_map_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_filter_agg_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Aggregate-FILTER-clause + boolean/bitwise aggregate family (r13,
+    51st). Probed + pinned semantics this family is built on
+    (tests/test_fuzz_differential.py):
+
+      * `agg(x) FILTER (WHERE p)` agrees on both engines, including
+        with COUNT(DISTINCT) and with a NULL-yielding predicate (NULL
+        excludes the row, 3-valued, same as WHERE);
+      * bool_and/bool_or skip NULL booleans on both and return NULL
+        for all-NULL groups; Spark's every/some are aliases — the
+        DuckDB twin spells bool_and/bool_or;
+      * Spark count_if(p) ≡ DuckDB count(*) FILTER (WHERE p) (TRUE
+        rows only; NULL predicate not counted);
+      * bit_and/bit_or/bit_xor skip NULLs on both, NULL for all-NULL
+        groups; operands kept small non-negative so int-width
+        promotion never engages.
+    Groups by the NULL-bearing k1 so filtered aggregates see NULL
+    groups and empty-after-filter groups (count→0, sum→NULL)."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_fa")
+    exprs = []
+    for i in range(rng.randint(2, 4)):
+        kind = rng.randint(0, 5)
+        p = gen_predicate(rng)
+        if kind == 0:
+            s = d = f"count(*) FILTER (WHERE {p})"
+        elif kind == 1:
+            col = rng.choice(MEASURES)
+            fn = rng.choice(["sum", "min", "max"])
+            s = d = f"{fn}({col}) FILTER (WHERE {p})"
+            if fn == "sum":
+                s = f"CAST({s} AS BIGINT)"
+                d = f"CAST({d} AS BIGINT)"
+        elif kind == 2:
+            col = rng.choice(MEASURES)
+            s = d = f"count(DISTINCT {col}) FILTER (WHERE {p})"
+        elif kind == 3:
+            b = f"({rng.choice(MEASURES)} > {rng.randint(-5, 15)})"
+            if rng.random() < 0.5:
+                sfn = rng.choice(["bool_and", "every"])
+                s = f"CAST({sfn}({b}) AS INT)"
+                d = f"CAST(bool_and({b}) AS INT)"
+            else:
+                sfn = rng.choice(["bool_or", "some"])
+                s = f"CAST({sfn}({b}) AS INT)"
+                d = f"CAST(bool_or({b}) AS INT)"
+        elif kind == 4:
+            s = f"count_if({p})"
+            d = f"count(*) FILTER (WHERE {p})"
+        else:
+            col = rng.choice(MEASURES)
+            fn = rng.choice(["bit_and", "bit_or", "bit_xor"])
+            arg = f"abs(coalesce({col}, 0)) % 64"
+            nn = f"CASE WHEN {col} IS NULL THEN NULL ELSE {arg} END"
+            s = d = f"CAST({fn}({nn}) AS BIGINT)"
+        exprs.append((f"{s} AS fa{i}", f"{d} AS fa{i}"))
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + " FROM t GROUP BY k1"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + " FROM t GROUP BY k1"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+# strdist family: the three non-ASCII chars the generator may emit and
+# the ASCII placeholders the DuckDB twin remaps them to (chosen outside
+# the generator alphabet so the remap is injective on any generated
+# string). Spark levenshtein counts CHARACTERS while DuckDB counts
+# BYTES (probed: lev('é','a') = 1 vs 2, lev('日本語','日本') = 1 vs 3 —
+# the r12 matching_edit_distance_profile pin); the remap makes every
+# char single-byte so DuckDB's byte distance IS the char distance.
+_STRDIST_REMAP = [("é", "1"), ("ü", "2"), ("日", "3")]
+
+
+def _strdist_remap_sql(col: str) -> str:
+    out = col
+    for src, dst in _STRDIST_REMAP:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out
+
+
+def run_strdist_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """String-distance family over MULTIBYTE strings (r13, 52nd) — the
+    byte-normalized levenshtein twin the r12 edit-distance pin called
+    for, live as working code. Spark's levenshtein/length/instr are
+    character-based; DuckDB's levenshtein is BYTE-based while its
+    length/strpos are character-based (probed). The DuckDB twin
+    single-byte-remaps the three non-ASCII alphabet chars
+    (_STRDIST_REMAP) before levenshtein, making byte distance equal
+    char distance exactly; length/instr need no remap. Also exercises
+    Spark's 3-arg levenshtein threshold form (distance > t → -1; the
+    DuckDB twin is a CASE over the full distance) and the char/byte
+    length axis (length ≡ length, octet_length ≡ strlen)."""
+    alphabet = ["a", "b", "c", "x", "é", "ü", "日"]
+
+    def rand_str():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 8))
+        )
+
+    rows = [(rand_str(), rand_str()) for _ in range(rng.randint(5, 40))]
+    path = os.path.join(tmp, f"fuzz_{case_id}_sd.parquet")
+    spark.createDataFrame(rows, "sa string, sb string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("sd")
+    con.execute(
+        f"CREATE OR REPLACE VIEW sd AS SELECT * FROM '{path}/*.parquet'"
+    )
+    ra, rb = _strdist_remap_sql("sa"), _strdist_remap_sql("sb")
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            s = "levenshtein(sa, sb)"
+            d = f"levenshtein({ra}, {rb})"
+        elif kind == 1:
+            t = rng.randint(0, 6)
+            s = f"levenshtein(sa, sb, {t})"
+            d = (
+                f"CASE WHEN levenshtein({ra}, {rb}) > {t} THEN -1 "
+                f"ELSE levenshtein({ra}, {rb}) END"
+            )
+        elif kind == 2:
+            s = "length(sa) + 100 * octet_length(sb)"
+            d = "length(sa) + 100 * strlen(sb)"
+        else:
+            ch = rng.choice(alphabet)
+            s = f"instr(sa, '{ch}') + 100 * CAST(contains(sb, '{ch}') AS INT)"
+            d = (
+                f"strpos(sa, '{ch}') + 100 * "
+                f"CAST(contains(sb, '{ch}') AS INT)"
+            )
+        exprs.append((f"CAST({s} AS INT) AS sd{i}", f"CAST({d} AS INT) AS sd{i}"))
+    ssql = (
+        "SELECT sa, sb, " + ", ".join(e[0] for e in exprs) + " FROM sd"
+    )
+    dsql = (
+        "SELECT sa, sb, " + ", ".join(e[1] for e in exprs) + " FROM sd"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3372,6 +3521,8 @@ _CORE_FAMILIES = [
     ("array_battery", 0.015),
     ("str_map", 0.015),
     ("distinct_window", 0.015),
+    ("filter_agg", 0.015),
+    ("strdist", 0.015),
     ("base_agg", None),  # remainder
 ]
 
