@@ -3861,3 +3861,208 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return spark.sql(" UNION ALL ".join(parts))
+
+
+_FD_CANDIDATES = (
+    # (table, lhs, rhs) — a mixed panel on purpose: key-determined FDs
+    # that HOLD and plausible-looking value FDs that FAIL (probed at
+    # sf0.01: no non-key FD holds in this synthetic star schema — the
+    # profiler's job is to say so with exact violation counts).
+    ("nation", "n_nationkey", "n_name"),
+    ("part", "p_partkey", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+)
+
+
+def _fd_profile_sql(table: str, lhs: str, rhs: str) -> str:
+    """One UNION ALL branch of the FD-discovery oracle (shared shape):
+    A→B holds iff no A-group sees more than one distinct B."""
+    return f"""
+    SELECT '{table}.{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(nd) AS BIGINT) AS n_lhs_rhs_pairs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs,
+           CAST(CASE WHEN max(nd) <= 1 THEN 1 ELSE 0 END AS INT) AS holds
+    FROM (SELECT {lhs} AS lv, CAST(count(DISTINCT {rhs}) AS BIGINT) AS nd
+          FROM {table} GROUP BY {lhs})
+    """
+
+
+@query(
+    "profile_functional_dependencies",
+    oracle=" UNION ALL ".join(_fd_profile_sql(*c) for c in _FD_CANDIDATES),
+)
+def profile_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency DISCOVERY profile — the data-profiling
+    pass (Metanome/HyFD's problem, restricted to a declared candidate
+    panel) that validates schema assumptions before they become join
+    or dedup bugs: for each candidate A→B, group by A and count
+    distinct B; the FD holds iff no group sees a second B value.
+    Emits per candidate the exact group count, distinct (A,B) pair
+    count, VIOLATING-group count, the worst group's distinct-B count,
+    and the verdict — the evidence a pipeline needs to decide whether
+    B can be dropped from a key, a dimension can be deduped on A, or
+    a merge must keep both columns. Probed ground truth at sf0.01:
+    the two key-determined candidates hold (n_nationkey→n_name,
+    p_partkey→p_brand); every plausible value-level candidate fails
+    with full violation counts (e.g. p_brand→p_type: all 25 brands
+    see all 6 types) — the honest answer for this synthetic schema.
+
+    NULL semantics (documented contract): a NULL A forms its own
+    group (SQL GROUP BY); count(DISTINCT B) ignores NULL Bs, so a
+    group whose Bs are all NULL reads nd=0 and counts as holding —
+    the standard possible-world FD reading.
+
+    Determinism: pure integer counts end to end.
+
+    Scale shape: one map-combinable count-distinct aggregate per
+    candidate (the same shuffle the corresponding join would pay),
+    re-aggregated to a single row each; candidates union
+    independently. At 100 TB each branch's state is the distinct
+    (A,B) projection — never raw rows — and the panel is declared,
+    not O(columns²) blind search."""
+    from presto_truffle_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        " UNION ALL ".join(_fd_profile_sql(*c) for c in _FD_CANDIDATES)
+    )
+
+
+@query(
+    "agg_benjamini_hochberg_dow",
+    oracle="""
+    WITH dow AS (
+        SELECT CAST((date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                               date_trunc('day', CAST(ts AS TIMESTAMP)))
+                     + 4) % 7 AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_events) AS HUGEINT) AS nn,
+               CAST(count(*) AS HUGEINT) AS m
+        FROM dow
+    ), ab AS (
+        SELECT dow, n_events, m,
+               (m * CAST(n_events AS HUGEINT) - nn)
+                   * (m * CAST(n_events AS HUGEINT) - nn) AS a,
+               nn * (m - 1) AS b
+        FROM dow, tot
+    ), ranked AS (
+        SELECT dow, n_events, m, a, b,
+               CASE WHEN a = 0 THEN CAST(1 AS DOUBLE)
+                    ELSE least(CAST(1 AS DOUBLE),
+                               CAST(b AS DOUBLE) / CAST(a AS DOUBLE))
+               END AS p,
+               CAST(row_number() OVER (
+                   ORDER BY CASE WHEN a = 0 THEN CAST(1 AS DOUBLE)
+                                 ELSE least(CAST(1 AS DOUBLE),
+                                            CAST(b AS DOUBLE)
+                                            / CAST(a AS DOUBLE)) END,
+                            dow) AS BIGINT) AS bh_rank
+        FROM ab
+    ), kstar AS (
+        -- a = 0 means p = 1 (never rejectable at alpha*k/m < 1); the
+        -- a > 0 guard keeps the 0 <= k*0 degenerate compare out
+        SELECT coalesce(max(CASE WHEN a > 0 AND 10 * m * b <= bh_rank * a
+                                 THEN bh_rank END), 0) AS ks
+        FROM ranked
+    )
+    SELECT dow, n_events, round(p, 6) AS p_chebyshev, bh_rank,
+           CAST(CASE WHEN bh_rank <= ks THEN 1 ELSE 0 END AS INT)
+               AS rejected
+    FROM ranked, kstar
+    """,
+)
+def agg_benjamini_hochberg_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR STEP-UP (Benjamini & Hochberg 1995) over
+    a calendar-skew panel — the multiple-testing correction the
+    engine's per-segment tests (chi-square, MWU, Welch) need the
+    moment they run once per segment: m simultaneous 'is this
+    day-of-week's traffic share uniform?' tests, each with a
+    Chebyshev-conservative p-value p_d = min(1, 1/z²_d) where
+    z²_d = (m·s_d − N)²/(N(m−1)) is the exact one-proportion statistic
+    against share 1/m, then the step-up: rank p ascending,
+    k* = max{k : p_(k) ≤ α·k/m}, reject ranks 1..k*. α = 0.1,
+    justified by the DELIBERATELY conservative p-values (Chebyshev
+    needs no distributional assumption and keeps every quantity
+    exact-rational — the price is ~5-10× looser p than normal-tail).
+    Probed at sf0.01: the fixture's real dow skew (Mon/Tue ≈1670 vs
+    Sun 1265, N=10000) rejects exactly {Mon, Tue} — Sun's individual
+    p=0.046 < α SURVIVES because BH's k-scaled threshold is stricter
+    at rank 3; the step-up genuinely engages both branches.
+
+    Determinism: s_d, N, m are exact integers; A=(m·s−N)², B=N(m−1)
+    are exact (Spark DECIMAL(38,0) / DuckDB HUGEINT — no int64
+    overflow at any SF); the BH decision 10·m·B ≤ k·A is a pure
+    integer cross-multiplication, NEVER a float compare; p is the
+    only double (one division, identical IEEE), ranked unrounded with
+    dow tie-break, emitted 6dp-rounded. Day-of-week from epoch-day
+    arithmetic ((days_since_epoch+4) % 7, Sun=0) — zone-free and
+    immune to the pinned Spark/DuckDB dayofweek off-by-one.
+
+    Scale shape: one map-combinable count to the ≤7-row dow grid;
+    everything after (1-row total cross join, rank window, step-up
+    max) runs on that grid — whitelisted in tools/plan_audit.py as
+    grid-bounded. At 100 TB only the first aggregate sees data."""
+    from presto_truffle_spark.tztime import EPOCH_NTZ, trunc_ntz
+
+    ev = load_table(spark, sf_dir, "events")
+    dow = ev.groupBy(
+        F.pmod(
+            F.timestamp_diff("DAY", EPOCH_NTZ(), trunc_ntz("day", F.col("ts")))
+            + F.lit(4),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = dow.agg(
+        F.sum("n_events").cast("decimal(38,0)").alias("nn"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+    )
+    ab = dow.crossJoin(F.broadcast(tot)).withColumn(
+        "diff", F.col("m") * F.col("n_events").cast("decimal(38,0)") - F.col("nn")
+    )
+    ab = ab.select(
+        "dow",
+        "n_events",
+        "m",
+        (F.col("diff") * F.col("diff")).cast("decimal(38,0)").alias("a"),
+        (F.col("nn") * (F.col("m") - F.lit(1))).cast("decimal(38,0)").alias("b"),
+    )
+    p = F.when(F.col("a") == 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.col("b").cast("double") / F.col("a").cast("double"))
+    )
+    ranked = ab.withColumn("p", p).withColumn(
+        "bh_rank",
+        F.row_number().over(W.orderBy("p", "dow")).cast("long"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    ranked = scoped_persist(spark, "agg.bh.ranked", ranked)
+    # a = 0 means p = 1 (never rejectable); guard the degenerate 0 <= k*0
+    flagged = F.when(
+        (F.col("a") > 0)
+        & (F.lit(10) * F.col("m") * F.col("b") <= F.col("bh_rank") * F.col("a")),
+        F.col("bh_rank"),
+    )
+    kstar = ranked.agg(F.coalesce(F.max(flagged), F.lit(0)).alias("ks"))
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "dow",
+        "n_events",
+        F.round("p", 6).alias("p_chebyshev"),
+        "bh_rank",
+        F.when(F.col("bh_rank") <= F.col("ks"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("rejected"),
+    )

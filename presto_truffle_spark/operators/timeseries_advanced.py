@@ -3632,3 +3632,128 @@ def events_mann_kendall_trend(
             F.round(z, 6).alias("z_score"),
         )
     )
+
+
+@query(
+    "events_isotonic_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, day, c,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(c) OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS s
+        FROM daily
+    ), grid AS (
+        SELECT a.event_type, a.i AS j, b.i AS k, b.day AS day, b.c AS c,
+               CAST(b.s - a.s + a.c AS DOUBLE)
+                   / CAST(b.i - a.i + 1 AS DOUBLE) AS avg_jk
+        FROM ranked a JOIN ranked b
+          ON a.event_type = b.event_type AND a.i <= b.i
+    ), sufmin AS (
+        SELECT event_type, j, k, day, c,
+               min(avg_jk) OVER (
+                   PARTITION BY event_type, j ORDER BY k DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS mji
+        FROM grid
+    ), fit AS (
+        SELECT event_type, j, k, day, c,
+               max(mji) OVER (
+                   PARTITION BY event_type, k ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS iso
+        FROM sufmin
+    )
+    SELECT event_type, day, c AS n_events, round(iso, 6) AS iso_fit
+    FROM fit WHERE j = k
+    """,
+)
+def events_isotonic_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ISOTONIC (monotone non-decreasing) regression of the daily
+    event-count series per type, via the exact minimax identity
+    ŷ_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) (Barlow, Bartholomew,
+    Bremner & Brunk 1972, §1.2 — the closed form of the PAVA fit) —
+    the shape-constrained trend smoother: unlike a rolling mean it
+    cannot overshoot, unlike OLS (`events_trend_regression`) it fits
+    any monotone shape, and unlike Mann-Kendall
+    (`events_mann_kendall_trend`, which TESTS for a trend) it
+    ESTIMATES the trend as the closest non-decreasing step function
+    in L2. The declarative form: prefix sums give every interval mean
+    (S_k − S_{j−1})/(k−j+1); a j≤k grid self-join materializes them;
+    a suffix-min window per (type, j) gives M(j,i) = min_{k≥i}; a
+    prefix-max window per (type, i) over j finishes the minimax, and
+    the j=i diagonal is the fit.
+
+    Determinism: interval sums/lengths are exact integers; each mean
+    is one IEEE double division (identical cross-engine); min/max
+    windows keep exact doubles; 6dp rounding only at emission. Day =
+    CAST(ts AS DATE) — zone-stable on NTZ (tztime module note).
+
+    Scale shape: the corpus folds to the (type × day) grid in one
+    map-combinable count; the j≤k self-join is equi on event_type
+    over that GRID (≤ days²/2 per type with days bounded by the
+    calendar — the Mann-Kendall/Theil-Sen precedent, metadata scale);
+    both windows partition by (type, j)/(type, i) — never global. A
+    multi-year 100 TB corpus grows the grid to ~0.5·(365·years)² rows
+    per type, still executor-trivial; raw events are touched once."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = W.partitionBy("event_type").orderBy("day")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("c").over(w).cast("long").alias("s"),
+    )
+    ranked = scoped_persist(spark, "ts.iso.ranked", ranked)
+    a = ranked.select(
+        "event_type",
+        F.col("i").alias("j"),
+        F.col("s").alias("sj"),
+        F.col("c").alias("cj"),
+    )
+    b = ranked.select(
+        "event_type", F.col("i").alias("k"), "day", "c",
+        F.col("s").alias("sk"),
+    )
+    grid = a.join(b, ["event_type"]).where(F.col("j") <= F.col("k")).select(
+        "event_type",
+        "j",
+        "k",
+        "day",
+        "c",
+        (
+            (F.col("sk") - F.col("sj") + F.col("cj")).cast("double")
+            / (F.col("k") - F.col("j") + F.lit(1)).cast("double")
+        ).alias("avg_jk"),
+    )
+    w_sufmin = (
+        W.partitionBy("event_type", "j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sufmin = grid.withColumn("mji", F.min("avg_jk").over(w_sufmin))
+    w_fit = (
+        W.partitionBy("event_type", "k")
+        .orderBy("j")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fit = sufmin.withColumn("iso", F.max("mji").over(w_fit))
+    return fit.where(F.col("j") == F.col("k")).select(
+        "event_type",
+        "day",
+        F.col("c").alias("n_events"),
+        F.round("iso", 6).alias("iso_fit"),
+    )

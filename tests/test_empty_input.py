@@ -201,6 +201,9 @@ _CASES = [
     ("source_python_stream_datasource", 7),  # synthetic source, input-independent
     ("streaming_python_sink", 5),  # synthetic source, input-independent
     ("events_cross_correlation", 0),  # no bounds -> empty day grid
+    ("profile_functional_dependencies", 5),  # ungrouped row per candidate
+    ("agg_benjamini_hochberg_dow", 0),  # empty dow grid -> no tests
+    ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 
 

@@ -210,3 +210,122 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     from presto_truffle_spark.catalog import load_table
 
     assert n_rows == load_table(spark, sf_dir, "lineitem").count()
+
+
+def _write_events_days(spark, tmp_path, counts_by_day, event_type="t"):
+    """Tiny events.parquet with `counts_by_day[i]` rows on 2024-01-(i+1)."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for i, n in enumerate(counts_by_day):
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, i + 1, 12, 0, 0),
+                    1,
+                    event_type,
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_isotonic_trend_matches_pava_hand_examples(spark, tmp_path):
+    """Minimax identity ≡ PAVA on hand-solved series: [3,1,2] pools to
+    [2,2,2]; [1,3,2,4] pools the middle violator to [1,2.5,2.5,4]."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_isotonic_daily_trend,
+    )
+
+    _write_events_days(spark, tmp_path, [3, 1, 2])
+    out = [
+        r.iso_fit
+        for r in events_isotonic_daily_trend(spark, str(tmp_path))
+        .orderBy("day")
+        .collect()
+    ]
+    assert out == [2.0, 2.0, 2.0], out
+
+    _write_events_days(spark, tmp_path, [1, 3, 2, 4])
+    out = [
+        r.iso_fit
+        for r in events_isotonic_daily_trend(spark, str(tmp_path))
+        .orderBy("day")
+        .collect()
+    ]
+    assert out == [1.0, 2.5, 2.5, 4.0], out
+
+
+def test_isotonic_trend_monotone_on_fixture(spark, sf_dir):
+    from itertools import groupby
+
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_isotonic_daily_trend,
+    )
+
+    rows = sorted(
+        (r.event_type, r.day, r.iso_fit)
+        for r in events_isotonic_daily_trend(spark, sf_dir).collect()
+    )
+    for _, grp in groupby(rows, key=lambda r: r[0]):
+        fits = [g[2] for g in grp]
+        assert all(x <= y for x, y in zip(fits, fits[1:])), fits
+
+
+def test_benjamini_hochberg_step_up_and_degenerate(spark, tmp_path):
+    """A planted 2-of-7 skew rejects exactly the two heavy days; a
+    perfectly uniform week (every z² = 0, p = 1) rejects NOTHING —
+    the a=0 guard, not a vacuous 0<=0 flag."""
+    from presto_truffle_spark.operators.aggregates import (
+        agg_benjamini_hochberg_dow,
+    )
+
+    # 2024-01-01 is a Monday; days Mon..Sun get these counts.
+    # Hand-solved: N=1700, B=6N=10200; heavy diff=7*350-1700=750 gives
+    # z²=55 (p=.0182, flagged at rank 2: .0182 <= .1*2/7); light
+    # diff=-300 gives z²=8.8 (p=.113 > .1*k/7 for every k<=7) — k*=2,
+    # exactly the two heavy days. (A stronger plant like [600,600,100×5]
+    # correctly rejects ALL 7: the light days then genuinely deviate.)
+    _write_events_days(spark, tmp_path, [350, 350, 200, 200, 200, 200, 200])
+    out = {
+        r.dow: r.rejected
+        for r in agg_benjamini_hochberg_dow(spark, str(tmp_path)).collect()
+    }
+    assert sum(out.values()) == 2, out
+    assert out[1] == 1 and out[2] == 1, out  # Mon=1, Tue=2 (Sun=0)
+
+    _write_events_days(spark, tmp_path, [50] * 7)
+    out = [
+        (r.p_chebyshev, r.rejected)
+        for r in agg_benjamini_hochberg_dow(spark, str(tmp_path)).collect()
+    ]
+    assert all(p == 1.0 and rej == 0 for p, rej in out), out
+
+
+def test_functional_dependency_profile_verdicts(spark, sf_dir):
+    from presto_truffle_spark.operators.aggregates import (
+        profile_functional_dependencies,
+    )
+
+    out = {
+        r.fd: (r.holds, r.n_violating_lhs)
+        for r in profile_functional_dependencies(spark, sf_dir).collect()
+    }
+    assert out["nation.n_nationkey->n_name"] == (1, 0)
+    assert out["part.p_partkey->p_brand"] == (1, 0)
+    # every value-level candidate fails with a positive violation count
+    for fd in (
+        "part.p_brand->p_type",
+        "orders.o_orderstatus->o_orderpriority",
+        "customer.c_mktsegment->c_nationkey",
+    ):
+        holds, viol = out[fd]
+        assert holds == 0 and viol > 0, (fd, out[fd])

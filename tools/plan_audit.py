@@ -99,6 +99,7 @@ WHITELIST: dict[str, str] = {
     # Each runs over a grid its docstring bounds; text_keyness was the
     # one VOCAB-sized case and was rewritten to a broadcast 1-row agg.
     "agg_chi_square_independence": "margin windows over the r*c<=25-row cell table",
+    "agg_benjamini_hochberg_dow": "BH rank/step-up over the <=7-row dow grid",
     "agg_jackknife_ratio_se": "replicate folds over the 20-bucket table",
     "corpus_drift_psi": "normalizer window over the 10-bin histogram",
     "corpus_temperature_sampling_plan": "share windows over the ~20-row source table",
