@@ -202,6 +202,7 @@ _CASES = [
     ("streaming_python_sink", 5),  # synthetic source, input-independent
     ("events_cross_correlation", 0),  # no bounds -> empty day grid
     ("profile_functional_dependencies", 5),  # ungrouped row per candidate
+    ("profile_inclusion_dependencies", 4),  # ungrouped row per candidate
     ("agg_benjamini_hochberg_dow", 0),  # empty dow grid -> no tests
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]

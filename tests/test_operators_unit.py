@@ -329,3 +329,22 @@ def test_functional_dependency_profile_verdicts(spark, sf_dir):
     ):
         holds, viol = out[fd]
         assert holds == 0 and viol > 0, (fd, out[fd])
+
+
+def test_inclusion_dependency_profile_verdicts(spark, sf_dir):
+    from presto_truffle_spark.operators.aggregates import (
+        profile_inclusion_dependencies,
+    )
+
+    out = {
+        r.ind: (r.holds, r.n_missing)
+        for r in profile_inclusion_dependencies(spark, sf_dir).collect()
+    }
+    for ind in (
+        "lineitem.l_orderkey <= orders.o_orderkey",
+        "orders.o_custkey <= customer.c_custkey",
+        "customer.c_nationkey <= nation.n_nationkey",
+    ):
+        assert out[ind] == (1, 0), (ind, out[ind])
+    holds, missing = out["orders.o_orderkey <= lineitem.l_orderkey"]
+    assert holds == 0 and missing > 0, out
