@@ -159,7 +159,7 @@ def _has_protobuf() -> bool:
     dispatch + unit-pinned processor logic remains the honest best
     available; re-probe next round. Re-probed r13 (2026-08-15):
     ``pip download protobuf --no-deps`` still yields no wheel and
-    ``import google.protobuf`` still fails — unchanged."""
+    ``import google.protobuf`` still fails — unchanged. Re-probed again late r13 (2026-08-16): same result on both probes."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

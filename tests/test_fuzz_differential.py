@@ -962,3 +962,34 @@ def test_levenshtein_char_vs_byte_divergence_pinned(spark):
     assert raw == 2, raw  # the byte-counting fork, live
     assert remapped == 1 == s.a  # remap restores char distance
     assert (l, o, i) == (2, 5, 3) == (s.l, s.o, s.i)
+
+
+def test_seq_and_greatest_least_semantics_pinned(spark):
+    """FIXTURES.md r13 (seq_battery family, 53rd): sequence ≡
+    generate_series on direction-consistent bounds (inclusive end,
+    negative steps, single element at a=b); a direction-INCONSISTENT
+    step errors on Spark but yields [] on DuckDB — the pinned fork the
+    generator avoids. greatest/least skip NULLs on both (NULL only
+    when all arguments are NULL)."""
+    s = spark.sql(
+        "SELECT array_join(sequence(2, 8, 3), ',') a, "
+        "array_join(sequence(5, 1, -2), ',') b, "
+        "array_join(sequence(3, 3, 1), ',') c, "
+        "greatest(1, CAST(NULL AS INT), 3) g, least(1, CAST(NULL AS INT)) l, "
+        "greatest(CAST(NULL AS INT), CAST(NULL AS INT)) n"
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT array_to_string(generate_series(2, 8, 3), ','), "
+        "array_to_string(generate_series(5, 1, -2), ','), "
+        "array_to_string(generate_series(3, 3, 1), ','), "
+        "greatest(1, CAST(NULL AS INT), 3), least(1, CAST(NULL AS INT)), "
+        "greatest(CAST(NULL AS INT), CAST(NULL AS INT))"
+    ).fetchone()
+    assert tuple(s) == d == ("2,5,8", "5,3,1", "3", 3, 1, None), (tuple(s), d)
+    # the direction fork: Spark errors, DuckDB returns []
+    import pytest
+
+    with pytest.raises(Exception, match="[Ss]equence"):
+        spark.sql("SELECT sequence(5, 1, 2)").collect()
+    assert con.execute("SELECT generate_series(5, 1, 2)").fetchone()[0] == []

@@ -2036,6 +2036,63 @@ def run_strdist_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_seq_battery_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """sequence/generate_series + greatest/least battery (r13, 53rd).
+    Probed + pinned semantics (tests/test_fuzz_differential.py):
+
+      * Spark sequence(a, b, step) ≡ DuckDB generate_series(a, b,
+        step) — both INCLUSIVE of the end bound when hit exactly,
+        both support negative steps, both yield a single element when
+        a = b; a DIRECTION-INCONSISTENT step (a < b with step < 0)
+        ERRORS on Spark but returns [] on DuckDB — PINNED, the
+        generator derives the step's sign from the bounds;
+      * greatest/least SKIP NULL arguments on both engines (NULL only
+        when every argument is NULL) — unlike ANSI, where any NULL
+        poisons; fuzzed with NULL-bearing measures.
+    Bounds are derived from row values mod small constants so list
+    lengths stay ≤ ~25."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_sq")
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            lo = f"(coalesce(m1, 0) % 10)"
+            hi = f"({lo} + abs(coalesce(m2, 1)) % 20)"
+            st = rng.randint(1, 4)
+            s = f"array_join(sequence({lo}, {hi}, {st}), ',')"
+            d = f"array_to_string(generate_series({lo}, {hi}, {st}), ',')"
+        elif kind == 1:
+            hi = f"(coalesce(m1, 0) % 10)"
+            lo = f"({hi} - abs(coalesce(m3, 1)) % 20)"
+            st = -rng.randint(1, 4)
+            s = (
+                f"CAST(size(sequence({hi}, {lo}, {st})) AS INT)"
+            )
+            d = (
+                f"CAST(len(generate_series({hi}, {lo}, {st})) AS INT)"
+            )
+        else:
+            args = ", ".join(
+                rng.choice(MEASURES + [str(rng.randint(-9, 9))])
+                for _ in range(rng.randint(2, 4))
+            )
+            fn = rng.choice(["greatest", "least"])
+            s = d = f"{fn}({args})"
+        exprs.append((f"{s} AS sq{i}", f"{d} AS sq{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3523,6 +3580,7 @@ _CORE_FAMILIES = [
     ("distinct_window", 0.015),
     ("filter_agg", 0.015),
     ("strdist", 0.015),
+    ("seq_battery", 0.015),
     ("base_agg", None),  # remainder
 ]
 
