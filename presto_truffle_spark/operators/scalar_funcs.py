@@ -530,3 +530,78 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM leaf GROUP BY 1, 2
             """
         ).localCheckpoint(eager=True)
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT 'narrow' AS band, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+    UNION ALL
+    SELECT 'wide' AS band, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SESSION VARIABLES surface (DECLARE / SET VARIABLE /
+    ``session.``-qualified references / IDENTIFIER() table binding —
+    all new in 4.0): the dbt-style parameterized-report pattern where
+    one query text runs under different bindings, WITHOUT string
+    interpolation (the injection-prone alternative) and WITHOUT the
+    literal-array plumbing of `scalar_parameterized_sql` (this op's
+    sibling: that one covers spark.sql(..., args), this one the
+    in-SQL variable surface). A Q6-flavored revenue probe is DECLAREd
+    against variable date/discount bounds and a variable TABLE NAME
+    (resolved via IDENTIFIER(session.tbl) — catalog-safe dynamic SQL),
+    run under a narrow discount band, re-bound with SET VARIABLE, and
+    run again — the union proves re-binding changes ANALYSIS-time
+    resolution, not just values.
+
+    Contract probed: variables are resolved when spark.sql() analyzes
+    the statement (eager), so the returned union is immune to the
+    DROP TEMPORARY VARIABLE cleanup that follows — the op leaves NO
+    session residue (same hygiene discipline as _scoped_conf; the
+    selfcheck SET-drift assertion stays clean because variables live
+    outside the conf namespace, and we drop them anyway).
+
+    Scale shape: identical to q6 — two codegen scans with pushed
+    predicates; the variable machinery is pure parse/analysis-time."""
+    register_views(spark, sf_dir)
+    stmts = [
+        "DECLARE OR REPLACE VARIABLE tbl STRING DEFAULT 'lineitem'",
+        "DECLARE OR REPLACE VARIABLE ship_lo DATE DEFAULT DATE '1996-01-01'",
+        "DECLARE OR REPLACE VARIABLE ship_hi DATE DEFAULT DATE '1997-01-01'",
+        "DECLARE OR REPLACE VARIABLE disc_lo DOUBLE DEFAULT 0.05",
+        "DECLARE OR REPLACE VARIABLE disc_hi DOUBLE DEFAULT 0.07",
+        "DECLARE OR REPLACE VARIABLE band_label STRING DEFAULT 'narrow'",
+    ]
+    probe = """
+        SELECT session.band_label AS band,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM IDENTIFIER(session.tbl)
+        WHERE l_shipdate >= session.ship_lo
+          AND l_shipdate < session.ship_hi
+          AND l_discount BETWEEN session.disc_lo AND session.disc_hi
+    """
+    try:
+        for s in stmts:
+            spark.sql(s)
+        narrow = spark.sql(probe)  # analysis binds the current values
+        spark.sql("SET VARIABLE band_label = 'wide'")
+        spark.sql("SET VARIABLE disc_lo = 0.02")
+        spark.sql("SET VARIABLE disc_hi = 0.09")
+        wide = spark.sql(probe)  # re-analysis binds the NEW values
+        return narrow.unionAll(wide)
+    finally:
+        for v in ("tbl", "ship_lo", "ship_hi", "disc_lo", "disc_hi",
+                  "band_label"):
+            spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {v}")
