@@ -993,3 +993,49 @@ def test_seq_and_greatest_least_semantics_pinned(spark):
     with pytest.raises(Exception, match="[Ss]equence"):
         spark.sql("SELECT sequence(5, 1, 2)").collect()
     assert con.execute("SELECT generate_series(5, 1, 2)").fetchone()[0] == []
+
+
+def test_quantile_parity_and_median_decimal_fork_pinned(spark):
+    """FIXTURES.md r13 (quantile_battery family, 54th): percentile ≡
+    quantile_cont and median ≡ median bit-exactly on quarter DOUBLE
+    values (dyadic-rational interpolation — exact regardless of
+    formula association); the ANSI WITHIN GROUP spelling parses on
+    both. Two exclusions, both pinned live here: mode() tie order is
+    engine-arbitrary, and DuckDB's median over DECIMAL input is
+    TYPE-PRESERVING DISCRETE (returns the lower middle element,
+    2.00, where its own quantile_cont and Spark's always-DOUBLE
+    median interpolate to 2.75) — found by this pin's first draft
+    using bare VALUES literals, which DuckDB types DECIMAL. INTEGER
+    inputs promote to DOUBLE on both engines and agree — the family
+    therefore casts every value to DOUBLE."""
+    spark.createDataFrame(
+        [(1.0,), (2.0,), (3.5,), (None,), (10.25,)], "v double"
+    ).createOrReplaceTempView("qp")
+    s = spark.sql(
+        "SELECT percentile(v, 0.25) a, median(v) b, "
+        "percentile_cont(0.25) WITHIN GROUP (ORDER BY v) c, "
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY v) d FROM qp"
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT quantile_cont(v, 0.25), median(v), "
+        "percentile_cont(0.25) WITHIN GROUP (ORDER BY v), "
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY v) "
+        "FROM (VALUES (1.0::DOUBLE), (2.0::DOUBLE), (3.5::DOUBLE), "
+        "(NULL), (10.25::DOUBLE)) t(v)"
+    ).fetchone()
+    assert tuple(s) == d == (1.75, 2.75, 1.75, 1.0), (tuple(s), d)
+    # the DECIMAL fork, live: DuckDB median on DECIMAL is discrete
+    med_dec, qc_dec = con.execute(
+        "SELECT median(v), quantile_cont(v, 0.5) "
+        "FROM (VALUES (1.0), (2.0), (3.5), (10.25)) t(v)"
+    ).fetchone()
+    assert float(med_dec) == 2.0 and float(qc_dec) == 2.75, (med_dec, qc_dec)
+    # INTEGER inputs agree (both promote to DOUBLE and interpolate)
+    s_int = spark.sql(
+        "SELECT median(v) a FROM (VALUES (1), (2), (4), (10)) t(v)"
+    ).collect()[0].a
+    d_int = con.execute(
+        "SELECT median(v) FROM (VALUES (1), (2), (4), (10)) t(v)"
+    ).fetchone()[0]
+    assert s_int == d_int == 3.0, (s_int, d_int)

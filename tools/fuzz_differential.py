@@ -2093,6 +2093,45 @@ def run_seq_battery_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_quantile_battery_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Quantile/percentile battery (r13, 54th). Values are QUARTER
+    multiples (m%k * 0.25) and probe fractions quarter-valued, so the
+    linear interpolation (1−h)·a + h·b stays in small dyadic rationals
+    — bit-exact on BOTH engines regardless of each engine's formula
+    association (probed: percentile ≡ quantile_cont, median ≡ median,
+    and the ANSI percentile_cont/percentile_disc WITHIN GROUP spelling
+    parses identically on both). mode() is EXCLUDED — tie-breaking is
+    engine-arbitrary (probed: Spark returned the last-inserted value
+    on an all-distinct column)."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_qb")
+    v = f"(CAST(abs(coalesce({rng.choice(MEASURES)}, 0)) % 40 AS DOUBLE) * 0.25)"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 3)
+        p = rng.choice(["0", "0.25", "0.5", "0.75", "1.0"])
+        if kind == 0:
+            s = f"percentile({v}, {p})"
+            d = f"quantile_cont({v}, {p})"
+        elif kind == 1:
+            s = d = f"percentile_cont({p}) WITHIN GROUP (ORDER BY {v})"
+        elif kind == 2:
+            s = d = f"percentile_disc({p}) WITHIN GROUP (ORDER BY {v})"
+        else:
+            s = d = f"median({v})"
+        exprs.append((f"{s} AS qb{i}", f"{d} AS qb{i}"))
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + " FROM t GROUP BY k1"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + " FROM t GROUP BY k1"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3581,6 +3620,7 @@ _CORE_FAMILIES = [
     ("filter_agg", 0.015),
     ("strdist", 0.015),
     ("seq_battery", 0.015),
+    ("quantile_battery", 0.015),
     ("base_agg", None),  # remainder
 ]
 
