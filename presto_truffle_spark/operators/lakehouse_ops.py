@@ -941,3 +941,88 @@ def lakehouse_write_audit_publish(
     return spark.createDataFrame(
         gates, "step string, n long, passed boolean"
     ).orderBy("step")
+
+
+@query(
+    "lakehouse_vacuum_plan",
+    oracle="""
+    WITH ledger AS (
+        SELECT o_orderkey // 30 AS file_id,
+               CAST(min(o_orderkey) % 8 AS BIGINT) AS added_snap,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS size_bytes
+        FROM orders GROUP BY 1
+    ), files AS (
+        SELECT file_id, added_snap, size_bytes,
+               CASE WHEN file_id % 3 = 0
+                    THEN added_snap + 1 + file_id % 4
+                    ELSE NULL END AS removed_snap
+        FROM ledger
+    )
+    SELECT CASE
+             WHEN removed_snap IS NULL THEN 'live'
+             WHEN removed_snap <= 7 THEN 'vacuum'
+             ELSE 'retained_for_time_travel'
+           END AS status,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(removed_snap) AS BIGINT) AS min_removed_snap,
+           CAST(max(removed_snap) AS BIGINT) AS max_removed_snap
+    FROM files
+    GROUP BY 1
+    """,
+)
+def lakehouse_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / expire-snapshots PLANNING — the lakehouse lifecycle
+    decision Delta's VACUUM and Iceberg's expire_snapshots make before
+    touching storage: given the table's file ledger (file → snapshot
+    added, snapshot removed-or-NULL, bytes) and a retention horizon
+    (keep snapshots > 7 here — 'current minus retained history'),
+    classify every file as `live` (still referenced by the head),
+    `vacuum` (removed at-or-before the horizon — no retained snapshot
+    can reference it; safe to GC) or `retained_for_time_travel`
+    (removed, but a retained snapshot still needs it), and report the
+    reclaimable bytes — the number a storage-cost dashboard actually
+    wants BEFORE the destructive pass runs. Complements
+    `lakehouse_snapshot_diff` (which diffs two snapshots' CONTENT;
+    this op plans the file-level GC the snapshot history implies) and
+    `lakehouse_write_audit_publish` (same ledger discipline, write
+    side).
+
+    The ledger is derived deterministically from orders (the
+    snapshot_diff precedent, so the oracle rebuilds it exactly):
+    file grain = 30 orders, added_snap = min(key) % 8, every 3rd file
+    removed at added+1+(file_id%4) — giving all three classes at any
+    SF. Pure integer arithmetic end to end.
+
+    Scale shape: one map-combinable aggregate to file grain (the
+    ledger IS metadata scale — ~1 row per data file, exactly what a
+    real manifest holds), then row-local CASE + a ≤3-row aggregate.
+    At 100 TB the ledger is millions of rows, not billions — this
+    plan never reads data files at all."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    ledger = o.groupBy(
+        F.expr("o_orderkey DIV 30").cast("long").alias("file_id")
+    ).agg(
+        (F.min("o_orderkey") % 8).cast("long").alias("added_snap"),
+        F.sum(cents).cast("long").alias("size_bytes"),
+    )
+    files = ledger.withColumn(
+        "removed_snap",
+        F.when(
+            F.col("file_id") % 3 == 0,
+            F.col("added_snap") + 1 + F.col("file_id") % 4,
+        ),
+    )
+    status = (
+        F.when(F.col("removed_snap").isNull(), F.lit("live"))
+        .when(F.col("removed_snap") <= 7, F.lit("vacuum"))
+        .otherwise(F.lit("retained_for_time_travel"))
+    )
+    return files.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size_bytes").cast("long").alias("total_bytes"),
+        F.min("removed_snap").cast("long").alias("min_removed_snap"),
+        F.max("removed_snap").cast("long").alias("max_removed_snap"),
+    )
