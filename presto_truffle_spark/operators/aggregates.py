@@ -4141,3 +4141,89 @@ def profile_inclusion_dependencies(
             for c in _IND_CANDIDATES
         )
     )
+
+
+_EB_PRIOR_STRENGTH = 25  # pseudo-events the global prior is worth
+
+
+@query(
+    "agg_empirical_bayes_rates",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss
+        FROM per_user
+    )
+    SELECT user_id, n, s,
+           CAST(s * 1000000 // n AS BIGINT) AS raw_ppm,
+           round((CAST(s AS DOUBLE) + {_EB_PRIOR_STRENGTH}.0
+                  * (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)))
+                 / CAST(n + {_EB_PRIOR_STRENGTH} AS DOUBLE), 6)
+               AS shrunk_rate,
+           round(CAST(n AS DOUBLE)
+                 / CAST(n + {_EB_PRIOR_STRENGTH} AS DOUBLE), 6)
+               AS shrink_weight
+    FROM per_user, g
+    """,
+)
+def agg_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes RATE SHRINKAGE (Beta-binomial posterior mean
+    with a moment-matched global prior — the 'smoothed CTR' every
+    ranking/quality pipeline computes before trusting a per-key rate):
+    each user's high-value-event rate s/n is shrunk toward the global
+    rate p̂ with prior strength s0 = 25 pseudo-events,
+    shrunk = (s + s0·p̂)/(n + s0) — thin users ride the prior
+    (weight n/(n+s0) → 0), heavy users keep their own rate
+    (weight → 1). The op the raw-rate family
+    (`agg_conversion_wilson_ci` bounds UNCERTAINTY; this one fixes the
+    ESTIMATE) is missing without; rank-by-raw-rate famously surfaces
+    n=1 flukes first.
+
+    Determinism: n, s exact integers; raw rate as integer ppm; the
+    shrunk rate is three IEEE double ops spelled identically on both
+    sides, 6dp-rounded at emission.
+
+    Scale shape: one map-combinable count aggregate to the per-user
+    grid, a 1-row global re-aggregate broadcast back (the keyness
+    discipline — never a global window), and row-local arithmetic.
+    At 100 TB the grid is the user dimension — the same state any
+    per-user feature job carries."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 200, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    per_user = scoped_persist(spark, "agg.eb.per_user", per_user)
+    g = per_user.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+    )
+    s0 = _EB_PRIOR_STRENGTH
+    out = per_user.crossJoin(F.broadcast(g))
+    return out.select(
+        "user_id",
+        "n",
+        "s",
+        F.expr("s * 1000000 DIV n").cast("long").alias("raw_ppm"),
+        F.round(
+            (
+                F.col("s").cast("double")
+                + F.lit(float(s0))
+                * (F.col("ss").cast("double") / F.col("nn").cast("double"))
+            )
+            / (F.col("n") + F.lit(s0)).cast("double"),
+            6,
+        ).alias("shrunk_rate"),
+        F.round(
+            F.col("n").cast("double") / (F.col("n") + F.lit(s0)).cast("double"),
+            6,
+        ).alias("shrink_weight"),
+    )

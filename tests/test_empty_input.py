@@ -206,6 +206,7 @@ _CASES = [
     ("agg_benjamini_hochberg_dow", 0),  # empty dow grid -> no tests
     ("sql_session_variables", 2),  # two ungrouped probe rows (0s, NULLs)
     ("lakehouse_vacuum_plan", 0),  # empty ledger -> no status rows
+    ("agg_empirical_bayes_rates", 0),  # no users -> no grid rows
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 

@@ -348,3 +348,27 @@ def test_inclusion_dependency_profile_verdicts(spark, sf_dir):
         assert out[ind] == (1, 0), (ind, out[ind])
     holds, missing = out["orders.o_orderkey <= lineitem.l_orderkey"]
     assert holds == 0 and missing > 0, out
+
+
+def test_empirical_bayes_shrinkage_direction(spark, sf_dir):
+    """Thin users land nearer the global rate than their raw rate;
+    weights are monotone in n; a user with s=0 still gets a positive
+    shrunk rate (the prior's whole point)."""
+    from presto_truffle_spark.operators.aggregates import (
+        agg_empirical_bayes_rates,
+    )
+
+    rows = agg_empirical_bayes_rates(spark, sf_dir).collect()
+    assert rows
+    nn = sum(r.n for r in rows)
+    ss = sum(r.s for r in rows)
+    pg = ss / nn
+    for r in rows:
+        raw = r.s / r.n
+        lo, hi = min(raw, pg), max(raw, pg)
+        assert lo - 1e-6 <= r.shrunk_rate <= hi + 1e-6, (r, pg)
+        if r.s == 0:
+            assert r.shrunk_rate > 0
+    by_n = sorted(rows, key=lambda r: r.n)
+    ws = [r.shrink_weight for r in by_n]
+    assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
