@@ -1039,3 +1039,39 @@ def test_quantile_parity_and_median_decimal_fork_pinned(spark):
         "SELECT median(v) FROM (VALUES (1), (2), (4), (10)) t(v)"
     ).fetchone()[0]
     assert s_int == d_int == 3.0, (s_int, d_int)
+
+
+def test_ignore_nulls_spelling_divergence_pinned(spark):
+    """FIXTURES.md r13 (ignore_nulls_window family, 55th): IGNORE
+    NULLS values agree across engines for first/last/nth_value and
+    lead/lag; only the SPELLING position differs — Spark puts the
+    modifier after the call, DuckDB inside the parens (outside errors
+    there). If either engine changes, this pin fails before a fuzz
+    seed silently does."""
+    spark.createDataFrame(
+        [(1, None), (2, 10), (3, None), (4, 20)], "i int, v int"
+    ).createOrReplaceTempView("inw")
+    s = spark.sql(
+        "SELECT i, last_value(v) IGNORE NULLS OVER "
+        "(ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) l, "
+        "lead(v, 1) IGNORE NULLS OVER (ORDER BY i) ld "
+        "FROM inw ORDER BY i"
+    ).collect()
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT i, last_value(v IGNORE NULLS) OVER "
+        "(ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "lead(v, 1 IGNORE NULLS) OVER (ORDER BY i) "
+        "FROM (VALUES (1, NULL), (2, 10), (3, NULL), (4, 20)) t(i, v) "
+        "ORDER BY i"
+    ).fetchall()
+    assert [tuple(r) for r in s] == d == [
+        (1, None, 10), (2, 10, 20), (3, 10, 20), (4, 20, None)
+    ], (s, d)
+    import pytest
+
+    with pytest.raises(Exception):  # Spark's spelling errors on DuckDB
+        con.execute(
+            "SELECT last_value(v) IGNORE NULLS OVER (ORDER BY i) "
+            "FROM (VALUES (1, 1)) t(i, v)"
+        )

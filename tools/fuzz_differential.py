@@ -2132,6 +2132,66 @@ def run_quantile_battery_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_ignore_nulls_window_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """IGNORE NULLS window-function family (r13, 55th):
+    first_value/last_value/nth_value over ROWS frames and lead/lag,
+    all with IGNORE NULLS — probed identical VALUES across engines
+    with different SPELLING position (Spark: `fn(v, n) IGNORE NULLS
+    OVER ...`; DuckDB: `fn(v, n IGNORE NULLS) OVER ...` — the modifier
+    sits inside the parens). Determinism with ROWS frames: the ORDER
+    BY lists EVERY column (NULLS FIRST), so tied rows are full-row
+    duplicates — any tiebreak permutes identical rows and every
+    window output is invariant. The nullable value derives from a
+    sort column (m2), so equal-sort rows carry equal values."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_inw")
+    v = "(CASE WHEN m2 IS NULL THEN NULL ELSE m2 % 7 END)"
+    order = (
+        "m1 NULLS FIRST, m2 NULLS FIRST, m3 NULLS FIRST, "
+        "k1 NULLS FIRST, k2 NULLS FIRST"
+    )
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind in (0, 1):
+            fn = "first_value" if kind == 0 else "last_value"
+            c = rng.randint(0, 20)
+            lo = rng.choice(["UNBOUNDED PRECEDING", f"{c} PRECEDING"])
+            frame = (
+                f"PARTITION BY k1 ORDER BY {order} "
+                f"ROWS BETWEEN {lo} AND CURRENT ROW"
+            )
+            s = f"{fn}({v}) IGNORE NULLS OVER ({frame})"
+            d = f"{fn}({v} IGNORE NULLS) OVER ({frame})"
+        elif kind == 2:
+            n = rng.randint(1, 3)
+            frame = (
+                f"PARTITION BY k1 ORDER BY {order} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            )
+            s = f"nth_value({v}, {n}) IGNORE NULLS OVER ({frame})"
+            d = f"nth_value({v}, {n} IGNORE NULLS) OVER ({frame})"
+        else:
+            fn = "lead" if kind == 3 else "lag"
+            n = rng.randint(1, 3)
+            over = f"PARTITION BY k1 ORDER BY {order}"
+            s = f"{fn}({v}, {n}) IGNORE NULLS OVER ({over})"
+            d = f"{fn}({v}, {n} IGNORE NULLS) OVER ({over})"
+        exprs.append((f"{s} AS iw{i}", f"{d} AS iw{i}"))
+    ssql = (
+        "SELECT k1, m1, m2, m3, "
+        + ", ".join(e[0] for e in exprs)
+        + " FROM t"
+    )
+    dsql = (
+        "SELECT k1, m1, m2, m3, "
+        + ", ".join(e[1] for e in exprs)
+        + " FROM t"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3621,6 +3681,7 @@ _CORE_FAMILIES = [
     ("strdist", 0.015),
     ("seq_battery", 0.015),
     ("quantile_battery", 0.015),
+    ("ignore_nulls_window", 0.015),
     ("base_agg", None),  # remainder
 ]
 
