@@ -1881,3 +1881,67 @@ def corpus_bucket_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+_ITER_UDF_VOCAB = ("table", "scan", "hash", "merge", "sort", "window")
+
+
+@query(
+    "udf_iterator_batch_init",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN {_ITER_UDF_VOCAB!r}))
+                AS BIGINT) AS vocab_hits
+    FROM documents
+    """,
+)
+def udf_iterator_batch_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF specimen (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``, Spark 3.0+) — the UDF tier whose POINT is
+    amortized per-task initialization: state built once per executor
+    task (here a vocabulary set standing in for a tokenizer / ONNX
+    session / trie that costs seconds to load) is reused across every
+    Arrow batch the task streams, where the plain scalar pandas UDF
+    would rebuild it per batch and a row UDF per row. At 100 TB this
+    is the difference between loading a model 10^4 times (once per
+    task) and 10^8 times (once per batch). Completes the UDF-surface
+    matrix: row scalar (anti-pattern exhibit) / scalar pandas /
+    grouped map / mapInArrow / UDTF / ITERATOR pandas (this op).
+
+    The kernel counts per-doc tokens and hits against the shared
+    vocab; the oracle is the builtin-equivalent expression, so the
+    driver differentially verifies the UDF against the JVM path.
+    Function nested so it pickles by value (driver cwd is not the
+    repo).
+
+    Scale shape: embarrassingly parallel map over Arrow batches — no
+    shuffle; predicate/column pruning still reach the scan (only
+    doc_id/text read)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # SCALAR_ITER spelled explicitly: this module uses postponed
+    # annotation evaluation (PEP 563), which stringifies the
+    # Iterator[pd.Series] signature pandas_udf would otherwise infer
+    # the iterator form from (probed: UNSUPPORTED_SIGNATURE).
+    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
+    def vocab_hits(it):
+        vocab = frozenset(_ITER_UDF_VOCAB)  # built ONCE per task
+        for s in it:
+            yield s.map(
+                lambda t: sum(1 for w in t.split(" ") if w in vocab)
+            ).astype("int64")
+
+    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
+    def n_tokens(it):
+        for s in it:
+            yield s.map(lambda t: len(t.split(" "))).astype("int64")
+
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        vocab_hits("text").alias("vocab_hits"),
+    )

@@ -207,6 +207,7 @@ _CASES = [
     ("sql_session_variables", 2),  # two ungrouped probe rows (0s, NULLs)
     ("lakehouse_vacuum_plan", 0),  # empty ledger -> no status rows
     ("agg_empirical_bayes_rates", 0),  # no users -> no grid rows
+    ("udf_iterator_batch_init", 0),  # no docs -> no rows
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 
