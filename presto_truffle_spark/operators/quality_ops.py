@@ -1919,15 +1919,20 @@ def udf_iterator_batch_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: embarrassingly parallel map over Arrow batches — no
     shuffle; predicate/column pruning still reach the scan (only
     doc_id/text read)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # SCALAR_ITER spelled explicitly: this module uses postponed
-    # annotation evaluation (PEP 563), which stringifies the
-    # Iterator[pd.Series] signature pandas_udf would otherwise infer
-    # the iterator form from (probed: UNSUPPORTED_SIGNATURE).
-    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
+    # The iterator form is selected from the signature; this module
+    # uses postponed annotation evaluation (PEP 563), which stringifies
+    # inline hints into names pandas_udf cannot resolve (probed:
+    # UNSUPPORTED_SIGNATURE) — so the annotations are attached as REAL
+    # typing objects post-definition.
+    iter_sig = {"it": Iterator[pd.Series], "return": Iterator[pd.Series]}
+
     def vocab_hits(it):
         vocab = frozenset(_ITER_UDF_VOCAB)  # built ONCE per task
         for s in it:
@@ -1935,10 +1940,14 @@ def udf_iterator_batch_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda t: sum(1 for w in t.split(" ") if w in vocab)
             ).astype("int64")
 
-    @pandas_udf("long", PandasUDFType.SCALAR_ITER)
     def n_tokens(it):
         for s in it:
             yield s.map(lambda t: len(t.split(" "))).astype("int64")
+
+    vocab_hits.__annotations__ = dict(iter_sig)
+    n_tokens.__annotations__ = dict(iter_sig)
+    vocab_hits = pandas_udf(vocab_hits, "long")
+    n_tokens = pandas_udf(n_tokens, "long")
 
     return docs.select(
         "doc_id",
