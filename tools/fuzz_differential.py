@@ -2981,7 +2981,22 @@ def run_ordered_agg_case(
     where = gen_predicate(rng)
     m = rng.choice(MEASURES)
     direction = rng.choice(["ASC", "DESC"])
-    if rng.random() < 0.5:
+    pick = rng.random()
+    if pick < 0.2:
+        # DISTINCT ordered aggregation (r13 extension): Spark has no
+        # DISTINCT inside collect_list and no ORDER BY inside
+        # collect_set — the deterministic twin is sort-after-distinct
+        # on both engines (ASC only: array_sort has no direction arg).
+        ssql = (
+            f"SELECT k1, array_join(array_sort(collect_set({m})), ',') AS v "
+            f"FROM t WHERE {where} AND {m} IS NOT NULL GROUP BY k1"
+        )
+        dsql = (
+            f"SELECT k1, array_to_string(list_sort(list_distinct("
+            f"array_agg({m}))), ',') AS v "
+            f"FROM t WHERE {where} AND {m} IS NOT NULL GROUP BY k1"
+        )
+    elif pick < 0.6:
         ssql = (
             f"SELECT k1, listagg(CAST({m} AS STRING), ',') "
             f"WITHIN GROUP (ORDER BY {m} {direction}) AS v "
