@@ -3600,3 +3600,81 @@ def text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_nats"),
     )
+
+
+@query(
+    "text_chao1_vocabulary_richness",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS v_observed,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           round(count(*)
+                 + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                        AS DOUBLE)
+                   / CAST(2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)
+                          AS DOUBLE), 6) AS chao1_est,
+           round(1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+                       / CAST(sum(c) AS DOUBLE), 6) AS goods_coverage
+    FROM tf
+    GROUP BY 1
+    """,
+)
+def text_chao1_vocabulary_richness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chao1 UNSEEN-VOCABULARY estimator + Good's sample coverage per
+    language (Chao 1984/1987 bias-corrected form; Good 1953) — the
+    species-richness statistics a corpus pipeline uses to answer 'how
+    much vocabulary have we NOT crawled yet': Chao1 extrapolates total
+    richness from the frequency spectrum's rare tail,
+    V̂ = V + f1(f1−1)/(2(f2+1)) (hapaxes f1, dis legomena f2 —
+    bias-corrected so f2=0 never divides by zero), and Good's
+    C = 1 − f1/N estimates the probability mass already seen. The
+    POINT-ESTIMATOR companion of `text_heaps_law_fit` (which fits the
+    vocabulary GROWTH CURVE over document prefixes; Chao1 needs no
+    ordering and no fit) and of `text_vocab_coverage_oov` (coverage of
+    a FIXED top-k vocabulary; this op estimates coverage of the
+    unknown full one).
+
+    Determinism: the spectrum is exact integer counts; Chao1 is one
+    double division of exact integers (identical IEEE), 6dp-rounded.
+
+    Scale shape: token explode folds straight into a (lang, term)
+    count (map-combinable, the tfidf discipline); the spectrum fold
+    re-aggregates the VOCAB-scale count table to ≤|langs| rows. No
+    global windows, no rank; at 100 TB the big shuffle is the same
+    (lang, term) one every term-stat op pays."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.round(
+            F.count(F.lit(1))
+            + (f1 * (f1 - F.lit(1))).cast("double")
+            / (F.lit(2) * (f2 + F.lit(1))).cast("double"),
+            6,
+        ).alias("chao1_est"),
+        F.round(
+            F.lit(1.0) - f1.cast("double") / F.sum("c").cast("double"), 6
+        ).alias("goods_coverage"),
+    )

@@ -372,3 +372,26 @@ def test_empirical_bayes_shrinkage_direction(spark, sf_dir):
     by_n = sorted(rows, key=lambda r: r.n)
     ws = [r.shrink_weight for r in by_n]
     assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
+
+
+def test_chao1_hand_example(spark, tmp_path):
+    """Hand-solved Chao1 on 'a a b c': counts a:2 b:1 c:1 so f1={b,c}=2,
+    f2={a}=1 -> chao1 = 3 + 2*1/(2*(1+1)) = 3.5; Good's C = 1 - 2/4 =
+    0.5."""
+    from pyspark.sql import Row
+
+    from presto_truffle_spark.operators.text import (
+        text_chao1_vocabulary_richness,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a a b c", lang="en", source="s", n_chars=7),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = text_chao1_vocabulary_richness(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.v_observed, r.n_tokens, r.f1, r.f2) == (3, 4, 2, 1)
+    assert r.chao1_est == 3.5 and r.goods_coverage == 0.5, r
