@@ -3757,3 +3757,133 @@ def events_isotonic_daily_trend(
         F.col("c").alias("n_events"),
         F.round("iso", 6).alias("iso_fit"),
     )
+
+
+@query(
+    "events_max_revenue_burst",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, day, cents,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(cents) OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS s,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days,
+               CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total
+        FROM daily
+    ), grid AS (
+        SELECT a.event_type,
+               a.day AS start_day, b.day AS end_day,
+               a.i AS j, b.i AS k,
+               (b.s - a.s + a.cents) * a.n_days
+                   - (b.i - a.i + 1) * a.total AS dev_scaled
+        FROM ranked a JOIN ranked b
+          ON a.event_type = b.event_type AND a.i <= b.i
+    ), best AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY dev_scaled DESC, k - j ASC, j ASC)
+                   AS rnk
+        FROM grid
+    )
+    SELECT event_type, start_day, end_day,
+           CAST(k - j + 1 AS BIGINT) AS burst_days,
+           CAST(dev_scaled AS BIGINT) AS excess_cents_x_days
+    FROM best WHERE rnk = 1
+    """,
+)
+def events_max_revenue_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM-SUBARRAY burst detection (Kadane's problem, Bentley
+    1984) on the mean-adjusted daily revenue series per type: the
+    consecutive-day window with the largest total revenue EXCESS over
+    the per-type average — 'when was the strongest sustained surge,
+    and how big'. Mean adjustment is done SCALE-FREE in integers:
+    dev(j..k) = sum(cents[j..k])·n_days − len·total (the interval sum
+    minus len·mean, times n_days), so no division ever happens and
+    the argmax is exact. Complements `events_changepoint_cusum`
+    (which finds the single best SPLIT point) and
+    `events_error_streaks` (run-length of a fixed predicate): this op
+    optimizes over ALL O(n²) intervals with a deterministic tie-break
+    (shortest, then earliest).
+
+    Declarative Kadane: prefix sums turn every interval sum into a
+    difference, a j≤k grid self-join materializes all intervals (the
+    isotonic/Theil-Sen precedent — calendar-bounded), and one ranked
+    window picks the winner per type. Pure BIGINT end to end.
+
+    Scale shape: raw events fold to the (type × day) grid in one
+    map-combinable aggregate; the grid self-join is equi on
+    event_type over ≤ days²/2 rows per type; the rank window
+    partitions by event_type. At 100 TB only the first aggregate
+    sees data; a multi-year grid is ~(365·years)²/2 rows per type —
+    executor-trivial."""
+    from presto_truffle_spark.cache import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_days"),
+        F.sum("cents").over(wp).cast("long").alias("total"),
+    )
+    ranked = scoped_persist(spark, "ts.burst.ranked", ranked)
+    a = ranked.select(
+        "event_type",
+        F.col("day").alias("start_day"),
+        F.col("i").alias("j"),
+        F.col("s").alias("sj"),
+        F.col("cents").alias("cj"),
+        "n_days",
+        "total",
+    )
+    b = ranked.select(
+        "event_type",
+        F.col("day").alias("end_day"),
+        F.col("i").alias("k"),
+        F.col("s").alias("sk"),
+    )
+    grid = a.join(b, ["event_type"]).where(F.col("j") <= F.col("k")).select(
+        "event_type",
+        "start_day",
+        "end_day",
+        "j",
+        "k",
+        (
+            (F.col("sk") - F.col("sj") + F.col("cj")) * F.col("n_days")
+            - (F.col("k") - F.col("j") + F.lit(1)) * F.col("total")
+        ).alias("dev_scaled"),
+    )
+    w_best = W.partitionBy("event_type").orderBy(
+        F.desc("dev_scaled"), (F.col("k") - F.col("j")).asc(), F.col("j").asc()
+    )
+    return (
+        grid.withColumn("rnk", F.row_number().over(w_best))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "start_day",
+            "end_day",
+            (F.col("k") - F.col("j") + F.lit(1)).cast("long").alias("burst_days"),
+            F.col("dev_scaled").cast("long").alias("excess_cents_x_days"),
+        )
+    )

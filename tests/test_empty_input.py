@@ -209,6 +209,7 @@ _CASES = [
     ("agg_empirical_bayes_rates", 0),  # no users -> no grid rows
     ("udf_iterator_batch_init", 0),  # no docs -> no rows
     ("text_chao1_vocabulary_richness", 0),  # no docs -> no lang rows
+    ("events_max_revenue_burst", 0),  # empty day grid -> no burst
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 

@@ -395,3 +395,41 @@ def test_chao1_hand_example(spark, tmp_path):
     r = out[0]
     assert (r.v_observed, r.n_tokens, r.f1, r.f2) == (3, 4, 2, 1)
     assert r.chao1_est == 3.5 and r.goods_coverage == 0.5, r
+
+
+def test_max_revenue_burst_hand_example(spark, tmp_path):
+    """Daily cents [100, 700, 700, 100, 100] (one 1-dollar event per
+    day scaled): mean 340; deviations*5 = [sum-len*1700 scaled] — the
+    best window is days 2-3 with excess (1400*5 - 2*1700) = 3600."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for i, dollars in enumerate([1, 7, 7, 1, 1]):
+        rows.append(
+            (
+                eid,
+                datetime.datetime(2024, 1, i + 1, 12, 0, 0),
+                1,
+                "t",
+                float(dollars),
+                "{}",
+            )
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_max_revenue_burst,
+    )
+
+    r = events_max_revenue_burst(spark, str(tmp_path)).collect()[0]
+    assert (
+        r.start_day == datetime.date(2024, 1, 2)
+        and r.end_day == datetime.date(2024, 1, 3)
+        and r.burst_days == 2
+        and r.excess_cents_x_days == 1400 * 5 - 2 * 1700
+    ), r
