@@ -793,3 +793,103 @@ def join_bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+def _allen_relation_sql(a_s: str, a_e: str, b_s: str, b_e: str) -> str:
+    """Allen's 13 interval relations as one CASE cascade over exact
+    integer endpoints (Allen 1983, CACM 26(11) Table 1). Order of the
+    branches makes the cases mutually exclusive; the final overlaps
+    pair is the residual."""
+    return f"""CASE
+        WHEN {a_e} < {b_s} THEN 'before'
+        WHEN {b_e} < {a_s} THEN 'after'
+        WHEN {a_e} = {b_s} AND {a_s} < {b_s} AND {b_s} < {b_e}
+            THEN 'meets'
+        WHEN {b_e} = {a_s} AND {b_s} < {a_s} AND {a_s} < {a_e}
+            THEN 'met_by'
+        WHEN {a_s} = {b_s} AND {a_e} = {b_e} THEN 'equals'
+        WHEN {a_s} = {b_s} AND {a_e} < {b_e} THEN 'starts'
+        WHEN {a_s} = {b_s} AND {a_e} > {b_e} THEN 'started_by'
+        WHEN {a_e} = {b_e} AND {a_s} > {b_s} THEN 'finishes'
+        WHEN {a_e} = {b_e} AND {a_s} < {b_s} THEN 'finished_by'
+        WHEN {a_s} > {b_s} AND {a_e} < {b_e} THEN 'during'
+        WHEN {a_s} < {b_s} AND {a_e} > {b_e} THEN 'contains'
+        WHEN {a_s} < {b_s} THEN 'overlaps'
+        ELSE 'overlapped_by' END"""
+
+
+@query(
+    "join_allen_interval_relations",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               CAST(min(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(max(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY 1, 2, 3
+    ), pairs AS (
+        SELECT {_allen_relation_sql('a.s', 'a.e', 'b.s', 'b.e')} AS relation
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.day = b.day
+        WHERE a.event_type = 'view' AND b.event_type = 'click'
+    )
+    SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def join_allen_interval_relations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALLEN INTERVAL-ALGEBRA relation profile (Allen 1983): classify
+    every (view-span, click-span) pair per (user, day) into the 13
+    mutually-exclusive temporal relations — before/after, meets/met_by,
+    overlaps/overlapped_by, starts/started_by, during/contains,
+    finishes/finished_by, equals — and count each. This is the
+    temporal-JOIN capability past `join_interval_overlap` (which only
+    answers the boolean 'do they intersect'): process-mining,
+    causal-ordering and session-attribution pipelines need the full
+    relation ('did the click window start INSIDE the view window, or
+    merely touch it'), and the relation distribution is the artifact
+    that calibrates an attribution rule before committing to it.
+    Degenerate (point) intervals are legal inputs: a single-event span
+    has s = e, and the CASE cascade's strict/equality guards keep the
+    13 classes exclusive and exhaustive (Allen's Table 1, spelled as
+    one shared-SQL CASE).
+
+    Determinism: span endpoints are exact epoch-second integers
+    (tz-proof: NTZ diff on Spark ≡ DuckDB epoch(naive)); counts are
+    integers; the CASE text is byte-shared between engines.
+
+    Scale shape: events fold map-combinably to per-(user, day, type)
+    spans; the pair join is equi on (user_id, day) with ≤1 span per
+    type per key — fan-out bounded at 1, never quadratic; the output
+    is the ≤13-row relation histogram. At 100 TB this is one shuffle
+    on the same (user, day) key every sessionization op pays."""
+    from presto_truffle_spark.tztime import epoch_s
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    spans = ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.min(epoch_s(F.col("ts"))).cast("long").alias("s"),
+        F.max(epoch_s(F.col("ts"))).cast("long").alias("e"),
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    spans = scoped_persist(spark, "join.allen.spans", spans)
+    a = spans.where(F.col("event_type") == "view").select(
+        "user_id", "day", F.col("s").alias("as_"), F.col("e").alias("ae")
+    )
+    b = spans.where(F.col("event_type") == "click").select(
+        "user_id", "day", F.col("s").alias("bs"), F.col("e").alias("be")
+    )
+    pairs = a.join(b, ["user_id", "day"]).select(
+        F.expr(_allen_relation_sql("as_", "ae", "bs", "be")).alias("relation")
+    )
+    return pairs.groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

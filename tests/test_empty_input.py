@@ -210,6 +210,7 @@ _CASES = [
     ("udf_iterator_batch_init", 0),  # no docs -> no rows
     ("text_chao1_vocabulary_richness", 0),  # no docs -> no lang rows
     ("events_max_revenue_burst", 0),  # empty day grid -> no burst
+    ("join_allen_interval_relations", 0),  # no spans -> no pairs
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 

@@ -433,3 +433,47 @@ def test_max_revenue_burst_hand_example(spark, tmp_path):
         and r.burst_days == 2
         and r.excess_cents_x_days == 1400 * 5 - 2 * 1700
     ), r
+
+
+def test_allen_relations_all_13_classes(spark, tmp_path):
+    """One hand-built (view, click) span pair per user, each hitting a
+    distinct Allen relation — the cascade is exclusive and exhaustive."""
+    import datetime
+
+    cases = [  # (view_start, view_end, click_start, click_end) minutes
+        ("before", 0, 10, 20, 30),
+        ("after", 20, 30, 0, 10),
+        ("meets", 0, 10, 10, 20),
+        ("met_by", 10, 20, 0, 10),
+        ("equals", 0, 10, 0, 10),
+        ("starts", 0, 10, 0, 20),
+        ("started_by", 0, 20, 0, 10),
+        ("finishes", 10, 20, 0, 20),
+        ("finished_by", 0, 20, 10, 20),
+        ("during", 10, 20, 0, 30),
+        ("contains", 0, 30, 10, 20),
+        ("overlaps", 0, 20, 10, 30),
+        ("overlapped_by", 10, 30, 0, 20),
+    ]
+    base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+    rows, eid = [], 0
+    for uid, (_, vs, ve, cs, ce) in enumerate(cases):
+        for typ, m in (("view", vs), ("view", ve), ("click", cs), ("click", ce)):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=m), uid, typ, 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from presto_truffle_spark.operators.joins import (
+        join_allen_interval_relations,
+    )
+
+    out = {
+        r.relation: r.n_pairs
+        for r in join_allen_interval_relations(spark, str(tmp_path)).collect()
+    }
+    assert out == {name: 1 for name, *_ in cases}, out
