@@ -1075,3 +1075,26 @@ def test_ignore_nulls_spelling_divergence_pinned(spark):
             "SELECT last_value(v) IGNORE NULLS OVER (ORDER BY i) "
             "FROM (VALUES (1, 1)) t(i, v)"
         )
+
+
+def test_pad_trim_arg_order_divergence_pinned(spark):
+    """FIXTURES.md r13 (pad_trim family, 56th): multi-char pads cycle
+    identically (lpad truncates below strlen, '' at len 0); multi-char
+    ltrim/rtrim strip a CHARACTER SET on both — with MIRRORED argument
+    order (Spark ltrim(trimstr, str); DuckDB ltrim(str, chars)); the
+    two-sided trim is TRIM(BOTH chars FROM str) on Spark, trim(str,
+    chars) on DuckDB; translate/repeat identical."""
+    s = spark.sql(
+        "SELECT lpad('ab', 5, 'xy') a, lpad('abcdef', 3, 'x') b, "
+        "TRIM(BOTH 'x' FROM 'xxabxx') c, ltrim('xy', 'yxabyx') d, "
+        "rtrim('xy', 'yxabyx') e, translate('abcab', 'ab', 'xy') f"
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT lpad('ab', 5, 'xy'), lpad('abcdef', 3, 'x'), "
+        "trim('xxabxx', 'x'), ltrim('yxabyx', 'xy'), "
+        "rtrim('yxabyx', 'xy'), translate('abcab', 'ab', 'xy')"
+    ).fetchone()
+    assert tuple(s) == d == (
+        "xyxab", "abc", "ab", "abyx", "yxab", "xycxy"
+    ), (tuple(s), d)

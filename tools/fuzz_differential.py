@@ -2192,6 +2192,64 @@ def run_ignore_nulls_window_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_pad_trim_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """lpad/rpad/trim/translate/repeat battery (r13, 56th). Probed
+    parity (tests/test_fuzz_differential.py): lpad/rpad with
+    MULTI-char pads cycle the pad string identically, truncate when
+    len < strlen, and return '' at len 0 on both engines; multi-char
+    ltrim/rtrim strip a CHARACTER SET (not a prefix string) on both —
+    but the argument order is MIRRORED (Spark ltrim(trimstr, str),
+    DuckDB ltrim(str, chars)) and Spark's two-sided trim spells
+    TRIM(BOTH chars FROM str); translate and repeat are identical."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_pt")
+    base = "concat(coalesce(k1, 'n'), coalesce(k2, 'm'), CAST(abs(coalesce(m1, 0)) % 100 AS STRING))"
+    base_d = base.replace("STRING", "VARCHAR")
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            fn = rng.choice(["lpad", "rpad"])
+            n = rng.randint(0, 12)
+            pad = rng.choice(["'#'", "'xy'", "'.-='"])
+            s = f"{fn}({base}, {n}, {pad})"
+            d = f"{fn}({base_d}, {n}, {pad})"
+        elif kind == 1:
+            chars = rng.choice(["'a'", "'ax'", "'xy0'"])
+            side = rng.randint(0, 2)
+            if side == 0:
+                s = f"TRIM(BOTH {chars} FROM {base})"
+                d = f"trim({base_d}, {chars})"
+            elif side == 1:
+                s = f"ltrim({chars}, {base})"
+                d = f"ltrim({base_d}, {chars})"
+            else:
+                s = f"rtrim({chars}, {base})"
+                d = f"rtrim({base_d}, {chars})"
+        elif kind == 2:
+            s = f"translate({base}, 'abx', '123')"
+            d = f"translate({base_d}, 'abx', '123')"
+        elif kind == 3:
+            n = rng.randint(0, 3)
+            s = f"repeat({base}, {n})"
+            d = f"repeat({base_d}, {n})"
+        else:
+            s = f"reverse({base})"
+            d = f"reverse({base_d})"
+        exprs.append((f"{s} AS pt{i}", f"{d} AS pt{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3697,6 +3755,7 @@ _CORE_FAMILIES = [
     ("seq_battery", 0.015),
     ("quantile_battery", 0.015),
     ("ignore_nulls_window", 0.015),
+    ("pad_trim", 0.015),
     ("base_agg", None),  # remainder
 ]
 
