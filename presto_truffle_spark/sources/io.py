@@ -697,3 +697,99 @@ def source_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "source_csv_permissive_corrupt",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_parsed,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
+                         THEN o_orderkey ELSE 0 END) AS BIGINT)
+               AS keys_sum,
+           CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+                         THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS price_cents_parsed
+    FROM orders
+    """,
+)
+def source_csv_permissive_corrupt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV PERMISSIVE-mode corrupt-record handling — the CSV twin of
+    `events_malformed_json_robust`: a deliberately dirty CSV (every
+    7th key field non-numeric, every 13th line missing its price
+    column) is read back with an explicit schema +
+    columnNameOfCorruptRecord, and the audit reports exactly what a
+    dirty-ingest pipeline needs: total lines, corrupt-marked lines,
+    and the sums that survive. Semantics PROBED and leaned on: Spark's
+    PERMISSIVE CSV keeps PARTIAL parses — a bad key field nulls only
+    that field (the price still parses and is counted), a short line
+    nulls the missing trailing field — while _corrupt captures the raw
+    line for either anomaly; nothing is silently dropped (the
+    DROPMALFORMED alternative loses the partial data AND the
+    evidence). The oracle rebuilds every count from the clean source
+    table and the same key rules — the driver therefore differentially
+    verifies the reader's corrupt-marking against ground truth.
+    Overlap rule (found live by this op's first selfcheck): keys
+    divisible by BOTH 7 and 13 take the missing-price branch, so
+    their key field parses — 'keys parsed' is %7≠0 OR %13=0, not
+    simply %7≠0.
+
+    Scale shape: text write + schema'd CSV scan, both
+    partition-parallel; one global audit row. At 100 TB this is a
+    plain distributed scan — the corrupt column is row-local."""
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            # missing price column entirely
+            F.concat(F.lit("bad"), F.col("o_orderkey").cast("string")).substr(
+                F.lit(4), F.length(F.col("o_orderkey").cast("string"))
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(
+                F.lit("bad"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(","),
+                F.col("o_totalprice").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(","),
+                F.col("o_totalprice").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    path = _scoped_scratch(spark, "orders_dirty_csv")
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("k long, price double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_parsed"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("keys_sum"),
+        F.coalesce(
+            F.sum(F.floor(F.col("price") * 100 + F.lit(0.5))), F.lit(0)
+        )
+        .cast("long")
+        .alias("price_cents_parsed"),
+    )

@@ -211,6 +211,7 @@ _CASES = [
     ("text_chao1_vocabulary_richness", 0),  # no docs -> no lang rows
     ("events_max_revenue_burst", 0),  # empty day grid -> no burst
     ("join_allen_interval_relations", 0),  # no spans -> no pairs
+    ("source_csv_permissive_corrupt", 1),  # ungrouped audit row (0s)
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 
