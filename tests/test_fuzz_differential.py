@@ -1098,3 +1098,31 @@ def test_pad_trim_arg_order_divergence_pinned(spark):
     assert tuple(s) == d == (
         "xyxab", "abc", "ab", "abyx", "yxab", "xycxy"
     ), (tuple(s), d)
+
+
+def test_struct_equality_field_order_divergence_pinned(spark):
+    """FIXTURES.md r13 (probed for the r14 candidate list): struct
+    EQUALITY is POSITIONAL and NAME-BLIND on Spark (named_struct('b',1,
+    'a',2) equals named_struct('a',1,'b',2) — values compared slot by
+    slot, names ignored) but NAME-MATCHED on DuckDB ({'b':1,'a':2}
+    equals {'a':2,'b':1} — fields reordered by name before compare).
+    The two engines return OPPOSITE verdicts on both probes, so the
+    struct fuzz family must keep field order identical on both sides
+    of every template — it does; this pin guards that convention."""
+    s1 = spark.sql(
+        "SELECT named_struct('b',1,'a',2) = named_struct('a',2,'b',1) v"
+    ).collect()[0].v
+    s2 = spark.sql(
+        "SELECT named_struct('b',1,'a',2) = named_struct('a',1,'b',2) v"
+    ).collect()[0].v
+    con = duckdb.connect()
+    d1 = con.execute("SELECT {'b':1,'a':2} = {'a':2,'b':1}").fetchone()[0]
+    assert (s1, s2, d1) == (False, True, True), (s1, s2, d1)
+    # DuckDB refuses the name-mismatched positional compare Spark allows
+    try:
+        d2 = con.execute("SELECT {'b':1,'a':2} = {'a':1,'b':2}").fetchone()[0]
+        # if it ever starts answering, it answers by NAME (True requires
+        # a=1,b=2 vs a=2,b=1 -> False) — either way re-probe the family
+        assert d2 is False, d2
+    except duckdb.Error:
+        pass
