@@ -1954,3 +1954,71 @@ def udf_iterator_batch_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens("text").alias("n_tokens"),
         vocab_hits("text").alias("vocab_hits"),
     )
+
+
+_L_DIVERSITY = 3  # minimum distinct sensitive values per class
+
+
+@query(
+    "quality_l_diversity",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+               o.o_orderpriority AS sensitive
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cls AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+               CAST(count(*) AS BIGINT) AS class_rows
+        FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT l_distinct,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_rows) AS BIGINT) AS n_rows,
+           l_distinct < {_L_DIVERSITY} AS is_risky
+    FROM cls
+    GROUP BY l_distinct
+    """,
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007) — the privacy
+    guarantee k-anonymity (`quality_k_anonymity`, same quasi-identifier
+    classes) famously does NOT give: a class can be large (k-anonymous)
+    yet have every member share one sensitive value, so membership
+    alone discloses it (the homogeneity attack). Rows here are orders
+    enriched with their customer's quasi-identifiers (nation, market
+    segment, balance thousand-bucket); the sensitive attribute is the
+    order priority; the audit reports, per distinct-sensitive-count l,
+    how many classes and rows sit at that diversity, flagging classes
+    below l=3 — the rows a release would need to suppress or
+    generalize EVEN IF they pass the k test.
+
+    Determinism: pure integer counts (class fold, distinct fold,
+    histogram fold).
+
+    Scale shape: one equi-join on custkey (the enrichment every
+    row-level privacy audit pays; AQE broadcast-swaps the customer
+    side when it is the small one), a map-combinable class fold whose
+    state is the quasi-identifier domain, then the ≤|priorities|-row
+    histogram. At 100 TB nothing materializes beyond the class
+    table."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bucket"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("sensitive")
+    )
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    cls = joined.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.countDistinct("sensitive").cast("long").alias("l_distinct"),
+        F.count(F.lit(1)).cast("long").alias("class_rows"),
+    )
+    return cls.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_rows").cast("long").alias("n_rows"),
+        (F.col("l_distinct") < _L_DIVERSITY).alias("is_risky"),
+    )

@@ -212,6 +212,7 @@ _CASES = [
     ("events_max_revenue_burst", 0),  # empty day grid -> no burst
     ("join_allen_interval_relations", 0),  # no spans -> no pairs
     ("source_csv_permissive_corrupt", 1),  # ungrouped audit row (0s)
+    ("quality_l_diversity", 0),  # empty join -> no classes
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
 ]
 
