@@ -1126,3 +1126,25 @@ def test_struct_equality_field_order_divergence_pinned(spark):
         assert d2 is False, d2
     except duckdb.Error:
         pass
+
+
+def test_array_slice_conventions_pinned(spark):
+    """FIXTURES.md r13 (array_slice family, 57th): Spark slice(a,
+    start, LEN) ↔ DuckDB list_slice(a, start, start+len-1) inclusive;
+    negative starts end-relative on both (the twin keeps the stop
+    negative); array_compact ≡ list_filter not-null; array_min/max ≡
+    list_min/max with NULL elements skipped."""
+    s = spark.sql(
+        "SELECT array_join(slice(array(1,2,3,4,5), 2, 3), ',') a, "
+        "array_join(slice(array(1,2,3,4,5), -2, 2), ',') b, "
+        "array_join(array_compact(array(1, NULL, 2)), ',') c, "
+        "array_min(array(3, NULL, 1)) d, array_max(array(3, NULL, 1)) e"
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT array_to_string(list_slice([1,2,3,4,5], 2, 4), ','), "
+        "array_to_string(list_slice([1,2,3,4,5], -2, -1), ','), "
+        "array_to_string(list_filter([1, NULL, 2], x -> x IS NOT NULL), ','), "
+        "list_min([3, NULL, 1]), list_max([3, NULL, 1])"
+    ).fetchone()
+    assert tuple(s) == d == ("2,3,4", "4,5", "1,2", 1, 3), (tuple(s), d)

@@ -2250,6 +2250,82 @@ def run_pad_trim_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_array_slice_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """array slice/flatten/compact/min-max battery (r13, 57th).
+    Probed + pinned conventions (tests/test_fuzz_differential.py):
+
+      * Spark slice(a, start, LEN) ↔ DuckDB list_slice(a, start,
+        STOP) with inclusive stop = start+len-1; both clamp past the
+        end; NEGATIVE starts are end-relative on both, but mixing a
+        negative start with a positive stop breaks the DuckDB twin —
+        the generator keeps len ≤ |start| so the stop stays negative;
+      * array_compact ≡ list_filter(x -> x IS NOT NULL);
+      * flatten ≡ flatten;
+      * array_min/array_max ≡ list_min/list_max (NULL elements
+        skipped on both; NULL only for all-NULL).
+    All-NULL array_join('' vs NULL) stays coalesced per the r10 pin."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_asl")
+    elems = [
+        "coalesce(m1, 0) % 7",
+        "CASE WHEN m2 IS NULL THEN NULL ELSE m2 % 5 END",
+        "coalesce(m3, 1) % 9",
+        str(rng.randint(-3, 3)),
+        "coalesce(m1, 2) % 4",
+    ]
+    a_s = "array(" + ", ".join(elems) + ")"
+    a_d = "[" + ", ".join(elems) + "]"
+    n_len = 5
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            s0 = rng.randint(1, n_len)
+            ln = rng.randint(1, n_len)
+            s = f"coalesce(array_join(slice({a_s}, {s0}, {ln}), ','), '')"
+            d = (
+                f"coalesce(array_to_string(list_slice({a_d}, {s0}, "
+                f"{s0 + ln - 1}), ','), '')"
+            )
+        elif kind == 1:
+            s0 = -rng.randint(1, n_len)
+            ln = rng.randint(1, -s0)
+            s = f"coalesce(array_join(slice({a_s}, {s0}, {ln}), ','), '')"
+            d = (
+                f"coalesce(array_to_string(list_slice({a_d}, {s0}, "
+                f"{s0 + ln - 1}), ','), '')"
+            )
+        elif kind == 2:
+            s = f"coalesce(array_join(array_compact({a_s}), ','), '')"
+            d = (
+                f"coalesce(array_to_string(list_filter({a_d}, "
+                "x -> x IS NOT NULL), ','), '')"
+            )
+        elif kind == 3:
+            s = (
+                f"coalesce(array_join(flatten(array({a_s}, {a_s})), ','), '')"
+            )
+            d = (
+                f"coalesce(array_to_string(flatten([{a_d}, {a_d}]), ','), '')"
+            )
+        else:
+            fn = rng.choice([("array_min", "list_min"), ("array_max", "list_max")])
+            s = f"{fn[0]}({a_s})"
+            d = f"{fn[1]}({a_d})"
+        exprs.append((f"{s} AS asl{i}", f"{d} AS asl{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3756,6 +3832,7 @@ _CORE_FAMILIES = [
     ("quantile_battery", 0.015),
     ("ignore_nulls_window", 0.015),
     ("pad_trim", 0.015),
+    ("array_slice", 0.015),
     ("base_agg", None),  # remainder
 ]
 
