@@ -1148,3 +1148,39 @@ def test_array_slice_conventions_pinned(spark):
         "list_min([3, NULL, 1]), list_max([3, NULL, 1])"
     ).fetchone()
     assert tuple(s) == d == ("2,3,4", "4,5", "1,2", 1, 3), (tuple(s), d)
+
+
+def test_xor_caret_power_divergence_pinned(spark):
+    """FIXTURES.md r13 (bit_shift family, 58th): `^` is XOR on Spark
+    but POWER on DuckDB — a SILENT value fork (5^3 = 6 vs 125.0); the
+    DuckDB XOR twin is xor(a, b). Shifts: agree on BIGINT for in-range
+    non-negative operands; DuckDB ERRORS on an out-of-range count and
+    on left-shifting a negative where Spark wraps (masked mod 64)."""
+    s = spark.sql(
+        "SELECT 5 ^ 3 a, 5 & 3 b, 5 | 3 c, ~5 d, "
+        "shiftleft(CAST(1 AS BIGINT), 65) w, shiftleft(-3, 1) neg"
+    ).collect()[0]
+    assert tuple(s) == (6, 1, 7, -6, 2, -6), tuple(s)  # Spark wraps
+    con = duckdb.connect()
+    d = con.execute("SELECT 5 ^ 3, 5 & 3, 5 | 3, ~5, xor(5, 3)").fetchone()
+    assert d == (125.0, 1, 7, -6, 6), d  # ^ is power — the silent fork
+    for bad in ("SELECT (1::BIGINT) << 65", "SELECT (-3::BIGINT) << 1"):
+        try:
+            con.execute(bad)
+            raise AssertionError(f"DuckDB now accepts: {bad}")
+        except duckdb.Error:
+            pass
+
+
+def test_split_part_agreement_pinned(spark):
+    """FIXTURES.md r13 (split_part family, 59th): 1-based, negative
+    from the end, out-of-range '', adjacent delimiters give real ''
+    parts — full agreement."""
+    q = (
+        "SELECT split_part('a,,c', ',', 2) a, split_part('a,b,c', ',', -1) b, "
+        "split_part('a,b,c', ',', 9) c"
+    )
+    s = spark.sql(q).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(q).fetchone()
+    assert tuple(s) == d == ("", "c", ""), (tuple(s), d)

@@ -2326,6 +2326,94 @@ def run_array_slice_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_bit_shift_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Bitwise operator/shift family (r13, 58th). Probed + pinned
+    (tests/test_fuzz_differential.py):
+
+      * `^` is XOR on Spark but POWER on DuckDB (5^3 = 6 vs 125.0 — a
+        SILENT value fork, not an error) — the DuckDB twin is
+        xor(a, b); `&`, `|`, `~` agree;
+      * shiftleft/shiftright ≡ `<<`/`>>` on BIGINT for counts in
+        [0, 63]; an out-of-range count WRAPS on Spark (masked mod 64:
+        1<<65 = 2) but ERRORS on DuckDB, and DuckDB also ERRORS
+        left-shifting a NEGATIVE number where Spark wraps (found LIVE
+        by this family's first 40 seeds) — the generator bounds
+        counts to [0, 62] and keeps `<<` operands non-negative;
+        `>>` is arithmetic (sign-propagating) on both and accepts
+        negatives; shiftrightunsigned has no DuckDB twin (excluded).
+    Operands cast to BIGINT and kept small so `<<` never overflows."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_bs")
+    a = "CAST(coalesce(m1, 0) % 1000 AS BIGINT)"
+    a_nn = "CAST(abs(coalesce(m1, 0)) % 1000 AS BIGINT)"
+    b = "CAST(coalesce(m2, 1) % 1000 AS BIGINT)"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            n = rng.randint(0, 40)
+            s = f"shiftleft({a_nn}, {n})"
+            d = f"({a_nn} << {n})"
+        elif kind == 1:
+            n = rng.randint(0, 62)
+            s = f"shiftright({a}, {n})"
+            d = f"({a} >> {n})"
+        elif kind == 2:
+            s = f"({a} ^ {b})"
+            d = f"xor({a}, {b})"
+        elif kind == 3:
+            op = rng.choice(["&", "|"])
+            s = d = f"({a} {op} {b})"
+        else:
+            s = d = f"(~{a})"
+        exprs.append((f"CAST({s} AS BIGINT) AS bs{i}",
+                      f"CAST({d} AS BIGINT) AS bs{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_split_part_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """split_part family (r13, 59th) — probed FULL agreement: 1-based
+    index, NEGATIVE index counts from the end, out-of-range index
+    yields '' (not NULL, not error), empty fields between adjacent
+    delimiters are real '' parts on both engines. Strings built from
+    row values with repeated and adjacent delimiters."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_sp")
+    body = (
+        "concat(coalesce(k1, ''), ',', CAST(abs(coalesce(m1, 0)) % 100 "
+        "AS STRING), ',,', coalesce(k2, 'z'), ',', "
+        "CAST(abs(coalesce(m2, 1)) % 10 AS STRING))"
+    )
+    body_d = body.replace("STRING", "VARCHAR")
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        n = rng.choice([1, 2, 3, 4, 5, 6, 9, -1, -2, -5, -9])
+        s = f"split_part({body}, ',', {n})"
+        d = f"split_part({body_d}, ',', {n})"
+        exprs.append((f"{s} AS sp{i}", f"{d} AS sp{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3833,6 +3921,8 @@ _CORE_FAMILIES = [
     ("ignore_nulls_window", 0.015),
     ("pad_trim", 0.015),
     ("array_slice", 0.015),
+    ("bit_shift", 0.015),
+    ("split_part", 0.015),
     ("base_agg", None),  # remainder
 ]
 
