@@ -477,3 +477,29 @@ def test_allen_relations_all_13_classes(spark, tmp_path):
         for r in join_allen_interval_relations(spark, str(tmp_path)).collect()
     }
     assert out == {name: 1 for name, *_ in cases}, out
+
+
+def test_isotonic_trend_pava_invariants(spark, tmp_path):
+    """Two PAVA invariants beyond the hand examples: a NON-DECREASING
+    series is its own fit (projection idempotence on the cone), and
+    the fit preserves the total sum (level-set means preserve mass)."""
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_isotonic_daily_trend,
+    )
+
+    for counts in ([1, 2, 2, 5, 9], [4, 1, 3, 2, 8, 1, 1, 7]):
+        _write_events_days(spark, tmp_path, counts)
+        rows = (
+            events_isotonic_daily_trend(spark, str(tmp_path))
+            .orderBy("day")
+            .collect()
+        )
+        fits = [r.iso_fit for r in rows]
+        assert all(a <= b for a, b in zip(fits, fits[1:])), fits
+        # fits are 6dp-rounded at emission: n * 5e-7 rounding budget
+        assert abs(sum(fits) - sum(counts)) < len(counts) * 5e-7 + 1e-9, (
+            fits,
+            counts,
+        )
+        if counts == sorted(counts):
+            assert fits == [float(c) for c in counts], fits
