@@ -1184,3 +1184,32 @@ def test_split_part_agreement_pinned(spark):
     con = duckdb.connect()
     d = con.execute(q).fetchone()
     assert tuple(s) == d == ("", "c", ""), (tuple(s), d)
+
+
+def test_to_json_null_field_divergence_pinned(spark):
+    """FIXTURES.md r13 (to_json family, 60th): Spark's DEFAULT to_json
+    DROPS null struct fields; DuckDB emits "field":null — the family
+    neutralizes the fork with ignoreNullFields=false, after which the
+    JSON text is byte-identical (incl. escaping and double repr)."""
+    dflt = spark.sql(
+        "SELECT to_json(struct(1 AS a, CAST(NULL AS INT) AS c)) v"
+    ).collect()[0].v
+    kept = spark.sql(
+        "SELECT to_json(struct(1 AS a, CAST(NULL AS INT) AS c), "
+        "map('ignoreNullFields', 'false')) v"
+    ).collect()[0].v
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT to_json({'a': 1, 'c': CAST(NULL AS INT)})"
+    ).fetchone()[0]
+    assert dflt == '{"a":1}', dflt  # the fork
+    assert kept == d == '{"a":1,"c":null}', (kept, d)
+    # escaping + double repr parity (the family's byte-exact basis)
+    s2 = spark.sql(
+        "SELECT to_json(struct('a\"b' AS q, CAST(2.0 AS DOUBLE) AS d), "
+        "map('ignoreNullFields', 'false')) v"
+    ).collect()[0].v
+    d2 = con.execute(
+        "SELECT to_json({'q': 'a\"b', 'd': 2.0::DOUBLE})"
+    ).fetchone()[0]
+    assert s2 == d2 == '{"q":"a\\"b","d":2.0}', (s2, d2)

@@ -2414,6 +2414,68 @@ def run_split_part_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_to_json_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """to_json canonicalization family (r13, 60th). Probed + pinned
+    (tests/test_fuzz_differential.py): with Spark's
+    ignoreNullFields=false option the JSON text is BYTE-IDENTICAL to
+    DuckDB's to_json across nested arrays/maps/structs, null fields,
+    doubles ("2.0" both) and string escaping (quote → \\", tab → \\t,
+    '/' unescaped, non-ASCII literal). Spark's DEFAULT to_json DROPS
+    null fields (the pinned divergence the option neutralizes).
+    Field order follows construction order on both (the struct family
+    convention: never reorder across engines)."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_tj")
+    nullable_int = "CASE WHEN m2 IS NULL THEN NULL ELSE m2 % 50 END"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            s = (
+                f"to_json(struct(coalesce(m1, 0) % 9 AS a, "
+                f"{nullable_int} AS b, k1 AS c), "
+                "map('ignoreNullFields', 'false'))"
+            )
+            d = (
+                f"to_json({{'a': coalesce(m1, 0) % 9, "
+                f"'b': {nullable_int}, 'c': k1}})"
+            )
+        elif kind == 1:
+            s = (
+                "to_json(struct(array(coalesce(m1, 0) % 5, "
+                f"{nullable_int}) AS e, struct(k2 AS x) AS s), "
+                "map('ignoreNullFields', 'false'))"
+            )
+            d = (
+                "to_json({'e': [coalesce(m1, 0) % 5, "
+                f"{nullable_int}], 's': {{'x': k2}}}})"
+            )
+        else:
+            s = (
+                "to_json(struct(concat(coalesce(k1, ''), '\"', "
+                "coalesce(k2, '')) AS q, "
+                "CAST(coalesce(m3, 0) % 7 AS DOUBLE) / 2.0 AS d), "
+                "map('ignoreNullFields', 'false'))"
+            )
+            d = (
+                "to_json({'q': concat(coalesce(k1, ''), '\"', "
+                "coalesce(k2, '')), "
+                "'d': CAST(coalesce(m3, 0) % 7 AS DOUBLE) / 2.0})"
+            )
+        exprs.append((f"{s} AS tj{i}", f"{d} AS tj{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3923,6 +3985,7 @@ _CORE_FAMILIES = [
     ("array_slice", 0.015),
     ("bit_shift", 0.015),
     ("split_part", 0.015),
+    ("to_json", 0.015),
     ("base_agg", None),  # remainder
 ]
 
