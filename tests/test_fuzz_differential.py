@@ -1213,3 +1213,43 @@ def test_to_json_null_field_divergence_pinned(spark):
         "SELECT to_json({'q': 'a\"b', 'd': 2.0::DOUBLE})"
     ).fetchone()[0]
     assert s2 == d2 == '{"q":"a\\"b","d":2.0}', (s2, d2)
+
+
+def test_from_json_type_strictness_pinned(spark):
+    """FIXTURES.md r13 (from_json_mismatch family, 61st): Spark's
+    from_json is TYPE-STRICT for numeric fields (string "7", double
+    1.9, bool -> NULL under 'a INT' — no coercion) but COERCING for
+    string fields (1 -> '1', true -> 'true'); malformed input yields
+    an all-NULL struct where DuckDB's json_extract ERRORS; Spark 4
+    ANSI errors on bare out-of-range array indexing (try_element_at
+    is the family's spelling). DuckDB twin gates numerics on
+    json_type BIGINT/UBIGINT before try_cast."""
+    s = spark.sql(
+        """SELECT from_json('{"a": "7"}', 'a bigint').a v1,
+        from_json('{"a": 1.9}', 'a bigint').a v2,
+        from_json('{"a": 1}', 'a string').a v3,
+        from_json('not json', 'a bigint').a v4"""
+    ).collect()[0]
+    assert tuple(s) == (None, None, "1", None), tuple(s)
+    con = duckdb.connect()
+    d = con.execute(
+        """SELECT CASE WHEN json_type('{"a": "7"}', '$.a') IN
+        ('BIGINT', 'UBIGINT') THEN
+        try_cast(json_extract('{"a": "7"}', '$.a') AS BIGINT) END,
+        CASE WHEN json_type('{"a": 1.9}', '$.a') IN
+        ('BIGINT', 'UBIGINT') THEN
+        try_cast(json_extract('{"a": 1.9}', '$.a') AS BIGINT) END,
+        json_extract_string('{"a": 1}', '$.a')"""
+    ).fetchone()
+    assert d == (None, None, "1"), d
+    try:
+        con.execute("SELECT json_extract('not json', '$.a')")
+        raise AssertionError("DuckDB now tolerates malformed JSON")
+    except duckdb.Error:
+        pass
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.sql(
+            "SELECT from_json('{\"arr\": [1]}', 'arr array<int>').arr[5]"
+        ).collect()

@@ -2476,6 +2476,82 @@ def run_to_json_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_from_json_mismatch_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """from_json schema-mismatch family (r13, 61st). Probed + pinned
+    (tests/test_fuzz_differential.py):
+
+      * Spark's from_json is TYPE-STRICT for numeric schema fields —
+        a JSON string "7", a double 1.9, or a bool under 'a INT'
+        all yield NULL (no coercion, no truncation); the DuckDB twin
+        gates on json_type(j, path) IN ('BIGINT', 'UBIGINT') before
+        try_cast;
+      * a STRING schema field COERCES any scalar (1 → '1', true →
+        'true') ≡ DuckDB json_extract_string;
+      * missing keys are NULL on both; array indexing via the schema
+        path ≡ json_extract '$.arr[i]' (0-based in both spellings
+        used here);
+      * MALFORMED input is the pinned fork: Spark yields an all-NULL
+        struct, DuckDB json_extract ERRORS — the generator only
+        emits valid JSON.
+    The value type of field "a" rotates through int/double/string/
+    bool so the strictness gate actually engages."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_fj")
+    a_variants = [
+        "CAST(coalesce(m1, 0) % 50 AS STRING)",           # JSON int
+        "concat(CAST(coalesce(m1, 0) % 9 AS STRING), '.5')",  # double
+        "concat('\"', coalesce(k1, 'n'), '\"')",          # string
+        "CASE WHEN coalesce(m2, 0) % 2 = 0 THEN 'true' ELSE 'false' END",
+    ]
+    a_expr = rng.choice(a_variants)
+    j_s = (
+        "concat('{\"a\": ', " + a_expr.replace("STRING", "STRING") + ", "
+        "', \"arr\": [', CAST(abs(coalesce(m2, 0)) % 9 AS STRING), ',', "
+        "CAST(abs(coalesce(m3, 1)) % 9 AS STRING), ']}')"
+    )
+    j_d = j_s.replace("AS STRING", "AS VARCHAR")
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            s = f"from_json({j_s}, 'a bigint').a"
+            d = (
+                f"CASE WHEN json_type({j_d}, '$.a') IN "
+                "('BIGINT', 'UBIGINT') THEN "
+                f"try_cast(json_extract({j_d}, '$.a') AS BIGINT) END"
+            )
+        elif kind == 1:
+            s = f"from_json({j_s}, 'a string').a"
+            d = f"json_extract_string({j_d}, '$.a')"
+        elif kind == 2:
+            # index 2 is out of range -> NULL; Spark's bare arr[i]
+            # ERRORS under ANSI, so the twin is try_element_at
+            # (1-based) vs json path [i] (0-based)
+            idx = rng.randint(0, 2)
+            s = (
+                f"try_element_at(from_json({j_s}, "
+                f"'arr array<bigint>').arr, {idx + 1})"
+            )
+            d = (
+                f"try_cast(json_extract({j_d}, '$.arr[{idx}]') AS BIGINT)"
+            )
+        else:
+            s = f"from_json({j_s}, 'missing string').missing"
+            d = f"json_extract_string({j_d}, '$.missing')"
+        exprs.append((f"{s} AS fj{i}", f"{d} AS fj{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -3986,6 +4062,7 @@ _CORE_FAMILIES = [
     ("bit_shift", 0.015),
     ("split_part", 0.015),
     ("to_json", 0.015),
+    ("from_json_mismatch", 0.015),
     ("base_agg", None),  # remainder
 ]
 
