@@ -1253,3 +1253,33 @@ def test_from_json_type_strictness_pinned(spark):
         spark.sql(
             "SELECT from_json('{\"arr\": [1]}', 'arr array<int>').arr[5]"
         ).collect()
+
+
+def test_make_date_construction_parity_pinned(spark):
+    """FIXTURES.md r13 (make_date family, 62nd): component
+    construction agrees (incl. leap day and fractional NTZ seconds);
+    INVALID components ERROR on BOTH engines; datediff's argument
+    order is MIRRORED (Spark (end, start) vs DuckDB (unit, start,
+    end))."""
+    s = spark.sql(
+        "SELECT make_date(2024, 2, 29) a, "
+        "make_timestamp_ntz(2024, 2, 29, 13, 5, 30.25) b, "
+        "datediff(make_date(2024, 3, 1), make_date(2024, 2, 1)) c"
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT make_date(2024, 2, 29), "
+        "make_timestamp(2024, 2, 29, 13, 5, 30.25), "
+        "date_diff('day', make_date(2024, 2, 1), make_date(2024, 3, 1))"
+    ).fetchone()
+    assert tuple(s) == d, (tuple(s), d)
+    assert s.c == 29
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.sql("SELECT make_date(2023, 2, 29)").collect()
+    try:
+        con.execute("SELECT make_date(2023, 2, 29)")
+        raise AssertionError("DuckDB now tolerates invalid make_date")
+    except duckdb.Error:
+        pass

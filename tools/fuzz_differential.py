@@ -2552,6 +2552,75 @@ def run_from_json_mismatch_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_make_date_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Datetime CONSTRUCTION battery (r13, 62nd) — the date family
+    fuzzes date arithmetic/extraction; this one fuzzes building dates
+    and timestamps from components. Probed + pinned
+    (tests/test_fuzz_differential.py):
+
+      * make_date ≡ make_date over 1960-2099 with leap-day components;
+        INVALID components ERROR on BOTH engines (agreement — the
+        generator still only emits valid triples: day ≤ 28 unless the
+        month/year pair provably admits more);
+      * Spark make_timestamp_ntz ≡ DuckDB make_timestamp (the NTZ
+        spelling keeps the family zone-proof; fractional seconds kept
+        quarter-valued → exact microseconds);
+      * last_day / date ± n agree; Spark datediff(end, start) ≡
+        DuckDB date_diff('day', start, end) — ARG ORDER MIRRORED."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_md")
+    y = "(1960 + abs(coalesce(m1, 0)) % 140)"
+    mo = "(1 + abs(coalesce(m2, 0)) % 12)"
+    d = "(1 + abs(coalesce(m3, 0)) % 28)"
+    y2 = "(1970 + abs(coalesce(m2, 7)) % 100)"
+    mo2 = "(1 + abs(coalesce(m3, 2)) % 12)"
+    d2 = "(1 + abs(coalesce(m1, 5)) % 28)"
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            s = d_ = f"make_date({y}, {mo}, {d})"
+        elif kind == 1:
+            h = "(abs(coalesce(m2, 0)) % 24)"
+            mi = "(abs(coalesce(m3, 0)) % 60)"
+            sec = f"(abs(coalesce(m1, 0)) % 60 + {rng.choice([0, 0.25, 0.5, 0.75])})"
+            s = f"make_timestamp_ntz({y}, {mo}, {d}, {h}, {mi}, {sec})"
+            d_ = f"make_timestamp({y}, {mo}, {d}, {h}, {mi}, {sec})"
+        elif kind == 2:
+            s = d_ = f"last_day(make_date({y}, {mo}, {d}))"
+        elif kind == 3:
+            n = rng.randint(-500, 500)
+            s = (
+                f"date_add(make_date({y}, {mo}, {d}), {n})"
+                if n >= 0
+                else f"date_sub(make_date({y}, {mo}, {d}), {-n})"
+            )
+            d_ = f"(make_date({y}, {mo}, {d}) + {n})"
+        else:
+            s = (
+                f"datediff(make_date({y}, {mo}, {d}), "
+                f"make_date({y2}, {mo2}, {d2}))"
+            )
+            d_ = (
+                f"date_diff('day', make_date({y2}, {mo2}, {d2}), "
+                f"make_date({y}, {mo}, {d}))"
+            )
+            s = f"CAST({s} AS BIGINT)"
+            d_ = f"CAST({d_} AS BIGINT)"
+        exprs.append((f"{s} AS md{i}", f"{d_} AS md{i}"))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -4063,6 +4132,7 @@ _CORE_FAMILIES = [
     ("split_part", 0.015),
     ("to_json", 0.015),
     ("from_json_mismatch", 0.015),
+    ("make_date", 0.015),
     ("base_agg", None),  # remainder
 ]
 
