@@ -1283,3 +1283,31 @@ def test_make_date_construction_parity_pinned(spark):
         raise AssertionError("DuckDB now tolerates invalid make_date")
     except duckdb.Error:
         pass
+
+
+def test_csv_ts_format_dialects_pinned(spark, tmp_path):
+    """FIXTURES.md r13 (csv_ts_format family, 63rd): the same
+    timestamp text parses identically through Spark's Java pattern
+    (timestampNTZFormat — zone-proof) and DuckDB's strptime pattern
+    (timestampformat); the DIALECTS differ (MM/dd/yyyy HH:mm:ss vs
+    %m/%d/%Y %H:%M:%S) and are paired per format row in
+    _CSV_TS_FORMATS."""
+    import datetime
+
+    p = tmp_path / "pin.csv"
+    p.write_text("1|02/29/2024 13:05:30\n")
+    s = (
+        spark.read.schema("k long, ts timestamp_ntz")
+        .option("sep", "|")
+        .option("timestampNTZFormat", "MM/dd/yyyy HH:mm:ss")
+        .csv(str(p))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT k, ts FROM read_csv('{p}', delim='|', header=false, "
+        "columns={'k': 'BIGINT', 'ts': 'TIMESTAMP'}, "
+        "timestampformat='%m/%d/%Y %H:%M:%S')"
+    ).fetchone()
+    expect = (1, datetime.datetime(2024, 2, 29, 13, 5, 30))
+    assert tuple(s) == d == expect, (tuple(s), d)

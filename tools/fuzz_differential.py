@@ -2621,6 +2621,70 @@ def run_make_date_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+# (java-pattern, strptime-pattern, python-strftime) triples for the
+# csv_ts_format family — each row is one timestamp FORMAT DIALECT pair
+# (Spark reads with Java DateTimeFormatter patterns, DuckDB with
+# strptime patterns; python renders the ground-truth text).
+_CSV_TS_FORMATS = [
+    ("MM/dd/yyyy HH:mm:ss", "%m/%d/%Y %H:%M:%S"),
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("dd.MM.yyyy HH:mm", "%d.%m.%Y %H:%M"),
+    ("yyyy/MM/dd'T'HH-mm-ss", "%Y/%m/%dT%H-%M-%S"),
+]
+
+
+def run_csv_ts_format_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """CSV timestampFormat reader-option family (r13, 63rd): the same
+    timestamp TEXT parsed through each engine's format DIALECT —
+    Spark's Java DateTimeFormatter pattern (timestampNTZFormat, so the
+    parse stays zone-proof) vs DuckDB's strptime pattern
+    (timestampformat on read_csv) — must yield identical timestamps.
+    Ground truth is rendered by Python's strftime; seconds-less
+    formats truncate identically. Pinned in
+    test_csv_ts_format_dialects_pinned."""
+    import datetime
+
+    java_fmt, strp_fmt = rng.choice(_CSV_TS_FORMATS)
+    rows = []
+    for k in range(rng.randint(3, 25)):
+        ts = datetime.datetime(
+            rng.randint(1960, 2099),
+            rng.randint(1, 12),
+            rng.randint(1, 28),
+            rng.randint(0, 23),
+            rng.randint(0, 59),
+            rng.randint(0, 59),
+        )
+        if "%S" not in strp_fmt:
+            ts = ts.replace(second=0)
+        rows.append((k, ts))
+    path = os.path.join(tmp, f"fuzz_{case_id}_ct.csv")
+    with open(path, "w") as f:
+        for k, ts in rows:
+            f.write(f"{k}|{ts.strftime(strp_fmt)}\n")
+    sdf = (
+        spark.read.schema("k long, ts timestamp_ntz")
+        .option("sep", "|")
+        .option("timestampNTZFormat", java_fmt)
+        .csv(path)
+    )
+    dsql = (
+        f"SELECT k, ts FROM read_csv('{path}', delim='|', header=false, "
+        "columns={'k': 'BIGINT', 'ts': 'TIMESTAMP'}, "
+        f"timestampformat='{strp_fmt}')"
+    )
+    err = _compare(sdf, con, dsql)
+    if err:
+        return f"[fmt {java_fmt!r}] {err}"
+    # both must also equal the python ground truth
+    got = sorted((r.k, r.ts) for r in sdf.collect())
+    if got != sorted(rows):
+        return f"spark parse != ground truth [fmt {java_fmt!r}]"
+    return None
+
+
 def _gen_castable_string(rng: random.Random) -> str:
     """A random string for the try_cast family, drawn ONLY from classes
     whose BIGINT parse semantics AGREE across engines (probed + pinned:
@@ -4133,6 +4197,7 @@ _CORE_FAMILIES = [
     ("to_json", 0.015),
     ("from_json_mismatch", 0.015),
     ("make_date", 0.015),
+    ("csv_ts_format", 0.015),
     ("base_agg", None),  # remainder
 ]
 
