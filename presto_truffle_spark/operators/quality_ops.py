@@ -26,6 +26,9 @@ from presto_truffle_spark.operators.dedup import (
     _ORACLE_BANDS_CTES,
     _verified_pairs,
 )
+from presto_truffle_spark.operators.text import (
+    _CCNET_BUCKETED_CTES as _CCNET_BUCKETED_CTES_SQL,
+)
 from presto_truffle_spark.registry import query
 
 
@@ -1747,66 +1750,11 @@ _BUCKET_CROSS_ORACLE = (
                                   ORDER BY t.n_tokens DESC, t.doc_id)
                    = 1 AS keep
         FROM dtoks t LEFT JOIN comp c ON c.doc_id = t.doc_id
-    ), lm_d AS (
-        SELECT doc_id, text,
-               substr(md5(text), 1, 2) < 'cd' AS is_train
-        FROM documents
-    ), lm_tc AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS c
-        FROM (SELECT unnest(string_split(text, ' ')) AS tok
-              FROM lm_d WHERE is_train)
-        GROUP BY tok
-    ), lm_tstat AS (
-        SELECT CAST(round(ln(sum(c) + count(*) + 1.0) * 1000000)
-                    AS BIGINT) AS li_den
-        FROM lm_tc
-    ), lm_dtc AS (
-        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM lm_d)
-        GROUP BY 1, 2
-    ), lm_dtc_c AS (
-        SELECT lm_dtc.doc_id, coalesce(lm_tc.c, 0) AS c, lm_dtc.m
-        FROM lm_dtc LEFT JOIN lm_tc ON lm_dtc.tok = lm_tc.tok
-    ), lm_li AS (
-        SELECT c, CAST(round(ln(c + 1.0) * 1000000) AS BIGINT) AS li_c
-        FROM (SELECT DISTINCT c FROM lm_dtc_c)
-    ), lm_per_doc AS (
-        SELECT doc_id,
-               CAST(sum(m * li_c) AS BIGINT) AS sum_li,
-               CAST(sum(m) AS BIGINT) AS mt
-        FROM lm_dtc_c JOIN lm_li ON lm_dtc_c.c = lm_li.c
-        GROUP BY doc_id
-    ), lm_scored AS (
-        SELECT doc_id,
-               CAST(round((sum_li - mt * li_den) * 1.0 / mt) AS BIGINT)
-                   AS s
-        FROM lm_per_doc CROSS JOIN lm_tstat
-    ), lm_bwq AS (
-        SELECT max(abs(s)) // 10000 + 1 AS bw FROM lm_scored
-    ), lm_hist AS (
-        SELECT s - s % bw AS vb, CAST(count(*) AS BIGINT) AS nb
-        FROM lm_scored CROSS JOIN lm_bwq GROUP BY 1
-    ), lm_cum AS (
-        SELECT vb, CAST(sum(nb) OVER (ORDER BY vb) AS BIGINT) AS cumn
-        FROM lm_hist
-    ), lm_tot AS (
-        SELECT CAST(count(*) AS BIGINT) AS nd FROM lm_scored
-    ), lm_thr AS (
-        SELECT min(CASE WHEN cumn * 3 >= nd THEN vb END) AS t1,
-               min(CASE WHEN cumn * 3 >= 2 * nd THEN vb END) AS t2
-        FROM lm_cum CROSS JOIN lm_tot
-    ), bucketed AS (
-        SELECT doc_id,
-               CASE WHEN (s - s % bw) <= t1 THEN 'tail'
-                    WHEN (s - s % bw) <= t2 THEN 'middle'
-                    ELSE 'head' END AS bucket
-        FROM lm_scored CROSS JOIN lm_bwq CROSS JOIN lm_thr
-    )
+    ), {_CCNET_BUCKETED_CTES_SQL}
     SELECT b.bucket, m.keep,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(m.n_tokens) AS BIGINT) AS total_tokens
-    FROM bucketed b JOIN manifest m ON m.doc_id = b.doc_id
+    FROM lm_bucketed b JOIN manifest m ON m.doc_id = b.doc_id
     GROUP BY 1, 2
 """
 )

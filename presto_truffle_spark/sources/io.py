@@ -747,10 +747,8 @@ def source_csv_permissive_corrupt(
     lines = o.select(
         F.when(
             F.col("o_orderkey") % 13 == 0,
-            # missing price column entirely
-            F.concat(F.lit("bad"), F.col("o_orderkey").cast("string")).substr(
-                F.lit(4), F.length(F.col("o_orderkey").cast("string"))
-            ),
+            # missing price column entirely: the line is just the key
+            F.col("o_orderkey").cast("string"),
         )
         .when(
             F.col("o_orderkey") % 7 == 0,

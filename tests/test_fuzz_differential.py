@@ -52,6 +52,21 @@ def test_fuzz_differential_sample(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_family_weight_table_fully_reachable():
+    """r14 pin (ADVICE r13): the r13 weight table's absolute weights
+    summed to ~1.285, so run_case's cumulative scan crossed 1.0 at
+    fold_order and every later family — all 13 r13 additions — was
+    unreachable in mixed mode. Weights are now normalized at pick
+    time; this asserts every family owns a nonempty slice of [0,1)."""
+    from tools.fuzz_differential import _CORE_FAMILIES, pick_family
+
+    names = [n for n, _ in _CORE_FAMILIES]
+    assert all(w is not None and w > 0 for _, w in _CORE_FAMILIES)
+    n = 200_000
+    hit = {pick_family(i / n) for i in range(n)}
+    assert hit == set(names), sorted(set(names) - hit)
+
+
 def test_date_function_divergences_pinned(spark):
     """FIXTURES.md r6 date conventions, probed cross-engine:
     1. extract(dow) is OFF BY ONE — Spark numbers Sunday=1..Saturday=7,

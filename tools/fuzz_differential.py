@@ -2506,7 +2506,7 @@ def run_from_json_mismatch_case(
     ]
     a_expr = rng.choice(a_variants)
     j_s = (
-        "concat('{\"a\": ', " + a_expr.replace("STRING", "STRING") + ", "
+        "concat('{\"a\": ', " + a_expr + ", "
         "', \"arr\": [', CAST(abs(coalesce(m2, 0)) % 9 AS STRING), ',', "
         "CAST(abs(coalesce(m3, 1)) % 9 AS STRING), ']}')"
     )
@@ -4198,8 +4198,14 @@ _CORE_FAMILIES = [
     ("from_json_mismatch", 0.015),
     ("make_date", 0.015),
     ("csv_ts_format", 0.015),
-    ("base_agg", None),  # remainder
+    ("base_agg", 0.03),
 ]
+
+# Weights are RELATIVE masses, normalized at pick time (r14 fix: the r13
+# table's absolute weights summed to ~1.285, so the cumulative scan in
+# run_case crossed 1.0 at fold_order and every later family — including
+# all 13 r13 additions — was unreachable in mixed mode).
+_FAMILY_WEIGHT_TOTAL = sum(w for _, w in _CORE_FAMILIES)
 
 
 def _family_runners() -> dict:
@@ -4211,18 +4217,25 @@ def _family_runners() -> dict:
     return out
 
 
+def pick_family(pick: float) -> str:
+    """Map a uniform [0,1) draw to a family name via normalized weights.
+
+    Exposed separately so tests can assert every family is reachable
+    (the r13 bug: un-normalized weights made the tail unreachable).
+    """
+    acc = 0.0
+    for name, w in _CORE_FAMILIES:
+        acc += w / _FAMILY_WEIGHT_TOTAL
+        if pick < acc:
+            return name
+    return "base_agg"
+
+
 def run_case(spark, con, rng: random.Random, tmp: str, case_id: int) -> str | None:
     """Returns None on agreement, else a description of the mismatch."""
     runners = _family_runners()
-    pick = rng.random()
-    acc = 0.0
-    for name, w in _CORE_FAMILIES:
-        if w is None:
-            return runners[name](spark, con, rng, tmp, case_id)
-        acc += w
-        if pick < acc:
-            return runners[name](spark, con, rng, tmp, case_id)
-    return runners["base_agg"](spark, con, rng, tmp, case_id)
+    name = pick_family(rng.random())
+    return runners[name](spark, con, rng, tmp, case_id)
 
 
 def main() -> int:
@@ -4232,7 +4245,7 @@ def main() -> int:
     family = None
     if "--list-families" in argv:
         for name, w in _CORE_FAMILIES:
-            print(name, w if w is not None else "(remainder)")
+            print(name, f"{w / _FAMILY_WEIGHT_TOTAL:.4f}")
         return 0
     if "--family" in argv:
         i = argv.index("--family")

@@ -8,16 +8,16 @@ well each quality gate's DECISION recovers the tier — the
 precision/recall treatment the dedup stack got in r12 — rather than
 just whether the gate's values hash-match an oracle:
 
-  * ``corpus_ccnet_quality_buckets`` (unigram-LM tertiles, the
-    registered op): head/middle/tail × tier confusion, head→tier0 and
-    tail→tier2 precision + lift over the base rate.
-  * A bigram-scored tertile variant, composed STUDY-SIDE from the
-    ``text_bigram_lm_perplexity`` recipe (same Jelinek-Mercer mixture,
-    per-doc instead of corpus-level): measures how much gate quality
-    the LM order buys. Not registered — VERDICT r12 adjudicated the
-    capability as "the harness and the bucketing mechanics, not the LM
-    order", so a bigram twin would be a capability duplicate; the
-    measured delta is the point.
+  * ``corpus_ccnet_quality_buckets`` (the registered op — JM
+    BIGRAM-scored since r14, promoted per VERDICT r13 #1 after this
+    study measured 0.74–0.84 head/tail precision for the bigram vs
+    0.43/0.44 for the r4–r13 unigram scorer): head/middle/tail × tier
+    confusion, head→tier0 and tail→tier2 precision + lift.
+  * The RETIRED unigram scorer, kept STUDY-SIDE (float replica) so
+    the measured order-delta stays visible round over round.
+  * A float bigram twin with EXACT-percentile tertiles — cross-checks
+    that the registered op's integer micro-nat + bucketed-rank-grid
+    discipline does not cost decision quality vs the float ideal.
   * ``corpus_quality_calibrated`` (TTR ≥ per-source median): kept-rate
     per tier. On this fixture TTR does NOT separate tiers (noise
     redraws tokens from the same Zipf head, so lexical diversity
@@ -88,6 +88,49 @@ def head_tail_stats(conf: dict, base: list[int]) -> dict:
         "head_tier0_recall": round(head[0] / base[0], 4),
         "tail_tier2_recall": round(tail[2] / base[2], 4),
     }
+
+
+def unigram_doc_tertiles(spark, sf_dir: str):
+    """Float replica of the RETIRED r4–r13 unigram scorer (per-doc
+    add-one-smoothed unigram NLL → exact-percentile tertiles). Kept
+    study-side so the unigram→bigram decision-quality delta that
+    justified the r14 promotion stays measured."""
+    from presto_truffle_spark.catalog import load_table
+    from presto_truffle_spark.operators.text import _LM_TRAIN_HI
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tok"),
+        (
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+            < _LM_TRAIN_HI
+        ).alias("is_train"),
+    )
+    d = d.cache()
+    tc = (
+        d.filter("is_train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ns = tc.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    p = (F.coalesce("c", F.lit(0)) + 1) / F.lit(float(ns.n + ns.v + 1))
+    sc = (
+        d.join(F.broadcast(tc), "tok", "left")
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log(p))).alias("nll"))
+    )
+    thr = sc.agg(
+        F.percentile("nll", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("nll", F.lit(2.0 / 3)).alias("t2"),
+    ).collect()[0]
+    bucket = (
+        F.when(F.col("nll") <= thr.t1, "head")
+        .when(F.col("nll") <= thr.t2, "middle")
+        .otherwise("tail")
+    )
+    return sc.select("doc_id", bucket.alias("bucket"))
 
 
 def bigram_doc_tertiles(spark, sf_dir: str):
@@ -175,8 +218,12 @@ def study(spark, sf_dir: str, labels) -> dict:
         for r in labels.groupBy("tier").count().orderBy("tier").collect()
     ]
 
-    uni = confusion(
+    reg = confusion(
         ccnet_doc_buckets(spark, sf_dir).join(labels, "doc_id"), "bucket"
+    )
+    uni = confusion(
+        unigram_doc_tertiles(spark, sf_dir).join(labels, "doc_id"),
+        "bucket",
     )
     bi = confusion(
         bigram_doc_tertiles(spark, sf_dir).join(labels, "doc_id"), "bucket"
@@ -199,8 +246,15 @@ def study(spark, sf_dir: str, labels) -> dict:
     return {
         "n_docs": sum(base),
         "tier_sizes": base,
-        "ccnet_unigram": {"confusion": uni, **head_tail_stats(uni, base)},
-        "ccnet_bigram_scored": {"confusion": bi, **head_tail_stats(bi, base)},
+        "ccnet_registered_bigram": {
+            "confusion": reg,
+            **head_tail_stats(reg, base),
+        },
+        "unigram_retired": {"confusion": uni, **head_tail_stats(uni, base)},
+        "bigram_float_twin": {
+            "confusion": bi,
+            **head_tail_stats(bi, base),
+        },
         "calibrated_ttr_gate": {
             "kept_rate_by_tier": [
                 round(kept[i] / base[i], 4) for i in range(3)
