@@ -73,12 +73,17 @@ def main() -> None:
     probe = lambda: spark.range(100_000_000, numPartitions=32).agg(  # noqa: E731
         _F.sum((_F.col("id") % 7) * (_F.col("id") % 11))
     )
-    materialize(probe())  # warm
-    cal = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        materialize(probe())
-        cal.append(time.perf_counter() - t0)
+
+    def run_probe() -> list[float]:
+        materialize(probe())  # warm
+        cal = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            materialize(probe())
+            cal.append(time.perf_counter() - t0)
+        return cal
+
+    cal = run_probe()
     calibration = {
         "jvm_probe_median_s": round(sorted(cal)[2], 4),
         "jvm_probe_min_s": round(min(cal), 4),
@@ -109,6 +114,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     minima: dict[str, float] = {}
+    # Interleaved mini-probes (VERDICT r13 #2): one probe execution after
+    # each headline query. JVM warmup only ever LOWERS the probe reading
+    # over the run (measured: 0.26 s at run 1 → ~0.10 s after the full
+    # battery), so any mid-battery reading ABOVE the pre-probe median is
+    # load arriving mid-run — the blind spot that let BENCH_r13 print
+    # 4.80 s as "trusted quiet" when contention landed after the single
+    # up-front probe.
+    mid_probes: list[float] = []
     for name in HEADLINE:
         fn = queries[name]
         materialize(fn(spark, SF_DIR))  # warm-up: JIT, parquet footers, broadcast
@@ -125,6 +138,9 @@ def main() -> None:
         # true plan cost — diverging mean with stable min ⇒ environment,
         # both shifting ⇒ a real plan change.
         minima[name] = round(min(samples), 4)
+        t0 = time.perf_counter()
+        materialize(probe())
+        mid_probes.append(time.perf_counter() - t0)
 
     # Reference-scale comparison: the reference times Q6 over 5M in-memory
     # rows (TpchDataGenerator.java:16-17, PureJavaTest.java:15-20, 1000 warm
@@ -207,6 +223,34 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+
+    # Mid-battery load detection (VERDICT r13 #2): BENCH_r13 printed
+    # 4.80 s at "load_factor 1.00, trusted" because load arrived AFTER
+    # the single up-front probe. The interleaved probes close that
+    # blind spot. A naive pre-vs-post comparison does NOT work — the
+    # probe itself JIT-warms from ~0.25 s to ~0.10 s over the battery
+    # (measured r14), so post < pre is the normal quiet signature.
+    # Warmup only lowers readings; load only raises them. Therefore:
+    # any interleaved reading above pre_median × 1.3 means contention
+    # arrived mid-battery, and the trusted-quiet claim is derated.
+    pre_med = calibration["jvm_probe_median_s"]
+    calibration["probe_mid_max_s"] = round(max(mid_probes), 4)
+    calibration["probe_mid_min_s"] = round(min(mid_probes), 4)
+    mid_ratio = max(mid_probes) / max(pre_med, 1e-9)
+    calibration["probe_mid_over_pre_ratio"] = round(mid_ratio, 4)
+    MID_PROBE_TRUST_MAX = 1.3
+    # The effective load factor also reflects mid-battery load: the
+    # worst interleaved reading participates in the quiet-ref ratio.
+    load_factor = max(
+        1.0, pre_med / PROBE_QUIET_S, max(mid_probes) / PROBE_QUIET_S
+    )
+    calibration["load_factor"] = round(load_factor, 4)
+    adjust_div = min(load_factor, LOAD_ADJUST_TRUST_MAX)
+    calibration["load_adjust_divisor"] = round(adjust_div, 4)
+    calibration["load_adjust_trusted"] = (
+        load_factor <= LOAD_ADJUST_TRUST_MAX
+        and mid_ratio <= MID_PROBE_TRUST_MAX
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

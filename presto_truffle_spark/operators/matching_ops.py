@@ -992,3 +992,111 @@ def matching_edit_distance_profile(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .crossJoin(F.broadcast(bstat))
     )
+
+
+# Byte-normalizing remap for the DuckDB oracle twin (the r13 `strdist`
+# fuzz family's _strdist_remap_sql, lifted into a registered op per
+# VERDICT r13 #4): each multibyte char maps to a distinct single-byte
+# placeholder OUTSIDE the part-name alphabet ([a-z ] by construction,
+# audited below), so DuckDB's BYTE-based levenshtein on the remapped
+# twin equals the character distance exactly.
+_MB_REMAP = [("é", "1"), ("ü", "2"), ("日", "3")]
+
+
+def _mb_remap_sql(col: str) -> str:
+    out = col
+    for src, dst in _MB_REMAP:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out
+
+
+_MB_BUILD_SQL = (
+    "replace(replace(replace({c}, 'a', 'é'), 'o', 'ü'), 'e', '日')"
+)
+
+
+@query(
+    "matching_multibyte_edit_distance",
+    oracle=f"""
+    WITH p AS (
+        SELECT p_partkey,
+               {_MB_BUILD_SQL.format(c="p_name")} AS mb
+        FROM part
+    ), pairs AS (
+        SELECT CAST(levenshtein({_mb_remap_sql("a.mb")},
+                                {_mb_remap_sql("b.mb")}) AS BIGINT) AS d,
+               CAST(strlen(a.mb) - length(a.mb)
+                    + strlen(b.mb) - length(b.mb) AS BIGINT) AS xb
+        FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 1
+    )
+    SELECT least(d, 10) AS edit_distance,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(xb) AS BIGINT) AS extra_mb_bytes
+    FROM pairs
+    GROUP BY 1
+    """,
+)
+def matching_multibyte_edit_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIBYTE edit-distance histogram — the registered end-to-end
+    exercise of the Spark-chars/DuckDB-bytes levenshtein fork (VERDICT
+    r13 #4; probed r12: Spark lev('héllo','hello') = 1 chars, DuckDB
+    = 2 bytes). The driver fixture is ASCII by construction, so the op
+    CONSTRUCTS a non-ASCII corpus deterministically in-query: an
+    injective char→char remap (a→é, o→ü, e→日 — one 2-byte and one
+    3-byte char) applied to part names on BOTH engines, then the
+    character edit distance over consecutive-key pairs. Unit-cost
+    Levenshtein is invariant under injective per-char remaps, so
+    Spark's CHARACTER distance on the multibyte strings equals the
+    ASCII distance — while a byte-based computation would inflate it
+    (each é↔a substitution costs 2 byte-edits). The DuckDB oracle
+    therefore computes on the byte-NORMALIZED twin: each multibyte
+    char remapped to a distinct single-byte placeholder outside the
+    name alphabet (the r13 `strdist` fuzz family's recipe, 80 seeds
+    green), making byte distance ≡ char distance. `extra_mb_bytes`
+    (Σ octet_length − char_length over each pair) proves the inputs
+    really are multibyte — it is positive for every histogram row and
+    byte-exact on both engines (DuckDB strlen/length are byte/char
+    respectively; Spark octet_length/length likewise).
+
+    Pairing is consecutive-partkey (b = a+1): one equi-join, linear in
+    the corpus — no blocking needed because pair volume is n−1 by
+    construction (the blocked profile sibling handles the C(n,2)
+    shape; this op's job is the ENCODING fork, not blocking).
+
+    Scale shape: one key-shifted equi-join (AQE-broadcastable at small
+    SF, shuffle-on-key at scale), then a ≤11-row histogram fold.
+    100 TB-safe: everything is per-pair local after the join."""
+    mb = F.replace(
+        F.replace(
+            F.replace(F.col("p_name"), F.lit("a"), F.lit("é")),
+            F.lit("o"),
+            F.lit("ü"),
+        ),
+        F.lit("e"),
+        F.lit("日"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", mb.alias("mb")
+    )
+    a = p.select(F.col("p_partkey").alias("ka"), F.col("mb").alias("ma"))
+    b = p.select(F.col("p_partkey").alias("kb"), F.col("mb").alias("mb_"))
+    pairs = a.join(b, F.col("kb") == F.col("ka") + 1)
+    d = F.levenshtein(F.col("ma"), F.col("mb_")).cast("long")
+    xb = (
+        F.octet_length("ma")
+        - F.length("ma")
+        + F.octet_length("mb_")
+        - F.length("mb_")
+    ).cast("long")
+    return (
+        pairs.select(
+            F.least(d, F.lit(10)).alias("edit_distance"), xb.alias("xb")
+        )
+        .groupBy("edit_distance")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("xb").cast("long").alias("extra_mb_bytes"),
+        )
+    )

@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 from presto_truffle_spark.catalog import load_table
 from presto_truffle_spark.registry import query
 
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
-_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+# (The fixed English stopword list that lived here through r13 moved to
+# a corpus-derived top-K head in text_quality_score — VERDICT r13 #6;
+# pipelines.py keeps its own literal list for its release-gate recipe.)
 
 
 @query(
@@ -72,39 +73,79 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-adaptive stopword surrogate (r14, VERDICT r13 #6): the gate's
+# stopword set is the corpus's own top-K frequency head (Luhn 1958 —
+# function words ARE the Zipf head on natural language, so on English
+# this recovers {the, of, and, …} automatically), which keeps the gate
+# non-degenerate on ANY corpus: the r13 honest-negative record showed
+# the fixed English list made every w###-token fixture doc fail.
+_STOP_HEAD_K = 5
+
+
 @query(
     "text_quality_score",
     oracle=f"""
-    WITH t AS (
+    WITH tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), stop AS (
+        SELECT list(tok ORDER BY tok) AS arr
+        FROM (SELECT tok FROM tc ORDER BY c DESC, tok
+              LIMIT {_STOP_HEAD_K})
+    ), t AS (
         SELECT doc_id, text, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n FROM documents
     )
     SELECT doc_id,
-           round(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / n, 6)
-               AS stopword_ratio,
+           round(len(list_filter(toks, x -> list_contains(arr, x)))
+                 * 1.0 / n, 6) AS stopword_ratio,
            round(len(list_filter(toks, x -> length(x) <= 2)) * 1.0 / n, 6)
                AS short_token_ratio,
            round(length(regexp_replace(text, '[a-z ]', '', 'g')) * 1.0 /
                  length(text), 6) AS nonalpha_ratio,
            CASE WHEN n BETWEEN 20 AND 1000
-                 AND len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / n
-                     BETWEEN 0.01 AND 0.6
+                 AND len(list_filter(toks, x -> list_contains(arr, x)))
+                     * 1.0 / n BETWEEN 0.01 AND 0.6
                 THEN 1 ELSE 0 END AS passes_quality
-    FROM t
+    FROM t CROSS JOIN stop
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (Gopher/C4-style): stopword ratio, short
-    token ratio, non-alpha character ratio, and a pass/fail gate. Pure
-    row-side expressions — the 100 TB quality-filter stage is a map."""
+    token ratio, non-alpha character ratio, and a pass/fail gate.
+
+    The stopword set is CORPUS-DERIVED (r14, VERDICT r13 #6): the
+    top-{K} most frequent tokens (deterministic count-desc, token-asc
+    tie-break). On natural language the Zipf head IS the classic
+    stopword list; on synthetic corpora it is their surrogate — the
+    r13 fixed-English-list gate was degenerate on w### tokens (every
+    doc failed; recorded as an honest negative, now resolved). The
+    head is a bounded global top-K (TakeOrderedAndProject over the
+    vocab-sized count fold), broadcast as one array row; the per-doc
+    scoring stays a pure row-side map — the 100 TB quality-filter
+    shape."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n
+    tc = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stop = (
+        tc.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_STOP_HEAD_K)
+        .agg(F.sort_array(F.collect_list("tok")).alias("arr"))
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(F.col("arr"), x))
+    )
+    stop_ratio = stop_hits / n
     short_ratio = F.size(F.filter(toks, lambda x: F.length(x) <= 2)) / n
     nonalpha = F.length(F.regexp_replace("text", "[a-z ]", "")) / F.length("text")
-    return d.select(
+    return d.crossJoin(F.broadcast(stop)).select(
         "doc_id",
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(short_ratio, 6).alias("short_token_ratio"),

@@ -124,29 +124,25 @@ def load_all_modules() -> None:
 # green (the driver re-verified the staled code); until then it heads
 # the window. A further code change bumps the number by hand.
 _FORCE_HEAD: dict[str, int] = {
-    # (r9 pins and the r12 unigram micro-nat pin re-greened and were
-    # pruned in r13 per the keep-it-short rule above.)
+    # (The 8 r13 pins all re-greened in CORRECTNESS_r13 and were pruned
+    # in r14 per the keep-it-short rule above.)
     #
-    # r13 pins — ADVICE r12: these six had r12 code changes AFTER their
-    # last green driver row and were not in the r12 sample window.
-    # agg_lorenz_curve's change can alter OUTPUT (decile contract now
-    # emits 0-filled rows under extreme skew); the other five are
-    # value-identical plan rewrites (keyness global-window -> broadcast
-    # agg; countmin build fused onto the token fold; SNM offsets lazy;
-    # tfidf vocab-salting gate branch; JSD broadcast flip) — pinned
-    # anyway because driver re-verification is cheap and the window is
-    # pure re-confirmation this round (never-green backlog is empty).
-    "agg_lorenz_curve": 11,
-    "text_keyness_loglikelihood": 9,
-    "agg_countmin_heavy_hitters": 11,
-    "dedup_snm_multipass": 11,
-    "dedup_sorted_neighborhood": 10,
-    "text_tfidf_top_terms": 6,
-    "text_jsd_by_source": 11,
-    # r13 code-staled green: the rich-fixture full sweep found an ANSI
-    # long overflow in the norm product (n2a·n2b); product now taken in
-    # DOUBLE (value-identical where it didn't overflow).
-    "text_cosine_pairs_weighted": 5,
+    # r14 pins — VERDICT r13 #1 promoted the bigram scorer into the
+    # registered ccnet gate, an OUTPUT-CHANGING rewrite of the shared
+    # scoring core (tertile membership moves for most docs); the cross
+    # audit shares that core. Both last greened r11 on the unigram
+    # scorer, so those greens no longer attest the shipping code.
+    "corpus_ccnet_quality_buckets": 11,
+    "corpus_bucket_dedup_cross": 11,
+    # r14 value-identical cleanup (ADVICE r13): the %13 dirty-CSV
+    # branch's obfuscated identity expression replaced by the plain
+    # cast — same emitted lines, pinned anyway (driver re-verification
+    # is cheap; r13-green predates the edit).
+    "source_csv_permissive_corrupt": 13,
+    # r14 OUTPUT-CHANGING fix (VERDICT r13 #6): the stopword gate's
+    # fixed English list became the corpus-derived top-K frequency
+    # head — stopword_ratio and passes_quality both change.
+    "text_quality_score": 8,
 }
 
 _WINDOW = 50

@@ -791,3 +791,97 @@ def source_csv_permissive_corrupt(
         .cast("long")
         .alias("price_cents_parsed"),
     )
+
+
+@query(
+    "source_csv_dropmalformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines_written,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+                         THEN o_orderkey ELSE 0 END) AS BIGINT)
+               AS keys_sum_kept,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+                         THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS price_cents_kept
+    FROM orders
+    """,
+)
+def source_csv_dropmalformed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV DROPMALFORMED-mode twin of `source_csv_permissive_corrupt`
+    (VERDICT r13 #5) — SAME dirty fixture (every 7th key field
+    non-numeric, every 13th line missing its price column), read back
+    in DROPMALFORMED mode, differentially proving what the mode
+    SILENTLY discards. Probed semantics this op pins: DROPMALFORMED
+    drops the whole row on ANY anomaly — a short line, an unparseable
+    key, or an unparseable value — so unlike PERMISSIVE (which keeps
+    the partial parse: a %7 line's price still counts), the %7 lines'
+    valid prices are LOST here. The oracle recomputes the kept set
+    from the clean source (%7≠0 AND %13≠0) — n_dropped is the
+    evidence PERMISSIVE keeps and this mode erases, which is why the
+    PERMISSIVE sibling is the recommended ingest posture and this op
+    is the measured warning label.
+
+    Scale shape: text write + schema'd CSV scan, both
+    partition-parallel; one global audit row + one text-count scan.
+    At 100 TB this is two distributed scans, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.col("o_orderkey").cast("string"),
+        )
+        .when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(
+                F.lit("bad"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(","),
+                F.col("o_totalprice").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(","),
+                F.col("o_totalprice").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    path = _scoped_scratch(spark, "orders_dirty_csv_dm")
+    lines.write.mode("overwrite").text(path)
+    total = spark.read.text(path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines_written")
+    )
+    back = (
+        spark.read.schema("k long, price double")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    kept = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum("k"), F.lit(0))
+        .cast("long")
+        .alias("keys_sum_kept"),
+        F.coalesce(
+            F.sum(F.floor(F.col("price") * 100 + F.lit(0.5))), F.lit(0)
+        )
+        .cast("long")
+        .alias("price_cents_kept"),
+    )
+    return total.crossJoin(kept).select(
+        "n_lines_written",
+        "n_kept",
+        (F.col("n_lines_written") - F.col("n_kept"))
+        .cast("long")
+        .alias("n_dropped"),
+        "keys_sum_kept",
+        "price_cents_kept",
+    )

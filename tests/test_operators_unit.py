@@ -479,6 +479,69 @@ def test_allen_relations_all_13_classes(spark, tmp_path):
     assert out == {name: 1 for name, *_ in cases}, out
 
 
+def test_allen_band_relations_classes_and_boundaries(spark, tmp_path):
+    """The ±60s band cascade: all 13 classes hit with CLEAR-band
+    spacings, plus the boundary migrations the bands exist for — a
+    30 s gap ('before' under crisp) classifies as meets; 30 s-shifted
+    coincident spans ('overlaps' under crisp) classify as equals."""
+    import datetime
+
+    cases = [  # (relation, view_start, view_end, click_start, click_end) MINUTES
+        ("before", 0, 10, 20, 30),
+        ("after", 20, 30, 0, 10),
+        ("meets", 0, 10, 10, 20),
+        ("met_by", 10, 20, 0, 10),
+        ("equals", 0, 10, 0, 10),
+        ("starts", 0, 10, 0, 20),
+        ("started_by", 0, 20, 0, 10),
+        ("finishes", 10, 20, 0, 20),
+        ("finished_by", 0, 20, 10, 20),
+        ("during", 10, 20, 0, 30),
+        ("contains", 0, 30, 10, 20),
+        ("overlaps", 0, 20, 10, 30),
+        ("overlapped_by", 10, 30, 0, 20),
+    ]
+    base = datetime.datetime(2024, 1, 1, 8, 0, 0)
+    rows, eid, uid = [], 0, 0
+    for _, vs, ve, cs, ce in cases:
+        for typ, m in (("view", vs), ("view", ve), ("click", cs), ("click", ce)):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=m), uid, typ, 1.0, "{}")
+            )
+            eid += 1
+        uid += 1
+    # Boundary cases in SECONDS: crisp-before with a 30 s gap -> meets
+    # (|a_e - b_s| <= 60 and orderings clear the band); two 10-minute
+    # spans offset by 30 s -> equals (both endpoint pairs within band).
+    boundary = [
+        ("meets", 0, 600, 630, 1800),
+        ("equals", 0, 600, 30, 630),
+    ]
+    expected = {name: 1 for name, *_ in cases}
+    for name, vs, ve, cs, ce in boundary:
+        for typ, s in (("view", vs), ("view", ve), ("click", cs), ("click", ce)):
+            rows.append(
+                (eid, base + datetime.timedelta(seconds=s), uid, typ, 1.0, "{}")
+            )
+            eid += 1
+        uid += 1
+        expected[name] = expected.get(name, 0) + 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from presto_truffle_spark.operators.joins import (
+        join_allen_tolerance_bands,
+    )
+
+    out = {
+        r.relation: r.n_pairs
+        for r in join_allen_tolerance_bands(spark, str(tmp_path)).collect()
+    }
+    assert out == expected, (out, expected)
+
+
 def test_isotonic_trend_pava_invariants(spark, tmp_path):
     """Two PAVA invariants beyond the hand examples: a NON-DECREASING
     series is its own fit (projection idempotence on the cone), and

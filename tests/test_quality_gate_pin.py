@@ -101,6 +101,29 @@ def test_retired_unigram_delta_preserved(spark, labeled):
     )
 
 
+def test_stopword_gate_non_degenerate(spark, labeled):
+    """VERDICT r13 #6 'done' criterion: with the corpus-derived
+    stopword head (r14), text_quality_score produces a non-degenerate
+    pass/fail split on the rich fixture — through r13 the fixed
+    English list failed EVERY w###-token doc (n_passing == 0)."""
+    from pyspark.sql import functions as F
+
+    from presto_truffle_spark.operators.text import text_quality_score
+
+    out, labels, base = labeled
+    qs = text_quality_score(spark, out)
+    n_pass = qs.agg(F.sum("passes_quality")).collect()[0][0]
+    n_docs = sum(base)
+    assert 0 < n_pass < n_docs, (
+        f"degenerate gate: {n_pass}/{n_docs} pass"
+    )
+    # The stopword ratio itself must spread (not all-zero / all-one).
+    spread = qs.agg(
+        F.min("stopword_ratio"), F.max("stopword_ratio")
+    ).collect()[0]
+    assert spread[1] > spread[0] >= 0.0, spread
+
+
 def test_bigram_float_twin_parity(spark, labeled):
     """The float/exact-percentile bigram twin matches the registered
     integer-disciplined op's decision quality — the micro-nat freeze

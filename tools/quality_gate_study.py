@@ -22,9 +22,12 @@ just whether the gate's values hash-match an oracle:
     per tier. On this fixture TTR does NOT separate tiers (noise
     redraws tokens from the same Zipf head, so lexical diversity
     barely moves) — recorded honestly as a negative result.
-  * ``text_quality_score``: DEGENERATE on the rich fixture (w###
-    tokens contain no English stopwords, so every doc fails the
-    stopword band) — recorded, excluded from pins.
+  * ``text_quality_score``: was DEGENERATE on the rich fixture through
+    r13 (w### tokens contain no English stopwords, so every doc failed
+    the stopword band). r14 (VERDICT r13 #6): the gate's stopword set
+    is now the corpus's own top-K frequency head, non-degenerate on
+    both fixtures; n_passing is reported and sanity-checked in
+    tests/test_quality_gate_pin.py.
 
 Everything is hash-deterministic (seed 12) and tertile thresholds use
 EXACT percentiles, so the numbers are replays, not samples.
@@ -263,7 +266,9 @@ def study(spark, sf_dir: str, labels) -> dict:
         },
         "text_quality_score": {
             "n_passing": int(qs_pass or 0),
-            "verdict": "degenerate on w### tokens (no stopwords) — excluded from pins",
+            "verdict": "corpus-derived stopword head since r14 — "
+            "non-degenerate (was: all-fail on w### tokens with the "
+            "fixed English list)",
         },
     }
 
