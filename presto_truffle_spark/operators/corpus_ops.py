@@ -1393,3 +1393,87 @@ def corpus_curriculum_interleave(
         "within_rank",
         (below + same_rank_before + 1).alias("position"),
     )
+
+
+@query(
+    "corpus_lincoln_petersen_vocab",
+    oracle="""
+    WITH tp AS (
+        SELECT tok,
+               max(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS in_b
+        FROM (SELECT CAST(substr(source, 4) AS INTEGER) % 2 AS par,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), s AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+               CAST(sum(in_b) AS BIGINT) AS n2,
+               CAST(sum(in_a * in_b) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS observed_union
+        FROM tp
+    )
+    SELECT n1, n2, m, observed_union,
+           round(n1 * 1.0 * n2 / nullif(m, 0), 4) AS petersen_estimate,
+           round((n1 + 1.0) * (n2 + 1) / (m + 1) - 1, 4)
+               AS chapman_estimate
+    FROM s
+    """,
+)
+def corpus_lincoln_petersen_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-SAMPLE capture-recapture vocabulary estimate
+    (Lincoln-Petersen + the bias-corrected Chapman 1951 form) — the
+    paired-sample sibling of `text_chao1_vocabulary_richness` (which
+    is abundance-based on ONE sample; the r13 screen parked this op
+    until a paired-sample fixture shape existed — the source column
+    IS that shape). Capture A = the vocabulary seen by even-numbered
+    sources, capture B = odd-numbered: two independent crawls of the
+    same underlying language. n1, n2 marked-token counts, m the
+    recapture overlap; N̂_Petersen = n1·n2/m, N̂_Chapman =
+    (n1+1)(n2+1)/(m+1) − 1 (finite-sample unbiased when captures are
+    independent). Against `observed_union` the estimate says how much
+    vocabulary BOTH crawls missed — the coverage-planning artifact
+    (Chao1 answers 'how much is unseen given counts'; LP answers it
+    from two presence/absence sweeps without abundances).
+
+    Determinism: presence flags and overlaps are exact integers from
+    one (token → max-flag) fold; the only doubles are the two final
+    estimator divisions, rounded 4dp with byte-matched expression
+    shapes.
+
+    Scale shape: one map-combinable explode→groupBy(token) fold (the
+    same vocab-bounded shuffle every LM op pays), then a 1-row
+    presence fold. 100 TB-safe; output is one row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.expr("CAST(substring(source, 4) AS INT)") % 2).alias("par"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    tp = d.groupBy("tok").agg(
+        F.max(F.when(F.col("par") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("par") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    s = tp.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("observed_union"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        "observed_union",
+        F.round(
+            F.col("n1") * F.lit(1.0) * F.col("n2")
+            / F.nullif(F.col("m"), F.lit(0)),
+            4,
+        ).alias("petersen_estimate"),
+        F.round(
+            (F.col("n1") + F.lit(1.0)) * (F.col("n2") + 1)
+            / (F.col("m") + 1)
+            - 1,
+            4,
+        ).alias("chapman_estimate"),
+    )

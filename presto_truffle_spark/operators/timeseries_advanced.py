@@ -3887,3 +3887,69 @@ def events_max_revenue_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dev_scaled").cast("long").alias("excess_cents_x_days"),
         )
     )
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n_days, n_events,
+           round((n_days * sum_sq - n_events * n_events) * 1.0
+                 / (n_days * n_events), 6) AS fano_factor
+    FROM s
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS profile: the Fano factor (index of dispersion,
+    variance/mean of daily counts) per event type — the standard
+    traffic diagnostic separating Poisson-like arrivals (F ≈ 1) from
+    bursty (F > 1, variance-dominated: campaign spikes, batch
+    replays) and regular (F < 1, rate-limited) streams; downstream it
+    picks between fixed and burst-aware capacity planning the same
+    way `profile_key_skew` picks the salt factor. Population form
+    over the (type × day) grid: F = (n·Σc² − (Σc)²) / (n·Σc) — the
+    fixture's grid has zero gap days (probed r13, recorded in
+    FIXTURES.md), so no zero-fill is needed; on a gappy corpus the
+    day grid would first left-join a calendar spine (the
+    `sql_recursive_cte` machinery).
+
+    Determinism: daily counts, their squares, and both folds are
+    exact BIGINTs; the single double division is rounded 6dp with the
+    expression shape byte-matched across engines.
+
+    Scale shape: one map-combinable count to the calendar-bounded
+    (type × day) grid, then a per-type fold of that grid — nothing
+    downstream of the first count is event-volume. 100 TB-safe."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        "n_events",
+        F.round(
+            (
+                F.col("n_days") * F.col("sum_sq")
+                - F.col("n_events") * F.col("n_events")
+            )
+            * 1.0
+            / (F.col("n_days") * F.col("n_events")),
+            6,
+        ).alias("fano_factor"),
+    )

@@ -214,6 +214,13 @@ _CASES = [
     ("source_csv_permissive_corrupt", 1),  # ungrouped audit row (0s)
     ("quality_l_diversity", 0),  # empty join -> no classes
     ("events_isotonic_daily_trend", 0),  # empty day grid -> no fit
+    # r14 additions
+    ("matching_multibyte_edit_distance", 0),  # no parts -> no pairs
+    ("source_csv_dropmalformed", None),  # empty text write: engine-
+    # semantics question (no files to read back); contract = no crash
+    ("join_allen_tolerance_bands", 0),  # no spans -> no pairs
+    ("corpus_lincoln_petersen_vocab", 1),  # ungrouped presence fold
+    ("events_burstiness_fano", 0),  # empty grid -> no types
 ]
 
 
