@@ -1326,3 +1326,73 @@ def test_csv_ts_format_dialects_pinned(spark, tmp_path):
     ).fetchone()
     expect = (1, datetime.datetime(2024, 2, 29, 13, 5, 30))
     assert tuple(s) == d == expect, (tuple(s), d)
+
+
+def test_month_sequence_anchor_vs_sticky_clamp_pinned(spark):
+    """r14 probe, the 64th family's fork: month-interval sequence
+    stepping from a month-end anchor. Spark anchors every element to
+    the ORIGINAL day-of-month (per-element one-shot addition), DuckDB's
+    generate_series steps cumulatively from the previous element —
+    once clamped, forever clamped. OPPOSITE values from element 3 on:
+    Jan 31 → Feb 29 → [Mar 31 vs Mar 29] → [Apr 30 vs Apr 29]."""
+    s = spark.sql(
+        "SELECT transform(sequence(TIMESTAMP_NTZ'2024-01-31 00:00:00', "
+        "TIMESTAMP_NTZ'2024-04-30 00:00:00', INTERVAL 1 MONTH), "
+        "x -> CAST(x AS STRING)) AS q"
+    ).collect()[0].q
+    assert s == [
+        "2024-01-31 00:00:00",
+        "2024-02-29 00:00:00",
+        "2024-03-31 00:00:00",
+        "2024-04-30 00:00:00",
+    ], s
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT list_transform(generate_series("
+        "TIMESTAMP'2024-01-31', TIMESTAMP'2024-04-30', "
+        "INTERVAL 1 MONTH), x -> strftime(x, '%Y-%m-%d %H:%M:%S'))"
+    ).fetchone()[0]
+    assert d == [
+        "2024-01-31 00:00:00",
+        "2024-02-29 00:00:00",
+        "2024-03-29 00:00:00",  # sticky clamp — diverges from Spark
+        "2024-04-29 00:00:00",
+    ], d
+    # The family's twin recipe: per-index ONE-SHOT addition from the
+    # anchor replicates Spark's semantics exactly in DuckDB.
+    twin = con.execute(
+        "SELECT list_transform(list_filter(range(0, 4), i -> "
+        "TIMESTAMP'2024-01-31' + i * INTERVAL 1 MONTH "
+        "<= TIMESTAMP'2024-04-30'), i -> strftime("
+        "TIMESTAMP'2024-01-31' + i * INTERVAL 1 MONTH, "
+        "'%Y-%m-%d %H:%M:%S'))"
+    ).fetchone()[0]
+    assert twin == s, (twin, s)
+
+
+def test_map_concat_duplicate_key_policy_pinned(spark):
+    """r14 probe: map_concat with a duplicated key. Spark's default
+    mapKeyDedupPolicy=EXCEPTION ERRORS (DUPLICATED_MAP_KEY); DuckDB's
+    map_concat silently merges last-wins. Under LAST_WIN Spark matches
+    DuckDB — a CONF-dependent parity, which is why no fuzz family
+    builds on this surface (the default diverges by erroring)."""
+    import pytest as _pytest
+
+    q = (
+        "SELECT map_concat(map('a', 1, 'b', 2), map('b', 9)) AS m"
+    )
+    with _pytest.raises(Exception, match="DUPLICATED_MAP_KEY"):
+        spark.sql(q).collect()
+    old = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        m = spark.sql(q).collect()[0].m
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+    assert m == {"a": 1, "b": 9}, m
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT map_concat(MAP{'a': 1, 'b': 2}, MAP{'b': 9})"
+    ).fetchone()[0]
+    # duckdb's python client renders MAP as {'key': [...], 'value': [...]}
+    assert dict(zip(d["key"], d["value"])) == {"a": 1, "b": 9}, d

@@ -2633,6 +2633,83 @@ _CSV_TS_FORMATS = [
 ]
 
 
+def run_ts_seq_anchor_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Month-interval SEQUENCE stepping (r14, 64th) — the fresh shared
+    surface the r14 probe found: Spark `sequence(ts, stop, INTERVAL n
+    MONTH)` anchors every element to the ORIGINAL day-of-month
+    (Jan 31 → Feb 29 → Mar 31: per-element one-shot addition from the
+    anchor), while DuckDB `generate_series(ts, stop, INTERVAL n
+    MONTH)` steps CUMULATIVELY from the previous element — once
+    clamped, forever clamped (Jan 31 → Feb 29 → Mar 29). OPPOSITE
+    element values on any month-end anchor (pinned in
+    test_month_sequence_anchor_vs_sticky_clamp_pinned). The DuckDB
+    twin therefore replicates Spark's anchor semantics with
+    list_filter/list_transform over an index range: element i =
+    anchor + (i·step) months as ONE addition — single-shot month
+    addition agrees between engines (the month_interval family's
+    pinned surface). Anchors are biased toward day 26–31 so the clamp
+    actually engages; both ascending and descending sequences run."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_sq")
+    y = "(2018 + abs(coalesce(m1, 0)) % 12)"
+    mo = "(1 + abs(coalesce(m2, 0)) % 12)"
+    if rng.random() < 0.5:
+        d_raw = f"(26 + abs(coalesce(m3, 0)) % 6)"  # clamp-engaging band
+    else:
+        d_raw = f"(1 + abs(coalesce(m3, 0)) % 28)"
+    # Valid-by-construction day: clamp to the month's length (identical
+    # spelling on both engines; make_date errors on invalid days).
+    day_s = f"least({d_raw}, day(last_day(make_date({y}, {mo}, 1))))"
+    h = "(abs(coalesce(m2, 0)) % 24)"
+    step = rng.randint(1, 3)
+    n = rng.randint(3, 8)
+    span = step * n
+    exprs = []
+    for i in range(rng.randint(1, 2)):
+        desc = rng.random() < 0.3
+        if desc:
+            s = (
+                f"transform(sequence(make_timestamp_ntz({y}, {mo}, {day_s}, {h}, 0, 0), "
+                f"make_timestamp_ntz({y}, {mo}, {day_s}, {h}, 0, 0) - INTERVAL {span} MONTH, "
+                f"INTERVAL -{step} MONTH), x -> CAST(x AS STRING))"
+            )
+            d_ = (
+                f"list_transform(list_filter(range(0, {n} + 1), i -> "
+                f"make_timestamp({y}, {mo}, {day_s}, {h}, 0, 0.0) - (i*{step}) * INTERVAL 1 MONTH >= "
+                f"make_timestamp({y}, {mo}, {day_s}, {h}, 0, 0.0) - INTERVAL {span} MONTH), "
+                f"i -> strftime(make_timestamp({y}, {mo}, {day_s}, {h}, 0, 0.0) "
+                f"- (i*{step}) * INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S'))"
+            )
+        else:
+            s = (
+                f"transform(sequence(make_timestamp_ntz({y}, {mo}, {day_s}, {h}, 0, 0), "
+                f"make_timestamp_ntz({y}, {mo}, {day_s}, {h}, 0, 0) + INTERVAL {span} MONTH, "
+                f"INTERVAL {step} MONTH), x -> CAST(x AS STRING))"
+            )
+            d_ = (
+                f"list_transform(list_filter(range(0, {n} + 1), i -> "
+                f"make_timestamp({y}, {mo}, {day_s}, {h}, 0, 0.0) + (i*{step}) * INTERVAL 1 MONTH <= "
+                f"make_timestamp({y}, {mo}, {day_s}, {h}, 0, 0.0) + INTERVAL {span} MONTH), "
+                f"i -> strftime(make_timestamp({y}, {mo}, {day_s}, {h}, 0, 0.0) "
+                f"+ (i*{step}) * INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S'))"
+            )
+        exprs.append((
+            f"array_join({s}, ',') AS sq{i}",
+            f"array_to_string({d_}, ',') AS sq{i}",
+        ))
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_csv_ts_format_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -4198,6 +4275,8 @@ _CORE_FAMILIES = [
     ("from_json_mismatch", 0.015),
     ("make_date", 0.015),
     ("csv_ts_format", 0.015),
+    # --- r14 families ---
+    ("ts_seq_anchor", 0.015),
     ("base_agg", 0.03),
 ]
 
