@@ -2545,12 +2545,16 @@ def corpus_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision).
 
     Determinism discipline (three layers, unchanged): (1) per-doc
-    scores never sum floats — each (c_bi, c_prev, c_uni) class's
-    log-prob is frozen ONCE as an integer micro-nat, so per-doc folds
-    are exact BIGINT sums of (instance-count × micro-nat); each doc's
-    FIRST token scores under the pure add-one unigram (the bigram op's
-    convention, mirrored exactly); (2) the per-doc normalization is
-    ONE double division rounded to integer micro-nats; (3) tertile
+    scores never sum floats — every bigram INSTANCE's log-prob is an
+    integer micro-nat before any fold (ln over identical integer
+    (c_bi, c_prev, c_uni) inputs is deterministic, so all instances
+    of a class carry the same integer and the BIGINT per-doc sum is
+    order-free; the r4–r13 class-distinct freeze bought no extra
+    determinism and was fused away in r14 — 4 fewer shuffles,
+    value-identical); each doc's FIRST token scores under the pure
+    add-one unigram (the bigram op's convention, mirrored exactly);
+    (2) the per-doc normalization is ONE double division rounded to
+    integer micro-nats; (3) tertile
     thresholds come from the bucketed-rank discipline — a ≤1e4-bucket
     histogram of quantized scores with integer cumulative-count
     comparisons (cum·3 ≥ n, ≥ 2n) — never a global ntile sort.
@@ -2620,19 +2624,37 @@ def ccnet_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cuni").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("v"),
     )
-    doc_bi = (
-        d.select("doc_id", F.explode(bigrams).alias("b"))
-        .groupBy(
-            "doc_id",
-            F.col("b.prev").alias("prev"),
-            F.col("b.cur").alias("cur"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # Per-INSTANCE integer micro-nats (r14 fusion, value-identical to
+    # the per-class freeze: ln over identical integer inputs is
+    # deterministic, so every instance of a (cbi, cprev, cuni) class
+    # carries the same integer li, and the BIGINT per-doc fold is
+    # order-free — the class-distinct + rejoin machinery bought no
+    # extra determinism, only ~4 shuffles). Training counts are
+    # vocab²-bounded tables joined on their natural keys (AQE
+    # broadcasts the small sides) — never collected, never all-pairs.
+    doc_bi = d.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id",
+        F.col("b.prev").alias("prev"),
+        F.col("b.cur").alias("cur"),
     )
-    # Per-(doc, class) fold: training counts are vocab²-bounded tables
-    # joined on their natural keys (AQE broadcasts the small sides) —
-    # never collected, never all-pairs.
-    bi_cls = (
+    floor = (
+        F.lit(0.3)
+        * (F.coalesce("cuni", F.lit(0)) + 1)
+        / (F.col("n") + F.col("v") + F.lit(1.0))
+    )
+    bi_li = F.round(
+        F.log(
+            F.when(
+                F.coalesce("cprev", F.lit(0)) > 0,
+                F.lit(0.7)
+                * F.coalesce("cbi", F.lit(0))
+                / F.coalesce("cprev", F.lit(0)),
+            ).otherwise(F.lit(0.0))
+            + floor
+        )
+        * 1000000
+    ).cast("long")
+    doc_bi_sum = (
         doc_bi.join(tr_bi, ["prev", "cur"], "left")
         .join(tr_ctx, "prev", "left")
         .join(
@@ -2640,75 +2662,25 @@ def ccnet_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cur",
             "left",
         )
-        .groupBy(
-            "doc_id",
-            F.coalesce("cbi", F.lit(0)).alias("cbi"),
-            F.coalesce("cprev", F.lit(0)).alias("cprev"),
-            F.coalesce("cuni", F.lit(0)).alias("cuni"),
-        )
-        .agg(F.sum("m").cast("long").alias("m"))
-    )
-    bi_cls = scoped_persist(spark, "corpus.ccnet.bicls", bi_cls)
-    floor = (
-        F.lit(0.3)
-        * (F.col("cuni") + 1)
-        / (F.col("n") + F.col("v") + F.lit(1.0))
-    )
-    bi_li = (
-        bi_cls.select("cbi", "cprev", "cuni")
-        .distinct()
         .crossJoin(F.broadcast(tstat))
-        .select(
-            "cbi",
-            "cprev",
-            "cuni",
-            F.round(
-                F.log(
-                    F.when(
-                        F.col("cprev") > 0,
-                        F.lit(0.7) * F.col("cbi") / F.col("cprev"),
-                    ).otherwise(F.lit(0.0))
-                    + floor
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("li"),
-        )
-    )
-    fi_cls = (
-        d.select("doc_id", F.element_at("toks", 1).alias("tok"))
-        .join(tr_uni, "tok", "left")
-        .select("doc_id", F.coalesce("cuni", F.lit(0)).alias("cuni"))
-    )
-    fi_li = (
-        fi_cls.select("cuni")
-        .distinct()
-        .crossJoin(F.broadcast(tstat))
-        .select(
-            "cuni",
-            F.round(
-                F.log(
-                    (F.col("cuni") + 1)
-                    / (F.col("n") + F.col("v") + F.lit(1.0))
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("li"),
-        )
-    )
-    doc_bi_sum = (
-        bi_cls.join(bi_li, ["cbi", "cprev", "cuni"])
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("m") * F.col("li")).cast("long").alias("sum_li"),
-            F.sum("m").cast("long").alias("mb"),
+            F.sum(bi_li).cast("long").alias("sum_li"),
+            F.count(F.lit(1)).cast("long").alias("mb"),
         )
     )
+    fi_li = F.round(
+        F.log(
+            (F.coalesce("cuni", F.lit(0)) + 1)
+            / (F.col("n") + F.col("v") + F.lit(1.0))
+        )
+        * 1000000
+    ).cast("long")
     scored = (
-        fi_cls.join(fi_li, "cuni")
-        .select("doc_id", F.col("li").alias("fi_li"))
+        d.select("doc_id", F.element_at("toks", 1).alias("tok"))
+        .join(tr_uni, "tok", "left")
+        .crossJoin(F.broadcast(tstat))
+        .select("doc_id", fi_li.alias("fi_li"))
         .join(doc_bi_sum, "doc_id", "left")
         .select(
             "doc_id",
