@@ -1396,3 +1396,32 @@ def test_map_concat_duplicate_key_policy_pinned(spark):
     ).fetchone()[0]
     # duckdb's python client renders MAP as {'key': [...], 'value': [...]}
     assert dict(zip(d["key"], d["value"])) == {"a": 1, "b": 9}, d
+
+
+def test_sort_array_null_placement_divergence_pinned(spark):
+    """r14 probe: default null placement in array sorting FORKS —
+    Spark sort_array ascends NULLS FIRST, DuckDB list_sort defaults
+    NULLS LAST. The hof family's sort comparisons never trip on it
+    because both engines' join-to-string (array_join /
+    array_to_string) SKIP null elements (also pinned here). Mirroring
+    rule: a cross-engine oracle that compares sorted arrays
+    element-wise must pass list_sort(arr, 'ASC', 'NULLS FIRST') on
+    the DuckDB side (matches Spark) or strip nulls first."""
+    s = spark.sql(
+        "SELECT sort_array(array(3, NULL, 1)) AS a"
+    ).collect()[0].a
+    assert s == [None, 1, 3], s
+    con = duckdb.connect()
+    d = con.execute("SELECT list_sort([3, NULL, 1])").fetchone()[0]
+    assert d == [1, 3, None], d  # NULLS LAST — diverges from Spark
+    d2 = con.execute(
+        "SELECT list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST')"
+    ).fetchone()[0]
+    assert d2 == [None, 1, 3], d2  # explicit order restores parity
+    # Join-to-string skips nulls on BOTH engines — the masking both
+    # the hof family and any join-canonicalized oracle rely on.
+    sj = spark.sql(
+        "SELECT array_join(array(NULL, 1), ',')"
+    ).collect()[0][0]
+    dj = con.execute("SELECT array_to_string([NULL, 1], ',')").fetchone()[0]
+    assert sj == dj == "1", (sj, dj)
