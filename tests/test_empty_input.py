@@ -221,6 +221,7 @@ _CASES = [
     ("join_allen_tolerance_bands", 0),  # no spans -> no pairs
     ("corpus_lincoln_petersen_vocab", 1),  # ungrouped presence fold
     ("events_burstiness_fano", 0),  # empty grid -> no types
+    ("join_dynamic_partition_pruning", 0),  # empty dim -> no partitions
 ]
 
 

@@ -1290,3 +1290,19 @@ def test_dispersion_topk_uses_take_ordered(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir):
+    """join_dynamic_partition_pruning (r14) must plan a RUNTIME
+    dynamicpruningexpression in the partitioned fact scan's
+    PartitionFilters — the dim filter is an aggregate attribute
+    (years >= 80% of mean volume), so static constraint propagation
+    CANNOT fold it; if this assertion fails, either DPP got disabled
+    or the dim filter became statically inferable and the op no
+    longer demonstrates the 100 TB mechanism it exists for."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["join_dynamic_partition_pruning"](spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    assert "dynamicpruning" in plan.split("PartitionFilters", 1)[1][:300]
