@@ -1425,3 +1425,50 @@ def test_sort_array_null_placement_divergence_pinned(spark):
     ).collect()[0][0]
     dj = con.execute("SELECT array_to_string([NULL, 1], ',')").fetchone()[0]
     assert sj == dj == "1", (sj, dj)
+
+
+def test_regr_degenerate_group_fork_pinned(spark):
+    """r14 probe, the 65th family's excluded edge: on a zero-variance
+    (constant-x or constant-y) DOUBLE group, `corr` is the fork —
+    Spark ANSI raises DIVIDE_BY_ZERO where DuckDB returns NULL. The
+    regr_* aggregates themselves AGREE even degenerate: constant-x →
+    NULL slope/intercept/r2 on both; constant-y → slope 0.0 and the
+    r2 = 1.0 'perfect horizontal fit' convention on BOTH engines.
+    (DECIMAL literals behave differently again — Spark's decimal path
+    NULLs where the double path errors — the family fixes input type
+    to DOUBLE.) Single-row and empty groups are NULL everywhere. The
+    generator guarantees per-group x and y spread so corr is safe to
+    fuzz alongside the regr battery."""
+    import pytest as _pytest
+
+    constx = "(VALUES (2.0D, 1.0D), (2.0D, 5.0D)) AS t(x, y)"
+    consty = "(VALUES (1.0D, 3.0D), (2.0D, 3.0D)) AS t(x, y)"
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql(f"SELECT corr(x, y) FROM {constx}").collect()
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql(f"SELECT corr(x, y) FROM {consty}").collect()
+    sx = spark.sql(
+        "SELECT regr_slope(y, x), regr_intercept(y, x), regr_r2(y, x) "
+        f"FROM {constx}"
+    ).collect()[0]
+    assert tuple(sx) == (None, None, None), sx
+    sy = spark.sql(
+        f"SELECT regr_slope(y, x), regr_r2(y, x) FROM {consty}"
+    ).collect()[0]
+    assert tuple(sy) == (0.0, 1.0), sy
+    one = spark.sql(
+        "SELECT regr_slope(y, x), regr_r2(y, x), corr(x, y) "
+        "FROM (VALUES (1.0D, 2.0D)) AS t(x, y)"
+    ).collect()[0]
+    assert tuple(one) == (None, None, None), one
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT regr_slope(y, x), regr_r2(y, x), corr(x, y) "
+        "FROM (VALUES (2.0, 1.0), (2.0, 5.0)) t(x, y)"
+    ).fetchone()
+    assert d == (None, None, None), d  # corr NULL — the Spark fork
+    d2 = con.execute(
+        "SELECT regr_slope(y, x), regr_r2(y, x), corr(x, y) "
+        "FROM (VALUES (1.0, 3.0), (2.0, 3.0)) t(x, y)"
+    ).fetchone()
+    assert d2 == (0.0, 1.0, None), d2  # r2=1.0 convention SHARED

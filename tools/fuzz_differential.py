@@ -2710,6 +2710,83 @@ def run_ts_seq_anchor_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_regr_battery_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """SQL:2016 linear-regression aggregate battery (r14, 65th):
+    regr_slope/intercept/r2/count/avgx/avgy/sxx/syy/sxy + corr +
+    covar_samp/covar_pop — IDENTICAL SQL text on both engines, values
+    agreeing to ~1e-13 (different accumulation orders), canonicalized
+    by micro-unit floor. NULL on EITHER coordinate skips the pair on
+    both engines (probed). Zero-variance groups are excluded BY
+    CONSTRUCTION — x strictly increasing, rows 0/1 anchor two
+    distinct y per group — because `corr` FORKS there (Spark ANSI
+    DIVIDE_BY_ZERO vs DuckDB NULL); the regr_* aggregates themselves
+    agree even degenerate, including the shared r2 = 1.0 constant-y
+    convention (pinned in test_regr_degenerate_group_fork_pinned)."""
+    # 0.3-step grids, NOT 0.25: binary-exact quarter inputs make the
+    # statistics land EXACTLY on decimal half-points (two seeds found
+    # sxy = -1988.2890625 and covar = -114.66406250000001-vs-exact),
+    # where no fixed canonicalization can absorb the engines' ~1-ulp
+    # accumulation differences; binary-INEXACT steps push every
+    # landing off the boundary by ≫ 1 ulp.
+    groups = ["a", "b"][: rng.randint(1, 2)]
+    rows = []
+    for gi, g in enumerate(groups):
+        n = rng.randint(2, 25)
+        slope = rng.choice([0, 1, 2, -1])
+        for i in range(n):
+            x = i * 0.3 + gi * 0.1
+            if i == 0:
+                y = 0.0
+            elif i == 1:
+                y = 1000.3
+            elif rng.random() < 0.15:
+                y = None
+            else:
+                y = rng.randint(-40, 40) * 0.3 + x * slope
+            rows.append((g, x, y))
+    path = os.path.join(tmp, f"fuzz_{case_id}_rg.parquet")
+    spark.createDataFrame(
+        rows, "g string, x double, y double"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    # Canonicalization: micro-unit floor (CAST(floor(v·1e6 + 0.5) AS
+    # BIGINT)) instead of round(v, 6) — quarter-grid inputs make the
+    # statistics land EXACTLY on decimal half-points (sxy =
+    # -1988.2890625 found by seed 180000+20), where the engines'
+    # round() half-modes fork; floor over the identical IEEE product
+    # is bit-deterministic on both engines (the repo's
+    # floor(price·100+0.5) cents precedent).
+    def mu(e):
+        return f"CAST(floor(({e}) * 1000000 + 0.5) AS BIGINT)"
+
+    fns = [
+        mu("regr_slope(y, x)"),
+        mu("regr_intercept(y, x)"),
+        mu("regr_r2(y, x)"),
+        "CAST(regr_count(y, x) AS BIGINT)",
+        mu("CAST(regr_avgx(y, x) AS DOUBLE)"),
+        mu("CAST(regr_avgy(y, x) AS DOUBLE)"),
+        mu("regr_sxx(y, x)"),
+        mu("regr_syy(y, x)"),
+        mu("regr_sxy(y, x)"),
+        mu("corr(x, y)"),
+        mu("covar_samp(x, y)"),
+        mu("covar_pop(x, y)"),
+    ]
+    picked = rng.sample(fns, rng.randint(2, 4))
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(picked))
+    if rng.random() < 0.5:
+        sql = f"SELECT g, {sel} FROM t GROUP BY g"
+    else:
+        sql = f"SELECT {sel} FROM t"
+    return _compare(spark.sql(sql), con, sql)
+
+
 def run_csv_ts_format_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -4277,6 +4354,7 @@ _CORE_FAMILIES = [
     ("csv_ts_format", 0.015),
     # --- r14 families ---
     ("ts_seq_anchor", 0.015),
+    ("regr_battery", 0.015),
     ("base_agg", 0.03),
 ]
 
