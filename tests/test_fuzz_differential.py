@@ -1472,3 +1472,27 @@ def test_regr_degenerate_group_fork_pinned(spark):
         "FROM (VALUES (1.0, 3.0), (2.0, 3.0)) t(x, y)"
     ).fetchone()
     assert d2 == (0.0, 1.0, None), d2  # r2=1.0 convention SHARED
+
+
+def test_argminmax_null_value_fork_pinned(spark):
+    """r14 probe, the 66th family's fork: when the extremal-ordering
+    row's VALUE argument is NULL, Spark min_by/max_by return that NULL
+    (the row wins, its value is the answer) while DuckDB
+    arg_min/arg_max SKIP null-valued rows and answer from the best
+    surviving row. Wrapping the value in a struct (never NULL) on the
+    DuckDB side replicates Spark exactly — the family's twin recipe.
+    Both engines agree on skipping NULL ORDERING keys."""
+    rows = "(VALUES ('a', 3, 10), ('b', 1, 20), ('c', NULL, 5), ('d', 7, NULL))"
+    s = spark.sql(
+        f"SELECT max_by(w, o), min_by(s, o) FROM {rows} AS t(s, o, w)"
+    ).collect()[0]
+    assert tuple(s) == (None, "b"), s  # max-o row ('d') has NULL w
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT arg_max(w, o), arg_min(s, o) FROM {rows} t(s, o, w)"
+    ).fetchone()
+    assert d == (10, "b"), d  # DuckDB skipped the NULL-w winner
+    twin = con.execute(
+        f"SELECT (arg_max({{'w': w}}, o)).w FROM {rows} t(s, o, w)"
+    ).fetchone()[0]
+    assert twin is None  # struct wrap restores Spark's semantics

@@ -2787,6 +2787,61 @@ def run_regr_battery_case(
     return _compare(spark.sql(sql), con, sql)
 
 
+def run_argminmax_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """min_by/max_by ≡ arg_min/arg_max battery (r14, 66th). Ordering
+    keys are UNIQUE among non-nulls by construction (extremal-row
+    selection is only differential-testable when the winner is
+    unambiguous) and NULL ordering keys are skipped by BOTH engines
+    (probed). The pinned fork this family mirrors around
+    (test_argminmax_null_value_fork_pinned): when the WINNING row's
+    value argument is NULL, Spark returns that NULL, while DuckDB's
+    arg_min/arg_max skip null-valued rows and answer from the best
+    surviving row — the DuckDB twin wraps the value in a struct
+    (never NULL) and extracts after, replicating Spark exactly."""
+    groups = ["a", "b", "c"][: rng.randint(1, 3)]
+    rows, o_seq = [], list(range(200))
+    rng.shuffle(o_seq)
+    k = 0
+    for g in groups:
+        n = rng.randint(1, 20)
+        for i in range(n):
+            o = o_seq[k]
+            k += 1
+            if i > 0 and rng.random() < 0.15:
+                o = None
+            s = f"s{rng.randint(0, 9)}"
+            w = None if rng.random() < 0.3 else rng.randint(-50, 50)
+            rows.append((g, s, o, w))
+    path = os.path.join(tmp, f"fuzz_{case_id}_am.parquet")
+    spark.createDataFrame(
+        rows, "g string, s string, o long, w long"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("t")
+    con.execute(
+        f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{path}/*.parquet'"
+    )
+    pairs = [
+        ("min_by(s, o)", "arg_min(s, o)"),
+        ("max_by(s, o)", "arg_max(s, o)"),
+        ("min_by(w, o)", "(arg_min({'w': w}, o)).w"),
+        ("max_by(w, o)", "(arg_max({'w': w}, o)).w"),
+        # (w as the ORDERING key is deliberately absent: w repeats, and
+        # tie-broken extremal selection is nondeterministic on Spark.)
+    ]
+    picked = rng.sample(pairs, rng.randint(2, len(pairs)))
+    sel_s = ", ".join(f"{p[0]} AS e{i}" for i, p in enumerate(picked))
+    sel_d = ", ".join(f"{p[1]} AS e{i}" for i, p in enumerate(picked))
+    if rng.random() < 0.5:
+        ssql = f"SELECT g, {sel_s} FROM t GROUP BY g"
+        dsql = f"SELECT g, {sel_d} FROM t GROUP BY g"
+    else:
+        ssql = f"SELECT {sel_s} FROM t"
+        dsql = f"SELECT {sel_d} FROM t"
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_csv_ts_format_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -4355,6 +4410,7 @@ _CORE_FAMILIES = [
     # --- r14 families ---
     ("ts_seq_anchor", 0.015),
     ("regr_battery", 0.015),
+    ("argminmax", 0.015),
     ("base_agg", 0.03),
 ]
 
