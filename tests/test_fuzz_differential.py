@@ -1496,3 +1496,29 @@ def test_argminmax_null_value_fork_pinned(spark):
         f"SELECT (arg_max({{'w': w}}, o)).w FROM {rows} t(s, o, w)"
     ).fetchone()[0]
     assert twin is None  # struct wrap restores Spark's semantics
+
+
+def test_math_domain_error_convention_fork_pinned(spark):
+    """r14 probe: out-of-domain math inputs FORK by error convention —
+    Spark follows the SQL NULL-on-domain-error style (ln/log10 of
+    non-positive → NULL; sqrt of negative → NaN) while DuckDB raises
+    Out of Range. Mirroring rule: any oracle feeding ln/log/sqrt must
+    guard the domain identically on both sides (every registered op
+    already does — ln(c+1), ln of counts, sqrt of variances); no fuzz
+    family emits unguarded domain-crossing inputs. Footnote fork,
+    same probe: sign(-0.0) is -0.0 on Spark, integer 0 on DuckDB."""
+    import math
+
+    s = spark.sql(
+        "SELECT ln(-1.0D), ln(0.0D), log10(0.0D), sqrt(-1.0D)"
+    ).collect()[0]
+    assert s[0] is None and s[1] is None and s[2] is None, tuple(s)
+    assert math.isnan(s[3]), s[3]
+    con = duckdb.connect()
+    import pytest as _pytest
+
+    for q in ("SELECT ln(-1.0)", "SELECT ln(0.0)", "SELECT sqrt(-1.0)"):
+        with _pytest.raises(Exception, match="Out of Range"):
+            con.execute(q).fetchone()
+    assert str(spark.sql("SELECT sign(-0.0D)").collect()[0][0]) == "-0.0"
+    assert con.execute("SELECT sign(-0.0)").fetchone()[0] == 0
