@@ -3953,3 +3953,192 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano_factor"),
     )
+
+
+# R/S analysis scales (days). The fixture's event span is 30 days, so
+# the dyadic ladder is {3, 5, 10} — complete blocks 10/6/3; on a real
+# multi-year stream the list extends (the machinery is scale-count
+# bounded, never data bounded).
+_HURST_SCALES = (3, 5, 10)
+
+
+@query(
+    "events_hurst_rescaled_range",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), d0 AS (
+        SELECT min(day) AS dmin FROM daily
+    ), d AS (
+        SELECT CAST(day - dmin AS BIGINT) AS i, x
+        FROM daily CROSS JOIN d0
+    ), sc AS (
+        SELECT unnest(ARRAY{list(_HURST_SCALES)}) AS s
+    ), g AS (
+        SELECT s, i // s AS b, i, x FROM d CROSS JOIN sc
+    ), blk AS (
+        SELECT s, b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM g GROUP BY 1, 2
+    ), cb AS (
+        SELECT s, b, sx, s * sxx - sx * sx AS m
+        FROM blk WHERE n = s AND s * sxx - sx * sx > 0
+    ), dev AS (
+        SELECT g.s, g.b,
+               CAST(sum(g.x * g.s - cb.sx)
+                    OVER (PARTITION BY g.s, g.b ORDER BY g.i)
+                    AS BIGINT) AS y,
+               cb.m
+        FROM g JOIN cb ON cb.s = g.s AND cb.b = g.b
+    ), rs AS (
+        SELECT s, b,
+               CAST(round(ln((max(y) - min(y)) / sqrt(CAST(max(m) AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS ln_rs_micro
+        FROM dev GROUP BY s, b
+        HAVING max(y) - min(y) > 0
+    ), per_scale AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(ln_rs_micro) AS BIGINT) AS sum_y,
+               CAST(round(ln(s) * 1000000) AS BIGINT) AS ls
+        FROM rs GROUP BY s
+    ), fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ls) AS BIGINT) AS sl,
+               CAST(sum(sum_y // n_blocks) AS BIGINT) AS sy,
+               CAST(sum(ls * (sum_y // n_blocks)) AS BIGINT) AS sly,
+               CAST(sum(ls * ls) AS BIGINT) AS sll
+        FROM per_scale
+    )
+    SELECT CAST(s AS BIGINT) AS scale_days, n_blocks,
+           CAST(sum_y // n_blocks AS BIGINT) AS mean_ln_rs_micro,
+           round((k * sly - sl * sy) * 1.0 / (k * sll - sl * sl), 6)
+               AS hurst_estimate
+    FROM per_scale CROSS JOIN fit
+    """,
+)
+def events_hurst_rescaled_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HURST EXPONENT via rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) over daily revenue — the long-range-
+    dependence diagnostic none of the existing time-series ops cover
+    (autocorrelation sees one lag; CUSUM sees level shifts; R/S sees
+    PERSISTENCE: H > 0.5 = trending/momentum, H ≈ 0.5 = random walk,
+    H < 0.5 = mean-reverting), which decides whether naive day-ahead
+    capacity extrapolation is defensible. Per scale s: the day grid
+    splits into complete s-day blocks; within each block the running
+    cumulative deviation from the block mean gives the range R, the
+    block's population σ gives S, and H is the OLS slope of
+    E[ln(R/S)] against ln(s).
+
+    Determinism discipline (the stats-suite pattern): daily revenue is
+    exact integer cents; deviations are computed ×s so block running
+    sums stay exact BIGINTs (x·s − Σx); R_scaled = max−min is integer;
+    R/S = R_scaled/√(s·Σx² − (Σx)²) needs ONE sqrt + ONE ln per block,
+    frozen immediately as integer micro-nats (round(ln·1e6) — the LM
+    family's proven cross-libm envelope); per-scale means and the OLS
+    slope fold exact integers (the ≤|scales|-row fit frame), with the
+    single final division rounded 6dp. Degenerate blocks (zero
+    variance or zero range) are excluded identically on both engines.
+
+    Scale shape: one map-combinable fold to the calendar-bounded day
+    grid, a ×|scales| grid expansion, per-(scale, block) windows over
+    ≤max(scale) rows, and a ≤|scales|-row fit — nothing downstream of
+    the first fold is event-volume. 100 TB-safe."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("x")
+    )
+    d0 = daily.agg(F.min("day").alias("dmin"))
+    d = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "dmin").cast("long").alias("i"), "x"
+    )
+    sc = spark.createDataFrame(
+        [(int(s),) for s in _HURST_SCALES], "s long"
+    )
+    g = d.crossJoin(F.broadcast(sc)).select(
+        "s", F.expr("i DIV s").alias("b"), "i", "x"
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    g = scoped_persist(spark, "events.hurst.g", g)
+    blk = g.groupBy("s", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    m = F.col("s") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cb = blk.filter((F.col("n") == F.col("s")) & (m > 0)).select(
+        "s", "b", "sx", m.alias("m")
+    )
+    dev = (
+        g.join(cb, ["s", "b"])
+        .select(
+            "s",
+            "b",
+            F.sum(F.col("x") * F.col("s") - F.col("sx"))
+            .over(
+                W.partitionBy("s", "b")
+                .orderBy("i")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            .cast("long")
+            .alias("y"),
+            "m",
+        )
+    )
+    rs = (
+        dev.groupBy("s", "b")
+        .agg(
+            (F.max("y") - F.min("y")).alias("r_scaled"),
+            F.max("m").alias("m"),
+        )
+        .filter(F.col("r_scaled") > 0)
+        .select(
+            "s",
+            F.round(
+                F.log(
+                    F.col("r_scaled")
+                    / F.sqrt(F.col("m").cast("double"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("ln_rs_micro"),
+        )
+    )
+    per_scale = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("ln_rs_micro").cast("long").alias("sum_y"),
+        F.round(F.log(F.col("s").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ls"),
+    )
+    per_scale = scoped_persist(spark, "events.hurst.ps", per_scale)
+    ymean = F.expr("sum_y DIV n_blocks")
+    fit = per_scale.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ls").cast("long").alias("sl"),
+        F.sum(ymean).cast("long").alias("sy"),
+        F.sum(F.col("ls") * ymean).cast("long").alias("sly"),
+        F.sum(F.col("ls") * F.col("ls")).cast("long").alias("sll"),
+    )
+    return per_scale.crossJoin(F.broadcast(fit)).select(
+        F.col("s").cast("long").alias("scale_days"),
+        "n_blocks",
+        ymean.cast("long").alias("mean_ln_rs_micro"),
+        F.round(
+            (F.col("k") * F.col("sly") - F.col("sl") * F.col("sy"))
+            * 1.0
+            / (F.col("k") * F.col("sll") - F.col("sl") * F.col("sl")),
+            6,
+        ).alias("hurst_estimate"),
+    )

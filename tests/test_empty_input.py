@@ -222,6 +222,7 @@ _CASES = [
     ("corpus_lincoln_petersen_vocab", 1),  # ungrouped presence fold
     ("events_burstiness_fano", 0),  # empty grid -> no types
     ("join_dynamic_partition_pruning", 0),  # empty dim -> no partitions
+    ("events_hurst_rescaled_range", 0),  # empty day grid -> no scales
 ]
 
 

@@ -566,3 +566,37 @@ def test_isotonic_trend_pava_invariants(spark, tmp_path):
         )
         if counts == sorted(counts):
             assert fits == [float(c) for c in counts], fits
+
+
+def test_hurst_rescaled_range_directional(spark, tmp_path):
+    """R/S directional invariants on hand-built 30-day series: a pure
+    linear ramp is maximally persistent (R/S grows ∝ s, so the fitted
+    H ≈ 1), an alternating series is anti-persistent (H well below
+    0.5). One event per day, value = the day's revenue in dollars."""
+    import datetime
+
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_hurst_rescaled_range,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run(values):
+        rows = [
+            (i, base + datetime.timedelta(days=i), 1, "view", float(v), "{}")
+            for i, v in enumerate(values)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = events_hurst_rescaled_range(spark, str(tmp_path)).collect()
+        assert len(out) == 3 and len({r.hurst_estimate for r in out}) == 1
+        return out[0].hurst_estimate
+
+    trending = run([100.0 * (i + 1) for i in range(30)])
+    alternating = run([100.0 if i % 2 == 0 else 300.0 for i in range(30)])
+    assert trending >= 0.75, trending
+    assert alternating <= 0.5, alternating
+    assert trending > alternating
