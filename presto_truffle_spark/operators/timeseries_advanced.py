@@ -3896,11 +3896,23 @@ def events_max_revenue_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS c
         FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT min(day) AS dmin, max(day) AS dmax FROM c
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM span
+    ), grid AS (
+        SELECT t.event_type, s.day,
+               CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+        FROM (SELECT DISTINCT event_type FROM c) t
+        CROSS JOIN spine s
+        LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
     ), s AS (
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
                CAST(sum(c) AS BIGINT) AS n_events,
                CAST(sum(c * c) AS BIGINT) AS sum_sq
-        FROM c GROUP BY 1
+        FROM grid GROUP BY 1
     )
     SELECT event_type, n_days, n_events,
            round((n_days * sum_sq - n_events * n_events) * 1.0
@@ -3916,25 +3928,54 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays) and regular (F < 1, rate-limited) streams; downstream it
     picks between fixed and burst-aware capacity planning the same
     way `profile_key_skew` picks the salt factor. Population form
-    over the (type × day) grid: F = (n·Σc² − (Σc)²) / (n·Σc) — the
-    fixture's grid has zero gap days (probed r13, recorded in
-    FIXTURES.md), so no zero-fill is needed; on a gappy corpus the
-    day grid would first left-join a calendar spine (the
-    `sql_recursive_cte` machinery).
+    over the (type × day) grid: F = (n·Σc² − (Σc)²) / (n·Σc).
+
+    GAP HARDENING (VERDICT r14 #3): the daily-count grid is completed
+    against a calendar spine spanning the corpus observation window
+    (global min..max event day) before the per-type fold, so days a
+    type emitted NOTHING contribute c = 0 instead of silently
+    vanishing — on a gappy corpus the present-days-only Fano both
+    understates variance (missing zeros) and overstates the mean's
+    denominator coverage. The observation window is a corpus
+    property, not a per-type one: a type dormant at the edges of the
+    window is genuinely bursty, not short-lived. On the driver
+    fixture the (day, type) grid has zero gaps (probed r13,
+    FIXTURES.md), so this rewrite is output-preserving there; the
+    gappy-fixture unit test (tests/test_fano_gapfill.py) proves the
+    fork on synthetic data.
 
     Determinism: daily counts, their squares, and both folds are
     exact BIGINTs; the single double division is rounded 6dp with the
     expression shape byte-matched across engines.
 
     Scale shape: one map-combinable count to the calendar-bounded
-    (type × day) grid, then a per-type fold of that grid — nothing
-    downstream of the first count is event-volume. 100 TB-safe."""
+    (type × day) grid; the spine (span_days rows) × distinct-types
+    completion and everything downstream are calendar-bounded, never
+    event-volume. 100 TB-safe."""
     c = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    s = c.groupBy("event_type").agg(
+    spine = c.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    ).select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("INTERVAL '1' DAY"))
+        ).alias("day")
+    )
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(spine)
+        .join(c, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("c").cast("long").alias("n_events"),
         F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),

@@ -124,25 +124,15 @@ def load_all_modules() -> None:
 # green (the driver re-verified the staled code); until then it heads
 # the window. A further code change bumps the number by hand.
 _FORCE_HEAD: dict[str, int] = {
-    # (The 8 r13 pins all re-greened in CORRECTNESS_r13 and were pruned
-    # in r14 per the keep-it-short rule above.)
+    # (The 4 r14 pins — the ccnet pair, source_csv_permissive_corrupt,
+    # text_quality_score — all re-greened in CORRECTNESS_r14 and were
+    # pruned in r15 per the keep-it-short rule above.)
     #
-    # r14 pins — VERDICT r13 #1 promoted the bigram scorer into the
-    # registered ccnet gate, an OUTPUT-CHANGING rewrite of the shared
-    # scoring core (tertile membership moves for most docs); the cross
-    # audit shares that core. Both last greened r11 on the unigram
-    # scorer, so those greens no longer attest the shipping code.
-    "corpus_ccnet_quality_buckets": 11,
-    "corpus_bucket_dedup_cross": 11,
-    # r14 value-identical cleanup (ADVICE r13): the %13 dirty-CSV
-    # branch's obfuscated identity expression replaced by the plain
-    # cast — same emitted lines, pinned anyway (driver re-verification
-    # is cheap; r13-green predates the edit).
-    "source_csv_permissive_corrupt": 13,
-    # r14 OUTPUT-CHANGING fix (VERDICT r13 #6): the stopword gate's
-    # fixed English list became the corpus-derived top-K frequency
-    # head — stopword_ratio and passes_quality both change.
-    "text_quality_score": 8,
+    # r15 pin — VERDICT r14 #3 hardened events_burstiness_fano with the
+    # calendar-spine gap fill, an OUTPUT-PRESERVING rewrite on the
+    # driver fixture (its (day,type) grid has zero gaps) but a code
+    # change nonetheless; the r14 green predates the edit.
+    "events_burstiness_fano": 14,
 }
 
 _WINDOW = 50
