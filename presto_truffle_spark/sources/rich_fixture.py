@@ -226,12 +226,29 @@ def zipf_documents(
         F.lit("src"),
         F.pmod(F.hash(s, doc, F.lit("src")), F.lit(N_SOURCES)).cast("string"),
     )
+    # Deterministic ingest date, TOPIC-STAGGERED (r15, VERDICT r14 #4):
+    # each topic's docs arrive inside a 14-day window whose start is
+    # staggered 10 days per topic (windows overlap by 4 days), so the
+    # corpus spans ~12 weeks and — because each topic permutes WHICH
+    # tokens are frequent — vocabulary genuinely TURNS OVER along the
+    # date axis. Purely additive: text/lang/source streams untouched,
+    # every pinned study result is unchanged.
+    day = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        (tpc * 10 + F.pmod(F.hash(s, doc, F.lit("day")), F.lit(14))).cast(
+            "int"
+        ),
+    )
+    # `day` is appended LAST so the driver fixture's 5-column prefix
+    # (doc_id, text, lang, source, n_chars) is intact positionally.
     return d.select(
         "doc_id",
         text.alias("text"),
         lang.alias("lang"),
         source.alias("source"),
-    ).withColumn("n_chars", F.length("text").cast("long"))
+        F.length(text).cast("long").alias("n_chars"),
+        day.alias("day"),
+    )
 
 
 def clustered_embeddings(

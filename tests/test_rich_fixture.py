@@ -24,7 +24,7 @@ from presto_truffle_spark.sources.rich_fixture import (
 def test_zipf_documents_deterministic_and_schema(spark):
     d1 = zipf_documents(spark, 120, seed=12)
     assert [f.name for f in d1.schema.fields] == [
-        "doc_id", "text", "lang", "source", "n_chars",
+        "doc_id", "text", "lang", "source", "n_chars", "day",
     ]
     h1 = d1.agg(F.sum(F.crc32(F.col("text").cast("binary")))).collect()[0][0]
     h2 = (
