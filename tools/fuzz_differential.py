@@ -2842,6 +2842,190 @@ def run_argminmax_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_map_lastwin_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Duplicate-map-key battery under the LAST_WIN dedup policy (r15,
+    67th — VERDICT r14 #5 asked for a live twin of the pinned
+    map_concat dup-key fork). Probed semantics the family is built on:
+
+      * Spark DEFAULT (mapKeyDedupPolicy=EXCEPTION) raises
+        DUPLICATED_MAP_KEY for ALL four dup-key constructors
+        (map_concat / str_to_map / map_from_entries / map_from_arrays);
+        DuckDB's in-literal dup (`MAP{'a':1,'a':2}`) likewise errors
+        ('Map keys must be unique') — the BOTH-ERROR regime, asserted
+        by one case kind;
+      * under LAST_WIN all four Spark constructors keep the LAST value
+        per key; DuckDB map_concat across maps is natively last-wins
+        (probed: {a:1,b:5}+{a:2} -> a:2,b:5), so the map_concat kind is
+        a direct twin while the other three pair against a DuckDB map
+        CONSTRUCTED with the known-surviving values (the fork pin,
+        expressed as an expectation);
+      * the conf is applied via the _scoped_conf discipline AROUND the
+        collect (Spark SQL is lazy — setting it only at build time
+        would fuzz the wrong policy) and restored after, so the shared
+        session never leaks LAST_WIN into later cases/queries.
+
+    Map comparison is canonical-string only (sorted 'k=v' join), same
+    as the str_map family — engines serialize maps differently."""
+    from presto_truffle_spark.operators.scalar_funcs import _scoped_conf
+
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_lw")
+    v1 = "CAST(abs(coalesce(m1, 0)) % 100 AS STRING)"
+    v2 = "CAST(abs(coalesce(m2, 1)) % 100 AS STRING)"
+    v3 = "CAST(abs(coalesce(m3, 2)) % 100 AS STRING)"
+    d1, d2, d3 = (v.replace("STRING", "VARCHAR") for v in (v1, v2, v3))
+    canon_s = (
+        "array_join(transform(array_sort(map_entries({m})), "
+        "e -> concat(e.key, '=', coalesce(e.value, '?'))), ',')"
+    )
+    canon_d = (
+        "array_to_string(list_sort(list_transform(map_entries({m}), "
+        "e -> e.key || '=' || coalesce(e.value, '?'))), ',')"
+    )
+    if rng.random() < 0.15:
+        # BOTH-ERROR kind: dup keys under each engine's default.
+        s_err = d_err = None
+        try:
+            spark.sql(
+                f"SELECT str_to_map(concat('a:', {v1}, ',a:', {v2}), "
+                "',', ':') AS m FROM t LIMIT 1"
+            ).collect()
+        except Exception as e:
+            s_err = str(e)
+        try:
+            con.execute(
+                f"SELECT MAP {{'a': {d1}, 'a': {d2}}} AS m FROM t LIMIT 1"
+            ).fetchall()
+        except Exception as e:
+            d_err = str(e)
+        # an EMPTY t never builds a dup map on either engine: both None
+        # is agreement too (both engines short-circuit identically).
+        n_rows = con.execute("SELECT count(*) FROM t").fetchone()[0]
+        if n_rows == 0:
+            if s_err is None and d_err is None:
+                return None
+            return f"empty-table dup-key errs ({s_err!r} vs {d_err!r})"
+        if s_err is None or "DUPLICATED_MAP_KEY" not in s_err:
+            return f"spark default dup-key did not error: {s_err!r}"
+        if d_err is None or "unique" not in d_err:
+            return f"duckdb literal dup-key did not error: {d_err!r}"
+        return None
+    exprs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            # direct twin: map_concat overlap is last-wins on BOTH
+            m_s = (
+                f"map_concat(map('a', {v1}, 'b', {v2}), map('a', {v3}))"
+            )
+            m_d = (
+                f"map_concat(MAP {{'a': {d1}, 'b': {d2}}}, "
+                f"MAP {{'a': {d3}}})"
+            )
+        elif kind == 1:
+            m_s = f"str_to_map(concat('a:', {v1}, ',b:', {v2}, ',a:', {v3}), ',', ':')"
+            m_d = f"map(['a','b'], [{d3}, {d2}])"  # a keeps the LAST ({d3})
+        elif kind == 2:
+            m_s = (
+                f"map_from_entries(array(struct('a', {v1}), "
+                f"struct('b', {v2}), struct('a', {v3})))"
+            )
+            m_d = f"map(['a','b'], [{d3}, {d2}])"
+        else:
+            m_s = (
+                f"map_from_arrays(array('a', 'b', 'a'), "
+                f"array({v1}, {v2}, {v3}))"
+            )
+            m_d = f"map(['a','b'], [{d3}, {d2}])"
+        exprs.append(
+            (
+                canon_s.format(m=m_s) + f" AS lw{i}",
+                canon_d.format(m=m_d) + f" AS lw{i}",
+            )
+        )
+    where = gen_predicate(rng)
+    ssql = (
+        "SELECT k1, " + ", ".join(e[0] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    dsql = (
+        "SELECT k1, " + ", ".join(e[1] for e in exprs)
+        + f" FROM t WHERE {where}"
+    )
+    with _scoped_conf(spark, "spark.sql.mapKeyDedupPolicy", "LAST_WIN"):
+        return _compare(spark.sql(ssql), con, dsql)
+
+
+def run_sort_nulls_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """Array-sort NULL-placement battery (r15, 68th — the live twin of
+    the pinned array-sort null-placement fork, VERDICT r14 #5). The
+    fork is IN-ENGINE on Spark: `array_sort(a)` places NULLs LAST
+    while `sort_array(a)` (ascending) places them FIRST and
+    `sort_array(a, false)` (descending) places them LAST — three
+    different placements from two same-looking functions. DuckDB's
+    default null order is a SETTING (default_null_order), so every
+    DuckDB twin spells the placement explicitly
+    (`list_sort(l, dir, 'NULLS FIRST'|'NULLS LAST')`); relying on the
+    default would fuzz the installation, not the engine. Order is the
+    signal, so canonicalization is a position-preserving join with a
+    '?' NULL sentinel — NOT the sorted-set canon other array families
+    use."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_sn")
+    # m1..m3 are NULL-bearing by construction (gen_rows); mix in ties.
+    arr_s = "array(m1, m2, m3, m1)"
+    arr_d = "[m1, m2, m3, m1]"
+    join_s = (
+        "array_join(transform({a}, x -> coalesce(CAST(x AS STRING), '?')),"
+        " ',')"
+    )
+    join_d = (
+        "array_to_string(list_transform({a}, "
+        "x -> coalesce(CAST(x AS VARCHAR), '?')), ',')"
+    )
+    pairs = [
+        # Spark array_sort: ASC, NULLS LAST
+        (
+            join_s.format(a=f"array_sort({arr_s})"),
+            join_d.format(a=f"list_sort({arr_d}, 'ASC', 'NULLS LAST')"),
+        ),
+        # Spark sort_array asc: NULLS FIRST
+        (
+            join_s.format(a=f"sort_array({arr_s})"),
+            join_d.format(a=f"list_sort({arr_d}, 'ASC', 'NULLS FIRST')"),
+        ),
+        # Spark sort_array desc: NULLS LAST
+        (
+            join_s.format(a=f"sort_array({arr_s}, false)"),
+            join_d.format(a=f"list_sort({arr_d}, 'DESC', 'NULLS LAST')"),
+        ),
+        # reverse of array_sort: DESC with NULLS FIRST
+        (
+            join_s.format(a=f"reverse(array_sort({arr_s}))"),
+            join_d.format(a=f"list_sort({arr_d}, 'DESC', 'NULLS FIRST')"),
+        ),
+        # string-typed arrays hit the collation-independent ASCII path
+        (
+            join_s.format(
+                a="array_sort(array(k1, k2, CAST(m1 AS STRING)))"
+            ),
+            join_d.format(
+                a="list_sort([k1, k2, CAST(m1 AS VARCHAR)], "
+                "'ASC', 'NULLS LAST')"
+            ),
+        ),
+    ]
+    picked = rng.sample(pairs, rng.randint(2, len(pairs)))
+    sel_s = ", ".join(f"{p[0]} AS sn{i}" for i, p in enumerate(picked))
+    sel_d = ", ".join(f"{p[1]} AS sn{i}" for i, p in enumerate(picked))
+    where = gen_predicate(rng)
+    ssql = f"SELECT k1, {sel_s} FROM t WHERE {where}"
+    dsql = f"SELECT k1, {sel_d} FROM t WHERE {where}"
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_csv_ts_format_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -4411,6 +4595,9 @@ _CORE_FAMILIES = [
     ("ts_seq_anchor", 0.015),
     ("regr_battery", 0.015),
     ("argminmax", 0.015),
+    # --- r15 families ---
+    ("map_lastwin", 0.015),
+    ("sort_nulls", 0.015),
     ("base_agg", 0.03),
 ]
 
