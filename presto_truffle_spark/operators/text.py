@@ -3826,3 +3826,230 @@ def text_chao1_vocabulary_richness(
             F.lit(1.0) - f1.cast("double") / F.sum("c").cast("double"), 6
         ).alias("goods_coverage"),
     )
+
+
+@query(
+    "text_yule_k",
+    oracle="""
+    WITH tf AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS v_observed,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(c * c) AS BIGINT) AS sum_c2
+        FROM tf GROUP BY 1
+    )
+    SELECT lang, v_observed, n_tokens,
+           round(10000.0 * (sum_c2 - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k,
+           round(CAST(sum_c2 - n_tokens AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+               AS simpson_repeat_rate
+    FROM s
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K + Simpson's repeat rate per language —
+    the vocabulary CONCENTRATION statistics (Yule 1944; Simpson 1949):
+    K = 10⁴·(Σc² − N)/N² is length-invariant and rises as a corpus
+    leans on few types (boilerplate, templated spam — the repetition
+    signature dedup misses when the repeats are WITHIN the
+    distribution rather than between documents); Simpson's
+    D = Σc(c−1)/(N(N−1)) is the probability two random tokens are the
+    same type. The CONCENTRATION companion of
+    `text_chao1_vocabulary_richness` (rare-tail: how much is unseen)
+    and `text_token_entropy` (whole-distribution uncertainty) — K is
+    dominated by the FREQUENT head, a different moment of the same
+    spectrum (K is 10⁴·(Σm²V(m) − N)/N² over counts-of-counts; Σm²V(m)
+    ≡ Σc² termwise, so no spectrum materialization is needed).
+
+    Determinism: c, Σc, Σc² are exact BIGINTs; each output is ONE
+    double division of exact integers, 6dp-rounded, expression shape
+    byte-matched across engines.
+
+    Scale shape: the same map-combinable (lang, term) count every
+    term-stat op pays, folded to ≤|langs| rows. Σc² stays in BIGINT
+    through c ≈ 3·10⁹ per (lang, term) — beyond any real token count
+    for one term in one language shard. 100 TB-safe."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    n = F.col("n_tokens")
+    return s.select(
+        "lang",
+        "v_observed",
+        "n_tokens",
+        F.round(
+            F.lit(10000.0)
+            * (F.col("sum_c2") - n)
+            / (n.cast("double") * n),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            (F.col("sum_c2") - n).cast("double")
+            / (n.cast("double") * (n - F.lit(1))),
+            6,
+        ).alias("simpson_repeat_rate"),
+    )
+
+
+# Burrows' Delta marker-word count: the top-_DELTA_TERMS corpus-wide
+# tokens by total count (ties broken by token string) form the marker
+# set every source is profiled on.
+_DELTA_TERMS = 50
+
+
+@query(
+    "text_burrows_delta_sources",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), cnt AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1
+    ), top AS (
+        SELECT t FROM (
+            SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1
+        ) ORDER BY ct DESC, t LIMIT {_DELTA_TERMS}
+    ), x AS (
+        SELECT tot.source, top.t,
+               (COALESCE(cnt.c, 0) * 1000000) // tot.n_s AS x
+        FROM tot CROSS JOIN top
+        LEFT JOIN cnt ON cnt.source = tot.source AND cnt.t = top.t
+    ), st AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM x GROUP BY 1
+    ), z AS (
+        SELECT x.source, x.t,
+               (x.x * st.n - st.sx)
+               / (st.n * sqrt(CAST(st.n * st.sxx - st.sx * st.sx
+                                   AS DOUBLE)
+                              / (st.n * (st.n - 1)))) AS z
+        FROM x JOIN st ON st.t = x.t
+        WHERE st.n * st.sxx - st.sx * st.sx > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def text_burrows_delta_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burrows' DELTA stylometric distance between every source pair
+    (Burrows 2002; Argamon 2008 interpretation as mean |Δz| over
+    marker words) — the authorship/provenance attribution classic no
+    other op covers: per-source relative frequencies of the top-50
+    corpus marker tokens, z-scored ACROSS sources per token, Delta =
+    mean absolute z difference. Low Delta flags two 'sources' that
+    write identically (mirror/syndication detection before dedup —
+    distribution-level, where `corpus_ngram_novelty` is document-
+    level) and high Delta isolates stylistic outlier feeds;
+    `text_jsd_by_source` measures COMPOSITION divergence over
+    the same per-source distributions, but Delta's z-normalization weights each marker
+    word equally, the property that made it the attribution standard.
+
+    Determinism: marker selection is (count DESC, token) with an
+    explicit tie-break via TakeOrderedAndProject (no global window);
+    per-(source, marker) frequencies are frozen to exact integer
+    micro-units ((c·10⁶) div n_s — BIGINT-exact in both engines, the
+    `//` spelling on DuckDB); token-level moments are exact-BIGINT
+    folds of those integers, so the z expression consumes identical
+    integers on both engines and the double algebra is shape-matched.
+    Zero-variance markers (uniform across sources) are excluded by an
+    exact integer predicate on both sides.
+
+    Scale shape: the (source, token) count is the standard
+    map-combinable fold; marker selection is sortWithinPartitions-
+    free top-k (TakeOrderedAndProject over the vocab-bounded count);
+    everything downstream lives on the |sources|×50 grid (bounded),
+    pairwise join 190×50 rows. c·10⁶ fits BIGINT through c ≈ 9·10¹¹
+    tokens of one term in one source. 100 TB-safe."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    top = (
+        cnt.groupBy("t")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "t")
+        .limit(_DELTA_TERMS)
+        .select("t")
+    )
+    x = (
+        tot.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            F.expr("(COALESCE(c, 0) * 1000000) div n_s").alias("x"),
+        )
+    )
+    st = x.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    z = (
+        x.join(st, "t")
+        .where(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+        )
+        .select(
+            "source",
+            "t",
+            (
+                (F.col("x") * F.col("n") - F.col("sx"))
+                / (
+                    F.col("n")
+                    * F.sqrt(
+                        (
+                            F.col("n") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                        / (F.col("n") * (F.col("n") - F.lit(1)))
+                    )
+                )
+            ).alias("z"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(
+                F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6
+            ).alias("delta"),
+        )
+    )
