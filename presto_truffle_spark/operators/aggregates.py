@@ -4227,3 +4227,288 @@ def agg_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrink_weight"),
     )
+
+
+@query(
+    "agg_theil_inequality_decomposition",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_custkey, n.n_regionkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ), reg AS (
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(x) AS BIGINT) AS xg
+        FROM cust GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(xg) AS BIGINT) AS x
+        FROM reg
+    ), term AS (
+        SELECT cust.n_regionkey,
+               CAST(cust.x AS HUGEINT)
+               * CAST(round(ln(cust.x * 1.0 / reg.xg * reg.ng) * 1000000)
+                      AS BIGINT) AS xl
+        FROM cust JOIN reg ON reg.n_regionkey = cust.n_regionkey
+    ), within AS (
+        SELECT n_regionkey, CAST(sum(xl) AS HUGEINT) AS sxl
+        FROM term GROUP BY 1
+    )
+    SELECT r.r_name AS region_name, reg.ng AS n_customers,
+           reg.xg AS revenue_cents,
+           round(CAST(within.sxl AS DOUBLE) / reg.xg / 1000000, 6)
+               AS theil_within,
+           round(reg.xg * 1.0 / tot.x, 6) AS income_share,
+           round(reg.xg * 1.0 / tot.x
+                 * ln(reg.xg * 1.0 / tot.x * tot.n / reg.ng), 6)
+               AS between_term
+    FROM reg
+    JOIN within ON within.n_regionkey = reg.n_regionkey
+    JOIN region r ON r.r_regionkey = reg.n_regionkey
+    CROSS JOIN tot
+    """,
+)
+def agg_theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THEIL-T inequality index with its within/between-region
+    DECOMPOSITION (Theil 1967) over per-customer revenue — the
+    inequality statistic `agg_gini_coefficient` cannot provide:
+    Theil-T is ADDITIVELY DECOMPOSABLE, T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)
+    (income shares s_g), so a marketplace can attribute concentration
+    to WITHIN-region whales vs BETWEEN-region imbalance — the question
+    that decides whether rebalancing effort goes to a region or to the
+    global mix (Gini's pairwise form has no such exact split). Emits
+    one row per region: T_g, s_g, and the region's between-term;
+    tests/test_operators pin the identity T_total = Σ s_g·T_g + Σ
+    between_g against an independently computed global Theil.
+
+    Determinism: revenue is exact cents (the floor(p·100+0.5) house
+    convention); each customer's ln(x·n_g/X_g) is FROZEN to integer
+    micro-nats before any summation (the ccnet discipline — float
+    addition order can never differ because nothing float is ever
+    added), and the weighted Σ x_i·l_i runs in decimal(38,0)/HUGEINT
+    (x·l reaches ~3·10¹⁶ per customer — BIGINT would overflow at
+    corpus scale; the r13 weighted-cosine lesson applied at design
+    time). The per-region between-term is a single expression of
+    exact integers, shape byte-matched.
+
+    Scale shape: orders→customer fold (the one fact-fact shuffle on
+    custkey), broadcast nation dim, then a per-region broadcast-back
+    of the 5-row totals and one map-combinable regional fold. No
+    windows, no rank. 100 TB-safe."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "n_regionkey")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    reg = cust.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("xg"),
+    )
+    glob = reg.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("xg").cast("long").alias("x_tot"),
+    )
+    term = cust.join(F.broadcast(reg), "n_regionkey").select(
+        "n_regionkey",
+        (
+            F.col("x").cast("decimal(38,0)")
+            * F.round(
+                F.log(
+                    F.col("x") * F.lit(1.0) / F.col("xg") * F.col("ng")
+                )
+                * 1000000
+            ).cast("long")
+        ).alias("xl"),
+    )
+    within = term.groupBy("n_regionkey").agg(
+        F.sum("xl").alias("sxl")
+    )
+    return (
+        reg.join(within, "n_regionkey")
+        .join(F.broadcast(r), reg.n_regionkey == r.r_regionkey)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("ng").alias("n_customers"),
+            F.col("xg").alias("revenue_cents"),
+            F.round(
+                F.col("sxl").cast("double") / F.col("xg") / 1000000, 6
+            ).alias("theil_within"),
+            F.round(F.col("xg") * 1.0 / F.col("x_tot"), 6).alias(
+                "income_share"
+            ),
+            F.round(
+                F.col("xg")
+                * 1.0
+                / F.col("x_tot")
+                * F.log(
+                    F.col("xg")
+                    * 1.0
+                    / F.col("x_tot")
+                    * F.col("n")
+                    / F.col("ng")
+                ),
+                6,
+            ).alias("between_term"),
+        )
+    )
+
+
+@query(
+    "agg_kendall_tau_nations",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(sum(CASE WHEN (a.rev - b.rev) * (a.n_orders - b.n_orders) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN (a.rev - b.rev) * (a.n_orders - b.n_orders) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS q,
+               CAST(sum(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_rev,
+               CAST(sum(CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t_ord,
+               CAST(count(*) AS BIGINT) AS n0
+        FROM m a JOIN m b ON a.n_name < b.n_name
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_nations,
+           n0 AS n_pairs, p AS concordant, q AS discordant,
+           t_rev AS ties_revenue, t_ord AS ties_orders,
+           round((p - q)
+                 / sqrt(CAST((n0 - t_rev) * (n0 - t_ord) AS DOUBLE)),
+                 6) AS tau_b
+    FROM pairs
+    """,
+)
+def agg_kendall_tau_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KENDALL tau-b rank concordance between two nation-level metrics
+    (total revenue vs order count) — the pair-concordance correlation
+    the suite lacks: `agg_spearman_correlation` rank-transforms then
+    computes Pearson (sensitive to rank DISTANCE), while tau-b counts
+    concordant/discordant PAIRS with the tie-corrected denominator
+    √((n₀−T_R)(n₀−T_C)) (Kendall 1945) — the robust choice when only
+    order matters, and the statistic behind `events_mann_kendall_trend`
+    generalized from value-vs-TIME to metric-vs-METRIC. Emits the full
+    pair ledger (P, Q, both tie counts) so the tau is auditable.
+
+    Determinism: both metrics are exact integers (cents / counts);
+    every pair classification is an exact integer sign test; the only
+    double is the final tie-corrected division, 6dp-rounded,
+    shape-matched. The (rev diff)·(count diff) product stays in BIGINT
+    (rev diffs ≤ ~10¹³ cents × count diffs ≤ ~10⁵ at any realistic
+    scale — documented bound, not luck).
+
+    Scale shape: the fact work is one orders fold to the 25-row nation
+    frame (broadcast dims); the pair grid is a 25×25 self-join = 300
+    pairs — dim-bounded by construction (plan-audit whitelisted as
+    such), never data-volume. 100 TB-safe."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("cents").cast("long").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.n_name") < F.col("b.n_name")
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("a.rev") - F.col("b.rev"))
+                * (F.col("a.n_orders") - F.col("b.n_orders"))
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("p"),
+        F.sum(
+            F.when(
+                (F.col("a.rev") - F.col("b.rev"))
+                * (F.col("a.n_orders") - F.col("b.n_orders"))
+                < 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("q"),
+        F.sum(
+            F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_rev"),
+        F.sum(
+            F.when(
+                F.col("a.n_orders") == F.col("b.n_orders"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_ord"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    n_nations = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations")
+    )
+    return pairs.crossJoin(F.broadcast(n_nations)).select(
+        "n_nations",
+        F.col("n0").alias("n_pairs"),
+        F.col("p").alias("concordant"),
+        F.col("q").alias("discordant"),
+        F.col("t_rev").alias("ties_revenue"),
+        F.col("t_ord").alias("ties_orders"),
+        F.round(
+            (F.col("p") - F.col("q"))
+            / F.sqrt(
+                (
+                    (F.col("n0") - F.col("t_rev"))
+                    * (F.col("n0") - F.col("t_ord"))
+                ).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )

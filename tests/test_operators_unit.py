@@ -600,3 +600,63 @@ def test_hurst_rescaled_range_directional(spark, tmp_path):
     assert trending >= 0.75, trending
     assert alternating <= 0.5, alternating
     assert trending > alternating
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """T_total = Σ s_g·T_g + Σ s_g·ln(μ_g/μ) — the additive
+    decomposition is the op's reason to exist; verify it against an
+    independently computed single-group Theil over the same
+    per-customer revenue (float path, no micro-nat freeze, so the two
+    computations share no code beyond the revenue fold)."""
+    import math
+
+    import duckdb
+
+    from presto_truffle_spark.operators.aggregates import (
+        agg_theil_inequality_decomposition,
+    )
+
+    rows = agg_theil_inequality_decomposition(spark, sf_dir).collect()
+    assert len(rows) == 5
+    combined = sum(
+        r["income_share"] * r["theil_within"] + r["between_term"]
+        for r in rows
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    xs = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT)
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_custkey
+            """
+        ).fetchall()
+    ]
+    n, x_tot = len(xs), sum(xs)
+    t_global = sum(x / x_tot * math.log(x * n / x_tot) for x in xs)
+    # micro-nat freeze + 6dp output rounding bound the gap well below 1e-3
+    assert abs(combined - t_global) < 1e-3, (combined, t_global)
+    # shares partition the total income
+    assert abs(sum(r["income_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_kendall_tau_pair_ledger(spark, sf_dir):
+    """P + Q + (pairs with either tie) = n0 and tau_b ∈ [-1, 1]; the
+    two metrics (revenue, order count) are strongly concordant across
+    nations on every fixture (more orders ⇒ more revenue)."""
+    from presto_truffle_spark.operators.aggregates import (
+        agg_kendall_tau_nations,
+    )
+
+    r = agg_kendall_tau_nations(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == r["n_nations"] * (r["n_nations"] - 1) // 2
+    # a pair is concordant, discordant, or tied in at least one metric
+    assert r["concordant"] + r["discordant"] <= r["n_pairs"]
+    assert -1.0 <= r["tau_b"] <= 1.0
+    assert r["tau_b"] > 0.5, r  # strong concordance on TPC-H-shaped data
