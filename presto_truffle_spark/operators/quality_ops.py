@@ -1970,3 +1970,135 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_rows").cast("long").alias("n_rows"),
         (F.col("l_distinct") < _L_DIVERSITY).alias("is_risky"),
     )
+
+
+_ASSORT_ORACLE = (
+    _ORACLE_BANDS_CTES
+    + f""", cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+        FROM und GROUP BY 1
+    ), obs AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM und e
+        JOIN deg da ON da.id = e.src
+        JOIN deg db ON db.id = e.dst
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+        FROM obs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           m // 2 AS n_edges,
+           CASE WHEN m * sxx - sx * sx > 0 THEN
+               round(CAST(m * sxy - sx * sx AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM s
+"""
+)
+
+
+@query("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the verified near-duplicate graph
+    (Newman 2002: the Pearson correlation of endpoint degrees over the
+    directed-both-ways edge list) — the mixing diagnostic the existing
+    graph block (CC, PageRank, triangles, LPA) doesn't cover:
+    assortative duplicate graphs (r > 0, hubs link hubs) are template
+    FAMILIES that dedup survivor policies can collapse wholesale,
+    while disassortative ones (r < 0, hubs link leaves) are hub-and-
+    spoke boilerplate around distinct content, where collapsing the
+    spokes loses real documents. On the symmetric edge list Σdx = Σdy
+    and Σdx² = Σdy², so Newman's r reduces to
+    (m·Σdxdy − (Σdx)²) / (m·Σdx² − (Σdx)²) — the form computed here,
+    with the zero-variance regular-graph case (every degree equal)
+    emitted as NULL by an exact integer predicate on both engines.
+
+    Determinism: degrees and all moment sums are exact integers; sums
+    run in decimal(38,0)/HUGEINT (d·d ≈ 10¹² for a 10⁶-doc clique and
+    m can be huge — BIGINT Σd² would overflow exactly where the graph
+    is most interesting); one final double division, 6dp-rounded,
+    shape-matched.
+
+    Scale shape: the LSH-banded pair machinery (never all-pairs) that
+    every graph op shares, then a degree fold and two degree joins on
+    the edge list — all key-partitioned equi-joins. The pair list is
+    localCheckpointed once (the graph_pagerank lesson: three consumers
+    would re-plan the LSH subtree). 100 TB-safe."""
+    pairs = (
+        _verified_pairs(spark, sf_dir, bucket_cap=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    obs = (
+        und.join(
+            deg.select(F.col("id").alias("src"), F.col("d").alias("dx")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    s = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("dx").cast("decimal(38,0)") * F.col("dx")
+        ).alias("sxx"),
+        F.sum(
+            F.col("dx").cast("decimal(38,0)") * F.col("dy")
+        ).alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.expr("m div 2").alias("n_edges"),
+        F.when(
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            F.round(
+                (
+                    F.col("m") * F.col("sxy")
+                    - F.col("sx") * F.col("sx")
+                ).cast("double")
+                / (
+                    F.col("m") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("assortativity"),
+    )
