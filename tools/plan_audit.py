@@ -68,6 +68,7 @@ WHITELIST: dict[str, str] = {
     "window_max_drawdown": "day-table running max",
     "window_runs_test": "day-table sign sequence",
     "window_theil_sen_slope": "day-pair grid (<=30x30)",
+    "agg_kendall_tau_nations": "25-row nation-frame self-join (<=625-pair grid; docstring-documented dim bound)",
     "window_hampel_filter": "banded hour-grid self-join (documented)",
     "events_bitemporal_asof": "scalar system-version threshold join",
     "corpus_token_budget_select": "cumulative-vs-scalar-budget threshold join",
