@@ -4321,6 +4321,10 @@ def agg_theil_inequality_decomposition(
         .groupBy("c_custkey", "n_regionkey")
         .agg(F.sum("cents").cast("long").alias("x"))
     )
+    # customer-level reduction with TWO consumers (region totals, the
+    # micro-nat term join) — unpersisted, each replays the orders join
+    # (r15 rescan audit: 4 scans of orders/customer/nation -> 1).
+    cust = scoped_persist(spark, "agg.theil.cust", cust)
     reg = cust.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
         F.sum("x").cast("long").alias("xg"),
@@ -4453,6 +4457,10 @@ def agg_kendall_tau_nations(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
+    # 25-row nation frame with THREE consumers (both pair-join sides,
+    # the node count) — unpersisted, each replays the orders fold
+    # (r15 rescan audit: 3 scans -> 1).
+    m = scoped_persist(spark, "agg.kendall.m", m)
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(
         F.broadcast(b), F.col("a.n_name") < F.col("b.n_name")

@@ -1558,6 +1558,13 @@ def corpus_vocab_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("period", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .distinct()
     )
+    # vocab-bounded presence frame with TWO consumers inside the fold
+    # (lifespan groupBy + the rejoin) — unpersisted, each replays the
+    # corpus tokenize (r15 rescan audit: 4 document scans -> 2; the
+    # remaining second scan is the 1-row max(doc_id) column read).
+    from presto_truffle_spark.cache import scoped_persist
+
+    tok = scoped_persist(spark, "corpus.turnover.tok", tok)
     return _turnover_fold(tok)
 
 

@@ -3990,6 +3990,13 @@ def text_burrows_delta_sources(
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # vocab×sources-bounded intermediate with THREE consumers (totals,
+    # marker ranking, grid left-join) — unpersisted, each replays the
+    # corpus tokenize (r15 rescan audit: 12 document scans; the
+    # persist-only-reduced-intermediates rule collapses them to 1).
+    from presto_truffle_spark.cache import scoped_persist
+
+    cnt = scoped_persist(spark, "text.burrows.cnt", cnt)
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     top = (
         cnt.groupBy("t")

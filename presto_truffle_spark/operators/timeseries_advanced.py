@@ -3957,6 +3957,12 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # calendar-bounded grid with THREE consumers (span agg, distinct
+    # types, the completion left-join) — unpersisted, each replays the
+    # event count (r15 rescan audit: 3 event scans -> 1).
+    from presto_truffle_spark.cache import scoped_persist
+
+    c = scoped_persist(spark, "events.fano.grid", c)
     spine = c.agg(
         F.min("day").alias("dmin"), F.max("day").alias("dmax")
     ).select(
