@@ -1306,3 +1306,47 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir):
     plan = inspect.physical_plan(df)
     assert "dynamicpruningexpression" in plan, plan[:2000]
     assert "dynamicpruning" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_burrows_marker_selection_uses_take_ordered(spark, sf_dir):
+    """text_burrows_delta_sources' top-50 marker selection must be
+    TakeOrderedAndProject (per-partition heads + driver merge over the
+    vocab-bounded count), never a row_number over a globally-sorted
+    vocabulary — the exact-rank shape the plan audit exists to catch
+    (r15 docstring claim, pinned here)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["text_burrows_delta_sources"](spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bollinger_window_is_type_partitioned(spark, sf_dir):
+    """window_bollinger_breakout's frame sums must run in windows
+    PARTITIONED by event_type over the calendar-bounded day grid — a
+    partition-less window would serialize the whole grid through one
+    task (the single-partition-window shape the audit flags)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["window_bollinger_breakout"](spark, sf_dir)
+    plan = inspect.physical_plan(df)
+    assert "Window" in plan
+    # every Window node declares the event_type partition key
+    for seg in plan.split("Window [")[1:]:
+        header = seg.split("\n", 1)[0]
+        assert "event_type" in header, header
+
+
+def test_theil_and_kendall_broadcast_dims(spark, sf_dir):
+    """The Theil/Kendall fact folds must broadcast the nation dim (and
+    Theil the 5-row region/totals frames) — a shuffled dim join on the
+    orders fact is the scale mistake q5's plan test guards against."""
+    import __spark_entry__ as entry
+
+    for key in (
+        "agg_theil_inequality_decomposition",
+        "agg_kendall_tau_nations",
+    ):
+        df = entry.queries()[key](spark, sf_dir)
+        plan = inspect.physical_plan(df)
+        assert "BroadcastHashJoin" in plan, key
