@@ -4313,3 +4313,132 @@ def window_bollinger_breakout(
         .cast("long")
         .alias("breakout"),
     )
+
+
+@query(
+    "events_logrank_test",
+    oracle="""
+    WITH death AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+               max(CAST(ts AS DATE)) AS dday
+        FROM events GROUP BY 1
+    ), byday AS (
+        SELECT dday,
+               CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1
+        FROM death GROUP BY 1
+    ), risk AS (
+        SELECT dday, d, d1,
+               CAST(sum(d) OVER (ORDER BY dday DESC) AS BIGINT) AS r,
+               CAST(sum(d1) OVER (ORDER BY dday DESC) AS BIGINT) AS r1
+        FROM byday
+    ), terms AS (
+        SELECT dday, d, d1, r, r1,
+               CAST(floor(d * (r1 * 1.0 / r) * 1000000 + 0.5)
+                    AS BIGINT) AS e1_micro,
+               CASE WHEN r > 1 THEN
+                   CAST(floor(d * (r1 * 1.0 / r) * (1 - r1 * 1.0 / r)
+                              * ((r - d) * 1.0 / (r - 1))
+                              * 1000000 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS v_micro
+        FROM risk
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e1_micro) AS BIGINT) AS e1m,
+               CAST(sum(v_micro) AS BIGINT) AS vm
+        FROM terms
+    )
+    SELECT n_days, o1,
+           round(e1m / 1000000.0, 6) AS e1,
+           round(vm / 1000000.0, 6) AS variance,
+           round((o1 - e1m / 1000000.0) * (o1 - e1m / 1000000.0)
+                 / (vm / 1000000.0), 6) AS logrank_chi2
+    FROM s
+    """,
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK (Mantel-Cox) test between two user cohorts' survival —
+    the hypothesis-testing companion `events_survival_curve` (the KM
+    estimator) lacks: per death-day, group 1's observed deaths vs the
+    expectation d·r₁/r under the pooled-hazard null, with the
+    hypergeometric variance d·(r₁/r)(1−r₁/r)(r−d)/(r−1); χ² =
+    (ΣO−ΣE)²/ΣV on 1 df. The experiment readout for retention A/B
+    tests — Welch/MWU compare POINT metrics, KS compares static
+    distributions; log-rank is the standard test for censored
+    time-to-event curves (deterministic cohorts here: user_id parity,
+    the same split the corpus hash-split family uses for replays).
+
+    Determinism: death days, per-day death/at-risk counts and the
+    reverse-cumulative risk sets are exact integers; each day's E and
+    V are FROZEN to integer micro-units before summation (one
+    shape-matched double expression each — nothing float is ever
+    added; ratios-first keeps every intermediate ≤ d, so the freeze's
+    2⁵³ bound holds at any population). Final χ² is one expression of
+    the exact sums, 6dp-rounded.
+
+    Scale shape: one user fold (map-combinable max), one count to the
+    death-day grid, then day-grid reverse-cumulative windows
+    (≤span_days rows — the whitelisted day-table window family the KM
+    op already uses) and a 1-row fold. 100 TB-safe."""
+    death = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.col("ts").cast("date")).alias("dday"))
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("grp"), "dday"
+        )
+    )
+    byday = death.groupBy("dday").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    w_rev = (
+        W.orderBy(F.col("dday").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = byday.select(
+        "dday",
+        "d",
+        "d1",
+        F.sum("d").over(w_rev).cast("long").alias("r"),
+        F.sum("d1").over(w_rev).cast("long").alias("r1"),
+    )
+    p1 = F.col("r1") * 1.0 / F.col("r")
+    e1_micro = F.floor(
+        F.col("d") * p1 * 1000000 + F.lit(0.5)
+    ).cast("long")
+    v_micro = F.when(
+        F.col("r") > 1,
+        F.floor(
+            F.col("d")
+            * p1
+            * (1 - p1)
+            * ((F.col("r") - F.col("d")) * 1.0 / (F.col("r") - 1))
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    s = risk.select(
+        "d1", e1_micro.alias("e1_micro"), v_micro.alias("v_micro")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_micro").cast("long").alias("e1m"),
+        F.sum("v_micro").cast("long").alias("vm"),
+    )
+    return s.select(
+        "n_days",
+        "o1",
+        F.round(F.col("e1m") / 1000000.0, 6).alias("e1"),
+        F.round(F.col("vm") / 1000000.0, 6).alias("variance"),
+        F.round(
+            (F.col("o1") - F.col("e1m") / 1000000.0)
+            * (F.col("o1") - F.col("e1m") / 1000000.0)
+            / (F.col("vm") / 1000000.0),
+            6,
+        ).alias("logrank_chi2"),
+    )

@@ -52,6 +52,7 @@ WHITELIST: dict[str, str] = {
     # Grid-bounded windows (day/hour tables, k-row frames -- each
     # docstring states the bound):
     "events_survival_curve": "day-table window",
+    "events_logrank_test": "day-table window (reverse-cumulative risk sets, same family as the KM curve)",
     "events_forecast_backtest": "day-table window",
     "events_incident_mttr_mtbf": "incident-table window (events fold first)",
     "events_peak_concurrency": "boundary-table window over per-user folds",
