@@ -660,3 +660,42 @@ def test_kendall_tau_pair_ledger(spark, sf_dir):
     assert r["concordant"] + r["discordant"] <= r["n_pairs"]
     assert -1.0 <= r["tau_b"] <= 1.0
     assert r["tau_b"] > 0.5, r  # strong concordance on TPC-H-shaped data
+
+
+def test_logrank_hand_example(spark, tmp_path):
+    """Hand-computed log-rank on a 4-user fixture. Group 0 = users
+    2,4 (even), group 1 = users 1,3. Death days: u1->d0, u2->d0,
+    u3->d2, u4->d2 (each user's last event).
+
+    Day d0: d=2, d1=1, r=4, r1=2 -> E1 = 2*(2/4) = 1,
+            V = 2*(1/2)*(1/2)*((4-2)/3) = 1/3.
+    Day d2: d=2, d1=1, r=2, r1=1 -> E1 = 2*(1/2) = 1,
+            V = 2*(1/2)*(1/2)*(0/1) = 0.
+    O1=2, E1=2, V=1/3, chi2 = 0.
+    """
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    eid = 0
+    for uid, last_day in ((1, 0), (2, 0), (3, 2), (4, 2)):
+        for d in range(last_day + 1):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d), uid, "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_logrank_test,
+    )
+
+    r = events_logrank_test(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 2
+    assert r["o1"] == 2
+    assert r["e1"] == 2.0
+    assert abs(r["variance"] - 1 / 3) < 1e-5
+    assert r["logrank_chi2"] == 0.0
