@@ -2102,3 +2102,95 @@ def graph_degree_assortativity(
             ),
         ).alias("assortativity"),
     )
+
+
+# The star schema's FK edges: (child table, fk column, parent table,
+# pk column). One audit row per edge.
+_FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_edge_sql(child, fk, parent, pk):
+    return f"""
+    SELECT '{child}.{fk}' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS child_rows,
+           CAST(count(DISTINCT {fk}) AS BIGINT) AS distinct_fk,
+           CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_fk,
+           CAST(sum(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON p.{pk} = c.{fk}
+    """
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        _fk_edge_sql(*e) for e in _FK_EDGES
+    ),
+)
+def quality_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit across all 7 foreign-key edges of
+    the star schema in one report — the constraint-validation staple
+    (dbt `relationships` tests, Deequ `isContainedIn`) the profiling
+    pair doesn't cover: `profile_table_stats` describes COLUMNS,
+    this op validates EDGES. Per edge: child rows, distinct FK
+    values, NULL FKs (legal but budget-relevant), and ORPHANS — a
+    non-NULL FK with no parent row, the row an inner-join pipeline
+    silently drops and a dimension-broadcast join silently
+    null-extends; a nonzero orphan count is the difference between
+    those two plans giving different answers. On the consistent
+    fixture every orphan count is 0 — the audit's pass state — while
+    child/distinct counts keep the differential hash engaged.
+
+    Determinism: pure exact-integer counts; no doubles anywhere.
+
+    Scale shape: each edge is one LEFT join of the child against the
+    parent's DISTINCT key projection — dims broadcast (nation/region/
+    customer/part/supplier at fixture scale; AQE decides at real
+    scale), fact-fact edges shuffle on the key like every TPC-H join.
+    The 7 edges union 1-row aggregates (map-combinable). No windows,
+    no rank. 100 TB-safe."""
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        j = c.join(p, c.fk == p.pk, "left")
+        parts.append(
+            j.agg(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.countDistinct("fk").cast("long").alias("distinct_fk"),
+                F.sum(
+                    F.when(F.col("fk").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("null_fk"),
+                F.sum(
+                    F.when(
+                        F.col("fk").isNotNull() & F.col("pk").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("orphans"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out

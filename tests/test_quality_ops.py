@@ -359,3 +359,51 @@ def test_label_propagation_labels_within_components(spark, sf_dir):
     for node, label in lpa.items():
         if sizes[comp[node]] == 2:
             assert label == comp[node]  # star-CC labels by min id too
+
+
+def test_referential_integrity_catches_orphans(spark, sf_dir, tmp_path):
+    """On a deliberately broken copy of the star schema (one orders row
+    pointing at a nonexistent customer, one NULL FK) the audit must
+    report exactly those; on the driver fixture every orphan count is
+    0 (the pass state)."""
+    import os
+    import shutil
+
+    from presto_truffle_spark.operators.quality_ops import (
+        quality_referential_integrity,
+    )
+
+    rows = {
+        r["fk_edge"]: r
+        for r in quality_referential_integrity(spark, sf_dir).collect()
+    }
+    assert len(rows) == 7
+    assert all(r["orphans"] == 0 for r in rows.values())
+
+    # broken copy: link every table, rewrite orders with 1 orphan + 1 null
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    broken = o.limit(2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") == o.limit(1).collect()[0][0],
+               F.lit(10**12)).otherwise(F.lit(None)).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    o.unionByName(broken.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10**12
+    )).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    rows2 = {
+        r["fk_edge"]: r
+        for r in quality_referential_integrity(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    edge = rows2["orders.o_custkey"]
+    assert edge["orphans"] == 1
+    assert edge["null_fk"] == 1
+    assert edge["child_rows"] == rows["orders.o_custkey"]["child_rows"] + 2
+    shutil.rmtree(tmp_path, ignore_errors=True)
