@@ -1099,3 +1099,144 @@ def join_dynamic_partition_pruning(
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# Synthetic geography (the fixture has no geo columns — derived
+# in-query from keys with portable integer arithmetic, the
+# matching_multibyte precedent): coordinates in exact integer
+# MILLI-DEGREES, lat in [-85000, 85000), lon in [-180000, 180000).
+# Grid cells are 1000 milli-degrees; radius 1500 milli-degrees ->
+# stores expand to the 5x5 neighbor-cell block (ceil(1.5) = 2 rings).
+_GEO_CELL = 1000
+_GEO_RADIUS = 1500
+_GEO_RINGS = 2  # ceil(_GEO_RADIUS / _GEO_CELL)
+
+
+@query(
+    "geo_grid_radius_join",
+    oracle=f"""
+    WITH store AS (
+        SELECT n_name,
+               (n_nationkey * 7919) % 170000 - 85000 AS slat,
+               (n_nationkey * 104729) % 360000 - 180000 AS slon
+        FROM nation
+    ), cust AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 170000 - 85000 AS clat,
+               (c_custkey * 69621) % 360000 - 180000 AS clon
+        FROM customer
+    ), store_cells AS (
+        SELECT s.n_name, s.slat, s.slon,
+               (s.slat + 85000) // {_GEO_CELL} + dy.d AS cell_lat,
+               (s.slon + 180000) // {_GEO_CELL} + dx.d AS cell_lon
+        FROM store s
+        CROSS JOIN (SELECT unnest(generate_series(-{_GEO_RINGS}, {_GEO_RINGS})) AS d) dy
+        CROSS JOIN (SELECT unnest(generate_series(-{_GEO_RINGS}, {_GEO_RINGS})) AS d) dx
+    ), hits AS (
+        SELECT sc.n_name,
+               (c.clat - sc.slat) * (c.clat - sc.slat)
+               + (c.clon - sc.slon) * (c.clon - sc.slon) AS d2
+        FROM store_cells sc
+        JOIN cust c
+          ON (c.clat + 85000) // {_GEO_CELL} = sc.cell_lat
+         AND (c.clon + 180000) // {_GEO_CELL} = sc.cell_lon
+        WHERE (c.clat - sc.slat) * (c.clat - sc.slat)
+              + (c.clon - sc.slon) * (c.clon - sc.slon)
+              <= {_GEO_RADIUS * _GEO_RADIUS}
+    )
+    SELECT s.n_name AS store,
+           CAST(count(h.d2) AS BIGINT) AS n_within,
+           CAST(min(h.d2) AS BIGINT) AS nearest_d2
+    FROM store s LEFT JOIN hits h ON h.n_name = s.n_name
+    GROUP BY 1
+    """,
+)
+def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BINNED spatial radius join — the distributed geospatial
+    join pattern (Presto/Trino ship ST_* and a spatial-partitioned
+    join; Spark core has neither, so the engine provides the
+    composition): bin both sides into fixed grid cells, expand each
+    store to the neighbor-cell block covering its radius (5×5 here),
+    EQUI-join on the cell id, then verify the exact radius predicate —
+    the same bin-then-verify shape as `join_range_theta`'s binned
+    theta join, lifted to 2-D. Reports, per store, how many customers
+    sit within the radius and the nearest squared distance (the
+    site-planning readout). The fixture has no geography, so both
+    sides derive exact integer MILLI-DEGREE coordinates from their
+    keys in-query (the in-query-corpus precedent of
+    `matching_multibyte_edit_distance`); distances are planar integer
+    d² — production swaps haversine into the verify predicate, which
+    changes NOTHING about the join shape (and keeping the verify
+    integer-exact keeps the oracle hash exact; libm sin/cos last-ulp
+    parity is not a bet worth taking).
+
+    Determinism: every coordinate, cell id, and distance is exact
+    BIGINT arithmetic; cell division offsets coordinates positive
+    FIRST because Spark's `div` truncates toward zero while DuckDB's
+    `//` floors — divergent on negatives, identical on non-negatives
+    (the engine fork this op is shaped around).
+
+    Scale shape: the store side is |nations|×25 cells (625 rows,
+    broadcast); the customer side computes its cell in the scan and
+    equi-joins — no theta join, no cross product; the verify predicate
+    prunes the ring corners. Per-store aggregation is map-combinable.
+    At 100 TB the only big shuffle is the cell-keyed join the pattern
+    exists to create. 100 TB-safe."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        ((F.col("n_nationkey") * 7919) % 170000 - 85000).alias("slat"),
+        ((F.col("n_nationkey") * 104729) % 360000 - 180000).alias("slon"),
+    )
+    ring = spark.range(-_GEO_RINGS, _GEO_RINGS + 1).select(
+        F.col("id").alias("d")
+    )
+    store_cells = (
+        n.crossJoin(ring.select(F.col("d").alias("dy")))
+        .crossJoin(ring.select(F.col("d").alias("dx")))
+        .select(
+            "n_name",
+            "slat",
+            "slon",
+            (
+                F.expr(f"(slat + 85000) div {_GEO_CELL}") + F.col("dy")
+            ).alias("cell_lat"),
+            (
+                F.expr(f"(slon + 180000) div {_GEO_CELL}") + F.col("dx")
+            ).alias("cell_lon"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 48271) % 170000 - 85000).alias("clat"),
+        ((F.col("c_custkey") * 69621) % 360000 - 180000).alias("clon"),
+    ).select(
+        "clat",
+        "clon",
+        F.expr(f"(clat + 85000) div {_GEO_CELL}").alias("cell_lat"),
+        F.expr(f"(clon + 180000) div {_GEO_CELL}").alias("cell_lon"),
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (
+        F.col("clat") - F.col("slat")
+    ) + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
+    hits = (
+        c.join(F.broadcast(store_cells), ["cell_lat", "cell_lon"])
+        .where(d2 <= _GEO_RADIUS * _GEO_RADIUS)
+        .select("n_name", d2.alias("d2"))
+    )
+    # aggregate BEFORE the dim left-join: the per-store fold is
+    # map-combinable over the hit stream; joining first would shuffle
+    # customer-volume rows onto 25 keys.
+    agg = hits.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_within"),
+        F.min("d2").cast("long").alias("nearest_d2"),
+    )
+    return (
+        n.select("n_name")
+        .join(agg, "n_name", "left")
+        .select(
+            F.col("n_name").alias("store"),
+            F.coalesce(F.col("n_within"), F.lit(0))
+            .cast("long")
+            .alias("n_within"),
+            "nearest_d2",
+        )
+    )
