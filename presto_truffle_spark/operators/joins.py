@@ -1171,10 +1171,14 @@ def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity is not a bet worth taking).
 
     Determinism: every coordinate, cell id, and distance is exact
-    BIGINT arithmetic; cell division offsets coordinates positive
-    FIRST because Spark's `div` truncates toward zero while DuckDB's
-    `//` floors — divergent on negatives, identical on non-negatives
-    (the engine fork this op is shaped around).
+    BIGINT arithmetic. Cell division offsets coordinates positive
+    FIRST as defense-in-depth: probed (r15), Spark's `div` and
+    DuckDB's integer `//` actually AGREE on negatives (both truncate
+    toward zero, -7÷2 = -3 — only FLOAT `//` floors in DuckDB), but a
+    truncating cell id would straddle the origin (cells -0.999..0.999
+    milli-deg would share id 0, breaking the ring-cover guarantee),
+    so non-negative cell ids are correct geometry, not just parity
+    caution.
 
     Scale shape: the store side is |nations|×25 cells (625 rows,
     broadcast); the customer side computes its cell in the scan and
