@@ -1244,3 +1244,147 @@ def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_d2",
         )
     )
+
+
+# A non-convex 12-vertex "plus" polygon in integer milli-degrees,
+# centered on the origin (arms 60000 wide, notches at ±10000): concave
+# corners make the parity test non-trivial (a bounding box would
+# misclassify the four notch quadrants).
+_PIP_POLY = (
+    (-30000, -10000), (-10000, -10000), (-10000, -30000),
+    (10000, -30000), (10000, -10000), (30000, -10000),
+    (30000, 10000), (10000, 10000), (10000, 30000),
+    (-10000, 30000), (-10000, 10000), (-30000, 10000),
+)
+
+
+def _pip_edges_sql() -> str:
+    rows = []
+    n = len(_PIP_POLY)
+    for i in range(n):
+        x1, y1 = _PIP_POLY[i]
+        x2, y2 = _PIP_POLY[(i + 1) % n]
+        rows.append(f"({x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey,
+               (c_custkey * 48271) % 170000 - 85000 AS y,
+               (c_custkey * 69621) % 360000 - 180000 AS x
+        FROM customer
+    ), edges(x1, y1, x2, y2) AS (
+        VALUES {_pip_edges_sql()}
+    ), crossings AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(sum(CASE WHEN (e.y1 > c.y) <> (e.y2 > c.y)
+                              AND (CASE WHEN e.y2 > e.y1
+                                   THEN (c.x - e.x1) * (e.y2 - e.y1)
+                                        - (e.x2 - e.x1) * (c.y - e.y1) < 0
+                                   ELSE (c.x - e.x1) * (e.y2 - e.y1)
+                                        - (e.x2 - e.x1) * (c.y - e.y1) > 0
+                                   END)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM cust c CROSS JOIN edges e
+        GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(k % 2) AS BIGINT) AS n_inside
+    FROM crossings
+    JOIN nation n ON n.n_nationkey = c_nationkey
+    GROUP BY 1
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON classification (crossing-number ray cast,
+    Shimrat 1962 / the classic PNPOLY formulation) against a
+    non-convex 12-vertex polygon, aggregated per nation — the
+    containment primitive behind every geofencing / service-area
+    query, and the second member of the engine's geospatial block
+    (`geo_grid_radius_join` is proximity; this is containment, where
+    a bounding box is WRONG by construction — the polygon's four
+    concave notches are outside). Each customer point (the same
+    derived integer milli-degree geography as the radius join) casts
+    a +x ray; an edge crosses iff its endpoints straddle the ray's y
+    AND the point sits left of the edge at that y — evaluated as one
+    EXACT integer cross-product sign test with the division
+    multiplied through (sign-flipped when the edge descends), so no
+    doubles exist anywhere. Inside = odd crossings.
+
+    The 12-edge table broadcasts and fans each point out ×12 (the
+    bounded per-point cost of exact containment; production prepends
+    the radius join's grid-cell prefilter for large polygon sets).
+    Correctness note: the DuckDB twin shares the formula, so the
+    oracle proves ENGINE parity, not geometry — the hand-classified
+    unit test (tests/test_operators_unit.py) proves the geometry:
+    interior, exterior, notch-quadrant, and arm points.
+
+    Determinism: pure BIGINT arithmetic end-to-end (coordinates
+    ≤ 3·10⁵, cross products ≤ ~10¹¹ — no overflow anywhere near);
+    strict `>` endpoint comparisons give every vertex a consistent
+    side, the standard parity-safe convention.
+
+    Scale shape: broadcast 12-row edge table, ×12 map-side fan-out,
+    one map-combinable per-customer fold, then the nation fold with
+    the dim broadcast. No windows, no theta join. 100 TB-safe."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.col("c_custkey") * 48271) % 170000 - 85000).alias("y"),
+        ((F.col("c_custkey") * 69621) % 360000 - 180000).alias("x"),
+    )
+    k = _pip_classify(spark, cust, ["c_custkey", "c_nationkey"])
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        k.join(F.broadcast(nat), k.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("inside").cast("long").alias("n_inside"),
+        )
+    )
+
+
+def _pip_classify(spark: SparkSession, pts: DataFrame, keys: list) -> DataFrame:
+    """Crossing-number classification of (x, y) points against
+    _PIP_POLY: returns ``keys + [inside]`` (1 = odd crossings).
+    Shared by the registered op (derived customer geography) and the
+    hand-classified geometry test (literal points) — the split that
+    lets the test prove the FORMULA, which the engine-parity oracle
+    cannot (the twin shares it)."""
+    n = len(_PIP_POLY)
+    edge_rows = [
+        (
+            _PIP_POLY[i][0],
+            _PIP_POLY[i][1],
+            _PIP_POLY[(i + 1) % n][0],
+            _PIP_POLY[(i + 1) % n][1],
+        )
+        for i in range(n)
+    ]
+    edges = spark.createDataFrame(
+        edge_rows, "x1 long, y1 long, x2 long, y2 long"
+    )
+    t = (F.col("x") - F.col("x1")) * (F.col("y2") - F.col("y1")) - (
+        F.col("x2") - F.col("x1")
+    ) * (F.col("y") - F.col("y1"))
+    crosses = (
+        (F.col("y1") > F.col("y")) != (F.col("y2") > F.col("y"))
+    ) & (
+        F.when(F.col("y2") > F.col("y1"), t < 0).otherwise(t > 0)
+    )
+    return (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.when(crosses, 1).otherwise(0)).cast("long") % 2
+            ).alias("inside")
+        )
+    )

@@ -699,3 +699,34 @@ def test_logrank_hand_example(spark, tmp_path):
     assert r["e1"] == 2.0
     assert abs(r["variance"] - 1 / 3) < 1e-5
     assert r["logrank_chi2"] == 0.0
+
+
+def test_point_in_polygon_hand_classified(spark):
+    """Geometry proof for the crossing-number classifier against the
+    12-vertex plus polygon (arms |coord| < 30000, waist |coord| <
+    10000, notches where BOTH |x| > 10000 and |y| > 10000): the
+    engine-parity oracle shares the formula, so the classification
+    itself is proven here on hand-placed points."""
+    from presto_truffle_spark.operators.joins import _pip_classify
+
+    cases = [
+        (0, 0, 0, 1),          # center
+        (1, 20000, 0, 1),      # right arm
+        (2, 0, 25000, 1),      # top arm
+        (3, 5000, 5000, 1),    # central square
+        (4, 20000, 20000, 0),  # NE notch (bounding box would say in)
+        (5, -20000, -20000, 0),  # SW notch
+        (6, 40000, 0, 0),      # beyond the right arm
+        (7, 0, -40000, 0),     # below the bottom arm
+        (8, -29999, 9999, 1),  # left arm corner, just inside
+        (9, -29999, 10001, 0),  # just above the left arm
+    ]
+    pts = spark.createDataFrame(
+        [(i, x, y) for i, x, y, _ in cases], "pid long, x long, y long"
+    )
+    got = {
+        r["pid"]: r["inside"]
+        for r in _pip_classify(spark, pts, ["pid"]).collect()
+    }
+    for pid, x, y, want in cases:
+        assert got[pid] == want, (pid, x, y, got[pid], want)
