@@ -4406,9 +4406,11 @@ def agg_theil_inequality_decomposition(
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_nations,
            n0 AS n_pairs, p AS concordant, q AS discordant,
            t_rev AS ties_revenue, t_ord AS ties_orders,
-           round((p - q)
-                 / sqrt(CAST((n0 - t_rev) * (n0 - t_ord) AS DOUBLE)),
-                 6) AS tau_b
+           CASE WHEN (n0 - t_rev) * (n0 - t_ord) > 0 THEN
+               round((p - q)
+                     / sqrt(CAST((n0 - t_rev) * (n0 - t_ord) AS DOUBLE)),
+                     6)
+           END AS tau_b
     FROM pairs
     """,
 )
@@ -4509,14 +4511,19 @@ def agg_kendall_tau_nations(
         F.col("q").alias("discordant"),
         F.col("t_rev").alias("ties_revenue"),
         F.col("t_ord").alias("ties_orders"),
-        F.round(
-            (F.col("p") - F.col("q"))
-            / F.sqrt(
-                (
-                    (F.col("n0") - F.col("t_rev"))
-                    * (F.col("n0") - F.col("t_ord"))
-                ).cast("double")
+        F.when(
+            (F.col("n0") - F.col("t_rev"))
+            * (F.col("n0") - F.col("t_ord"))
+            > 0,
+            F.round(
+                (F.col("p") - F.col("q"))
+                / F.sqrt(
+                    (
+                        (F.col("n0") - F.col("t_rev"))
+                        * (F.col("n0") - F.col("t_ord"))
+                    ).cast("double")
+                ),
+                6,
             ),
-            6,
         ).alias("tau_b"),
     )

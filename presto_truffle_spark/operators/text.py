@@ -3947,7 +3947,9 @@ _DELTA_TERMS = 50
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_terms,
-           round(avg(abs(a.z - b.z)), 6) AS delta
+           round(CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT)
+                 / (count(*) * 1000000.0), 6) AS delta
     FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
     GROUP BY 1, 2
     """,
@@ -3976,7 +3978,10 @@ def text_burrows_delta_sources(
     folds of those integers, so the z expression consumes identical
     integers on both engines and the double algebra is shape-matched.
     Zero-variance markers (uniform across sources) are excluded by an
-    exact integer predicate on both sides.
+    exact integer predicate on both sides. Each |z_a - z_b| term is
+    frozen to integer micro-units before the pair sum (BIGINT fold —
+    summation-order independent), so the only doubles ever ADDED are
+    none: the final delta is an exact integer divided once.
 
     Scale shape: the (source, token) count is the standard
     map-combinable fold; marker selection is sortWithinPartitions-
@@ -4056,7 +4061,14 @@ def text_burrows_delta_sources(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms"),
             F.round(
-                F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6
+                F.sum(
+                    F.floor(
+                        F.abs(F.col("a.z") - F.col("b.z")) * 1000000
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
             ).alias("delta"),
         )
     )

@@ -4353,8 +4353,10 @@ def window_bollinger_breakout(
     SELECT n_days, o1,
            round(e1m / 1000000.0, 6) AS e1,
            round(vm / 1000000.0, 6) AS variance,
-           round((o1 - e1m / 1000000.0) * (o1 - e1m / 1000000.0)
-                 / (vm / 1000000.0), 6) AS logrank_chi2
+           CASE WHEN vm > 0 THEN
+               round((o1 - e1m / 1000000.0) * (o1 - e1m / 1000000.0)
+                     / (vm / 1000000.0), 6)
+           END AS logrank_chi2
     FROM s
     """,
 )
@@ -4435,10 +4437,13 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o1",
         F.round(F.col("e1m") / 1000000.0, 6).alias("e1"),
         F.round(F.col("vm") / 1000000.0, 6).alias("variance"),
-        F.round(
-            (F.col("o1") - F.col("e1m") / 1000000.0)
-            * (F.col("o1") - F.col("e1m") / 1000000.0)
-            / (F.col("vm") / 1000000.0),
-            6,
+        F.when(
+            F.col("vm") > 0,
+            F.round(
+                (F.col("o1") - F.col("e1m") / 1000000.0)
+                * (F.col("o1") - F.col("e1m") / 1000000.0)
+                / (F.col("vm") / 1000000.0),
+                6,
+            ),
         ).alias("logrank_chi2"),
     )

@@ -124,15 +124,17 @@ def load_all_modules() -> None:
 # green (the driver re-verified the staled code); until then it heads
 # the window. A further code change bumps the number by hand.
 _FORCE_HEAD: dict[str, int] = {
-    # (The 4 r14 pins — the ccnet pair, source_csv_permissive_corrupt,
-    # text_quality_score — all re-greened in CORRECTNESS_r14 and were
-    # pruned in r15 per the keep-it-short rule above.)
+    # (The r15 events_burstiness_fano pin re-greened in CORRECTNESS_r15
+    # and was pruned in r16 per the keep-it-short rule above.)
     #
-    # r15 pin — VERDICT r14 #3 hardened events_burstiness_fano with the
-    # calendar-spine gap fill, an OUTPUT-PRESERVING rewrite on the
-    # driver fixture (its (day,type) grid has zero gaps) but a code
-    # change nonetheless; the r14 green predates the edit.
-    "events_burstiness_fano": 14,
+    # r16 pins — the three ADVICE r15 hardening edits, each a both-
+    # engine change that invalidates the r15 green: zero-variance CASE
+    # guard on the log-rank chi2, zero-denominator guard on tau-b
+    # (both output-preserving on the driver fixture), and the Burrows
+    # |Δz| micro-unit freeze (may shift the 6dp rounding of delta).
+    "events_logrank_test": 15,
+    "agg_kendall_tau_nations": 15,
+    "text_burrows_delta_sources": 15,
 }
 
 _WINDOW = 50

@@ -387,9 +387,14 @@ def test_referential_integrity_catches_orphans(spark, sf_dir, tmp_path):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     from pyspark.sql import functions as F
 
-    broken = o.limit(2).select(
+    # limit() without orderBy is non-deterministic — pin the two rows
+    # and derive the orphan key from the SAME collected pair, so one
+    # row gets the orphan key and the other the NULL, always.
+    picked = o.orderBy("o_orderkey").limit(2)
+    orphan_key = picked.collect()[0]["o_orderkey"]
+    broken = picked.select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") == o.limit(1).collect()[0][0],
+        F.when(F.col("o_orderkey") == F.lit(orphan_key),
                F.lit(10**12)).otherwise(F.lit(None)).alias("o_custkey"),
         "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
     )
