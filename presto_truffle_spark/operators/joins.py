@@ -1388,3 +1388,191 @@ def _pip_classify(spark: SparkSession, pts: DataFrame, keys: list) -> DataFrame:
             ).alias("inside")
         )
     )
+
+
+# Nearest-neighbor grid: coarser than the radius join's cells (the NN
+# guarantee radius is 2 cells, so cells size toward the expected store
+# spacing). 15 milli-deg keeps all three tiers LIVE on the driver
+# fixture (probed at sf0.01: 1314/1500 points provably resolved by the
+# grid block, 52 empty-block misses, 134 unprovable candidates — the
+# last two both exact-fallback), so the registered key itself proves
+# the fallback path, not just the unit test.
+_NN_CELL = 15000
+_NN_RINGS = 2
+# Any store OUTSIDE a point's (2*_NN_RINGS+1)^2 block differs by >= 3
+# cells on some axis, hence by > 2 cells' width in that coordinate, so
+# its d^2 is strictly > (2*_NN_CELL)^2: a block candidate at or under
+# this bound is PROVABLY the global nearest.
+_NN_GUAR2 = (_NN_RINGS * _NN_CELL) ** 2
+
+
+@query(
+    "geo_nearest_store",
+    oracle="""
+    WITH store AS (
+        SELECT n_name,
+               (n_nationkey * 7919) % 170000 - 85000 AS slat,
+               (n_nationkey * 104729) % 360000 - 180000 AS slon
+        FROM nation
+    ), cust AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 170000 - 85000 AS clat,
+               (c_custkey * 69621) % 360000 - 180000 AS clon
+        FROM customer
+    ), d AS (
+        SELECT c.c_custkey, s.n_name,
+               (c.clat - s.slat) * (c.clat - s.slat)
+               + (c.clon - s.slon) * (c.clon - s.slon) AS d2
+        FROM cust c CROSS JOIN store s
+    ), best AS (
+        SELECT c_custkey, min(d2) AS d2min FROM d GROUP BY 1
+    ), assign AS (
+        SELECT d.c_custkey, min(d.n_name) AS store,
+               min(d.d2) AS d2
+        FROM d JOIN best ON best.c_custkey = d.c_custkey
+                        AND d.d2 = best.d2min
+        GROUP BY 1
+    )
+    SELECT s.n_name AS store,
+           CAST(count(a.c_custkey) AS BIGINT) AS n_assigned,
+           CAST(min(a.d2) AS BIGINT) AS nearest_d2,
+           CAST(max(a.d2) AS BIGINT) AS farthest_d2
+    FROM store s LEFT JOIN assign a ON a.store = s.n_name
+    GROUP BY 1
+    """,
+)
+def geo_nearest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-POINT NEAREST-NEIGHBOR assignment (every customer to its
+    closest store) — the third geospatial member, and the op that
+    EXERCISES the expansion fallback `geo_grid_radius_join`'s
+    docstring promises: the grid phase equi-joins each point's 5x5
+    neighbor-cell block against the binned store side and keeps a
+    block argmin only when it is PROVABLE (d^2 <= (2*cell)^2 — any
+    store outside the block is strictly farther, see _NN_GUAR2);
+    points with an empty block or an unprovable candidate fall back
+    to an EXACT argmin against the broadcast store dim. One bounded
+    fallback tier — not iterative ring growth — because the store
+    side here (and in every real site-assignment workload) is a
+    broadcastable dim; growing rings one at a time only pays when
+    the indexed side is itself too large to broadcast, and the
+    docstring trade-off is the point of the two-tier shape.
+
+    DIFFERENTIAL oracle, not shared-formula parity: the DuckDB twin
+    computes brute-force nearest (cross join + argmin) with none of
+    the grid/guarantee/fallback machinery — the comparison proves the
+    two-tier algorithm RECOVERS the exact assignment, the property
+    the guarantee bound claims. Ties (equidistant stores) break to
+    the lexicographically least store name on both engines via the
+    exact two-step argmin (min d^2 per point, then min name at that
+    d^2) — no engine-specific arg_min/min_by tie behavior is relied
+    on.
+
+    Determinism: coordinates, cell ids, and d^2 are exact BIGINT
+    (max d^2 ~ 1.6*10^11, 2^53-safe by 5 orders); cell division
+    offsets coordinates non-negative first (same geometry argument
+    as the radius join). The per-point argmin is exact-integer and
+    tie-broken; per-store aggregation is min/max/count folds.
+
+    Scale shape: the store side is |stores|x25 block-cover rows
+    (625, broadcast) for the grid tier and |stores| rows (broadcast)
+    for the fallback tier; the point side never shuffles in either
+    tier — grid candidates group on c_custkey (the scan's natural
+    key), the fallback's unconditioned-broadcast NLJ fans each missed
+    point x25 map-side. Per-store readout is a 25-key fold. At 100 TB
+    the dominant cost is one map-side x(block hits) fan-out plus one
+    x25 fan-out over the missed fraction. 100 TB-safe."""
+    stores = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        ((F.col("n_nationkey") * 7919) % 170000 - 85000).alias("slat"),
+        ((F.col("n_nationkey") * 104729) % 360000 - 180000).alias(
+            "slon"
+        ),
+    )
+    ring = spark.range(-_NN_RINGS, _NN_RINGS + 1).select(
+        F.col("id").alias("d")
+    )
+    store_cells = (
+        stores.crossJoin(ring.select(F.col("d").alias("dy")))
+        .crossJoin(ring.select(F.col("d").alias("dx")))
+        .select(
+            "n_name",
+            "slat",
+            "slon",
+            (
+                F.expr(f"(slat + 85000) div {_NN_CELL}") + F.col("dy")
+            ).alias("cell_lat"),
+            (
+                F.expr(f"(slon + 180000) div {_NN_CELL}") + F.col("dx")
+            ).alias("cell_lon"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 170000 - 85000).alias("clat"),
+        ((F.col("c_custkey") * 69621) % 360000 - 180000).alias("clon"),
+    )
+    binned = cust.select(
+        "c_custkey",
+        "clat",
+        "clon",
+        F.expr(f"(clat + 85000) div {_NN_CELL}").alias("cell_lat"),
+        F.expr(f"(clon + 180000) div {_NN_CELL}").alias("cell_lon"),
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (
+        F.col("clat") - F.col("slat")
+    ) + (F.col("clon") - F.col("slon")) * (
+        F.col("clon") - F.col("slon")
+    )
+    grid_cand = binned.join(
+        F.broadcast(store_cells), ["cell_lat", "cell_lon"]
+    ).select("c_custkey", "n_name", d2.alias("d2"))
+    resolved = _nn_argmin(grid_cand).where(F.col("d2") <= _NN_GUAR2)
+    missed = cust.join(
+        resolved.select("c_custkey"), "c_custkey", "left_anti"
+    )
+    fb_cand = missed.crossJoin(F.broadcast(stores)).select(
+        "c_custkey", "n_name", d2.alias("d2")
+    )
+    assign = resolved.unionByName(_nn_argmin(fb_cand))
+    agg = assign.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.min("d2").cast("long").alias("nearest_d2"),
+        F.max("d2").cast("long").alias("farthest_d2"),
+    )
+    return (
+        stores.select("n_name")
+        .join(agg, "n_name", "left")
+        .select(
+            F.col("n_name").alias("store"),
+            F.coalesce(F.col("n_assigned"), F.lit(0))
+            .cast("long")
+            .alias("n_assigned"),
+            "nearest_d2",
+            "farthest_d2",
+        )
+    )
+
+
+def _nn_argmin(cand: DataFrame) -> DataFrame:
+    """Exact tie-broken argmin over (c_custkey, n_name, d2) candidate
+    rows: min d^2 per point, then the lexicographically least store
+    name among candidates AT that d^2 — two integer folds, identical
+    semantics on any engine (no arg_min/min_by tie-order reliance).
+    Returns one (c_custkey, n_name, d2) row per point."""
+    best = (
+        cand.groupBy("c_custkey")
+        .agg(F.min("d2").alias("d2min"))
+        .withColumnRenamed("c_custkey", "bk")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("c_custkey") == F.col("bk"))
+            & (F.col("d2") == F.col("d2min")),
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.min("n_name").alias("n_name"),
+            F.min("d2").cast("long").alias("d2"),
+        )
+    )

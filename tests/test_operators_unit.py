@@ -730,3 +730,96 @@ def test_point_in_polygon_hand_classified(spark):
     }
     for pid, x, y, want in cases:
         assert got[pid] == want, (pid, x, y, got[pid], want)
+
+
+def test_nearest_store_empty_block_fallback(spark, tmp_path):
+    """The exact-fallback tier must recover the TRUE nearest store for
+    a point whose 5x5 neighbor-cell block contains no store — the
+    miss-handling `geo_nearest_store`'s guarantee bound cannot reach.
+
+    Brute-force truth is recomputed IN PYTHON from the same key-derived
+    coordinates, so the assertion is independent of both engines. The
+    fixture keys are screened so at least one customer's block is
+    empty and at least one is grid-resolvable (both tiers live)."""
+    from presto_truffle_spark.operators.joins import (
+        _NN_CELL,
+        _NN_RINGS,
+        geo_nearest_store,
+    )
+
+    def s_coord(k):
+        return ((k * 7919) % 170000 - 85000,
+                (k * 104729) % 360000 - 180000)
+
+    def c_coord(k):
+        return ((k * 48271) % 170000 - 85000,
+                (k * 69621) % 360000 - 180000)
+
+    def cell(lat, lon):
+        return ((lat + 85000) // _NN_CELL, (lon + 180000) // _NN_CELL)
+
+    store_keys = [0, 1, 2]
+    store_pts = {k: s_coord(k) for k in store_keys}
+    store_cells = set()
+    for k, (slat, slon) in store_pts.items():
+        cy, cx = cell(slat, slon)
+        for dy in range(-_NN_RINGS, _NN_RINGS + 1):
+            for dx in range(-_NN_RINGS, _NN_RINGS + 1):
+                store_cells.add((cy + dy, cx + dx))
+
+    # screen customer keys: need >=1 empty-block miss, >=1 block hit
+    miss_keys, hit_keys = [], []
+    for k in range(1, 3000):
+        if cell(*c_coord(k)) in store_cells:
+            if len(hit_keys) < 5:
+                hit_keys.append(k)
+        elif len(miss_keys) < 5:
+            miss_keys.append(k)
+        if len(miss_keys) == 5 and len(hit_keys) == 5:
+            break
+    assert len(miss_keys) >= 1 and len(hit_keys) >= 1
+
+    cust_keys = miss_keys + hit_keys
+    spark.createDataFrame(
+        [(k, f"S{k}") for k in store_keys],
+        "n_nationkey long, n_name string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(k,) for k in cust_keys], "c_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    def truth(k):
+        clat, clon = c_coord(k)
+        return min(
+            (
+                (clat - slat) ** 2 + (clon - slon) ** 2,
+                f"S{sk}",
+            )
+            for sk, (slat, slon) in store_pts.items()
+        )
+
+    expect = {}  # store -> [n, min_d2, max_d2]
+    for k in cust_keys:
+        d2, sname = truth(k)
+        e = expect.setdefault(sname, [0, d2, d2])
+        e[0] += 1
+        e[1] = min(e[1], d2)
+        e[2] = max(e[2], d2)
+
+    rows = {
+        r["store"]: r
+        for r in geo_nearest_store(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 3
+    for sname in (f"S{k}" for k in store_keys):
+        r = rows[sname]
+        if sname in expect:
+            n, dmin, dmax = expect[sname]
+            assert (r["n_assigned"], r["nearest_d2"], r["farthest_d2"]) \
+                == (n, dmin, dmax), (sname, r)
+        else:
+            assert r["n_assigned"] == 0 and r["nearest_d2"] is None
+    # the miss-path points specifically must carry the true assignment:
+    # their stores' counts already include them (above), and the block
+    # really was empty for every miss key by construction.
+    assert all(cell(*c_coord(k)) not in store_cells for k in miss_keys)
