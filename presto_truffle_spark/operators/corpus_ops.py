@@ -1612,3 +1612,137 @@ def _turnover_fold(tok: DataFrame) -> DataFrame:
             "new_ratio"
         ),
     )
+
+
+# Recency-weighted sampling: the newest ingest batch keeps everything
+# and each step back in time multiplies the keep-rate by 3/4 — the
+# exact-rational decay whose per-period thresholds are INTEGERS
+# (3^age * 4^(P-1-age) out of 4^(P-1)), so selection is pure BIGINT
+# arithmetic on both engines. P reuses the turnover op's batch count.
+_RWS_PERIODS = _TURNOVER_PERIODS
+_RWS_M = 4 ** (_RWS_PERIODS - 1)
+_RWS_THRESH = {
+    p: 3 ** (_RWS_PERIODS - 1 - p) * 4 ** p for p in range(_RWS_PERIODS)
+}
+
+
+def _rws_threshold_case() -> str:
+    """CASE expression mapping period -> integer keep-threshold,
+    identical text on both engines."""
+    arms = " ".join(
+        f"WHEN {p} THEN {t}" for p, t in sorted(_RWS_THRESH.items())
+    )
+    return f"CASE period {arms} END"
+
+
+@query(
+    "corpus_recency_weighted_sample",
+    oracle=f"""
+    WITH maxd AS (
+        SELECT max(doc_id) AS md FROM documents
+    ), d AS (
+        SELECT doc_id,
+               (doc_id * {_RWS_PERIODS}) // (md + 1) AS period,
+               length(text) AS n_chars
+        FROM documents CROSS JOIN maxd
+    ), s AS (
+        SELECT period, doc_id, n_chars,
+               CASE WHEN (doc_id * 48271) % {_RWS_M}
+                         < {_rws_threshold_case()}
+                    THEN 1 ELSE 0 END AS keep
+        FROM d
+    )
+    SELECT CAST(period AS BIGINT) AS period,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_sampled,
+           CAST(sum(keep * n_chars) AS BIGINT) AS sampled_chars,
+           round(sum(keep) * 1.0 / count(*), 6) AS sample_rate,
+           round({_rws_threshold_case()} * 1.0 / {_RWS_M}, 6)
+               AS target_rate
+    FROM s
+    GROUP BY period
+    """,
+)
+def corpus_recency_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECENCY-WEIGHTED corpus sampling (exponential time decay) — the
+    time-axis mixing policy every refresh-sensitive training pipeline
+    applies (newest crawl kept whole, each older snapshot down-weighted
+    geometrically) and the op that completes the corpus-management
+    time axis `corpus_vocab_turnover` opened: turnover DIAGNOSES drift
+    per batch; this op ACTS on it, emitting the per-batch keep ledger
+    a budgeted recency-heavy mix is built from. Decay is (3/4)^age per
+    doc_id-twelfth batch (the driver fixture carries no date — the
+    same portable batching as turnover; the DATED rich fixture test
+    feeds real ingest-date periods and pins the discriminative
+    readout: the sampled mix's mean date shifts measurably recent).
+
+    Selection is DETERMINISTIC importance sampling, not rand(): doc i
+    is kept iff (i * 48271) mod 4^11 < 3^age * 4^(11-age) — the
+    threshold is the decay rational with denominator 4^11 held as an
+    exact BIGINT, so the keep decision, the per-period counts, and the
+    realized-vs-target rate comparison are all integer-exact on both
+    engines (the repo's key-derived-hash convention; reproducible
+    sample membership is itself a data-governance requirement — the
+    same doc set is re-selectable from the ledger alone).
+
+    Scale shape: one scan computes period, hash, and keep per doc
+    (map-only — the 1-row max(doc_id) broadcast is the only other
+    input); the readout is a {_RWS_PERIODS}-row map-combinable fold.
+    No joins, no windows, nothing downstream of the scan is
+    corpus-volume. The sample itself never materializes here (the
+    ledger is the contract; a pipeline chains .where(keep) on the same
+    predicate). 100 TB-safe."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    maxd = docs.agg(F.max("doc_id").alias("md"))
+    d = docs.crossJoin(F.broadcast(maxd)).select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"(doc_id * {_RWS_PERIODS}) div (md + 1)").alias(
+            "period"
+        ),
+    )
+    return _recency_sample_fold(d)
+
+
+def _recency_sample_fold(d: DataFrame) -> DataFrame:
+    """Per-period keep ledger over a (doc_id, period, n_chars) frame —
+    shared by the registered doc_id-batched op and the dated-rich-
+    fixture test, which feeds real ingest-date periods (clamped to
+    [0, P-1]) instead."""
+    thresh = _rws_threshold_case()
+    s = d.select(
+        "period",
+        "n_chars",
+        F.when(
+            (F.col("doc_id") * 48271) % _RWS_M < F.expr(thresh), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        s.groupBy("period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_sampled"),
+            F.sum(F.col("keep") * F.col("n_chars"))
+            .cast("long")
+            .alias("sampled_chars"),
+            F.round(
+                F.sum("keep") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("sample_rate"),
+        )
+        .select(
+            F.col("period").cast("long").alias("period"),
+            "n_docs",
+            "n_sampled",
+            "sampled_chars",
+            "sample_rate",
+            F.round(F.expr(thresh) * 1.0 / F.lit(_RWS_M), 6).alias(
+                "target_rate"
+            ),
+        )
+    )

@@ -204,3 +204,64 @@ def test_pack_bins_sorted_conserves_and_tightens(spark, sf_dir):
         bins_arrival[r.lang] = max(bins_arrival.get(r.lang, -1), r.bin_id)
     for lang in bins_arrival:
         assert bins_sorted[lang] <= bins_arrival[lang]
+
+
+def test_recency_sample_shifts_mix_recent_on_dated_fixture(spark):
+    """The discriminative readout of recency-weighted sampling on the
+    DATED rich fixture: feeding real ingest-date periods (10-day bins,
+    the fixture's topic stagger) through the shared fold must shift
+    the sampled mix's mean batch measurably toward the present, while
+    realized per-batch rates track the exact decay targets. Measured
+    at seed 12: corpus mean bin 3.58 -> sample mean bin 5.07
+    (shift +1.49 bins ~ 15 days), 95/600 kept."""
+    from pyspark.sql import functions as F
+
+    from presto_truffle_spark.operators.corpus_ops import (
+        _RWS_PERIODS,
+        _recency_sample_fold,
+    )
+    from presto_truffle_spark.sources.rich_fixture import zipf_documents
+
+    docs = zipf_documents(spark, 600, seed=12)
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.least(
+            F.lit(_RWS_PERIODS - 1),
+            F.greatest(
+                F.lit(0),
+                (
+                    F.datediff(
+                        F.col("day"), F.lit("2024-01-01").cast("date")
+                    )
+                    / 10
+                ).cast("long"),
+            ),
+        ).alias("period"),
+    )
+    rows = _recency_sample_fold(d).collect()
+    nd = sum(r["n_docs"] for r in rows)
+    ns = sum(r["n_sampled"] for r in rows)
+    assert nd == 600 and 0 < ns < nd
+    corpus_mean = sum(r["period"] * r["n_docs"] for r in rows) / nd
+    sample_mean = sum(r["period"] * r["n_sampled"] for r in rows) / ns
+    # recent-heavy mix: the mean ingest bin of the sample sits at
+    # least one full 10-day bin later than the corpus's
+    assert sample_mean - corpus_mean > 1.0, (corpus_mean, sample_mean)
+    # realized rates track the exact decay targets on populated bins
+    for r in rows:
+        if r["n_docs"] >= 50:
+            assert abs(r["sample_rate"] - r["target_rate"]) < 0.12, r
+    # the ledger's keep decision is reproducible from doc_id alone
+    from presto_truffle_spark.operators.corpus_ops import (
+        _RWS_M,
+        _RWS_THRESH,
+    )
+
+    hand = d.select("doc_id", "period").collect()
+    hand_n = sum(
+        1
+        for row in hand
+        if (row["doc_id"] * 48271) % _RWS_M < _RWS_THRESH[row["period"]]
+    )
+    assert hand_n == ns
