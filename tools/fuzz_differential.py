@@ -3026,6 +3026,60 @@ def run_sort_nulls_case(
     return _compare(spark.sql(ssql), con, dsql)
 
 
+def run_width_bucket_case(
+    spark, con, rng: random.Random, tmp: str, case_id: int
+) -> str | None:
+    """width_bucket battery (r16, 69th — the banked arithmetic-CASE
+    twin from TODO r15). DuckDB ships NO width_bucket (probed:
+    Catalog Error), so the twin SPELLS the documented conventions as
+    exact integer arithmetic: NULL value -> NULL, v < lo -> 0,
+    v >= hi -> n+1, else (n*(v-lo)) // (hi-lo) + 1. Spark evaluates
+    in doubles ((n.toDouble*(v-min))/(max-min)).toLong+1 — exact-twin
+    agreement holds because every product here is << 2^53 and a
+    double quotient cannot cross an integer boundary at these
+    magnitudes (|numerator| <= ~4e7, denominator <= 500). Bounds stay
+    lo < hi: Spark supports REVERSED buckets when lo > hi (a Spark
+    extension with no conventions to twin). Literal edge pins ride
+    along: v=lo -> 1, v=hi -> n+1, v<lo -> 0."""
+    _materialize_single(spark, con, rng, tmp, f"fuzz_{case_id}_wb")
+    exprs = []
+    for i in range(rng.randint(2, 4)):
+        v = rng.choice(["m1", "m2", "m3", "(m1 + m2)", "(m2 - m1)"])
+        lo = rng.randint(-100, 100)
+        hi = lo + rng.randint(1, 500)
+        n = rng.randint(1, 20)
+        s = f"width_bucket(CAST({v} AS DOUBLE), {lo}, {hi}, {n})"
+        d = (
+            f"CASE WHEN {v} IS NULL THEN NULL "
+            f"WHEN {v} < {lo} THEN 0 "
+            f"WHEN {v} >= {hi} THEN {n + 1} "
+            f"ELSE ({n} * ({v} - {lo})) // ({hi} - {lo}) + 1 END"
+        )
+        exprs.append((f"wb{i}", s, d))
+    # convention pins as literals (cheap, every case re-proves them)
+    lo = rng.randint(-50, 50)
+    hi = lo + rng.randint(1, 100)
+    n = rng.randint(1, 9)
+    for alias, v, want in (
+        ("wb_lo", lo, 1),
+        ("wb_hi", hi, n + 1),
+        ("wb_under", lo - 1, 0),
+    ):
+        exprs.append(
+            (
+                alias,
+                f"width_bucket(CAST({v} AS DOUBLE), {lo}, {hi}, {n})",
+                str(want),
+            )
+        )
+    sel_s = ", ".join(f"CAST({s} AS BIGINT) AS {a}" for a, s, _ in exprs)
+    sel_d = ", ".join(f"CAST({d} AS BIGINT) AS {a}" for a, _, d in exprs)
+    where = gen_predicate(rng)
+    ssql = f"SELECT k1, {sel_s} FROM t WHERE {where}"
+    dsql = f"SELECT k1, {sel_d} FROM t WHERE {where}"
+    return _compare(spark.sql(ssql), con, dsql)
+
+
 def run_csv_ts_format_case(
     spark, con, rng: random.Random, tmp: str, case_id: int
 ) -> str | None:
@@ -4598,6 +4652,8 @@ _CORE_FAMILIES = [
     # --- r15 families ---
     ("map_lastwin", 0.015),
     ("sort_nulls", 0.015),
+    # --- r16 families ---
+    ("width_bucket", 0.015),
     ("base_agg", 0.03),
 ]
 
