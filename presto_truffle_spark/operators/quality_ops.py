@@ -2194,3 +2194,171 @@ def quality_referential_integrity(
     for p_ in parts[1:]:
         out = out.unionAll(p_)
     return out
+
+
+# t-closeness risk threshold, expressed as a DECILE BUCKET of the
+# total-variation distance (bucket 5 <=> t >= 0.5): classes whose
+# sensitive-value distribution sits this far from the table's global
+# distribution leak attribute information even when k-anonymous and
+# l-diverse. The bucket key is computed in exact integer arithmetic
+# ((num*5) div (n_g*N) — num is the x2N-scaled TVD numerator), so
+# bucket membership never rides on a double rounding.
+_T_CLOSE_RISKY_BUCKET = 5
+
+
+@query(
+    "quality_t_closeness",
+    oracle=f"""
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+               o.o_orderpriority AS sensitive
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM joined
+    ), gdist AS (
+        SELECT sensitive, CAST(count(*) AS BIGINT) AS ns
+        FROM joined GROUP BY 1
+    ), cls AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               CAST(count(*) AS BIGINT) AS n_g
+        FROM joined GROUP BY 1, 2, 3
+    ), obs AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket, sensitive,
+               CAST(count(*) AS BIGINT) AS n_gs
+        FROM joined GROUP BY 1, 2, 3, 4
+    ), grid AS (
+        SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_bucket,
+               cls.n_g, t.n,
+               abs(COALESCE(o.n_gs, 0) * t.n - g.ns * cls.n_g) AS term
+        FROM cls CROSS JOIN gdist g CROSS JOIN tot t
+        LEFT JOIN obs o ON o.c_nationkey = cls.c_nationkey
+                       AND o.c_mktsegment = cls.c_mktsegment
+                       AND o.bal_bucket = cls.bal_bucket
+                       AND o.sensitive = g.sensitive
+    ), tv AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               max(n_g) AS n_g, max(n) AS n,
+               CAST(sum(term) AS BIGINT) AS num
+        FROM grid GROUP BY 1, 2, 3
+    )
+    SELECT (num * 5) // (n_g * n) AS t_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n_g) AS BIGINT) AS n_rows,
+           round(max(num * 1.0 / (2.0 * n_g * n)), 6) AS max_tvd,
+           (num * 5) // (n_g * n) >= {_T_CLOSE_RISKY_BUCKET}
+               AS is_risky
+    FROM tv
+    GROUP BY 1, 5
+    """,
+)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-risk ladder, guarding the attack the
+    first two miss: a class can be k-anonymous
+    (`quality_k_anonymity`) AND l-diverse (`quality_l_diversity`) yet
+    have a sensitive-value DISTRIBUTION far from the table's global
+    one (e.g. 90% URGENT where the corpus runs 20%), which leaks the
+    attribute probabilistically (the skewness attack). Same
+    quasi-identifier classes and sensitive attribute as the l-audit;
+    per class, the categorical Earth-Mover's Distance — which under
+    the equal-ground-distance metric IS the total-variation distance
+    ((1/2)Σ|P_class − P_global|) — reported as a decile histogram
+    with classes at bucket >= {_T_CLOSE_RISKY_BUCKET} (t >= 0.5)
+    flagged for generalization or suppression.
+
+    Determinism: TVD is held as the exact integer numerator
+    num = Σ_s |n_gs·N − N_s·n_g| (the common-denominator form —
+    every product BIGINT-exact through N ≈ 3·10⁹ joined rows;
+    beyond, the decimal38/HUGEINT convention of the assortativity op
+    swaps in); the HISTOGRAM KEY is exact integer arithmetic
+    ((num·5) div (n_g·N), both operands non-negative so `div` and
+    DuckDB `//` agree), so no class's bucket rides on a double;
+    max_tvd is one double division over identical integers, rounded
+    6dp. Missing (class, sensitive) combos contribute N_s·n_g via
+    the domain grid — omitting them would understate t exactly where
+    the leak is worst (a one-value class).
+
+    Scale shape: one enrichment equi-join (shared with the l-audit;
+    AQE broadcast-swaps the small side), two map-combinable folds
+    (class, class×sensitive), then the grid join — class-table ×
+    |sensitive domain| (≤5 here), with the 5-row global distribution
+    and 1-row total broadcast; the histogram is a ≤10-row fold. At
+    100 TB nothing beyond the class table materializes. 100 TB-safe."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias(
+            "bal_bucket"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("sensitive")
+    )
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "c_mktsegment", "bal_bucket", "sensitive"
+    )
+    from presto_truffle_spark.cache import scoped_persist
+
+    joined = scoped_persist(spark, "quality.tclose.joined", joined)
+    tot = joined.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    glob = joined.groupBy("sensitive").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    cls = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    obs = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_bucket", "sensitive"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gs"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            obs,
+            ["c_nationkey", "c_mktsegment", "bal_bucket", "sensitive"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "n_g",
+            "n",
+            F.abs(
+                F.coalesce(F.col("n_gs"), F.lit(0)) * F.col("n")
+                - F.col("ns") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    tv = grid.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.max("n_g").alias("n_g"),
+        F.max("n").alias("n"),
+        F.sum("term").cast("long").alias("num"),
+    )
+    bucket = F.expr("(num * 5) div (n_g * n)")
+    return (
+        tv.select(
+            bucket.alias("t_bucket"),
+            "n_g",
+            (F.col("num") * 1.0 / (2.0 * F.col("n_g") * F.col("n"))).alias(
+                "tvd"
+            ),
+        )
+        .groupBy("t_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n_g").cast("long").alias("n_rows"),
+            F.round(F.max("tvd"), 6).alias("max_tvd"),
+        )
+        .select(
+            "t_bucket",
+            "n_classes",
+            "n_rows",
+            "max_tvd",
+            (F.col("t_bucket") >= _T_CLOSE_RISKY_BUCKET).alias(
+                "is_risky"
+            ),
+        )
+    )

@@ -412,3 +412,56 @@ def test_referential_integrity_catches_orphans(spark, sf_dir, tmp_path):
     assert edge["null_fk"] == 1
     assert edge["child_rows"] == rows["orders.o_custkey"]["child_rows"] + 2
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_t_closeness_hand_example(spark, tmp_path):
+    """Hand-computed TVD on a 4-class fixture (N=18, global P1:P2 =
+    12:6 = (2/3, 1/3)):
+
+      A: 4xP1          -> TVD = 1/3   -> bucket 3
+      B: 2xP1 + 2xP2   -> TVD = 1/6   -> bucket 1
+      C: 6xP1 + 2xP2   -> TVD = 1/12  -> bucket 0
+      D: 2xP2          -> TVD = 2/3   -> bucket 6, RISKY
+
+    D proves the missing-combo grid handling (its P1 count is 0 —
+    dropping absent cells would halve its distance) and the risky
+    flag; C proves a near-global class lands in bucket 0."""
+    from presto_truffle_spark.operators.quality_ops import (
+        quality_t_closeness,
+    )
+
+    spark.createDataFrame(
+        [(k, k, "AUTO", 0.0) for k in range(4)],
+        "c_custkey long, c_nationkey long, c_mktsegment string, "
+        "c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders = (
+        [(0, "P1")] * 4
+        + [(1, "P1")] * 2
+        + [(1, "P2")] * 2
+        + [(2, "P1")] * 6
+        + [(2, "P2")] * 2
+        + [(3, "P2")] * 2
+    )
+    spark.createDataFrame(
+        orders, "o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        r["t_bucket"]: r
+        for r in quality_t_closeness(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1, 3, 6}
+    expect = {
+        0: (1, 8, 0.083333, False),
+        1: (1, 4, 0.166667, False),
+        3: (1, 4, 0.333333, False),
+        6: (1, 2, 0.666667, True),
+    }
+    for b, (nc, nr, tvd, risky) in expect.items():
+        r = rows[b]
+        assert (
+            r["n_classes"],
+            r["n_rows"],
+            r["max_tvd"],
+            r["is_risky"],
+        ) == (nc, nr, tvd, risky), (b, r)
