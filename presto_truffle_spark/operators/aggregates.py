@@ -4527,3 +4527,109 @@ def agg_kendall_tau_nations(
             ),
         ).alias("tau_b"),
     )
+
+
+@query(
+    "agg_contingency_residuals",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ), m AS (
+        SELECT seg, prio, obs,
+               CAST(sum(obs) OVER (PARTITION BY seg) AS BIGINT)
+                   AS row_tot,
+               CAST(sum(obs) OVER (PARTITION BY prio) AS BIGINT)
+                   AS col_tot,
+               CAST(sum(obs) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT seg, prio, obs,
+           round((row_tot * col_tot) * 1.0 / n, 6) AS expected,
+           CASE WHEN (n - row_tot) * (n - col_tot) > 0 THEN
+               round((obs - (row_tot * col_tot) * 1.0 / n)
+                     / sqrt((row_tot * col_tot) * 1.0 / n
+                            * (1 - row_tot * 1.0 / n)
+                            * (1 - col_tot * 1.0 / n)), 6)
+           END AS adj_residual,
+           CASE WHEN (n - row_tot) * (n - col_tot) > 0 THEN
+               abs((obs - (row_tot * col_tot) * 1.0 / n)
+                   / sqrt((row_tot * col_tot) * 1.0 / n
+                          * (1 - row_tot * 1.0 / n)
+                          * (1 - col_tot * 1.0 / n))) > 2.575829
+           END AS is_outlier_cell
+    FROM m
+    """,
+)
+def agg_contingency_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADJUSTED STANDARDIZED RESIDUALS (Haberman 1973) for every cell
+    of the segment × priority contingency table — the localization
+    readout `agg_chi_square_independence` cannot give: the chi-square
+    + Cramér's V pair says WHETHER and HOW STRONGLY the two factors
+    associate; the adjusted residual (obs − exp) / √(exp·(1−p_row)·
+    (1−p_col)) says WHICH cells drive it, each asymptotically N(0,1)
+    under independence so |r| > 2.576 flags the 1%-level deviant
+    cells an analyst acts on. The pairing is the standard follow-up
+    in every stats package (test first, residuals to explain).
+
+    Determinism: observed counts, margins, and N are exact BIGINTs
+    (margins via windows over the ≤25-row cell table); each cell's
+    expected value and residual are per-row double algebra over those
+    integers (no double is ever summed), identical textual shape on
+    both engines, rounded 6dp. Degenerate margins (a factor with one
+    level makes (1−p)=0) yield NULL residual/flag via the same CASE
+    guard on both engines — the zero-variance discipline ADVICE r15
+    applied to log-rank/tau-b, here from birth.
+
+    Scale shape: identical to the chi-square op it explains — one
+    custkey equi-join and one grouped count are the only full-data
+    work; margins, residuals, and flags live on the r·c ≤ 25-row cell
+    grid (whitelisted unpartitioned windows over that grid, same as
+    the chi-square op). 100 TB-safe."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("prio")
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("seg", "prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    m = cells.select(
+        "seg",
+        "prio",
+        "obs",
+        F.sum("obs").over(W.partitionBy("seg")).cast("long").alias(
+            "row_tot"
+        ),
+        F.sum("obs").over(W.partitionBy("prio")).cast("long").alias(
+            "col_tot"
+        ),
+        F.sum("obs").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")) * 1.0 / F.col("n")
+    den = F.sqrt(
+        exp
+        * (1 - F.col("row_tot") * 1.0 / F.col("n"))
+        * (1 - F.col("col_tot") * 1.0 / F.col("n"))
+    )
+    resid = (F.col("obs") - exp) / den
+    guard = (F.col("n") - F.col("row_tot")) * (
+        F.col("n") - F.col("col_tot")
+    ) > 0
+    return m.select(
+        "seg",
+        "prio",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        F.when(guard, F.round(resid, 6)).alias("adj_residual"),
+        F.when(guard, F.abs(resid) > 2.575829).alias(
+            "is_outlier_cell"
+        ),
+    )

@@ -101,6 +101,7 @@ WHITELIST: dict[str, str] = {
     # Each runs over a grid its docstring bounds; text_keyness was the
     # one VOCAB-sized case and was rewritten to a broadcast 1-row agg.
     "agg_chi_square_independence": "margin windows over the r*c<=25-row cell table",
+    "agg_contingency_residuals": "margin windows over the r*c<=25-row cell table (chi-square's localization companion)",
     "agg_benjamini_hochberg_dow": "BH rank/step-up over the <=7-row dow grid",
     "agg_jackknife_ratio_se": "replicate folds over the 20-bucket table",
     "corpus_drift_psi": "normalizer window over the 10-bin histogram",
