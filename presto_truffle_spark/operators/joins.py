@@ -1462,10 +1462,12 @@ def geo_nearest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grid/guarantee/fallback machinery — the comparison proves the
     two-tier algorithm RECOVERS the exact assignment, the property
     the guarantee bound claims. Ties (equidistant stores) break to
-    the lexicographically least store name on both engines via the
-    exact two-step argmin (min d^2 per point, then min name at that
-    d^2) — no engine-specific arg_min/min_by tie behavior is relied
-    on.
+    the lexicographically least store name on both engines: Spark
+    folds min(struct(d2, n_name)) — struct comparison is
+    lexicographic, so one pass IS (min d^2, then min name at that
+    d^2) — while the oracle spells the same ordering as an explicit
+    two-step argmin; no engine-specific arg_min/min_by tie behavior
+    is relied on.
 
     Determinism: coordinates, cell ids, and d^2 are exact BIGINT
     (max d^2 ~ 1.6*10^11, 2^53-safe by 5 orders); cell division
@@ -1475,9 +1477,12 @@ def geo_nearest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the store side is |stores|x25 block-cover rows
     (625, broadcast) for the grid tier and |stores| rows (broadcast)
-    for the fallback tier; the point side never shuffles in either
-    tier — grid candidates group on c_custkey (the scan's natural
-    key), the fallback's unconditioned-broadcast NLJ fans each missed
+    for the fallback tier; the point side pays ONE argmin shuffle per
+    tier (the struct-min fold on c_custkey) and is scanned 3x in
+    total (tier fold + the split's two consumers — the grid tier
+    LEFT-joins so empty-block misses survive the fold with a NULL
+    candidate instead of costing an anti-join pass); the fallback's
+    unconditioned-broadcast NLJ fans each missed
     point x25 map-side. Per-store readout is a 25-key fold. At 100 TB
     the dominant cost is one map-side x(block hits) fan-out plus one
     x25 fan-out over the missed fraction. 100 TB-safe."""
@@ -1523,17 +1528,49 @@ def geo_nearest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + (F.col("clon") - F.col("slon")) * (
         F.col("clon") - F.col("slon")
     )
-    grid_cand = binned.join(
-        F.broadcast(store_cells), ["cell_lat", "cell_lon"]
-    ).select("c_custkey", "n_name", d2.alias("d2"))
-    resolved = _nn_argmin(grid_cand).where(F.col("d2") <= _NN_GUAR2)
-    missed = cust.join(
-        resolved.select("c_custkey"), "c_custkey", "left_anti"
+    # ONE struct-min fold per tier (Spark struct comparison is
+    # lexicographic, so min(struct(d2, n_name)) IS the tie-broken
+    # argmin — min d^2, then least name at that d^2; same two-key
+    # ordering the oracle's two-step argmin spells). The grid tier
+    # LEFT-joins so empty-block points survive the fold with a NULL
+    # candidate — no second pass over the point side to find misses
+    # (the r16 rescan audit read 8 customer scans under the original
+    # join-back argmin + anti-join shape; this shape reads 3: the
+    # fold, and the g split's two consumers).
+    g = (
+        binned.join(
+            F.broadcast(store_cells), ["cell_lat", "cell_lon"], "left"
+        )
+        .groupBy("c_custkey", "clat", "clon")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("n_name").isNotNull(),
+                    F.struct(d2.alias("d2"), F.col("n_name")),
+                )
+            ).alias("m")
+        )
     )
-    fb_cand = missed.crossJoin(F.broadcast(stores)).select(
-        "c_custkey", "n_name", d2.alias("d2")
+    provable = F.col("m").isNotNull() & (F.col("m.d2") <= _NN_GUAR2)
+    resolved = g.where(provable).select(
+        "c_custkey",
+        F.col("m.n_name").alias("n_name"),
+        F.col("m.d2").cast("long").alias("d2"),
     )
-    assign = resolved.unionByName(_nn_argmin(fb_cand))
+    missed = g.where(~provable).select("c_custkey", "clat", "clon")
+    fb = (
+        missed.crossJoin(F.broadcast(stores))
+        .groupBy("c_custkey")
+        .agg(
+            F.min(F.struct(d2.alias("d2"), F.col("n_name"))).alias("m")
+        )
+        .select(
+            "c_custkey",
+            F.col("m.n_name").alias("n_name"),
+            F.col("m.d2").cast("long").alias("d2"),
+        )
+    )
+    assign = resolved.unionByName(fb)
     agg = assign.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
         F.min("d2").cast("long").alias("nearest_d2"),
@@ -1549,30 +1586,5 @@ def geo_nearest_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_assigned"),
             "nearest_d2",
             "farthest_d2",
-        )
-    )
-
-
-def _nn_argmin(cand: DataFrame) -> DataFrame:
-    """Exact tie-broken argmin over (c_custkey, n_name, d2) candidate
-    rows: min d^2 per point, then the lexicographically least store
-    name among candidates AT that d^2 — two integer folds, identical
-    semantics on any engine (no arg_min/min_by tie-order reliance).
-    Returns one (c_custkey, n_name, d2) row per point."""
-    best = (
-        cand.groupBy("c_custkey")
-        .agg(F.min("d2").alias("d2min"))
-        .withColumnRenamed("c_custkey", "bk")
-    )
-    return (
-        cand.join(
-            best,
-            (F.col("c_custkey") == F.col("bk"))
-            & (F.col("d2") == F.col("d2min")),
-        )
-        .groupBy("c_custkey")
-        .agg(
-            F.min("n_name").alias("n_name"),
-            F.min("d2").cast("long").alias("d2"),
         )
     )
