@@ -223,6 +223,11 @@ _CASES = [
     ("events_burstiness_fano", 0),  # empty grid -> no types
     ("join_dynamic_partition_pruning", 0),  # empty dim -> no partitions
     ("events_hurst_rescaled_range", 0),  # empty day grid -> no scales
+    # r16 additions
+    ("geo_nearest_store", 0),  # empty store dim -> no output rows
+    ("corpus_recency_weighted_sample", 0),  # no docs -> no batches
+    ("quality_t_closeness", 0),  # empty join -> no classes
+    ("agg_contingency_residuals", 0),  # empty join -> no cells
 ]
 
 
