@@ -4633,3 +4633,189 @@ def agg_contingency_residuals(
             "is_outlier_cell"
         ),
     )
+
+
+# TPC-H's five market segments — the fixed pivot that keeps the ANOVA
+# sum shapes TEXTUAL (a groupBy-then-sum of per-group doubles would be
+# partition-order dependent; five named columns summed in written
+# order are not).
+_ANOVA_SEGS = (
+    "AUTOMOBILE",
+    "BUILDING",
+    "FURNITURE",
+    "HOUSEHOLD",
+    "MACHINERY",
+)
+
+
+def _anova_pivot_sql() -> str:
+    cols = []
+    for i, seg in enumerate(_ANOVA_SEGS, 1):
+        cols.append(
+            f"COALESCE(max(CASE WHEN seg = '{seg}' THEN n END), 0)"
+            f" AS n{i},\n"
+            f"               COALESCE(max(CASE WHEN seg = '{seg}'"
+            f" THEN s END), 0) AS s{i},\n"
+            f"               COALESCE(CAST(max(CASE WHEN seg = '{seg}'"
+            f" THEN sq END) AS DOUBLE), 0.0) AS q{i}"
+        )
+    return ",\n               ".join(cols)
+
+
+def _anova_terms(n: int = len(_ANOVA_SEGS)) -> dict:
+    """Fixed-order SQL fragments shared by both engines' final algebra."""
+    k = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(1, n + 1))
+    ntot = " + ".join(f"n{i}" for i in range(1, n + 1))
+    stot = " + ".join(f"s{i}" for i in range(1, n + 1))
+    qtot = " + ".join(f"q{i}" for i in range(1, n + 1))
+    bsum = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN (CAST(s{i} AS DOUBLE) * s{i}) / n{i}"
+        f" ELSE 0.0 END)"
+        for i in range(1, n + 1)
+    )
+    return {"k": k, "ntot": ntot, "stot": stot, "qtot": qtot, "bsum": bsum}
+
+
+_ANOVA_T = _anova_terms()
+
+
+@query(
+    "agg_oneway_anova",
+    oracle=f"""
+    WITH g AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   * CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sq
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ), p AS (
+        SELECT {_anova_pivot_sql()}
+        FROM g
+    ), t AS (
+        SELECT CAST({_ANOVA_T["k"]} AS BIGINT) AS k,
+               CAST({_ANOVA_T["ntot"]} AS BIGINT) AS n_total,
+               CAST({_ANOVA_T["stot"]} AS BIGINT) AS s_total,
+               ({_ANOVA_T["qtot"]}) AS q_total,
+               ({_ANOVA_T["bsum"]}) AS bsum
+        FROM p
+    ), f AS (
+        SELECT k, n_total, s_total,
+               CASE WHEN n_total > 0 THEN
+                   bsum - (CAST(s_total AS DOUBLE) * s_total) / n_total
+               END AS ssb,
+               q_total - bsum AS ssw
+        FROM t
+    )
+    SELECT k AS n_groups, n_total,
+           CASE WHEN n_total > 0 THEN
+               round(s_total / (100.0 * n_total), 6)
+           END AS grand_mean,
+           CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
+               round((ssb / (k - 1)) / (ssw / (n_total - k)), 6)
+           END AS f_stat,
+           CASE WHEN ssb + ssw > 0 THEN
+               round(ssb / (ssb + ssw), 6)
+           END AS eta_sq
+    FROM f
+    """,
+)
+def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F-test of mean order value across ALL FIVE market
+    segments — the k-sample test the suite's otherwise-complete
+    battery lacks: `agg_welch_ttest` compares two groups, chi-square
+    tests categorical×categorical, MWU/KS are two-sample; "does the
+    segment affect spend AT ALL" across k>2 groups is the one-way
+    F = (SSB/(k−1))/(SSW/(N−k)), with eta² = SSB/SST as the effect
+    size (the variance-explained companion, same role Cramér's V
+    plays for chi-square).
+
+    Numerics: per-group (n, Σcents, Σcents²) are exact (DECIMAL(38,0)
+    Spark / HUGEINT-widened DuckDB for the square sum — the Welch op's
+    catastrophic-cancellation discipline: SSW subtracts ~1e24
+    quantities). The five groups then PIVOT to one row of fifteen
+    named columns and every downstream sum is written out in FIXED
+    textual order — a groupBy-then-sum of per-group doubles would be
+    partition-order dependent, five named terms added left-to-right
+    are not (both engines evaluate the identical expression tree over
+    identical exact integers). Absent segments contribute zero via
+    per-term CASE guards and k counts only present groups; SSW = 0,
+    k ≤ 1, or N ≤ k yield NULL F via the same CASE on both engines
+    (the r15 zero-variance discipline from birth).
+
+    Scale shape: identical to Welch — one custkey equi-join and one
+    5-group map-combinable fold are the only full-data work; the
+    pivot and the F algebra run on one 5-row/1-row frame. 100 TB-
+    safe."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    base = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    pick = lambda seg, col: F.max(  # noqa: E731
+        F.when(F.col("seg") == seg, F.col(col))
+    )
+    pcols = []
+    for i, seg in enumerate(_ANOVA_SEGS, 1):
+        pcols.append(F.coalesce(pick(seg, "n"), F.lit(0)).alias(f"n{i}"))
+        pcols.append(F.coalesce(pick(seg, "s"), F.lit(0)).alias(f"s{i}"))
+        pcols.append(
+            F.coalesce(
+                pick(seg, "sq").cast("double"), F.lit(0.0)
+            ).alias(f"q{i}")
+        )
+    p = g.agg(*pcols)
+    t = p.select(
+        F.expr(_ANOVA_T["k"]).cast("long").alias("k"),
+        F.expr(_ANOVA_T["ntot"]).cast("long").alias("n_total"),
+        F.expr(_ANOVA_T["stot"]).cast("long").alias("s_total"),
+        F.expr(_ANOVA_T["qtot"]).alias("q_total"),
+        F.expr(_ANOVA_T["bsum"]).alias("bsum"),
+    )
+    f = t.select(
+        "k",
+        "n_total",
+        "s_total",
+        F.when(
+            F.col("n_total") > 0,
+            F.col("bsum")
+            - (F.col("s_total").cast("double") * F.col("s_total"))
+            / F.col("n_total"),
+        ).alias("ssb"),
+        (F.col("q_total") - F.col("bsum")).alias("ssw"),
+    )
+    return f.select(
+        F.col("k").alias("n_groups"),
+        "n_total",
+        F.when(
+            F.col("n_total") > 0,
+            F.round(
+                F.col("s_total") / (F.lit(100.0) * F.col("n_total")),
+                6,
+            ),
+        ).alias("grand_mean"),
+        F.when(
+            (F.col("k") > 1)
+            & (F.col("n_total") > F.col("k"))
+            & (F.col("ssw") > 0),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+                6,
+            ),
+        ).alias("f_stat"),
+        F.when(
+            F.col("ssb") + F.col("ssw") > 0,
+            F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6),
+        ).alias("eta_sq"),
+    )

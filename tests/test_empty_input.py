@@ -228,6 +228,7 @@ _CASES = [
     ("corpus_recency_weighted_sample", 0),  # no docs -> no batches
     ("quality_t_closeness", 0),  # empty join -> no classes
     ("agg_contingency_residuals", 0),  # empty join -> no cells
+    ("agg_oneway_anova", 1),  # ungrouped pivot: one all-NULL/zero row
 ]
 
 

@@ -823,3 +823,42 @@ def test_nearest_store_empty_block_fallback(spark, tmp_path):
     # their stores' counts already include them (above), and the block
     # really was empty for every miss key by construction.
     assert all(cell(*c_coord(k)) not in store_cells for k in miss_keys)
+
+
+def test_oneway_anova_hand_example(spark, tmp_path):
+    """Hand-computed one-way ANOVA on a 3-group fixture (two of the
+    five pivot segments absent — proves the per-term CASE guards and
+    the present-group k count):
+
+      AUTOMOBILE [1,2,3], BUILDING [2,3,4], FURNITURE [6,7,8] dollars
+      means 2, 3, 7; grand 4; SSB = 3*4+3*1+3*9 = 42; SSW = 2+2+2 = 6
+      F = (42/2)/(6/6) = 21;  eta^2 = 42/48 = 0.875
+    """
+    from presto_truffle_spark.operators.aggregates import (
+        agg_oneway_anova,
+    )
+
+    groups = {
+        "AUTOMOBILE": [1.0, 2.0, 3.0],
+        "BUILDING": [2.0, 3.0, 4.0],
+        "FURNITURE": [6.0, 7.0, 8.0],
+    }
+    custs, orders, ck, ok = [], [], 0, 0
+    for seg, vals in groups.items():
+        custs.append((ck, seg))
+        for v in vals:
+            orders.append((ok, ck, v))
+            ok += 1
+        ck += 1
+    spark.createDataFrame(
+        custs, "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = agg_oneway_anova(spark, str(tmp_path)).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["n_total"] == 9
+    assert r["grand_mean"] == 4.0
+    assert r["f_stat"] == 21.0
+    assert r["eta_sq"] == 0.875
