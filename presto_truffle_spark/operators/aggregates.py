@@ -1846,7 +1846,7 @@ def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment AS seg,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(cents) AS BIGINT) AS s,
-               sum(cents * cents) AS sq
+               sum(CAST(cents AS HUGEINT) * cents) AS sq
         FROM (
             SELECT c.c_mktsegment,
                    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
@@ -1914,7 +1914,7 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
         F.sum(
-            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
         ).alias("sq"),
     )
     w = g.select(
@@ -4687,22 +4687,24 @@ _ANOVA_T = _anova_terms()
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS s,
-               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)
+               sum(CAST(round(o.o_totalprice * 100) AS HUGEINT)
                    * CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sq
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
     ), p AS (
-        SELECT {_anova_pivot_sql()}
+        SELECT {_anova_pivot_sql()},
+               CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_all
         FROM g
     ), t AS (
         SELECT CAST({_ANOVA_T["k"]} AS BIGINT) AS k,
                CAST({_ANOVA_T["ntot"]} AS BIGINT) AS n_total,
                CAST({_ANOVA_T["stot"]} AS BIGINT) AS s_total,
                ({_ANOVA_T["qtot"]}) AS q_total,
-               ({_ANOVA_T["bsum"]}) AS bsum
+               ({_ANOVA_T["bsum"]}) AS bsum,
+               n_all
         FROM p
     ), f AS (
-        SELECT k, n_total, s_total,
+        SELECT k, n_total, s_total, n_all,
                CASE WHEN n_total > 0 THEN
                    bsum - (CAST(s_total AS DOUBLE) * s_total) / n_total
                END AS ssb,
@@ -4710,13 +4712,14 @@ _ANOVA_T = _anova_terms()
         FROM t
     )
     SELECT k AS n_groups, n_total,
+           n_all - n_total AS n_unpivoted,
            CASE WHEN n_total > 0 THEN
                round(s_total / (100.0 * n_total), 6)
            END AS grand_mean,
            CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
                round((ssb / (k - 1)) / (ssw / (n_total - k)), 6)
            END AS f_stat,
-           CASE WHEN ssb + ssw > 0 THEN
+           CASE WHEN ssb + ssw > 0 AND ssw > 0 THEN
                round(ssb / (ssb + ssw), 6)
            END AS eta_sq
     FROM f
@@ -4735,7 +4738,10 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numerics: per-group (n, Σcents, Σcents²) are exact (DECIMAL(38,0)
     Spark / HUGEINT-widened DuckDB for the square sum — the Welch op's
     catastrophic-cancellation discipline: SSW subtracts ~1e24
-    quantities). The five groups then PIVOT to one row of fifteen
+    quantities). The widening happens BEFORE the square on both
+    engines (ADVICE r16): cents·cents in int64 would overflow on any
+    single order above ~$30M (cents > ~3.03e9) regardless of row
+    count, so one operand is cast to decimal38/HUGEINT first. The five groups then PIVOT to one row of fifteen
     named columns and every downstream sum is written out in FIXED
     textual order — a groupBy-then-sum of per-group doubles would be
     partition-order dependent, five named terms added left-to-right
@@ -4743,7 +4749,13 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical exact integers). Absent segments contribute zero via
     per-term CASE guards and k counts only present groups; SSW = 0,
     k ≤ 1, or N ≤ k yield NULL F via the same CASE on both engines
-    (the r15 zero-variance discipline from birth).
+    (the r15 zero-variance discipline from birth), and eta² carries
+    the same ssw > 0 guard (ADVICE r16: with true within-group
+    variance 0, float cancellation can leave ssw tiny-negative and
+    push ssb/(ssb+ssw) above 1). The pivot's five segments are
+    hard-coded; `n_unpivoted` (= Σ all group counts − Σ pivoted
+    counts, ADVICE r16) makes any silently-dropped segment visible —
+    0 on TPC-H, nonzero on any fixture with an unlisted value.
 
     Scale shape: identical to Welch — one custkey equi-join and one
     5-group map-combinable fold are the only full-data work; the
@@ -4759,7 +4771,7 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
         F.sum(
-            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
         ).alias("sq"),
     )
     pick = lambda seg, col: F.max(  # noqa: E731
@@ -4774,6 +4786,9 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pick(seg, "sq").cast("double"), F.lit(0.0)
             ).alias(f"q{i}")
         )
+    pcols.append(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_all")
+    )
     p = g.agg(*pcols)
     t = p.select(
         F.expr(_ANOVA_T["k"]).cast("long").alias("k"),
@@ -4781,11 +4796,13 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ANOVA_T["stot"]).cast("long").alias("s_total"),
         F.expr(_ANOVA_T["qtot"]).alias("q_total"),
         F.expr(_ANOVA_T["bsum"]).alias("bsum"),
+        "n_all",
     )
     f = t.select(
         "k",
         "n_total",
         "s_total",
+        "n_all",
         F.when(
             F.col("n_total") > 0,
             F.col("bsum")
@@ -4797,6 +4814,7 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         F.col("k").alias("n_groups"),
         "n_total",
+        (F.col("n_all") - F.col("n_total")).alias("n_unpivoted"),
         F.when(
             F.col("n_total") > 0,
             F.round(
@@ -4815,7 +4833,7 @@ def agg_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f_stat"),
         F.when(
-            F.col("ssb") + F.col("ssw") > 0,
+            (F.col("ssb") + F.col("ssw") > 0) & (F.col("ssw") > 0),
             F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6),
         ).alias("eta_sq"),
     )

@@ -2242,12 +2242,14 @@ _T_CLOSE_RISKY_BUCKET = 5
                CAST(sum(term) AS BIGINT) AS num
         FROM grid GROUP BY 1, 2, 3
     )
-    SELECT (num * 5) // (n_g * n) AS t_bucket,
+    SELECT CAST((CAST(num AS HUGEINT) * 5)
+                // (CAST(n_g AS HUGEINT) * n) AS BIGINT) AS t_bucket,
            CAST(count(*) AS BIGINT) AS n_classes,
            CAST(sum(n_g) AS BIGINT) AS n_rows,
            round(max(num * 1.0 / (2.0 * n_g * n)), 6) AS max_tvd,
-           (num * 5) // (n_g * n) >= {_T_CLOSE_RISKY_BUCKET}
-               AS is_risky
+           CAST((CAST(num AS HUGEINT) * 5)
+                // (CAST(n_g AS HUGEINT) * n) AS BIGINT)
+               >= {_T_CLOSE_RISKY_BUCKET} AS is_risky
     FROM tv
     GROUP BY 1, 5
     """,
@@ -2269,11 +2271,14 @@ def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: TVD is held as the exact integer numerator
     num = Σ_s |n_gs·N − N_s·n_g| (the common-denominator form —
-    every product BIGINT-exact through N ≈ 3·10⁹ joined rows;
-    beyond, the decimal38/HUGEINT convention of the assortativity op
-    swaps in); the HISTOGRAM KEY is exact integer arithmetic
-    ((num·5) div (n_g·N), both operands non-negative so `div` and
-    DuckDB `//` agree), so no class's bucket rides on a double;
+    each |·| term BIGINT-exact through N ≈ 3·10⁹ joined rows); the
+    HISTOGRAM KEY is exact integer arithmetic computed in
+    decimal38 (Spark) / HUGEINT (DuckDB) — (num·5) div (n_g·N) with
+    both products widened BEFORE the multiply, since num·5 (worst
+    case ≈ 10·n_g·N) and n_g·N overflow int64 near N ≈ 10⁹ when one
+    class dominates, well before the term bound (ADVICE r16); both
+    operands non-negative so `div` and DuckDB `//` agree, and no
+    class's bucket rides on a double;
     max_tvd is one double division over identical integers, rounded
     6dp. Missing (class, sensitive) combos contribute N_s·n_g via
     the domain grid — omitting them would understate t exactly where
@@ -2337,7 +2342,10 @@ def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.sum("term").cast("long").alias("num"),
     )
-    bucket = F.expr("(num * 5) div (n_g * n)")
+    bucket = F.expr(
+        "(CAST(num AS DECIMAL(38,0)) * 5)"
+        " div (CAST(n_g AS DECIMAL(38,0)) * n)"
+    )
     return (
         tv.select(
             bucket.alias("t_bucket"),

@@ -124,17 +124,20 @@ def load_all_modules() -> None:
 # green (the driver re-verified the staled code); until then it heads
 # the window. A further code change bumps the number by hand.
 _FORCE_HEAD: dict[str, int] = {
-    # (The r15 events_burstiness_fano pin re-greened in CORRECTNESS_r15
-    # and was pruned in r16 per the keep-it-short rule above.)
+    # (The three r16 ADVICE pins — events_logrank_test,
+    # agg_kendall_tau_nations, text_burrows_delta_sources — all
+    # re-greened in CORRECTNESS_r16 and were pruned in r17 per the
+    # keep-it-short rule above; the r15 fano pin went the same way.)
     #
-    # r16 pins — the three ADVICE r15 hardening edits, each a both-
-    # engine change that invalidates the r15 green: zero-variance CASE
-    # guard on the log-rank chi2, zero-denominator guard on tau-b
-    # (both output-preserving on the driver fixture), and the Burrows
-    # |Δz| micro-unit freeze (may shift the 6dp rounding of delta).
-    "events_logrank_test": 15,
-    "agg_kendall_tau_nations": 15,
-    "text_burrows_delta_sources": 15,
+    # r17 pins — the ADVICE r16 hardening edits, each a both-engine
+    # change that invalidates the r16 green: cents² widened to
+    # decimal38/HUGEINT BEFORE the square (Welch + ANOVA; output-
+    # preserving on the fixture), the ANOVA ssw>0 eta² guard plus the
+    # n_unpivoted residual column (schema change), and the t-closeness
+    # bucket key widened to decimal38/HUGEINT (output-preserving).
+    "agg_welch_ttest": 10,
+    "agg_oneway_anova": 16,
+    "quality_t_closeness": 16,
 }
 
 _WINDOW = 50
