@@ -364,7 +364,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     if input_bytes(sf_dir, "documents") >= _TFIDF_PERSIST_MIN_BYTES:
         tf = scoped_persist(spark, "text.tfidf.tf", tf)
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df = count of tf rows per token, written as sum(least(tf, 1)) — the
+    # value is identical (tf >= 1 on every row), but the column REFERENCE
+    # matters for the plan: a plain count(1) lets the optimizer prune the
+    # partial_count out of the df branch's aggregate chain, making its
+    # Exchange subtree differ from tf's own, so AQE's stage cache cannot
+    # reuse the shuffle and the unpersisted path re-runs the whole
+    # tokenize+explode+partial-agg chain (the two Generate+FileScan
+    # subtrees the persist gate's docstring describes). Referencing tf
+    # keeps the two Exchange subtrees canonically identical, so AQE
+    # reuses the tf shuffle for the df branch (final plan shows
+    # ReusedExchange; scans of documents drop 3 → 2, one of which reads
+    # zero columns) — r17, plan diff in plans/r17/.
+    df = tf.groupBy("token").agg(F.sum(F.least(F.col("tf"), F.lit(1))).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     if input_bytes(sf_dir, "documents") >= _VOCAB_BROADCAST_MAX_BYTES:
         # Raw vocabulary past broadcast scale: salted shuffle join.
