@@ -345,13 +345,18 @@ def large_small_star_components(
         .localCheckpoint(eager=True)
     )
     # Canonical undirected edge set, oriented large→small, self-loops dropped.
+    # LAZY checkpoint + immediate count: the count action materializes the
+    # checkpoint as part of its own job, where eager=True would run one job
+    # to materialize and a second to count — two full passes per round on a
+    # 100 TB edge set, and 2× the scheduler floor per round locally (r17;
+    # same change inside the loop below).
     E = (
         edges.select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     converged = False
@@ -367,11 +372,16 @@ def large_small_star_components(
             .select("u", F.least("minv", F.col("u")).alias("m"))
         )
         # v > u ≥ m(u), so (v, m) is already large→small oriented and v ≠ m.
+        # NO distinct here (r17): min() downstream is duplicate-insensitive
+        # and e2 ends in distinct anyway, so deduping e1 only added an
+        # (u,v)-keyed Exchange AND re-partitioned away the u-keyed layout
+        # the join just established — dropping it lets m2's groupBy(u) and
+        # the e2 join reuse e1's partitioning with zero further Exchanges
+        # (per-round shuffles 6 → 3, measured in the jobs-per-round A/B).
         e1 = (
             bidir.filter(F.col("v") > F.col("u"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # --- small-star: relink N(u) ∪ {u} to u's min neighbor -----------
         m2 = e1.groupBy("u").agg(F.min("v").alias("m"))  # m < u strictly
@@ -381,7 +391,7 @@ def large_small_star_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(m2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by cnt below
         )
         # Set-stability check (both sides distinct): compare the cheap
         # per-round COUNT first; only when counts are equal — i.e. the

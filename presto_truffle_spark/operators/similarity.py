@@ -2433,7 +2433,13 @@ _JL_SAMPLE = 128  # hash-sampled audit vectors (fixed at ANY corpus size)
 @query(
     "embedding_jl_projection",
     oracle=f"""
-    WITH sampled AS (
+    -- The sign matrix is hoisted into a one-row CTE instead of being an
+    -- inline literal inside the lambda: DuckDB re-materializes an inline
+    -- 16x64 nested-list literal on EVERY [k][j] access (measured r17:
+    -- 64 s for 128 rows at sf0.01; hoisted, 0.1 s — values bit-identical,
+    -- the fold order and element expressions are unchanged).
+    WITH m AS (SELECT {_JL_SIGNS_SQL} AS mm
+    ), sampled AS (
         SELECT vec_id, embedding::DOUBLE[] AS e
         FROM embeddings
         ORDER BY (vec_id * 2654435761) % 1048576, vec_id
@@ -2443,10 +2449,10 @@ _JL_SAMPLE = 128  # hash-sampled audit vectors (fixed at ANY corpus size)
                list_transform(generate_series(1, 16),
                    k -> list_reduce(
                        list_transform(generate_series(1, 64),
-                           j -> e[j] * ({_JL_SIGNS_SQL})[k][j]
+                           j -> e[j] * mm[k][j]
                                 * CAST(0.25 AS DOUBLE)),
                        (a, b) -> a + b)) AS y
-        FROM sampled
+        FROM sampled, m
     ), pairs AS (
         SELECT list_reduce(list_transform(generate_series(1, 64),
                    j -> (a.e[j] - b.e[j]) * (a.e[j] - b.e[j])),
@@ -2508,12 +2514,13 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy((F.col("vec_id") * 2654435761) % 1048576, "vec_id")
         .limit(_JL_SAMPLE)
     )
-    signs_col = F.array(
-        *[
-            F.array(*[F.lit(float(v) * 0.25) for v in row])
-            for row in _JL_SIGNS
-        ]
-    )
+    # One Literal node holding the whole 16x64 matrix, NOT F.array of
+    # 1024 F.lit leaves: Catalyst folds/walks each node of the nested
+    # CreateArray tree, which cost ~4 s of driver analysis plus ~2 s of
+    # execution at ANY data size (measured r17; single literal: 1.2 s
+    # total, values bit-identical — 0.25·±1 is exact in binary either
+    # way).
+    signs_col = F.lit([[float(v) * 0.25 for v in row] for row in _JL_SIGNS])
     proj = sampled.select(
         "vec_id",
         "e",
