@@ -1713,12 +1713,71 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_truffle_spark.cache import scoped_persist
 
     keyed = scoped_persist(spark, "dedup.snm_mp.keyed", keyed)
-    cand = None
-    for i, k in enumerate(("k1", "k2", "k3"), start=1):
-        p = _snm_candidate_pairs(
-            spark, keyed, k, f"dedup.snm_mp.pass{i}"
-        )
-        cand = p if cand is None else cand.unionAll(p)
+    # The three passes are STACKED into one frame keyed by (snm_pass,
+    # bkey) instead of run as three independent rank pipelines: one
+    # repartitionByRange (one sampling job), one persist, one
+    # metadata-scale offsets table and one rank equi-join over 3n rows
+    # replace three of each (r17 — measured ~6 s → ~3.5 s at sf0.01;
+    # per-pass pair sets are unchanged because ranks are computed within
+    # each pass: range order is (snm_pass, bkey, doc_id), the local
+    # row_number partitions by (pid, snm_pass), and the offsets prefix
+    # sum restarts per pass, so each pass's rank sequence is the same
+    # total order the per-pass pipeline produced).
+    stacked = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("snm_pass"), F.col(k).alias("bkey")
+                    )
+                    for i, k in enumerate(("k1", "k2", "k3"), start=1)
+                ]
+            )
+        ).alias("pk"),
+    ).select("doc_id", "pk.snm_pass", "pk.bkey")
+    ranged = stacked.repartitionByRange(
+        _SNM_PARTS, "snm_pass", "bkey", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = scoped_persist(spark, "dedup.snm_mp.ranged", ranged)
+    counts = ranged.groupBy("pid", "snm_pass").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # Exclusive prefix sum per pass over <= 3*_SNM_PARTS partition-count
+    # rows (metadata-scale, same bound class as _snm_offsets).
+    w_off = (
+        W.partitionBy("snm_pass")
+        .orderBy("pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        "snm_pass",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    local_rn = F.row_number().over(
+        W.partitionBy("pid", "snm_pass").orderBy("bkey", "doc_id")
+    )
+    ranked = ranged.join(F.broadcast(offsets), ["pid", "snm_pass"]).select(
+        "doc_id", "snm_pass", (local_rn + F.col("off")).cast("long").alias("rn")
+    )
+    a_side = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        "snm_pass",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _SNM_WINDOW)])
+        ).alias("k"),
+        "rn",
+    ).select("id_a", "snm_pass", (F.col("rn") + F.col("k")).alias("rn_b"))
+    b_side = ranked.select(
+        F.col("doc_id").alias("id_b"), "snm_pass", F.col("rn").alias("rn_b")
+    )
+    cand = a_side.join(b_side, ["snm_pass", "rn_b"]).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    )
     grouped = cand.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_passes")
     )
