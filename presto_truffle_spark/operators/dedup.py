@@ -258,7 +258,14 @@ def minhash_candidates(
 
 
 _ORACLE_BANDS_CTES = f"""
-    WITH sh AS (
+    -- sh/sig/bands are AS MATERIALIZED (r17): DuckDB inlines CTEs per
+    -- reference, and every LSH oracle references sh/bands 2-4 times
+    -- (cand joins bands to itself; the verify joins sh twice), so the
+    -- whole shingle->signature pipeline re-ran per reference — and in
+    -- the unrolled-iteration oracles (label propagation) the doubling
+    -- compounded per step (measured 16.6 s -> 0.8 s at sf0.01).
+    -- Materialization is purely an execution strategy: values unchanged.
+    WITH sh AS MATERIALIZED (
         SELECT doc_id,
                list_transform(
                    list_distinct(list_transform(
@@ -269,11 +276,11 @@ _ORACLE_BANDS_CTES = f"""
                    x -> substr(md5(x), 1, 16)) AS shingles
         FROM documents
         WHERE len(string_split(text, ' ')) >= {_SHINGLE}
-    ), sig AS (
+    ), sig AS MATERIALIZED (
         SELECT doc_id, shingles,
                [{", ".join(f"list_min(list_transform(shingles, x -> md5('{s}|' || x)))" for s in range(_N_HASHES))}] AS sig
         FROM sh
-    ), bands AS (
+    ), bands AS MATERIALIZED (
         SELECT doc_id, band_idx, md5(sig[2*band_idx + 1] || sig[2*band_idx + 2]) AS band_hash
         FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_idx)
     )"""
@@ -283,7 +290,7 @@ def _minhash_oracle(bucket_cap: int | None = None) -> str:
     """DuckDB oracle for the MinHash+LSH pipeline; with ``bucket_cap`` the
     candidate CTE drops over-cap buckets exactly like the Spark side."""
     if bucket_cap is None:
-        cand = """, cand AS (
+        cand = """, cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -293,7 +300,7 @@ def _minhash_oracle(bucket_cap: int | None = None) -> str:
         cand = f""", bsz AS (
         SELECT band_idx, band_hash FROM bands
         GROUP BY band_idx, band_hash HAVING count(*) <= {bucket_cap}
-    ), cand AS (
+    ), cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
         JOIN bsz k ON a.band_idx = k.band_idx AND a.band_hash = k.band_hash
@@ -923,7 +930,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_ORACLE = (
     _ORACLE_BANDS_CTES
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS src, b.doc_id AS doc_id
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -1201,7 +1208,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_estimator_error",
     oracle=_ORACLE_BANDS_CTES
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -1444,7 +1451,7 @@ def _snm_offsets(counts: DataFrame) -> DataFrame:
         SELECT doc_id, shingles,
                row_number() OVER (ORDER BY skey, doc_id) AS rn
         FROM sh
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(b.rn - a.rn AS BIGINT) AS neighbor_dist,
                len(list_intersect(a.shingles, b.shingles)) * 1.0 /

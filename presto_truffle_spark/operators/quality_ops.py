@@ -194,12 +194,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_ORACLE = (
     _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -208,7 +208,7 @@ _CC_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
@@ -654,12 +654,12 @@ _PR_STEP = """, r{k} AS (
 
 _PR_ORACLE = (
     _ORACLE_BANDS_CTES
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -668,7 +668,7 @@ _PR_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
@@ -745,12 +745,12 @@ def _power_iterate(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
 
 _SURVIVOR_ORACLE = (
     _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -759,7 +759,7 @@ _SURVIVOR_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
@@ -844,12 +844,12 @@ def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_ORACLE = (
     _ORACLE_BANDS_CTES
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1000,14 +1000,14 @@ def _semantic_oracle(cap: int | None) -> str:
                              THEN power(2, p.p_id - 1) ELSE 0 END) AS BIGINT) AS bucket
         FROM embeddings e CROSS JOIN planes p
         GROUP BY e.vec_id, e.embedding
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id{cap_join}
         WHERE list_dot_product(a.ev, b.ev) /
               (sqrt(list_dot_product(a.ev, a.ev)) *
                sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs
@@ -1262,12 +1262,12 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEAKAGE_SPLIT_ORACLE = (
     _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1276,7 +1276,7 @@ _LEAKAGE_SPLIT_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
@@ -1377,22 +1377,26 @@ _LPA_STEP = """, nbr{k} AS (
         SELECT id, lbl FROM l{p}
     ), cnt{k} AS (
         SELECT id, lbl, count(*) AS c FROM nbr{k} GROUP BY id, lbl
-    ), l{k} AS (
+    ), l{k} AS MATERIALIZED (
         SELECT id, lbl FROM (
             SELECT *, row_number() OVER (PARTITION BY id
                                          ORDER BY c DESC, lbl) AS rn
             FROM cnt{k})
         WHERE rn = 1
     )"""
+# l{k} is MATERIALIZED (r17): each unrolled step references l{p} twice
+# (neighbor join + self-inclusion), so inlined CTEs double the evaluated
+# subtree per step — 2^ITERS copies of the whole LSH pipeline at the
+# bottom (measured 16.6 s → 0.8 s at sf0.01; values unchanged).
 
 _LPA_ORACLE = (
     _ORACLE_BANDS_CTES
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1401,11 +1405,11 @@ _LPA_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
-    ), l0 AS (
+    ), l0 AS MATERIALIZED (
         SELECT DISTINCT src AS id, src AS lbl FROM edges
     )"""
     + "".join(_LPA_STEP.format(k=k, p=k - 1) for k in range(1, _LPA_ITERS + 1))
@@ -1615,12 +1619,12 @@ def quality_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANON_ORACLE = (
     _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1629,7 +1633,7 @@ _CANON_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
@@ -1723,12 +1727,12 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKET_CROSS_ORACLE = (
     _ORACLE_BANDS_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
@@ -1737,7 +1741,7 @@ _BUCKET_CROSS_ORACLE = (
               (len(sa.shingles) + len(sb.shingles)
                - len(list_intersect(sa.shingles, sb.shingles)))
               >= {_JACCARD_THRESHOLD}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
@@ -1984,12 +1988,12 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASSORT_ORACLE = (
     _ORACLE_BANDS_CTES
-    + f""", cand AS (
+    + f""", cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
