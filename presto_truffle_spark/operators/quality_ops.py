@@ -727,11 +727,16 @@ def _power_iterate(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     graph_pagerank for semantics): returns (id, r) with raw double ranks;
     callers round for their oracle."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Out-degree folded onto the edge list ONCE, not re-joined every
+    # iteration: each round used to pay a second join (edges⋈ranks⋈deg);
+    # with (src, dst, d) materialized up front the loop is one join + one
+    # grouped sum per round — iters-1 joins saved, same r/d-per-edge
+    # arithmetic (r17).
+    eh = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
     for _ in range(iters):
         ranks = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
+            eh.join(ranks, eh.src == ranks.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(
                 (F.lit(0.15) + F.lit(0.85) * F.sum(F.col("r") / F.col("d"))).alias(

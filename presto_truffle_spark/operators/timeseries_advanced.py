@@ -1051,27 +1051,36 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated median of integers only ever lands on multiples of 0.5
     (position fraction ∈ {0, 0.5}) — exactly representable doubles, so
     Spark's percentile() and DuckDB's quantile_cont() agree bit-for-bit
-    and the 3·MAD comparison cannot flake. Two aggregate passes + two
-    user-keyed joins, all on the same key — one logical shuffle lineage,
-    no second exchange after the first hash partitioning.
+    and the 3·MAD comparison cannot flake.
+
+    Plan shape (r17): the med/mad aggregate-then-join ladder is expressed
+    as whole-partition WINDOW aggregates over user_id instead — same
+    percentile arithmetic, but ONE scan of events and ONE user_id
+    Exchange replace the 4-scan / 2-join plan (the joins reused the
+    partitioning but each side re-read the parquet; at 100 TB that was
+    three redundant corpus scans). Unbounded-frame windows need no sort.
     """
     e = load_table(spark, sf_dir, "events")
     cents = e.select(
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
     )
-    med = cents.groupBy("user_id").agg(
-        F.expr("percentile(v, 0.5)").alias("med")
-    )
-    dev = cents.join(med, "user_id").select(
+    w = W.partitionBy("user_id")
+    dev = cents.select(
+        "user_id",
+        "v",
+        F.expr("percentile(v, 0.5)").over(w).alias("med"),
+    ).select(
         "user_id", "v", F.abs(F.col("v") - F.col("med")).alias("dev"), "med"
     )
-    mad = dev.groupBy("user_id").agg(
-        F.expr("percentile(dev, 0.5)").alias("mad")
+    scored = dev.select(
+        "user_id",
+        "dev",
+        "med",
+        F.expr("percentile(dev, 0.5)").over(w).alias("mad"),
     )
     return (
-        dev.join(mad, "user_id")
-        .groupBy("user_id")
+        scored.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("med").alias("median_cents"),
@@ -1451,15 +1460,39 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SECOND", (F.col("event_id") % 300 + 60).cast("int"), s_ntz
         ).alias("e"),
     )
+    # One scan: each interval contributes its two boundary rows via an
+    # exploded 2-struct array instead of a union of two projections of
+    # the same scan (2 FileScans → 1; and with the single shared subtree
+    # the per_t Exchange below is stage-cache-reused by BOTH consumers,
+    # btot and within — r17).
     deltas = iv.select(
-        F.col("s").alias("t"), F.lit(1).alias("pos"), F.lit(0).alias("neg")
-    ).unionAll(
-        iv.select(F.col("e").alias("t"), F.lit(0).alias("pos"), F.lit(1).alias("neg"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"),
+                    F.lit(1).alias("pos"),
+                    F.lit(0).alias("neg"),
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    F.lit(0).alias("pos"),
+                    F.lit(1).alias("neg"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.t", "d.pos", "d.neg")
     per_t = (
         deltas.groupBy("t")
         .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
         .withColumn("bucket", trunc_ntz("hour", F.col("t")))
+        # Vacuously true (t is never null, trunc of non-null is non-null)
+        # but load-bearing for the plan: the carry join infers
+        # isnotnull(bucket) on its probe side only, which pushes below
+        # the partial aggregate and makes the two per_t subtrees differ —
+        # blocking AQE's stage-cache reuse of the t-Exchange. Declared on
+        # per_t itself, both consumers inherit the same filter and the
+        # Exchange is built once (2 corpus scans → 1; r17).
+        .filter(F.col("bucket").isNotNull())
     )
     # pass 1: per-bucket net totals (one row per hour)
     btot = per_t.groupBy("bucket").agg(
