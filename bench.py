@@ -115,9 +115,23 @@ def main() -> None:
         return cal
 
     cal = run_probe()
+    # Probe-based settle (r17, complements the /proc/loadavg gate): the
+    # loadavg gate cannot see hypervisor steal — this round produced a
+    # run with 1-min loadavg 0.07 whose very first probe already read
+    # 0.36 s (1.4× quiet). The probe CAN see it, so if the median reads
+    # >20 % over the quiet reference, wait and re-probe (bounded) before
+    # starting the battery. Timing methodology after the gate unchanged.
+    PROBE_SETTLE_MAX_S = 240.0
+    PROBE_SETTLE_QUIET = 0.25 * 1.2
+    settle_waited = 0.0
+    while sorted(cal)[2] > PROBE_SETTLE_QUIET and settle_waited < PROBE_SETTLE_MAX_S:
+        time.sleep(30)
+        settle_waited += 30
+        cal = run_probe()
     calibration = {
         "jvm_probe_median_s": round(sorted(cal)[2], 4),
         "jvm_probe_min_s": round(min(cal), 4),
+        "probe_settle_waited_s": round(settle_waited, 1),
     }
     # Quiet-machine reference for the probe, pinned from the r4/r5
     # measurement band (0.24-0.27 s median on an unloaded sandbox).
@@ -271,7 +285,14 @@ def main() -> None:
     pre_med = calibration["jvm_probe_median_s"]
     calibration["probe_mid_max_s"] = round(max(mid_probes), 4)
     calibration["probe_mid_min_s"] = round(min(mid_probes), 4)
-    mid_ratio = max(mid_probes) / max(pre_med, 1e-9)
+    # Reference floor at the quiet ref (r17): the probe-settle loop above
+    # JIT-warms the pre-probe, so its median can land BELOW the quiet
+    # reference (measured 0.13 s after a 90 s settle) — a raw mid/pre
+    # ratio then flags perfectly normal mid readings as 2× "contention".
+    # Warmup only ever LOWERS readings, so max(pre_med, quiet_ref) is
+    # the honest baseline: a mid reading above 1.3× of THAT still means
+    # load arrived, and a warmed baseline no longer false-positives.
+    mid_ratio = max(mid_probes) / max(pre_med, PROBE_QUIET_S)
     calibration["probe_mid_over_pre_ratio"] = round(mid_ratio, 4)
     MID_PROBE_TRUST_MAX = 1.3
     # The effective load factor also reflects mid-battery load: the
