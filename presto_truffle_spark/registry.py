@@ -124,20 +124,49 @@ def load_all_modules() -> None:
 # green (the driver re-verified the staled code); until then it heads
 # the window. A further code change bumps the number by hand.
 _FORCE_HEAD: dict[str, int] = {
-    # (The three r16 ADVICE pins — events_logrank_test,
-    # agg_kendall_tau_nations, text_burrows_delta_sources — all
-    # re-greened in CORRECTNESS_r16 and were pruned in r17 per the
-    # keep-it-short rule above; the r15 fano pin went the same way.)
+    # (The r17 pins — agg_welch_ttest, agg_oneway_anova,
+    # quality_t_closeness — re-greened in CORRECTNESS_r17 and were
+    # pruned per the keep-it-short rule; dedup_minhash_estimator_error's
+    # r17 oracle edit also landed green in CORRECTNESS_r17's own sample,
+    # so it needs no pin.)
     #
-    # r17 pins — the ADVICE r16 hardening edits, each a both-engine
-    # change that invalidates the r16 green: cents² widened to
-    # decimal38/HUGEINT BEFORE the square (Welch + ANOVA; output-
-    # preserving on the fixture), the ANOVA ssw>0 eta² guard plus the
-    # n_unpivoted residual column (schema change), and the t-closeness
-    # bucket key widened to decimal38/HUGEINT (output-preserving).
-    "agg_welch_ttest": 10,
-    "agg_oneway_anova": 16,
-    "quality_t_closeness": 16,
+    # r18 pins (VERDICT r17 item 1): every key whose Spark code or
+    # oracle SQL changed in the r17 optimization round but which did
+    # NOT land in the driver's r17 50-key sample — their correctness
+    # currently rests on the builder's selfcheck only. Computed by
+    # diffing the registered oracle strings and @query function blocks
+    # between 64b436a (r16 close) and the r17 close, minus the four
+    # keys CORRECTNESS_r17 already shows green. Staled at 17: the r17
+    # ledger predates/coincides with the change, so only a LATER green
+    # row unpins.
+    "corpus_bucket_dedup_cross": 17,
+    "corpus_dedup_aware_split": 17,
+    "dedup_canonical_selection": 17,
+    "dedup_connected_components": 17,
+    "dedup_incremental_minhash": 17,
+    "dedup_lsh_bucket_guard": 17,
+    # r18 change: shares the memoized signature table (see _lsh_tables).
+    "dedup_minhash_estimator_error": 17,
+    "dedup_minhash_lsh": 17,
+    "dedup_minhash_lsh_capped": 17,
+    "dedup_snm_multipass": 17,
+    "dedup_sorted_neighborhood": 17,
+    "dedup_survivor_pick": 17,
+    "embedding_jl_projection": 17,
+    "events_anomaly_mad": 17,
+    "events_asof_join": 17,
+    "events_peak_concurrency": 17,
+    "graph_degree_assortativity": 17,
+    "graph_label_propagation": 17,
+    "graph_pagerank": 17,
+    "graph_triangle_count": 17,
+    "pipeline_corpus_prep": 17,
+    "pipeline_corpus_release": 17,
+    "pipeline_semantic_dedup": 17,
+    "pipeline_semantic_dedup_capped": 17,
+    "search_mmr_diversify": 17,
+    "source_python_datasource": 17,
+    "text_tfidf_top_terms": 17,
 }
 
 _WINDOW = 50

@@ -100,3 +100,16 @@ def test_spark_generator_distributions(spark):
     assert row["dmin"] >= 0.0 and row["dmax"] <= 0.10
     assert str(row["smin"]) >= "1992-01-02" and str(row["smax"]) <= "1998-12-31"
     assert row["pmin"] >= 900.0  # 90000 cents minimum part price × qty≥1 / 100
+
+
+def test_events_ts_non_null_contract(spark, sf_dir):
+    """events.ts is NOT NULL by generator construction — a contract two
+    r17 rewrites lean on (ADVICE r17): events_peak_concurrency's
+    isnotnull(bucket) stage-reuse filter and events_anomaly_mad's window
+    partitioning silently drop/regroup null-ts rows if one ever appears.
+    Pin the invariant at the fixture so a future nullable ts fails loudly
+    here instead of diverging from the oracle."""
+    from presto_truffle_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.filter(ev.ts.isNull()).count() == 0

@@ -92,10 +92,20 @@ def test_snm_multipass_single_range_shuffle(spark, sf_dir):
 
 def test_mmr_plan_is_checkpoint_bounded(spark, sf_dir):
     """search_mmr_diversify's returned plan must be a bounded union over
-    checkpointed one-row picks — NOT the quadratic lazy replay whose plan
-    text ran to ~300 KB before r17. 20 KB is a generous ceiling."""
-    from presto_truffle_spark.operators.similarity import search_mmr_diversify
+    exactly k checkpointed one-row picks — NOT the quadratic lazy replay
+    whose plan embedded the candidate pipeline (parquet scan and all)
+    once per earlier pick before r17. Structural pin (ADVICE r17):
+    k ExistingRDD scans and zero parquet scans, instead of the brittle
+    plan-string byte length."""
+    from presto_truffle_spark.operators.similarity import (
+        _MMR_K,
+        search_mmr_diversify,
+    )
 
     plan = inspect.physical_plan(search_mmr_diversify(spark, sf_dir))
-    assert len(plan) < 20_000, len(plan)
-    assert "Scan ExistingRDD" in plan  # the checkpointed picks
+    assert plan.count("Scan ExistingRDD") == _MMR_K, plan.count(
+        "Scan ExistingRDD"
+    )
+    # A re-introduced replay would drag the candidate pipeline (and its
+    # parquet scan of embeddings) back into the returned plan.
+    assert "Scan parquet" not in plan

@@ -10,6 +10,14 @@ whitelisted is a finding.
 
 Usage: python tools/plan_audit.py [sf_dir]   (plans only — no execution;
 ~2-4 min for the full registry). Prints one JSON line.
+
+Known exception to "no execution" (ADVICE r17, reviewed): a handful of
+iterative ops materialize an intermediate with localCheckpoint(eager=True)
+at DataFrame-CONSTRUCTION time because the checkpoint must land inside a
+surrounding persist() scope (graph_pagerank/_power_iterate, the CC star
+init) — building those plans runs small bounded Spark jobs. The greedy
+MMR loop was converted to lazy checkpoints in r18 and no longer executes
+at construction.
 """
 
 from __future__ import annotations
