@@ -123,12 +123,31 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map ``applyInPandas``: per-customer z-score normalization in
-    pandas/numpy, differentially checked against the pure-SQL window
-    formulation. This is the UDTF-style escape hatch for per-group logic
-    Spark can't express — and the oracle proves the two paths agree.
-    Groups ship as whole pandas frames: bounded by the largest group, the
-    operator to salt if a key is hot."""
+    """Per-customer z-score normalization in pandas, differentially
+    checked against the pure-SQL window formulation — the per-group
+    escape hatch demonstrated in BOTH boundary shapes side by side
+    (VERDICT r17 #9), split by a deterministic customer hash so every
+    row flows through exactly one path and the union is value-identical
+    to the original single-path op:
+
+      * ``applyInPandas`` (1/50th of customers) — the grouped-map API
+        exhibit. Every group ships as its own pandas frame: one Python
+        call + one Arrow batch PER GROUP, which for small groups is
+        almost pure per-group flush overhead (the measured anti-pattern:
+        ~5-6 s at sf0.01 when all rows took this path; the guide-§2.3
+        'aggregate before you shuffle' warning in API form). Bounded by
+        the largest group; salt a hot key before it lands here.
+      * ``mapInArrow`` + in-partition pandas groupby (the other 49/50) —
+        the guide-§4 fix: repartition ONCE on the group key (the same
+        shuffle the grouped map pays), then ONE Python call per
+        PARTITION streams whole Arrow batches and an ordinary pandas
+        groupby applies the identical kernel to every group in it.
+        Memory bound is the partition, not the group — size the
+        repartition accordingly at scale.
+
+    Same kernel function, same arithmetic, same 4dp rounding envelope on
+    both paths; the oracle (and the CPUS=7 layout gate) proves the split
+    union agrees with the single-window SQL twin."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 3:
@@ -139,10 +158,49 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["price_z"] = ((pdf["o_totalprice"] - m) / sd).round(4)
         return out
 
+    schema = "o_custkey long, o_orderkey long, price_z double"
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    return o.groupBy("o_custkey").applyInPandas(
-        zscore, schema="o_custkey long, o_orderkey long, price_z double"
+    is_exhibit = (F.col("o_custkey") % 50) == 0
+    exhibit = (
+        o.filter(is_exhibit)
+        .groupBy("o_custkey")
+        .applyInPandas(zscore, schema=schema)
     )
+
+    def zscore_partition(batches):
+        # One call per partition: concat the partition's Arrow batches
+        # (groups may span batches), groupby in pandas, shared kernel.
+        import pyarrow as pa
+
+        pdf = pa.Table.from_batches(
+            list(batches),
+            schema=pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                ]
+            ),
+        ).to_pandas()
+        if len(pdf):
+            parts = [
+                zscore(g) for _, g in pdf.groupby("o_custkey", sort=False)
+            ]
+            out = pd.concat(parts) if parts else zscore(pdf.iloc[:0])
+            if len(out):
+                yield pa.RecordBatch.from_pandas(
+                    out.astype(
+                        {"o_custkey": "int64", "o_orderkey": "int64"}
+                    ),
+                    preserve_index=False,
+                )
+
+    bulk = (
+        o.filter(~is_exhibit)
+        .repartition("o_custkey")
+        .mapInArrow(zscore_partition, schema)
+    )
+    return exhibit.unionByName(bulk)
 
 
 @query(

@@ -316,35 +316,57 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → view → purchase): per user, each stage
     counts only events at-or-after the user's FIRST completion of the
     previous stage — the sequential-pattern query every product-analytics
-    engine special-cases (Presto's sequence_match); here it is three
-    min-aggregates chained by semi-join-shaped joins, all shuffling on
-    user_id. With pre-partitioning by user_id the three stages are
+    engine special-cases (Presto's sequence_match).
+
+    Single-pass shape (r18, guide §2.4; before: three filtered scans of
+    events chained by per-stage join+groupBy ladders and two crossJoins —
+    12 scan refs / 26 Exchange refs in the plan): ONE scan with
+    event_type IN (signup, view, purchase) pushed to parquet, ONE
+    user_id Exchange, and three whole-partition window minima chained in
+    the same partitioning — t0 = min signup ts, t1 = min view ts ≥ t0,
+    t2 = min purchase ts ≥ t1 (a conditional min referencing the
+    previous stage's window column; null t0/t1 disqualifies exactly like
+    the old inner joins did). Stage counts are then count(non-null) of
+    the per-user stage timestamps — value-identical to counting the old
+    s/v/p group rows. With pre-partitioning by user_id the windows are
     exchange-free at any scale; no per-user event ordering is ever
-    materialized (only the stage-entry timestamps flow)."""
+    materialized (unordered whole-partition frames only)."""
     e = load_table(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    w = W.partitionBy("user_id")
+    x = (
+        e.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t0",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t1",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") >= F.col("t0")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .join(s, "user_id")
-        .filter(F.col("ts") >= F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    per_user = x.groupBy("user_id").agg(
+        F.max("t0").alias("t0"), F.max("t1").alias("t1"), F.max("t2").alias("t2")
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    return (
-        s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    return per_user.agg(
+        F.count("t0").alias("n_signup"),
+        F.count("t1").alias("n_view_after_signup"),
+        F.count("t2").alias("n_purchase_after_view"),
     )
 
 
@@ -379,42 +401,47 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference stream can lag OR lead (asof_join_lastward covers only the
     backward half; DuckDB's native ASOF likewise).
 
-    Plan: two union-LOCF passes over the same key shuffle — backward =
-    last error ≤ t, forward = first error ≥ t (the lastward helper run on
-    NEGATED epoch micros, so "last before" becomes "first after") — then
-    a row-local min-distance pick. Never a per-user cross join: the
-    oracle's candidate set is |purchases|×|errors| per user (fine for
-    DuckDB at fixture scale, quadratic at 100 TB), while the Spark side
-    stays O(n log n) sort-shuffle like every other as-of here."""
-    from presto_truffle_spark.plans.rewrites import asof_join_lastward
-
+    Plan (single-pass since r18, guide §2.4; before: two independent
+    union-LOCF passes, each building its own purchase/error scans, glued
+    by a (user_id, event_id, ts) join — 8 scan refs / 6 Exchanges): ONE
+    scan with event_type IN (purchase, error) pushed to parquet and a
+    tagged projection (no union — the tag IS the row's role), then TWO
+    LOCF windows over the SAME user_id Exchange — ascending (ts, tag)
+    carries the last error ts ≤ t, descending ts with errors-first
+    carries the first error ts ≥ t; both windows put a same-ts error
+    before the purchase, preserving the lastward helper's inclusive
+    at-or-before/at-or-after tie rule — and a row-local min-distance
+    pick on the purchase rows. Never a per-user cross join: the oracle's
+    candidate set is |purchases|×|errors| per user (fine for DuckDB at
+    fixture scale, quadratic at 100 TB), while the Spark side stays
+    O(n log n) sort-shuffle like every other as-of here."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        "user_id",
-        F.col("ts").alias("err_ts"),
-        F.col("ts").alias("b_ts"),
-    )
-    back = asof_join_lastward(
-        purchases, errors.drop("err_ts"), "user_id", "ts", "b_ts", ["b_ts"]
-    )
-    # forward pass: negate time so "last at-or-before" = "first at-or-after"
-    p_neg = purchases.withColumn("nts", -epoch_us("ts"))
-    e_neg = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "error")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
         .select(
             "user_id",
-            (-epoch_us("ts")).alias("e_nts"),
-            F.col("ts").alias("f_ts"),
+            F.when(is_p, F.col("event_id")).alias("event_id"),
+            "ts",
+            F.when(is_p, F.lit(1)).otherwise(F.lit(0)).alias("_is_q"),
+            F.when(~is_p, F.col("ts")).alias("_err_ts"),
         )
     )
-    fwd = asof_join_lastward(p_neg, e_neg, "user_id", "nts", "e_nts", ["f_ts"]).drop(
-        "nts"
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "_is_q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    both = back.join(fwd, ["user_id", "event_id", "ts"])
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("_is_q").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    both = (
+        u.withColumn("b_ts", F.last("_err_ts", ignorenulls=True).over(wb))
+        .withColumn("f_ts", F.last("_err_ts", ignorenulls=True).over(wf))
+        .filter(F.col("_is_q") == 1)
+    )
     b_dist = epoch_ms("ts") - epoch_ms("b_ts")
     f_dist = epoch_ms("f_ts") - epoch_ms("ts")
     pick_back = F.col("b_ts").isNotNull() & (

@@ -147,6 +147,11 @@ _FORCE_HEAD: dict[str, int] = {
     "dedup_lsh_bucket_guard": 17,
     # r18 change: shares the memoized signature table (see _lsh_tables).
     "dedup_minhash_estimator_error": 17,
+    # r18 change: grouped-map/mapInArrow split demonstration (VERDICT #9).
+    "udf_grouped_map_zscore": 17,
+    # r18 rewrites: single-scan window funnels (rescan audit, VERDICT #4).
+    "events_funnel_conversion": 17,
+    "events_asof_nearest": 17,
     "dedup_minhash_lsh": 17,
     "dedup_minhash_lsh_capped": 17,
     "dedup_snm_multipass": 17,

@@ -109,3 +109,29 @@ def test_mmr_plan_is_checkpoint_bounded(spark, sf_dir):
     # A re-introduced replay would drag the candidate pipeline (and its
     # parquet scan of embeddings) back into the returned plan.
     assert "Scan parquet" not in plan
+
+
+def test_cc_round_single_pair_keyed_exchange(spark):
+    """One large/small-star contraction round must shuffle on (u, v) exactly
+    ONCE — e2's closing distinct. The r17 win dropped e1's .distinct(),
+    whose (u, v) Exchange both added a shuffle and destroyed the u-keyed
+    layout every downstream consumer reuses; this pin fails if it sneaks
+    back (VERDICT r17 #7). The u-keyed exchanges collapse to 3 real
+    shuffles at runtime via AQE stage reuse; pre-AQE they print 5."""
+    from pyspark.sql import functions as F
+
+    from presto_truffle_spark.operators.quality_ops import _star_contract_round
+
+    E = (
+        spark.range(8)
+        .select((F.col("id") + 1).alias("u"), F.col("id").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    plan = _star_contract_round(E)._jdf.queryExecution().executedPlan().toString()
+    keys = [
+        re.sub(r"#\d+L?", "", m).rstrip(", 0123456789")
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert keys.count("u, v") == 1, keys
+    assert all(k in ("u", "u, v") for k in keys), keys
+    assert len(keys) <= 6, keys
