@@ -901,9 +901,12 @@ def events_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: corpus folds to (user, week) counts in one
     map-combinable groupBy; the ntile window partitions BY WEEK (never
-    global — each partition is one week's user set); the
-    adjacent-week self-join is keyed (user, week+1) — co-partitioned
-    with the fold's shuffle on user-heavy layouts; the final fold is a
+    global — each partition is one week's user set); the week-over-week
+    transition is a LAG window per user (r18, guide §2.4 — the old
+    adjacent-week SELF-join re-ran the whole fold+ntile pipeline per
+    side, two corpus scans for one reduced table; (user, ws) is unique
+    after the fold, so lag(1) filtered to prev_ws = ws − 604800
+    produces exactly the join's adjacent pairs); the final fold is a
     16-cell matrix. All post-fold stages are user-cardinality."""
     ev = load_table(spark, sf_dir, "events")
     from presto_truffle_spark.tztime import trunc_ntz
@@ -922,16 +925,16 @@ def events_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("quartile"),
     )
-    a = ranked.select(
-        "user_id", F.col("ws").alias("wa"), F.col("quartile").alias("q_from")
-    )
-    b = ranked.select(
-        "user_id", F.col("ws").alias("wb"), F.col("quartile").alias("q_to")
-    )
+    wlag = W.partitionBy("user_id").orderBy("ws")
     return (
-        a.join(b, "user_id")
-        .filter(F.col("wb") == F.col("wa") + 604800)
-        .groupBy("q_from", "q_to")
+        ranked.select(
+            "ws",
+            "quartile",
+            F.lag("ws").over(wlag).alias("prev_ws"),
+            F.lag("quartile").over(wlag).alias("q_from"),
+        )
+        .filter(F.col("prev_ws") == F.col("ws") - 604800)
+        .groupBy("q_from", F.col("quartile").alias("q_to"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 
@@ -1047,17 +1050,24 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded table against the 7-row lag list — never seven
     corpus passes, and never a window per lag. Everything after the
     first fold is ~30x7 rows."""
+    from presto_truffle_spark.cache import scoped_persist
     from presto_truffle_spark.tztime import trunc_ntz
 
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    daily = scoped_persist(
+        spark,
+        "timeseries.autocorr.daily",
+        # Persisted: the lag self-join consumes this calendar-bounded
+        # fold on BOTH sides, and without the cache each side re-ran
+        # the corpus scan + day fold (r18 rescan audit; the r5
+        # reduced-intermediate rule — the day table is ~30 rows).
         ev.select(
             (epoch_s(trunc_ntz("day", "ts")) / 86400)
             .cast("long")
             .alias("d")
         )
         .groupBy("d")
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y")),
     )
     lags = spark.range(1).select(
         F.explode(
@@ -1131,16 +1141,22 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All integer: revenue in cents (the streaming convention's
     floor(x*100+0.5)), cohort assignment by Monday-aligned epoch-week
-    (trunc_ntz — zone-proof), per-user LTV by integer div. Scale
-    shape: one corpus pass tags each event with cents (non-purchases
-    0 — keeps cohort assignment and revenue in ONE fold), the
-    (cohort, age) cell table is calendar²-bounded, and the cumulative
-    window partitions BY COHORT over that cell table. Cohort sizes
-    broadcast back."""
+    (trunc_ntz — zone-proof), per-user LTV by integer div.
+
+    Scale shape (single-pass since r18, guide §2.4; before: the raw
+    tagged frame was consumed by the cohort groupBy AND the cells join
+    — three corpus scan refs and a user_id join): one corpus pass folds
+    to (user, week) cent sums (map-combinable, exact integers in any
+    order), cohort assignment is a whole-partition window min over the
+    user (no join), the (cohort, age) cell table is calendar²-bounded,
+    and cohort size falls out of the SAME cell fold — every user is
+    active in their cohort week, so the age-0 cell's distinct-user
+    count IS the cohort size (a per-cohort window max, no sizes join).
+    The cumulative window partitions BY COHORT over the cell table."""
     from presto_truffle_spark.tztime import trunc_ntz
 
     ev = load_table(spark, sf_dir, "events")
-    wk = ev.select(
+    uw = ev.select(
         "user_id",
         epoch_s(trunc_ntz("week", "ts")).alias("ws"),
         F.when(
@@ -1149,37 +1165,36 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("cents"),
+    ).groupBy("user_id", "ws").agg(F.sum("cents").cast("long").alias("cents"))
+    uw = uw.withColumn(
+        "cw", F.min("ws").over(W.partitionBy("user_id"))
     )
-    cohort = wk.groupBy("user_id").agg(F.min("ws").alias("cw"))
-    sizes = cohort.groupBy("cw").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    cells = uw.groupBy(
+        "cw", F.expr("(ws - cw) div 604800").alias("age_weeks")
+    ).agg(
+        F.sum("cents").cast("long").alias("cents"),
+        # rows here are (user, week)-unique, so the age-0 cell's row
+        # count is the number of users whose first week is cw
+        F.count(F.lit(1)).cast("long").alias("n_user_weeks"),
     )
-    cells = (
-        wk.join(cohort, "user_id")
-        .groupBy(
-            "cw",
-            F.expr("(ws - cw) div 604800").alias("age_weeks"),
-        )
-        .agg(F.sum("cents").cast("long").alias("cents"))
-    )
+    wc = W.partitionBy("cw")
     cum = F.sum("cents").over(
-        W.partitionBy("cw")
-        .orderBy("age_weeks")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        wc.orderBy("age_weeks").rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        cells.join(F.broadcast(sizes), "cw")
-        .select(
-            F.col("cw").alias("cohort_week_start"),
-            "age_weeks",
-            cum.cast("long").alias("cum_revenue_cents"),
-            "cohort_users",
-            F.expr(
-                "CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age_weeks "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-                "div cohort_users AS BIGINT)"
-            ).alias("ltv_cents_per_user"),
-        )
+    cohort_users = F.max(
+        F.when(F.col("age_weeks") == 0, F.col("n_user_weeks"))
+    ).over(wc)
+    return cells.select(
+        F.col("cw").alias("cohort_week_start"),
+        "age_weeks",
+        cum.cast("long").alias("cum_revenue_cents"),
+        cohort_users.alias("cohort_users"),
+        F.expr(
+            "CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age_weeks "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "div (max(CASE WHEN age_weeks = 0 THEN n_user_weeks END) "
+            "OVER (PARTITION BY cw)) AS BIGINT)"
+        ).alias("ltv_cents_per_user"),
     )
 
 

@@ -837,27 +837,34 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the deviation is scaled by n (``n·y_i − S`` with S = Σy in
     cents), so the running sum is pure BIGINT — no FP mean, no rounding
     drift, and the argmax with (|c| desc, k asc) tie-break is identical on
-    both engines. One shuffle on user_id serves the total, the running
-    sum, and the argmax windows (same key, AQE reuses the exchange).
-    Magnitudes stay far under 2⁶³ for any realistic per-key series
-    (n·y·n ≤ 10⁹·10⁵·10⁹ only at 10⁹ events per single user).
+    both engines. ONE shuffle on user_id serves everything: the per-user
+    total (n, S) is a whole-partition window over the same key instead of
+    the old groupBy+self-join — the join's probe side re-ran the scan +
+    row_number pipeline (2 corpus scans, r18 rescan audit; now 1 scan,
+    1 Exchange, zero joins). Magnitudes stay far under 2⁶³ for any
+    realistic per-key series (n·y·n ≤ 10⁹·10⁵·10⁹ only at 10⁹ events
+    per single user).
     """
     e = load_table(spark, sf_dir, "events")
     order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    whole_w = W.partitionBy("user_id")
     pts = e.select(
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
         F.row_number().over(order_w).alias("k"),
-    )
-    tot = pts.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    ).select(
+        "user_id",
+        "y",
+        "k",
+        F.count(F.lit(1)).over(whole_w).alias("n"),
+        F.sum("y").over(whole_w).alias("s"),
     )
     run_w = (
         W.partitionBy("user_id")
         .orderBy("k")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cusum = pts.join(tot, "user_id").select(
+    cusum = pts.select(
         "user_id",
         "k",
         "n",
@@ -2226,19 +2233,20 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     this op is how the global default it falls back to gets chosen.)
 
     One user-partitioned lag (the corpus-sized work), one 3-way
-    grouped conditional count over the gap column. Whole-second gap
-    arithmetic via date_sub/timestampdiff per the day-time interval
-    pin; the events-per-session ratio is the one double, 6dp."""
+    grouped conditional count over the gap column. n_users and n_events
+    fall out of the SAME lag frame (r18, guide §2.4 — the old separate
+    countDistinct/count aggregate re-scanned the corpus): every user
+    contributes exactly one NULL-gap row (their first event), so
+    n_users = count of null gaps and n_events = count of all rows.
+    Whole-second gap arithmetic via date_sub/timestampdiff per the
+    day-time interval pin; the events-per-session ratio is the one
+    double, 6dp."""
     ev = load_table(spark, sf_dir, "events")
     wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         F.timestamp_diff(
             "SECOND", F.lag("ts").over(wlag), F.col("ts")
         ).alias("gap_s")
-    ).filter(F.col("gap_s").isNotNull())
-    base = ev.agg(
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
     )
     th = spark.range(1).select(
         F.explode(
@@ -2248,9 +2256,13 @@ def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = gaps.crossJoin(F.broadcast(th)).groupBy("threshold_s").agg(
         F.count(F.when(F.col("gap_s") > F.col("threshold_s"), 1))
         .cast("long")
-        .alias("n_breaks")
+        .alias("n_breaks"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("gap_s").isNull(), 1))
+        .cast("long")
+        .alias("n_users"),
     )
-    return swept.crossJoin(F.broadcast(base)).select(
+    return swept.select(
         F.col("threshold_s").cast("long").alias("threshold_s"),
         "n_events",
         (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),

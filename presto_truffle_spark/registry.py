@@ -149,9 +149,14 @@ _FORCE_HEAD: dict[str, int] = {
     "dedup_minhash_estimator_error": 17,
     # r18 change: grouped-map/mapInArrow split demonstration (VERDICT #9).
     "udf_grouped_map_zscore": 17,
-    # r18 rewrites: single-scan window funnels (rescan audit, VERDICT #4).
+    # r18 rewrites: single-scan window shapes (rescan audit, VERDICT #4).
     "events_funnel_conversion": 17,
     "events_asof_nearest": 17,
+    "events_rank_migration": 17,
+    "events_autocorrelation": 17,
+    "events_cohort_ltv_curve": 17,
+    "events_changepoint_cusum": 17,
+    "events_session_gap_sweep": 17,
     "dedup_minhash_lsh": 17,
     "dedup_minhash_lsh_capped": 17,
     "dedup_snm_multipass": 17,

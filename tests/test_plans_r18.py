@@ -67,3 +67,32 @@ def test_grouped_map_split_paths(spark, sf_dir):
     plan = inspect.physical_plan(udf_grouped_map_zscore(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+
+
+def test_rescan_audit_r18_single_scan_rewrites(spark, sf_dir):
+    """The five r18 rescan-audit rewrites each read events exactly once
+    (changepoint/cohort/rank/gap-sweep: windows replaced the self-join /
+    separate-aggregate second scan; autocorrelation: the day fold is
+    persisted so the lag self-join probes the cache)."""
+    from presto_truffle_spark.operators.timeseries import (
+        events_autocorrelation,
+        events_cohort_ltv_curve,
+        events_rank_migration,
+    )
+    from presto_truffle_spark.operators.timeseries_advanced import (
+        events_changepoint_cusum,
+        events_session_gap_sweep,
+    )
+
+    for fn, max_joins in (
+        (events_changepoint_cusum, 0),
+        (events_cohort_ltv_curve, 0),
+        (events_rank_migration, 0),
+        (events_session_gap_sweep, 1),  # the 3-row broadcast threshold list
+        (events_autocorrelation, 2),  # lag list + persisted day-table join
+    ):
+        df = fn(spark, sf_dir)
+        scans = inspect.parquet_scans(df)
+        assert len(scans) == 1, (fn.__name__, scans)
+        plan = inspect.physical_plan(df)
+        assert plan.count("Join") <= max_joins, (fn.__name__, plan)
