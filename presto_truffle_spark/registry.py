@@ -157,6 +157,25 @@ _FORCE_HEAD: dict[str, int] = {
     "events_cohort_ltv_curve": 17,
     "events_changepoint_cusum": 17,
     "events_session_gap_sweep": 17,
+    # r18 change: size-derived state-store partition count (the 14
+    # streams whose effective shuffle-partition count moved 8 → 2 at
+    # fixture scale; values are partition-independent, which these pins
+    # make the driver's oracle confirm). The python-stateful streams
+    # keep their floor of 8 — behavior unchanged, not pinned.
+    "streaming_tumbling_counts": 17,
+    "streaming_windowed_watermark": 17,
+    "streaming_dedup_watermark": 17,
+    "streaming_session_window": 17,
+    "streaming_rate_ingest": 17,
+    "streaming_stream_stream_join": 17,
+    "streaming_stream_static_join": 17,
+    "streaming_stream_stream_left_join": 17,
+    "streaming_range_join_windows": 17,
+    "streaming_semantic_dedup": 17,
+    "streaming_semantic_dedup_indexed": 17,
+    "streaming_decayed_counts": 17,
+    "streaming_seasonal_anomaly": 17,
+    "streaming_gdpr_erasure_filter": 17,
     "dedup_minhash_lsh": 17,
     "dedup_minhash_lsh_capped": 17,
     "dedup_snm_multipass": 17,

@@ -28,6 +28,7 @@ from presto_truffle_spark.streaming.windows import (
     _events_stream,
     checkpoint_dir,
     drop_checkpoint,
+    stream_shuffle_partitions,
 )
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen timestamp"
@@ -97,7 +98,10 @@ def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin state-store partition count low for the fixture run (see
     # streaming.windows._run_to_memory for rationale).
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_shuffle_partitions(sf_dir, python_stateful=True)),
+    )
     ckpt = checkpoint_dir()
     try:
         q = (
@@ -290,7 +294,10 @@ def _tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_shuffle_partitions(sf_dir, python_stateful=True)),
+    )
     name = "s" + uuid.uuid4().hex[:12]
     try:
         profiled = stream.groupBy("user_id").transformWithStateInPandas(
@@ -372,7 +379,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_shuffle_partitions(sf_dir, python_stateful=True)),
+    )
     ckpt = checkpoint_dir()
     try:
         q = (
