@@ -117,7 +117,7 @@ def stream_shuffle_partitions(
     which would hide single-partition bugs) and capped at 200 (the
     vanilla-session default a production stream starts from before
     sizing to its own throughput). Measured at sf0.01: 8 stores → 2
-    cuts the per-key micro-batch wall ~25-30% (store setup dominates
+    cuts the per-key micro-batch wall ~10-25% (store setup dominates
     tiny batches; values are partition-count-independent, which the
     oracle and the CPUS=7 layout gate verify). Overridable via
     SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS for cluster experiments.
